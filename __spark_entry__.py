@@ -1,10 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship query (Q7 regressions analog,
+SURVEY.md §7 minimum slice) at sf0.001; ``queries()`` /
+``oracle_sql()`` expose every implemented operator from SURVEY.md §2
+plus the large-scale pipeline extensions for the DuckDB correctness
+gate at sf0.01.
 """
 
 from __future__ import annotations
@@ -13,26 +13,32 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from tableau_dashboard_performance_etl_automation_spark.operators import tabjolt
+
+_SMOKE_SF_DIR = "/root/testdata/sf0.001"
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
+
+    Q7 (tabjolt_email.py:385) retargeted at the events table: per-key
+    historical baseline vs. current-window samples with percentage
+    difference — it alone exercises scan, regex/ilike filters, casts,
+    epoch→timestamp, group-by AVG, broadcast join, guarded-division
+    CASE, theta filter, and a desc sort (SURVEY.md §7).
+    """
+    return tabjolt.q_regressions(spark, _SMOKE_SF_DIR)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2."""
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    out.update(tabjolt.QUERIES)
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable ANSI SQL twin for each entry in ``queries()``."""
+    out: dict[str, str] = {}
+    out.update(tabjolt.ORACLE_SQL)
+    return out
