@@ -1,0 +1,62 @@
+"""Benchmark harness: runs every registered query at the bench scale
+factor and prints ONE JSON line with per-query wall seconds.
+
+    SPARK_GRAFT_SF_DIR   parquet dir  (default /root/testdata/sf0.1)
+    SPARK_GRAFT_CPUS     local[] threads (default 32)
+
+Each query executes via the no-op sink so timings measure the full
+distributed plan (scan → shuffle → result) without driver-side
+collect/serialization noise.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    os.environ.setdefault("SPARK_GRAFT_CPUS", "32")
+
+    import __spark_entry__ as entry_mod
+    from tableau_dashboard_performance_etl_automation_spark.session import get_spark
+
+    spark = get_spark("tdpe-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    queries = entry_mod.queries()
+
+    # Warm the JVM/codegen path once so per-query numbers reflect
+    # steady-state execution, not session startup.
+    next(iter(queries.values()))(spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    timings: dict[str, float] = {}
+    for name, fn in queries.items():
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "query_set_wall_seconds",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,139 @@
+"""Reject-path ingestion semantics (SURVEY.md §2.1 S2, §5).
+
+Fixtures replicate the reference's golden inputs: summary_line.csv
+(clean), modified_workbook.csv (header + quoted-comma field), and a
+mixed file with TabJolt console lines that Vertica's COPY spooled to
+rejected.txt (FIXTURES.md §5).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from tableau_dashboard_performance_etl_automation_spark.sources import (
+    load_delimited,
+    load_manifest,
+)
+
+SUMMARY_SCHEMA = StructType(
+    [
+        StructField("summary_metrix", StringType()),
+        StructField("summary_value", StringType()),
+        StructField("summary_timestamp", StringType()),
+    ]
+)
+
+JTL_COLS = "t lt ts s lb rc rm tn dt by ng na trail".split()
+JTL_SCHEMA = StructType([StructField(c, StringType()) for c in JTL_COLS])
+
+
+def test_clean_csv_loads_all_rows(spark, tmp_path):
+    p = tmp_path / "summary_line.csv"
+    p.write_text(
+        "Avg,12661,2024-07-30\nMin,9534,2024-07-30\n"
+        "Max,12973,2024-07-30\nErr,0 0.00%,2024-07-30\n"
+    )
+    res = load_delimited(spark, str(p), SUMMARY_SCHEMA, delimiter=",")
+    good, rejected = res.counts()
+    assert (good, rejected) == (4, 0)
+    # the Err row's non-numeric value survives as a string (SURVEY §1.3)
+    vals = {r.summary_value for r in res.good.collect()}
+    assert "0 0.00%" in vals
+
+
+def test_quoted_comma_field_parses_as_one_column(spark, tmp_path):
+    # mirrors modified_workbook.csv:5 — a quoted field containing commas
+    p = tmp_path / "wb.csv"
+    p.write_text(
+        "t,lt,ts,s,lb,rc,rm,tn,dt,by,ng,na,trail\n"
+        '2218,0,1722333534328,true,Bootstrap request,200,'
+        '"Bootstrap sessionID:39175F21C990429B9BC39F61F98B405E-1:0, status:OK, '
+        'isRetry:false",G 1-1,,1572926,1,1,Site: x; View: y;\n'
+    )
+    res = load_delimited(spark, str(p), JTL_SCHEMA, delimiter=",", skip_header=True)
+    rows = res.good.collect()
+    assert len(rows) == 1
+    assert rows[0].rm.startswith("Bootstrap sessionID:")
+    assert "status:OK" in rows[0].rm
+    assert res.rejected.count() == 0
+
+
+def test_tabjolt_console_lines_are_rejected(spark, tmp_path):
+    """Row conservation: good + rejected == input (SURVEY.md §5)."""
+    p = tmp_path / "mixed.csv"
+    lines = [
+        "123,0,1722333534328,true,lbl,200,msg,tn,,99,1,1,x",  # good
+        # TabJolt console noise (rejected.txt:1 shape): tab-delimited
+        # tokens overflow the comma schema via embedded quotes columns?
+        # Here: a quote-broken row and an over-wide row, both rejected.
+        '1,2,3,true,lbl,200,"unterminated,tn,,99,1,1,x',
+        "a,b,c,d,e,f,g,h,i,j,k,l,m,EXTRA,EXTRA2",
+        "456,0,1722333534329,false,lbl,200,msg2,tn,,99,1,1,x",  # good
+    ]
+    p.write_text("\n".join(lines) + "\n")
+    reject_dir = tmp_path / "rejected"
+    res = load_delimited(
+        spark, str(p), JTL_SCHEMA, delimiter=",", reject_path=str(reject_dir)
+    )
+    good, rejected = res.counts()
+    assert good + rejected == len(lines)
+    assert good == 2 and rejected == 2
+    # reject sink holds the raw lines, like Vertica's rejected.txt
+    spilled = sorted(
+        ln
+        for f in reject_dir.glob("part-*")
+        for ln in f.read_text().splitlines()
+    )
+    assert len(spilled) == 2
+    assert any("EXTRA" in ln for ln in spilled)
+
+
+def test_typed_schema_coercion_failure_rejects_row(spark, tmp_path):
+    # wincounter.tsv shape: typed columns, tab-delimited (SURVEY §1.2)
+    schema = StructType(
+        [
+            StructField("epoch_ms", LongType()),
+            StructField("host", StringType()),
+            StructField("value", DoubleType()),
+        ]
+    )
+    p = tmp_path / "wincounter.tsv"
+    p.write_text(
+        "1722333534328\tLOCALHOST\t61.7235679626465\n"
+        "not_a_number\tLOCALHOST\t1.5\n"
+    )
+    res = load_delimited(spark, str(p), schema, delimiter="\t")
+    good, rejected = res.counts()
+    assert (good, rejected) == (1, 1)
+    assert res.good.collect()[0].value == 61.7235679626465
+
+
+def test_manifest_registers_views(spark, tmp_path):
+    # the files_to_load loop (tabjolt_email.py:361-372) as one call
+    a = tmp_path / "summary_line.csv"
+    a.write_text("Avg,100,2024-07-30\n")
+    b = tmp_path / "wincounter.tsv"
+    b.write_text("1\tHOST\t2.0\n")
+    win_schema = StructType(
+        [
+            StructField("epoch_ms", LongType()),
+            StructField("host", StringType()),
+            StructField("value", DoubleType()),
+        ]
+    )
+    results = load_manifest(
+        spark,
+        [
+            (str(a), "summary_line", SUMMARY_SCHEMA, ",", False),
+            (str(b), "wincounter", win_schema, "\t", False),
+        ],
+    )
+    assert set(results) == {"summary_line", "wincounter"}
+    assert spark.table("summary_line").count() == 1
+    assert spark.table("wincounter").count() == 1
