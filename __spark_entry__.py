@@ -13,7 +13,11 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from tableau_dashboard_performance_etl_automation_spark.operators import tabjolt
+from tableau_dashboard_performance_etl_automation_spark.operators import (
+    analytics,
+    dedup,
+    tabjolt,
+)
 
 _SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
@@ -34,6 +38,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     out.update(tabjolt.QUERIES)
+    out.update(analytics.QUERIES)
+    out.update(dedup.QUERIES)
     return out
 
 
@@ -41,4 +47,6 @@ def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL twin for each entry in ``queries()``."""
     out: dict[str, str] = {}
     out.update(tabjolt.ORACLE_SQL)
+    out.update(analytics.ORACLE_SQL)
+    out.update(dedup.ORACLE_SQL)
     return out

@@ -1,0 +1,320 @@
+"""General analytic queries over the star schema — the engine-breadth
+layer beyond the reference's nine queries.
+
+The reference's capability surface is narrow (SURVEY.md §2: one join
+kind, three aggregates); a user switching to this engine still needs
+the standard warehouse shapes at 100 TB. These queries exercise them
+with explicit scale choices:
+
+- fact-table aggregations are partial-aggregate friendly (groupBy on
+  low-cardinality keys → map-side combine before the shuffle);
+- dimension joins broadcast (region/nation/part/supplier stay far
+  under the 32 MB threshold at any realistic scale; customer⋈orders
+  is a true shuffled fact-fact join);
+- top-k uses sort+limit which Spark executes as TakeOrderedAndProject
+  (per-partition heaps, no global sort materialization);
+- window functions partition by bounded keys (brand), never a global
+  unpartitioned window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+from tableau_dashboard_performance_etl_automation_spark.catalog import load_table
+
+
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary over lineitem: multi-aggregate
+    hash aggregation with map-side partial combine (4 group keys ×
+    ~O(1) cardinality)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp_ntz")
+    )
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped shipping-priority query: selective dimension
+    filter (mktsegment) → shuffled fact-fact join → grouped revenue →
+    top-10 (TakeOrderedAndProject, no full sort)."""
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp_ntz")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1999-01-01").cast("timestamp_ntz")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            "revenue",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+def region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped star join: revenue per nation within a region.
+    nation/region broadcast; customer⋈orders⋈lineitem shuffle on their
+    keys (the correct plan at 100 TB — only true fact-fact edges
+    shuffle)."""
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    dims = F.broadcast(
+        nation.join(region, nation.n_regionkey == region.r_regionkey)
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(dims, cust.c_nationkey == dims.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("n_name"))
+    )
+
+
+def supplier_part_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Part/supplier join rollup: two broadcast dimension joins into
+    the fact scan, grouped on a mid-cardinality key (brand)."""
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_type").isin("PROMO", "ECONOMY")
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .groupBy("p_brand")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+            F.count(F.lit(1)).alias("n_lines"),
+            F.countDistinct("s_suppkey").alias("n_suppliers"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+def top_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function top-k: rank parts by retail price within each
+    brand (partitioned window — shuffles once on the partition key,
+    no global sort)."""
+    part = load_table(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(
+        F.col("p_retailprice").desc(), F.col("p_partkey")
+    )
+    return (
+        part.withColumn("price_rank", F.row_number().over(w))
+        .filter(F.col("price_rank") <= 3)
+        .select("p_brand", "p_partkey", "p_name",
+                F.round("p_retailprice", 2).alias("retail_price"), "price_rank")
+        .orderBy("p_brand", "price_rank")
+    )
+
+
+def daily_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events rollup: per-day distinct users + event volume. distinct
+    count shuffles on (date,user) — partial-agg friendly."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.col("ts").cast("date").alias("d"))
+        .agg(
+            F.countDistinct("user_id").alias("dau"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("event_date"),
+            "dau",
+            "n_events",
+            "total_value",
+        )
+        .orderBy("event_date")
+    )
+
+
+def user_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity) via lag window —
+    the standard streaming-adjacent stateful shape expressed as a
+    batch window; partitions by user so state never concentrates."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    sessions = (
+        e.withColumn("prev_ts", F.lag("ts").over(w))
+        .withColumn(
+            "new_session",
+            (
+                F.col("prev_ts").isNull()
+                | (F.unix_millis("ts") - F.unix_millis("prev_ts") > 30 * 60 * 1000)
+            ).cast("int"),
+        )
+        .withColumn(
+            "session_id",
+            F.sum("new_session").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+    )
+    return (
+        sessions.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+QUERIES = {
+    "pricing_summary": pricing_summary,
+    "top_revenue_orders": top_revenue_orders,
+    "region_revenue": region_revenue,
+    "supplier_part_volume": supplier_part_volume,
+    "top_parts_per_brand": top_parts_per_brand,
+    "daily_active_users": daily_active_users,
+    "user_sessionization": user_sessionization,
+}
+
+ORACLE_SQL = {
+    "pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               ROUND(SUM(l_quantity), 2) AS sum_qty,
+               ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               ROUND(AVG(l_quantity), 4) AS avg_qty,
+               ROUND(AVG(l_extendedprice), 4) AS avg_price,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
+    "top_revenue_orders": """
+        SELECT l_orderkey,
+               strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1999-01-01'
+          AND l_shipdate  > TIMESTAMP '1999-01-01'
+        GROUP BY l_orderkey, o_orderdate
+        ORDER BY revenue DESC, l_orderkey
+        LIMIT 10
+    """,
+    "region_revenue": """
+        SELECT n_name,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1998-01-01'
+        GROUP BY n_name
+        ORDER BY revenue DESC, n_name
+    """,
+    "supplier_part_volume": """
+        SELECT p_brand,
+               ROUND(SUM(l_quantity), 2) AS total_qty,
+               COUNT(*) AS n_lines,
+               COUNT(DISTINCT s_suppkey) AS n_suppliers
+        FROM lineitem
+        JOIN part     ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        WHERE p_type IN ('PROMO', 'ECONOMY')
+        GROUP BY p_brand
+        ORDER BY p_brand
+    """,
+    "top_parts_per_brand": """
+        SELECT p_brand, p_partkey, p_name,
+               ROUND(p_retailprice, 2) AS retail_price,
+               price_rank
+        FROM (
+            SELECT *,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY p_brand
+                       ORDER BY p_retailprice DESC, p_partkey
+                   ) AS price_rank
+            FROM part
+        )
+        WHERE price_rank <= 3
+        ORDER BY p_brand, price_rank
+    """,
+    "daily_active_users": """
+        SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS event_date,
+               COUNT(DISTINCT user_id) AS dau,
+               COUNT(*) AS n_events,
+               ROUND(SUM(value), 2) AS total_value
+        FROM events
+        GROUP BY CAST(ts AS DATE)
+        ORDER BY event_date
+    """,
+    "user_sessionization": """
+        SELECT user_id, session_id,
+               COUNT(*) AS n_events,
+               ROUND(SUM(value), 2) AS session_value
+        FROM (
+            SELECT user_id, value,
+                   SUM(new_session) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS session_id
+            FROM (
+                SELECT user_id, ts, value,
+                       CASE WHEN prev_ts IS NULL
+                                 OR epoch_ms(ts) - epoch_ms(prev_ts)
+                                    > 30 * 60 * 1000
+                            THEN 1 ELSE 0 END AS new_session
+                FROM (
+                    SELECT user_id, ts, value,
+                           LAG(ts) OVER (
+                               PARTITION BY user_id ORDER BY ts
+                           ) AS prev_ts
+                    FROM events
+                )
+            )
+        )
+        GROUP BY user_id, session_id
+        ORDER BY user_id, session_id
+    """,
+}

@@ -1,0 +1,406 @@
+"""Deduplication operators over the ``documents`` table — the
+training-data-pipeline layer (exact, MinHash+LSH, SimHash, n-gram
+Jaccard). Embedding-based near-dup lives in ``operators/similarity``.
+
+Scale design (100 TB of documents):
+
+- every operator is explode → distinct → aggregate → equi-join —
+  all shuffle-parallel, nothing touches the driver;
+- pair generation never does a cross join: candidate pairs come only
+  from equality joins on LSH band buckets / simhash bands / shared
+  shingles, i.e. the blocking step IS the algorithm;
+- hot blocks are bounded: n-gram Jaccard drops "stop shingles" whose
+  document frequency exceeds a cap (the classic guard against a
+  quadratic bucket), and simhash uses frequency-weighted bits so
+  near-identical vocab sets don't collapse into one bucket.
+
+Determinism for the DuckDB oracle: hashes are md5 hex strings (same
+in both engines), Jaccard/hamming arithmetic is exact-integer, and
+all floats are rounded before comparison.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+from tableau_dashboard_performance_etl_automation_spark.catalog import load_table
+from tableau_dashboard_performance_etl_automation_spark.functions.text import (
+    seeded_md5,
+    shingles_sql_duckdb,
+    word_shingles,
+    words,
+)
+
+#: MinHash signature size and LSH banding (8 hashes → 4 bands × 2).
+MINHASH_HASHES = 8
+MINHASH_BANDS = 4
+#: SimHash width in bits and band count for candidate blocking.
+SIMHASH_BITS = 32
+SIMHASH_BANDS = 4
+SIMHASH_MAX_HAMMING = 3
+#: n-gram Jaccard: drop shingles shared by more than this many docs
+#: (stop-shingle guard against quadratic buckets).
+JACCARD_MAX_DF = 100
+
+
+def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (doc_id, shingle) pairs — the shared decomposition."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("w", words())
+        .select("doc_id", F.explode(word_shingles()).alias("sh"))
+        .distinct()
+    )
+
+
+_SHINGLES_CTE = f"""
+    doc_words AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    doc_shingles AS (
+        SELECT DISTINCT doc_id,
+               unnest({shingles_sql_duckdb(3)}) AS sh
+        FROM doc_words
+    )
+"""
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via content-hash group: one hash-shuffle on
+    ``md5(text)``; ``keep_id`` is the canonical survivor (min doc_id),
+    ``n_copies - 1`` the rows a dedup pass would drop."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5(F.col("text")).alias("text_hash"))
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("doc_id").alias("keep_id"),
+        )
+        .orderBy("text_hash")
+    )
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH candidate pairs: shingle → 8-way minhash signature
+    → 4 bands of 2 → equality join on (band_id, band_value).
+
+    The band join is the only pair-producing step and it's a plain
+    equi-join (shuffle on band value) — no cross join at any scale.
+    """
+    sh = _doc_shingles(spark, sf_dir)
+    sig = sh.groupBy("doc_id").agg(
+        *[
+            F.min(seeded_md5(s, F.col("sh"))).alias(f"mh{s}")
+            for s in range(MINHASH_HASHES)
+        ]
+    )
+    per_band = MINHASH_HASHES // MINHASH_BANDS
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.concat(
+                            *[F.col(f"mh{b * per_band + j}") for j in range(per_band)]
+                        ).alias("band_val"),
+                    )
+                    for b in range(MINHASH_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_id", "band.band_val")
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document best fuzzy match by 3-gram Jaccard.
+
+    Inverted-index join on shared shingles (after the stop-shingle
+    cap) → exact-integer intersection counts → |A∪B| from per-doc
+    sizes → top-1 match per doc via a partitioned window. Jaccard is
+    a ratio of exact ints, so cross-engine values are bit-identical.
+    """
+    sh = _doc_shingles(spark, sf_dir)
+    keep = (
+        sh.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= JACCARD_MAX_DF)
+        .select("sh")
+    )
+    sh = sh.join(keep, "sh")
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    scored = inter.join(sa, "doc_a").join(sb, "doc_b").select(
+        "doc_a",
+        "doc_b",
+        F.round(
+            F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 4
+        ).alias("jaccard"),
+    )
+    # symmetrize so every doc gets a best-match row, then top-1
+    sym = scored.union(
+        scored.select(
+            F.col("doc_b").alias("doc_a"),
+            F.col("doc_a").alias("doc_b"),
+            "jaccard",
+        )
+    )
+    w = Window.partitionBy("doc_a").orderBy(
+        F.col("jaccard").desc(), F.col("doc_b")
+    )
+    return (
+        sym.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("doc_a").alias("doc_id"),
+            F.col("doc_b").alias("best_match"),
+            "jaccard",
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _simhash_signed_bit(bit: int) -> F.Column:
+    """±1 pseudo-random bit for (bit_index, token): md5 first hex char
+    in [8..f] → +1 else -1. Pure string compare, identical in DuckDB."""
+    return F.when(
+        F.substring(seeded_md5(bit, F.col("word")), 1, 1) >= "8", F.lit(1)
+    ).otherwise(F.lit(-1))
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-weighted 32-bit SimHash near-dup pairs.
+
+    Per (doc, token) counts weight the ±1 bit contributions; the
+    fingerprint's 4 × 8-bit bands block candidate pairs (equality
+    join), then exact hamming distance ≤ 3 confirms. Weighting by
+    term frequency keeps documents with identical vocab *sets* but
+    different word counts from collapsing into one quadratic bucket.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tokens = (
+        docs.withColumn("w", words())
+        .select("doc_id", F.explode("w").alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    sums = tokens.groupBy("doc_id").agg(
+        *[
+            F.sum(F.col("cnt") * _simhash_signed_bit(j)).alias(f"s{j}")
+            for j in range(SIMHASH_BITS)
+        ]
+    )
+    simhash = sums.select(
+        "doc_id",
+        sum(
+            [
+                F.when(F.col(f"s{j}") > 0, F.lit(2**j)).otherwise(F.lit(0))
+                for j in range(SIMHASH_BITS)
+            ]
+        )
+        .cast("bigint")
+        .alias("simhash"),
+    )
+    bits_per_band = SIMHASH_BITS // SIMHASH_BANDS
+    bands = simhash.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.shiftright(F.col("simhash"), b * bits_per_band)
+                        .bitwiseAND(2**bits_per_band - 1)
+                        .alias("band_val"),
+                    )
+                    for b in range(SIMHASH_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "simhash", "band.band_id", "band.band_val")
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").bitwiseXOR(F.col("b.simhash")).alias("x"),
+        )
+        .distinct()
+    )
+    return (
+        pairs.withColumn("hamming", F.bit_count(F.col("x")))
+        .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+QUERIES = {
+    "dedup_exact": dedup_exact,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_simhash": dedup_simhash,
+}
+
+
+def _minhash_oracle() -> str:
+    mins = ", ".join(
+        f"MIN(md5('{s}|' || sh)) AS mh{s}" for s in range(MINHASH_HASHES)
+    )
+    per_band = MINHASH_HASHES // MINHASH_BANDS
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band_id, {concat} AS band_val FROM mh".format(
+            b=b,
+            concat=" || ".join(
+                f"mh{b * per_band + j}" for j in range(per_band)
+            ),
+        )
+        for b in range(MINHASH_BANDS)
+    )
+    return f"""
+        WITH {_SHINGLES_CTE},
+        mh AS (
+            SELECT doc_id, {mins} FROM doc_shingles GROUP BY doc_id
+        ),
+        bands AS ({band_selects})
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a
+        JOIN bands b ON a.band_id = b.band_id AND a.band_val = b.band_val
+                    AND a.doc_id < b.doc_id
+        ORDER BY doc_a, doc_b
+    """
+
+
+def _simhash_oracle() -> str:
+    signed = ", ".join(
+        f"SUM(cnt * CASE WHEN substr(md5('{j}|' || word), 1, 1) >= '8' "
+        f"THEN 1 ELSE -1 END) AS s{j}"
+        for j in range(SIMHASH_BITS)
+    )
+    hash_expr = " + ".join(
+        f"CASE WHEN s{j} > 0 THEN {2**j} ELSE 0 END" for j in range(SIMHASH_BITS)
+    )
+    bits_per_band = SIMHASH_BITS // SIMHASH_BANDS
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, simhash, {b} AS band_id, "
+        f"(simhash >> {b * bits_per_band}) & {2**bits_per_band - 1} AS band_val "
+        f"FROM sh"
+        for b in range(SIMHASH_BANDS)
+    )
+    return f"""
+        WITH tokens AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS word
+            FROM documents
+        ),
+        counts AS (
+            SELECT doc_id, word, COUNT(*) AS cnt
+            FROM tokens GROUP BY doc_id, word
+        ),
+        sums AS (
+            SELECT doc_id, {signed} FROM counts GROUP BY doc_id
+        ),
+        sh AS (
+            SELECT doc_id, CAST({hash_expr} AS BIGINT) AS simhash FROM sums
+        ),
+        bands AS ({band_selects}),
+        pairs AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   xor(a.simhash, b.simhash) AS x
+            FROM bands a
+            JOIN bands b ON a.band_id = b.band_id AND a.band_val = b.band_val
+                        AND a.doc_id < b.doc_id
+        )
+        SELECT doc_a, doc_b, bit_count(x) AS hamming
+        FROM pairs
+        WHERE bit_count(x) <= {SIMHASH_MAX_HAMMING}
+        ORDER BY doc_a, doc_b
+    """
+
+
+ORACLE_SQL = {
+    "dedup_exact": """
+        SELECT md5(text) AS text_hash,
+               COUNT(*) AS n_copies,
+               MIN(doc_id) AS keep_id
+        FROM documents
+        GROUP BY md5(text)
+        ORDER BY text_hash
+    """,
+    "dedup_minhash_lsh": _minhash_oracle(),
+    "dedup_ngram_jaccard": f"""
+        WITH {_SHINGLES_CTE},
+        keep AS (
+            SELECT sh FROM doc_shingles GROUP BY sh
+            HAVING COUNT(*) <= {JACCARD_MAX_DF}
+        ),
+        sh2 AS (
+            SELECT ds.doc_id, ds.sh FROM doc_shingles ds JOIN keep USING (sh)
+        ),
+        sizes AS (
+            SELECT doc_id, COUNT(*) AS sz FROM sh2 GROUP BY doc_id
+        ),
+        inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+            FROM sh2 a JOIN sh2 b ON a.sh = b.sh AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        ),
+        scored AS (
+            SELECT doc_a, doc_b,
+                   ROUND(inter * 1.0 / (sa.sz + sb.sz - inter), 4) AS jaccard
+            FROM inter
+            JOIN sizes sa ON inter.doc_a = sa.doc_id
+            JOIN sizes sb ON inter.doc_b = sb.doc_id
+        ),
+        sym AS (
+            SELECT doc_a, doc_b, jaccard FROM scored
+            UNION ALL
+            SELECT doc_b AS doc_a, doc_a AS doc_b, jaccard FROM scored
+        )
+        SELECT doc_a AS doc_id, doc_b AS best_match, jaccard
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY doc_a ORDER BY jaccard DESC, doc_b
+            ) AS rn
+            FROM sym
+        )
+        WHERE rn = 1
+        ORDER BY doc_id
+    """,
+    "dedup_simhash": _simhash_oracle(),
+}
