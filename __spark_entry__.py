@@ -16,7 +16,10 @@ from pyspark.sql import DataFrame, SparkSession
 from tableau_dashboard_performance_etl_automation_spark.operators import (
     analytics,
     dedup,
+    multimodal,
+    similarity,
     tabjolt,
+    textops,
 )
 
 _SMOKE_SF_DIR = "/root/testdata/sf0.001"
@@ -40,6 +43,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(tabjolt.QUERIES)
     out.update(analytics.QUERIES)
     out.update(dedup.QUERIES)
+    out.update(similarity.QUERIES)
+    out.update(textops.QUERIES)
+    out.update(multimodal.QUERIES)
     return out
 
 
@@ -49,4 +55,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(tabjolt.ORACLE_SQL)
     out.update(analytics.ORACLE_SQL)
     out.update(dedup.ORACLE_SQL)
+    out.update(similarity.ORACLE_SQL)
+    out.update(textops.ORACLE_SQL)
+    out.update(multimodal.ORACLE_SQL)
     return out

@@ -1,0 +1,141 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Media are opaque ``binary`` payload columns with typed metadata, and
+all per-item compute (decode, feature-extract, resize, frame-sample)
+runs as Arrow-batched pandas functions over ``mapInPandas`` — the
+correct shape for CPU-bound media work at 100 TB: batches stream
+through Python with zero driver involvement, partition counts bound
+memory, and the JVM↔Python hop is amortized over whole record
+batches instead of rows.
+
+The decode step itself is STUBBED: the image/audio libraries are not
+in this container, so ``decode_image`` raises ``NotImplementedError``
+with the intended contract documented, and the tested paths use
+deterministic byte-level extraction (length + content digest) so the
+plumbing — schema, batching, partitioning — is real and verified.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from tableau_dashboard_performance_etl_automation_spark.catalog import load_table
+
+META_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("byte_len", LongType()),
+        StructField("content_sig", StringType()),
+    ]
+)
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame_sig", StringType()),
+    ]
+)
+
+
+def decode_image(payload: bytes) -> "object":
+    """Decode an image payload into an HxWxC array.
+
+    STUB: pillow/opencv are not available in this environment. The
+    production implementation decodes inside the ``mapInPandas``
+    batch loop (one import per executor, not per row) and returns a
+    numpy array for downstream feature extraction.
+    """
+    raise NotImplementedError(
+        "image decoding requires an image library not present in this "
+        "container; the Spark plumbing around it is real — see "
+        "extract_binary_meta/sample_frames"
+    )
+
+
+def with_binary_payload(docs: DataFrame) -> DataFrame:
+    """Attach the opaque media representation: payload bytes + typed
+    metadata columns (the schema a real image/audio table would have).
+    Here the bytes are the utf-8 encoded text, standing in for media
+    blobs deterministically."""
+    return docs.select(
+        "doc_id",
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+        F.lit("text/plain").alias("media_type"),
+    )
+
+
+def _meta_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "byte_len": pdf["payload"].map(len).astype("int64"),
+                "content_sig": pdf["payload"].map(
+                    lambda b: hashlib.md5(bytes(b)).hexdigest()
+                ),
+            }
+        )
+
+
+def extract_binary_meta(payloads: DataFrame) -> DataFrame:
+    """Byte-level feature extraction over Arrow batches (the
+    deterministic stand-in for decode → embed)."""
+    return payloads.mapInPandas(_meta_batches, schema=META_SCHEMA)
+
+
+def _frame_batches(n_frames: int):
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {"doc_id": [], "frame_idx": [], "frame_sig": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(payload)
+                # deterministic "frame sampling": n_frames evenly
+                # spaced byte windows, digested — the 1→N batch shape
+                # of real video frame extraction
+                step = max(len(raw) // n_frames, 1)
+                for i in range(n_frames):
+                    window = raw[i * step : i * step + step]
+                    rows["doc_id"].append(doc_id)
+                    rows["frame_idx"].append(i)
+                    rows["frame_sig"].append(hashlib.md5(window).hexdigest())
+            yield pd.DataFrame(rows)
+
+    return gen
+
+
+def sample_frames(payloads: DataFrame, n_frames: int = 4) -> DataFrame:
+    """1→N frame sampling over mapInPandas (video-style explode)."""
+    return payloads.mapInPandas(_frame_batches(n_frames), schema=FRAME_SCHEMA)
+
+
+def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checkable end of the plumbing: byte length + content
+    digest per payload, computed in Python over Arrow batches and
+    matched against DuckDB's blob functions."""
+    docs = load_table(spark, sf_dir, "documents")
+    return extract_binary_meta(with_binary_payload(docs)).orderBy("doc_id")
+
+
+QUERIES = {"multimodal_binary_meta": multimodal_binary_meta}
+
+ORACLE_SQL = {
+    "multimodal_binary_meta": """
+        SELECT doc_id,
+               octet_length(encode(text)) AS byte_len,
+               md5(text) AS content_sig
+        FROM documents
+        ORDER BY doc_id
+    """,
+}

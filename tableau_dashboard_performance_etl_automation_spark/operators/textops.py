@@ -1,0 +1,207 @@
+"""Text-analysis operators over ``documents``: language-ID heuristic,
+quality scoring, token counting, and document fingerprinting — the
+per-document scoring passes of a training-data pipeline.
+
+All four are single-pass narrow transformations (scan → project /
+scan → explode → groupBy doc_id): no joins, no cross-document state,
+so they scale linearly with the corpus and pipeline cleanly behind a
+dedup pass. Everything is built-in column expressions — regex counts,
+list filters, md5 — no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from tableau_dashboard_performance_etl_automation_spark.catalog import load_table
+from tableau_dashboard_performance_etl_automation_spark.functions.text import (
+    word_shingles,
+    words,
+)
+
+#: Marker word sets for the n-gram language heuristic. On a real
+#: corpus these would be per-language stopword n-grams; the mechanism
+#: (count markers → argmax with deterministic tie order) is the
+#: operator under test.
+LANG_MARKERS = {
+    "en": ("the", "a", "of"),
+    "de": ("der", "und", "die"),
+    "es": ("el", "y", "que"),
+    "fr": ("le", "et", "la"),
+}
+#: Stopwords for the quality scorer's stopword-ratio feature.
+STOPWORDS = ("the", "a", "of", "and", "to", "in")
+
+#: A GPT-2-ish pre-tokenizer shape: letter runs | single digits |
+#: single non-alphanumeric-non-space. Counts approximate BPE tokens.
+BPE_ISH_RE = "[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"
+
+
+def _marker_count(lang: str) -> F.Column:
+    markers = ", ".join(f"'{m}'" for m in LANG_MARKERS[lang])
+    return F.expr(
+        f"size(filter(split(text, ' '), x -> x IN ({markers})))"
+    )
+
+
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language scores + argmax prediction (deterministic
+    tie order: en > de > es > fr)."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        *[_marker_count(lg).alias(f"score_{lg}") for lg in LANG_MARKERS],
+    )
+    best = F.greatest(*[F.col(f"score_{lg}") for lg in LANG_MARKERS])
+    pred = F.when(F.col("score_en") == best, "en")
+    for lg in ("de", "es", "fr"):
+        pred = pred.when(F.col(f"score_{lg}") == best, lg)
+    return scored.withColumn("predicted_lang", pred).orderBy("doc_id")
+
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length / stopword-ratio / mean-word-length quality features
+    plus a rule-based keep flag."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_words = F.size(words())
+    stoplist = ", ".join(f"'{s}'" for s in STOPWORDS)
+    stop_hits = F.expr(f"size(filter(split(text, ' '), x -> x IN ({stoplist})))")
+    out = docs.withColumn("text_len", F.length("text")).withColumn(
+        "n_words", n_words
+    )
+    out = (
+        out.withColumn(
+            "mean_word_len",
+            F.round(
+                (F.col("text_len") - (F.col("n_words") - 1)) / F.col("n_words"), 4
+            ),
+        )
+        .withColumn(
+            "stopword_ratio", F.round(stop_hits / F.col("n_words"), 4)
+        )
+        .withColumn(
+            "keep",
+            (
+                (F.col("n_words") >= 20)
+                & (F.col("stopword_ratio") >= 0.01)
+                & (F.col("mean_word_len") < 12)
+            ).cast("int"),
+        )
+    )
+    return out.select(
+        "doc_id", "text_len", "n_words", "mean_word_len", "stopword_ratio", "keep"
+    ).orderBy("doc_id")
+
+
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token count + BPE-ish regex token count per doc,
+    with corpus totals useful for pipeline budgeting."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.expr("regexp_extract_all(text, '[^ ]+', 0)")).alias(
+            "ws_tokens"
+        ),
+        F.size(F.expr(f"regexp_extract_all(text, '{BPE_ISH_RE}', 0)")).alias(
+            "bpe_ish_tokens"
+        ),
+    ).orderBy("doc_id")
+
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 4-gram fingerprint: min-hash of the shingle set (a
+    1-sketch winnowing) + distinct-shingle cardinality per doc."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = (
+        docs.withColumn("w", words())
+        .select("doc_id", F.explode(word_shingles(k=4)).alias("sh"))
+        .distinct()
+    )
+    return (
+        sh.groupBy("doc_id")
+        .agg(
+            F.min(F.md5(F.col("sh"))).alias("fingerprint"),
+            F.count(F.lit(1)).alias("n_shingles"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+QUERIES = {
+    "text_lang_id": text_lang_id,
+    "text_quality": text_quality,
+    "text_token_count": text_token_count,
+    "text_fingerprint": text_fingerprint,
+}
+
+
+def _lang_oracle() -> str:
+    score_cols = ", ".join(
+        "len(list_filter(string_split(text, ' '), x -> x IN ({lst})))"
+        " AS score_{lg}".format(
+            lst=", ".join(f"'{m}'" for m in LANG_MARKERS[lg]), lg=lg
+        )
+        for lg in LANG_MARKERS
+    )
+    best = "greatest(" + ", ".join(f"score_{lg}" for lg in LANG_MARKERS) + ")"
+    pred = "CASE " + " ".join(
+        f"WHEN score_{lg} = {best} THEN '{lg}'"
+        for lg in ("en", "de", "es", "fr")
+    ) + " END"
+    return f"""
+        SELECT doc_id, lang, score_en, score_de, score_es, score_fr,
+               {pred} AS predicted_lang
+        FROM (SELECT doc_id, lang, {score_cols} FROM documents)
+        ORDER BY doc_id
+    """
+
+
+_STOPLIST_SQL = ", ".join(f"'{s}'" for s in STOPWORDS)
+
+ORACLE_SQL = {
+    "text_lang_id": _lang_oracle(),
+    "text_quality": f"""
+        SELECT doc_id, text_len, n_words,
+               ROUND((text_len - (n_words - 1)) * 1.0 / n_words, 4)
+                   AS mean_word_len,
+               ROUND(stop_hits * 1.0 / n_words, 4) AS stopword_ratio,
+               CAST(n_words >= 20
+                    AND ROUND(stop_hits * 1.0 / n_words, 4) >= 0.01
+                    AND ROUND((text_len - (n_words - 1)) * 1.0 / n_words, 4) < 12
+                    AS INTEGER) AS keep
+        FROM (
+            SELECT doc_id,
+                   length(text) AS text_len,
+                   len(string_split(text, ' ')) AS n_words,
+                   len(list_filter(string_split(text, ' '),
+                       x -> x IN ({_STOPLIST_SQL}))) AS stop_hits
+            FROM documents
+        )
+        ORDER BY doc_id
+    """,
+    "text_token_count": f"""
+        SELECT doc_id,
+               len(regexp_extract_all(text, '[^ ]+')) AS ws_tokens,
+               len(regexp_extract_all(text, '{BPE_ISH_RE}')) AS bpe_ish_tokens
+        FROM documents
+        ORDER BY doc_id
+    """,
+    "text_fingerprint": f"""
+        WITH doc_words AS (
+            SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        ),
+        sh AS (
+            SELECT DISTINCT doc_id,
+                   unnest(list_transform(range(1, len(w) - 2),
+                          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                               || ' ' || w[i+3])) AS sh
+            FROM doc_words
+        )
+        SELECT doc_id, MIN(md5(sh)) AS fingerprint,
+               COUNT(*) AS n_shingles
+        FROM sh
+        GROUP BY doc_id
+        ORDER BY doc_id
+    """,
+}
