@@ -213,11 +213,23 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "word")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    sums = tokens.groupBy("doc_id").agg(
-        *[
-            F.sum(F.col("cnt") * _simhash_signed_bit(j)).alias(f"s{j}")
-            for j in range(SIMHASH_BITS)
-        ]
+    # Hash each DISTINCT word once (the vocabulary is tiny relative to
+    # the corpus — this is a broadcast-joined lookup, not a per-row
+    # 32-way md5), then weight by per-doc counts. Numerically
+    # identical to hashing inline; ~|vocab|/|corpus| of the hash work.
+    word_bits = tokens.select("word").distinct().select(
+        "word",
+        *[_simhash_signed_bit(j).alias(f"b{j}") for j in range(SIMHASH_BITS)],
+    )
+    sums = (
+        tokens.join(F.broadcast(word_bits), "word")
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.sum(F.col("cnt") * F.col(f"b{j}")).alias(f"s{j}")
+                for j in range(SIMHASH_BITS)
+            ]
+        )
     )
     simhash = sums.select(
         "doc_id",

@@ -29,6 +29,8 @@ from tableau_dashboard_performance_etl_automation_spark.catalog import load_tabl
 from tableau_dashboard_performance_etl_automation_spark.functions.vectors import (
     as_double_array,
     cosine,
+    dot,
+    norm,
 )
 
 #: Near-dup threshold for embedding pairs (within-label blocking).
@@ -56,16 +58,35 @@ def neardup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     block, never across the full corpus), cosine ≥ threshold confirms.
     """
     e = _emb(spark, sf_dir)
-    a = e.select(
-        F.col("label"), F.col("vec_id").alias("vec_a"), F.col("vec").alias("va")
+    # Precompute each vector's norm once (O(n) folds) instead of per
+    # pair (O(pairs)); the pair step is then a single dot product.
+    # dot/(norm_a*norm_b) evaluates the exact same doubles as the
+    # inline cosine, so the oracle comparison is unaffected.
+    en = e.withColumn("nrm", norm(F.col("vec")))
+    a = en.select(
+        F.col("label"),
+        F.col("vec_id").alias("vec_a"),
+        F.col("vec").alias("va"),
+        F.col("nrm").alias("na"),
     )
-    b = e.select(
-        F.col("label"), F.col("vec_id").alias("vec_b"), F.col("vec").alias("vb")
+    b = en.select(
+        F.col("label"),
+        F.col("vec_id").alias("vec_b"),
+        F.col("vec").alias("vb"),
+        F.col("nrm").alias("nb"),
     )
     return (
         a.join(b, "label")
         .filter(F.col("vec_a") < F.col("vec_b"))
-        .withColumn("cos", F.round(cosine(F.col("va"), F.col("vb")), 4))
+        .withColumn(
+            "cos",
+            F.round(
+                F.when(F.col("na") * F.col("nb") == 0, F.lit(None)).otherwise(
+                    dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+                ),
+                4,
+            ),
+        )
         .filter(F.col("cos") >= NEARDUP_COSINE)
         .select("label", "vec_a", "vec_b", F.col("cos").alias("cosine"))
         .orderBy("label", "vec_a", "vec_b")
