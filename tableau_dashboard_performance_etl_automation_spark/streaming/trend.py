@@ -1,0 +1,121 @@
+"""Structured Streaming variant of the daily-trend / alert pipeline.
+
+The reference runs as a daily cron whose "windows" are CURRENT_DATE
+predicates (SURVEY.md §2.6); the streaming-native form is a
+file-source stream → 1-day tumbling window aggregate with a watermark
+for late data, plus a stream-static broadcast join against the
+historical baseline for live regression flags.
+
+Scale notes: the window aggregate is keyed on (window) or (window,
+event_type) — bounded state; the watermark expires state after one
+day of lateness, so state size is O(open windows × keys), independent
+of stream length. The baseline side of the alert join is a tiny
+static aggregate — broadcast, so the stream never shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+#: Schema for streamed event files (timestamp already normalized —
+#: the streaming source reads engine-written parquet, not the
+#: driver's nanos files).
+EVENT_STREAM_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def events_stream(spark: SparkSession, input_dir: str) -> DataFrame:
+    """File-source stream over an events directory (new files appear
+    as upstream batches land — the S3-drop pattern of the reference's
+    extract stage, tabjolt_email.py:351-359)."""
+    return (
+        spark.readStream.schema(EVENT_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 16)
+        .parquet(input_dir)
+    )
+
+
+def daily_trend(stream: DataFrame, lateness: str = "1 day") -> DataFrame:
+    """Day-wise Avg/Min/Max — the streaming twin of
+    ``summary_line`` + ``q_trend_series`` (tabjolt_email.py:86)."""
+    return (
+        stream.withWatermark("ts", lateness)
+        .groupBy(F.window("ts", "1 day").alias("day"))
+        .agg(
+            F.round(F.avg("value"), 4).alias("avg_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            F.date_format(F.col("day.start"), "yyyy-MM-dd").alias("summary_date"),
+            "avg_value",
+            "min_value",
+            "max_value",
+            "n_events",
+        )
+    )
+
+
+def regression_alerts(
+    stream: DataFrame, baseline: DataFrame, threshold: float = 20.0
+) -> DataFrame:
+    """Live red-alert stream: stream-static broadcast join against the
+    per-key historical baseline, flag samples whose percentage
+    difference exceeds the reference's strict +20% rule
+    (tabjolt_email.py:223)."""
+    b = F.broadcast(
+        baseline.select(
+            F.col("response").alias("event_type"), F.col("avg_elapsed_ms")
+        )
+    )
+    pct = (
+        (F.col("value") - F.col("avg_elapsed_ms"))
+        / F.col("avg_elapsed_ms")
+        * 100.0
+    )
+    return (
+        stream.join(b, "event_type")
+        .withColumn(
+            "percentage_difference",
+            F.when(F.col("avg_elapsed_ms") == 0, F.lit(None)).otherwise(
+                F.round(pct, 4)
+            ),
+        )
+        .filter(F.col("percentage_difference") > threshold)
+        .select(
+            "event_id", "ts", "event_type", "value",
+            "avg_elapsed_ms", "percentage_difference",
+        )
+    )
+
+
+def run_to_memory(
+    df: DataFrame, table_name: str, mode: str = "complete"
+) -> None:
+    """Drain a stream into an in-memory sink with the availableNow
+    trigger (test/verification harness path)."""
+    (
+        df.writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

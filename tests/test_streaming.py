@@ -1,0 +1,99 @@
+"""Streaming layer: windowed trend, stream-static alerts, custom
+stateful operator — each drained with availableNow and compared to
+the equivalent batch computation."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tableau_dashboard_performance_etl_automation_spark.catalog import load_table
+from tableau_dashboard_performance_etl_automation_spark.operators.tabjolt import (
+    _baseline,
+    _events,
+)
+from tableau_dashboard_performance_etl_automation_spark.streaming import (
+    stateful,
+    trend,
+)
+
+
+def _stage_stream_input(spark, sf_dir, tmp_path) -> str:
+    """Write normalized events as the streaming input directory."""
+    out = str(tmp_path / "events_stream")
+    load_table(spark, sf_dir, "events").write.parquet(out)
+    return out
+
+
+def test_daily_trend_matches_batch(spark, sf_dir, tmp_path):
+    inp = _stage_stream_input(spark, sf_dir, tmp_path)
+    stream = trend.events_stream(spark, inp)
+    trend.run_to_memory(trend.daily_trend(stream), "trend_sink")
+    got = {
+        r.summary_date: (r.avg_value, r.n_events)
+        for r in spark.table("trend_sink").collect()
+    }
+    batch = load_table(spark, sf_dir, "events")
+    want = {
+        r.summary_date: (r.avg_value, r.n_events)
+        for r in batch.groupBy(
+            F.date_format(F.col("ts").cast("date"), "yyyy-MM-dd").alias(
+                "summary_date"
+            )
+        )
+        .agg(
+            F.round(F.avg("value"), 4).alias("avg_value"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .collect()
+    }
+    assert got == want
+
+
+def test_regression_alerts_flag_only_above_threshold(spark, sf_dir, tmp_path):
+    inp = _stage_stream_input(spark, sf_dir, tmp_path)
+    baseline = _baseline(_events(spark, sf_dir))
+    stream = trend.events_stream(spark, inp)
+    alerts = trend.regression_alerts(stream, baseline, threshold=20.0)
+    (
+        alerts.writeStream.format("memory")
+        .queryName("alerts_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    rows = spark.table("alerts_sink").collect()
+    assert rows, "expected some alerts on this corpus"
+    assert all(r.percentage_difference > 20.0 for r in rows)
+
+
+def test_stateful_running_profile_matches_batch(spark, sf_dir, tmp_path):
+    inp = _stage_stream_input(spark, sf_dir, tmp_path)
+    stream = trend.events_stream(spark, inp)
+    profile = stateful.running_key_profile(stream)
+    (
+        profile.writeStream.format("memory")
+        .queryName("profile_sink")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    # last update per key is the final running profile
+    final = {
+        r.event_type: (r.n_events, r.total_value)
+        for r in spark.table("profile_sink").collect()
+    }
+    batch = {
+        r.event_type: (r.n_events, r.total_value)
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .collect()
+    }
+    for k, (n, total) in batch.items():
+        assert final[k][0] == n
+        assert abs(final[k][1] - total) < 0.01
