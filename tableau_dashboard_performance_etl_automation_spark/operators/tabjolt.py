@@ -206,9 +206,12 @@ def _baseline_vs_current(
     keeping the fact table shuffle-free; the DuckDB oracle retains the
     literal LEFT OUTER text and hash-matches.
     """
-    e = _with_anchor(_events(spark, sf_dir))
+    e = _events(spark, sf_dir)
+    # aa never references the anchor — build it from the bare scan so
+    # Catalyst doesn't drag a degenerate anchor cross-join (and a
+    # second full table scan) into the baseline side.
     aa = _baseline(e)
-    bb = _key_filter(_current_window(e, lookback_days)).select(
+    bb = _key_filter(_current_window(_with_anchor(e), lookback_days)).select(
         floor_int(F.col("value")).alias("current_elapsed_ms"),
         F.col("event_type").alias("response_message"),
     )

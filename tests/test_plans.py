@@ -1,0 +1,74 @@
+"""Plan-quality contracts: broadcast choices, predicate pushdown,
+column pruning, and absence of accidental cartesian products.
+
+These are the 100 TB guarantees — a plan regression here means an
+operator stopped scaling even if its results are still correct.
+"""
+
+from __future__ import annotations
+
+from tableau_dashboard_performance_etl_automation_spark.operators import (
+    analytics,
+    dedup,
+    similarity,
+    tabjolt,
+)
+from tableau_dashboard_performance_etl_automation_spark.plans import (
+    formatted_plan,
+    has_broadcast_hash_join,
+    has_cartesian_product,
+    pushed_filters,
+    read_schemas,
+)
+
+
+def test_regressions_baseline_broadcasts(spark, sf_dir):
+    df = tabjolt.q_regressions(spark, sf_dir)
+    plan = formatted_plan(df)
+    # the ≤#keys baseline side must broadcast-hash-join into the fact
+    assert "BroadcastHashJoin" in plan
+    # fact side must not shuffle for the join: no sort-merge join
+    assert "SortMergeJoin" not in plan
+
+
+def test_pricing_summary_pushdown_and_pruning(spark, sf_dir):
+    df = analytics.pricing_summary(spark, sf_dir)
+    pushed = " ".join(pushed_filters(df))
+    assert "l_shipdate" in pushed  # date filter reaches the scan
+    schemas = " ".join(read_schemas(df))
+    # column pruning: a 16-col table read with only the needed columns
+    assert "l_orderkey" not in schemas
+    assert "l_quantity" in schemas
+
+
+def test_star_join_broadcasts_dimensions(spark, sf_dir):
+    df = analytics.region_revenue(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert plan.count("BroadcastExchange") >= 1
+    assert not has_cartesian_product(df)
+
+
+def test_samples_filter_pushdown(spark, sf_dir):
+    df = tabjolt.q_samples_today(spark, sf_dir)
+    # rlike/ilike predicates can't push to parquet (computed column),
+    # but the scan must still prune to the referenced columns only
+    schemas = " ".join(read_schemas(df))
+    assert "event_id" not in schemas
+
+
+def test_dedup_joins_are_equi_joins(spark, sf_dir):
+    for fn in (dedup.dedup_minhash_lsh, dedup.dedup_simhash):
+        df = fn(spark, sf_dir)
+        assert not has_cartesian_product(df), fn.__name__
+
+
+def test_ann_broadcasts_queries_not_corpus(spark, sf_dir):
+    df = similarity.ann_cosine_topk(spark, sf_dir)
+    plan = formatted_plan(df)
+    # the broadcast side must be the filtered query set
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_ivf_join_is_hash_join_on_centroid(spark, sf_dir):
+    df = similarity.ann_ivf_topk(spark, sf_dir)
+    assert has_broadcast_hash_join(df)
