@@ -15,8 +15,10 @@ from pyspark.sql import DataFrame, SparkSession
 
 from tableau_dashboard_performance_etl_automation_spark.operators import (
     analytics,
+    clustering,
     dedup,
     multimodal,
+    relational_ext,
     similarity,
     tabjolt,
     textops,
@@ -46,6 +48,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(similarity.QUERIES)
     out.update(textops.QUERIES)
     out.update(multimodal.QUERIES)
+    out.update(relational_ext.QUERIES)
+    out.update(clustering.QUERIES)
     return out
 
 
@@ -58,4 +62,6 @@ def oracle_sql() -> dict[str, str]:
     out.update(similarity.ORACLE_SQL)
     out.update(textops.ORACLE_SQL)
     out.update(multimodal.ORACLE_SQL)
+    out.update(relational_ext.ORACLE_SQL)
+    out.update(clustering.ORACLE_SQL)
     return out

@@ -1,0 +1,210 @@
+"""Relational breadth beyond the reference: semi/anti joins, set
+operations, ROLLUP, existence subqueries, percent-of-total, and
+approximate distinct — the remaining warehouse shapes a migrating
+user will reach for.
+
+Scale notes: semi/anti joins are expressed as Spark's LEFT SEMI/ANTI
+(hash-join based, no row duplication); the percent-of-total avoids an
+unpartitioned global window (a single-reducer anti-pattern) by
+cross-joining a broadcast 1-row total; ROLLUP is a single multi-level
+hash aggregate (Spark expands grouping sets map-side).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from tableau_dashboard_performance_etl_automation_spark.catalog import load_table
+
+
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join: customers with no order in the recent window
+    (churn candidates)."""
+    cust = load_table(spark, sf_dir, "customer")
+    recent = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp_ntz")
+    )
+    return (
+        cust.join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+def active_high_value_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join (EXISTS): customers with at least one order over
+    a price floor in the window — no duplication however many orders
+    match."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_totalprice") > 200000)
+        & (F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp_ntz"))
+    )
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
+        .select("c_custkey", "c_name", F.round("c_acctbal", 2).alias("acctbal"))
+        .orderBy("c_custkey")
+    )
+
+
+def priority_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: orders with ≥1 line shipped after the order
+    date (EXISTS via semi join), counted per priority."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    late_orders = orders.join(
+        li.select("l_orderkey", "l_shipdate"),
+        (orders.o_orderkey == F.col("l_orderkey"))
+        & (F.col("l_shipdate") > orders.o_orderdate),
+        "left_semi",
+    )
+    return (
+        late_orders.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def extreme_orders_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operation: distinct union of the cheapest and priciest
+    order tiers."""
+    orders = load_table(spark, sf_dir, "orders")
+    lo = orders.filter(F.col("o_totalprice") < 1000).select(
+        "o_orderkey", F.lit("LOW").alias("tier")
+    )
+    hi = orders.filter(F.col("o_totalprice") > 400000).select(
+        "o_orderkey", F.lit("HIGH").alias("tier")
+    )
+    return lo.union(hi).distinct().orderBy("o_orderkey")
+
+
+def brand_type_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ROLLUP(p_brand, p_type): subtotal and grand-total rows
+    with NULL group keys, one multi-level hash aggregate."""
+    part = load_table(spark, sf_dir, "part")
+    return (
+        part.rollup("p_brand", "p_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.round(F.avg("p_retailprice"), 4).alias("avg_price"),
+        )
+        .orderBy(
+            F.col("p_brand").asc_nulls_first(), F.col("p_type").asc_nulls_first()
+        )
+    )
+
+
+def event_type_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-total without a global window: per-type aggregate
+    cross-joined with a broadcast 1-row total."""
+    e = load_table(spark, sf_dir, "events")
+    per_type = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("type_value"),
+    )
+    total = e.agg(F.count(F.lit(1)).alias("total_events"))
+    return (
+        per_type.crossJoin(F.broadcast(total))
+        .select(
+            "event_type",
+            "n_events",
+            "type_value",
+            F.round(F.col("n_events") / F.col("total_events") * 100.0, 4).alias(
+                "pct_of_events"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog-backed approximate distinct per event type.
+
+    Deliberately has NO oracle twin: sketch implementations differ
+    across engines, so the driver records the weaker rows-only check.
+    The exact count rides along so the estimate is self-auditable
+    (rsd 5% default)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id").alias("approx_users"),
+            F.countDistinct("user_id").alias("exact_users"),
+        )
+        .orderBy("event_type")
+    )
+
+
+QUERIES = {
+    "customers_without_orders": customers_without_orders,
+    "active_high_value_buyers": active_high_value_buyers,
+    "priority_late_orders": priority_late_orders,
+    "extreme_orders_union": extreme_orders_union,
+    "brand_type_rollup": brand_type_rollup,
+    "event_type_share": event_type_share,
+    "approx_distinct_users": approx_distinct_users,
+}
+
+ORACLE_SQL = {
+    "customers_without_orders": """
+        SELECT c_custkey, c_name, c_mktsegment
+        FROM customer
+        WHERE NOT EXISTS (
+            SELECT 1 FROM orders
+            WHERE o_custkey = c_custkey
+              AND o_orderdate >= TIMESTAMP '2001-01-01'
+        )
+        ORDER BY c_custkey
+    """,
+    "active_high_value_buyers": """
+        SELECT c_custkey, c_name, ROUND(c_acctbal, 2) AS acctbal
+        FROM customer
+        WHERE EXISTS (
+            SELECT 1 FROM orders
+            WHERE o_custkey = c_custkey
+              AND o_totalprice > 200000
+              AND o_orderdate >= TIMESTAMP '1998-01-01'
+        )
+        ORDER BY c_custkey
+    """,
+    "priority_late_orders": """
+        SELECT o_orderpriority, COUNT(*) AS n_orders
+        FROM orders
+        WHERE EXISTS (
+            SELECT 1 FROM lineitem
+            WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+        )
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+    "extreme_orders_union": """
+        SELECT DISTINCT * FROM (
+            SELECT o_orderkey, 'LOW' AS tier FROM orders
+            WHERE o_totalprice < 1000
+            UNION ALL
+            SELECT o_orderkey, 'HIGH' AS tier FROM orders
+            WHERE o_totalprice > 400000
+        )
+        ORDER BY o_orderkey
+    """,
+    "brand_type_rollup": """
+        SELECT p_brand, p_type, COUNT(*) AS n_parts,
+               ROUND(AVG(p_retailprice), 4) AS avg_price
+        FROM part
+        GROUP BY ROLLUP (p_brand, p_type)
+        ORDER BY p_brand ASC NULLS FIRST, p_type ASC NULLS FIRST
+    """,
+    "event_type_share": """
+        SELECT event_type, n_events, type_value,
+               ROUND(n_events * 100.0 / SUM(n_events) OVER (), 4)
+                   AS pct_of_events
+        FROM (
+            SELECT event_type, COUNT(*) AS n_events,
+                   ROUND(SUM(value), 2) AS type_value
+            FROM events GROUP BY event_type
+        )
+        ORDER BY event_type
+    """,
+    # approx_distinct_users: intentionally no oracle (sketch results
+    # are engine-specific); driver records rows-only.
+}
