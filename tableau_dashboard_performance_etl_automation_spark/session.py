@@ -61,6 +61,11 @@ def get_spark(app_name: str = "tdpe-spark", master: str | None = None) -> SparkS
         # 128 MB input splits: right-sized tasks at 100 TB (≈800k
         # tasks) without tiny-file overhead at test scale.
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # managed-table state (bucketed tables) lives outside the repo
+        .config("spark.sql.warehouse.dir", "/tmp/tdpe-warehouse")
+        .config(
+            "spark.driver.extraJavaOptions", "-Dderby.system.home=/tmp/tdpe-derby"
+        )
         .config("spark.ui.enabled", "false")
     )
     return builder.getOrCreate()
