@@ -1,0 +1,109 @@
+"""Property-based tests (hypothesis): invariants that must hold for
+arbitrary inputs, not just fixtures — ingestion row conservation,
+percentage-difference algebra, shingle counts, salting correctness.
+
+Strategy sizes are kept small (Spark job per example is expensive);
+hypothesis still explores the edge space (empty strings, unicode,
+boundary floats) far better than hand fixtures.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from tableau_dashboard_performance_etl_automation_spark.functions.expressions import (
+    guarded_pct_diff,
+)
+from tableau_dashboard_performance_etl_automation_spark.functions.skew import (
+    salted_count,
+    salted_join,
+)
+from tableau_dashboard_performance_etl_automation_spark.functions.text import (
+    word_shingles,
+    words,
+)
+
+_SETTINGS = settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+_word = st.text(
+    alphabet=st.characters(whitelist_categories=("Ll",), max_codepoint=0x7F),
+    min_size=1,
+    max_size=8,
+)
+
+
+@given(st.lists(_word, min_size=1, max_size=12))
+@_SETTINGS
+def test_shingle_count_invariant(spark, tokens):
+    """#shingles == max(n_words - k + 1, 0) for any word list."""
+    text = " ".join(tokens)
+    df = spark.createDataFrame([(text,)], ["text"]).withColumn("w", words())
+    sh = df.select(word_shingles().alias("sh")).collect()[0].sh
+    assert len(sh) == max(len(tokens) - 2, 0)
+    # every shingle is 3 consecutive words
+    for i, s in enumerate(sh):
+        assert s == " ".join(tokens[i : i + 3])
+
+
+@given(
+    st.one_of(st.just(0.0), st.floats(min_value=0.01, max_value=1e6)),
+    st.floats(min_value=0, max_value=1e6, allow_nan=False),
+)
+@_SETTINGS
+def test_pct_diff_algebra(spark, avg, cur):
+    df = spark.createDataFrame([(float(avg), float(cur))], ["a", "c"])
+    out = df.select(guarded_pct_diff(F.col("a"), F.col("c")).alias("p")).collect()[0].p
+    if avg == 0:
+        assert out is None
+    else:
+        assert abs(out - round((cur - avg) / avg * 100.0, 4)) < 1e-6
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),
+            st.integers(min_value=-(2**31), max_value=2**31),
+        ),
+        min_size=0,
+        max_size=30,
+    )
+)
+@_SETTINGS
+def test_salted_count_equals_plain_count(spark, rows):
+    if not rows:
+        return
+    df = spark.createDataFrame(rows, ["k", "v"])
+    plain = {r.k: r["count"] for r in df.groupBy("k").count().collect()}
+    salted = {r.k: r.n for r in salted_count(df, "k", n_salts=4).collect()}
+    assert plain == salted
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),
+            st.integers(min_value=-(2**31), max_value=2**31),
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+@_SETTINGS
+def test_salted_join_equals_plain_join(spark, rows):
+    big = spark.createDataFrame(rows, ["k", "v"])
+    small = spark.createDataFrame([(0, "a"), (1, "b"), (2, "c")], ["k", "name"])
+    plain = sorted(
+        (r.k, r.v, r.name) for r in big.join(small, "k").collect()
+    )
+    salted = sorted(
+        (r.k, r.v, r.name)
+        for r in salted_join(big, small, "k", n_salts=4).collect()
+    )
+    assert plain == salted
