@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from tableau_dashboard_performance_etl_automation_spark.operators import (
     analytics,
     clustering,
+    curation,
     dedup,
     multimodal,
     relational_ext,
@@ -50,6 +51,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(multimodal.QUERIES)
     out.update(relational_ext.QUERIES)
     out.update(clustering.QUERIES)
+    out.update(curation.QUERIES)
     return out
 
 
@@ -64,4 +66,5 @@ def oracle_sql() -> dict[str, str]:
     out.update(multimodal.ORACLE_SQL)
     out.update(relational_ext.ORACLE_SQL)
     out.update(clustering.ORACLE_SQL)
+    out.update(curation.ORACLE_SQL)
     return out

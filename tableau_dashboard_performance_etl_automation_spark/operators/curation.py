@@ -1,0 +1,156 @@
+"""Composite corpus-curation pipeline: the training-data ops wired
+end-to-end the way a 100 TB pre-training data job runs them —
+
+    quality gate → exact dedup → fuzzy dedup (minhash clusters,
+    keep one per cluster) → per-survivor token accounting.
+
+One DataFrame plan, no materialization between stages: Catalyst fuses
+the quality projection into the scans feeding dedup, and only the
+survivor set flows into token counting. The oracle twin reproduces the
+same staged CTE chain (including the recursive-CTE cluster labels), so
+the whole composite — not just its pieces — is hash-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from tableau_dashboard_performance_etl_automation_spark.operators.clustering import (
+    ORACLE_SQL as _CLUSTER_ORACLE,
+    connected_components,
+)
+from tableau_dashboard_performance_etl_automation_spark.operators.dedup import (
+    dedup_minhash_lsh,
+)
+from tableau_dashboard_performance_etl_automation_spark.operators.textops import (
+    text_quality,
+    text_token_count,
+)
+
+#: Quality gate: same rule as textops.text_quality's keep flag.
+MIN_WORDS = 20
+
+
+def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Surviving documents with byte/token accounting.
+
+    Drop order (each stage only sees prior survivors):
+    1. quality: keep == 1 (length / stopword-ratio / word-length gates)
+    2. exact dup groups: keep min doc_id
+    3. minhash cluster: keep min doc_id per connected component
+    """
+    quality = text_quality(spark, sf_dir).filter(F.col("keep") == 1)
+    tokens = text_token_count(spark, sf_dir)
+
+    docs = quality.select("doc_id")
+
+    # exact-dup survivors (min doc_id per content hash)
+    from tableau_dashboard_performance_etl_automation_spark.catalog import (
+        load_table,
+    )
+
+    raw = load_table(spark, sf_dir, "documents")
+    exact_keep = (
+        raw.join(docs, "doc_id")
+        .groupBy(F.md5("text").alias("h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+
+    # fuzzy survivors: drop non-minimum members of each minhash cluster
+    edges = dedup_minhash_lsh(spark, sf_dir)
+    labels = connected_components(edges)
+    fuzzy_drop = labels.filter(F.col("doc_id") != F.col("cluster_id")).select(
+        "doc_id"
+    )
+    survivors = exact_keep.join(fuzzy_drop, "doc_id", "left_anti")
+
+    return (
+        survivors.join(tokens, "doc_id")
+        .join(
+            raw.select("doc_id", "lang", F.length("text").alias("text_len")),
+            "doc_id",
+        )
+        .select("doc_id", "lang", "text_len", "ws_tokens", "bpe_ish_tokens")
+        .orderBy("doc_id")
+    )
+
+
+def curation_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language byte/token budget of the curated corpus — the
+    numbers a data-mixture plan is built from."""
+    return (
+        curate_corpus(spark, sf_dir)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("text_len").alias("total_chars"),
+            F.sum("ws_tokens").alias("total_ws_tokens"),
+            F.sum("bpe_ish_tokens").alias("total_bpe_ish_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+QUERIES = {
+    "curate_corpus": curate_corpus,
+    "curation_summary": curation_summary,
+}
+
+# Oracle: replay the same staged chain in SQL. The cluster-label CTE
+# chain is reused from clustering.py (already a self-contained
+# recursive query over base views).
+# everything up to (and including) the `labels` CTE, re-terminated
+# with a comma so further CTEs can chain onto it
+_LABELS_SQL = (
+    _CLUSTER_ORACLE["dedup_clusters"].split("SELECT cluster_id")[0].rstrip()
+    + ","
+)
+
+_CURATE_SQL = f"""
+    {_LABELS_SQL}
+    quality AS (
+        SELECT doc_id FROM (
+            SELECT doc_id,
+                   length(text) AS text_len,
+                   len(string_split(text, ' ')) AS n_words,
+                   len(list_filter(string_split(text, ' '),
+                       x -> x IN ('the', 'a', 'of', 'and', 'to', 'in')))
+                       AS stop_hits
+            FROM documents
+        )
+        WHERE n_words >= {MIN_WORDS}
+          AND ROUND(stop_hits * 1.0 / n_words, 4) >= 0.01
+          AND ROUND((text_len - (n_words - 1)) * 1.0 / n_words, 4) < 12
+    ),
+    exact_keep AS (
+        SELECT MIN(d.doc_id) AS doc_id
+        FROM documents d JOIN quality q ON d.doc_id = q.doc_id
+        GROUP BY md5(d.text)
+    ),
+    fuzzy_drop AS (
+        SELECT doc_id FROM labels WHERE doc_id != cluster_id
+    ),
+    survivors AS (
+        SELECT doc_id FROM exact_keep
+        WHERE doc_id NOT IN (SELECT doc_id FROM fuzzy_drop)
+    )
+    SELECT s.doc_id AS doc_id, d.lang, length(d.text) AS text_len,
+           len(regexp_extract_all(d.text, '[^ ]+')) AS ws_tokens,
+           len(regexp_extract_all(d.text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]'))
+               AS bpe_ish_tokens
+    FROM survivors s JOIN documents d ON s.doc_id = d.doc_id
+"""
+
+ORACLE_SQL = {
+    "curate_corpus": _CURATE_SQL + " ORDER BY s.doc_id",
+    "curation_summary": f"""
+        SELECT lang, COUNT(*) AS n_docs,
+               SUM(text_len) AS total_chars,
+               SUM(ws_tokens) AS total_ws_tokens,
+               SUM(bpe_ish_tokens) AS total_bpe_ish_tokens
+        FROM ({_CURATE_SQL} ORDER BY doc_id) c
+        GROUP BY lang
+        ORDER BY lang
+    """,
+}
