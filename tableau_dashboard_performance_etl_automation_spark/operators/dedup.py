@@ -136,7 +136,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes → top-1 match per doc via a partitioned window. Jaccard is
     a ratio of exact ints, so cross-engine values are bit-identical.
     """
-    sh = _doc_shingles(spark, sf_dir)
+    # materialize the shingle decomposition once: it feeds the
+    # stop-shingle census, the sizes aggregate, and both sides of the
+    # intersection join — recomputing the explode+distinct 4× costs
+    # more than the one-pass materialization
+    sh = _doc_shingles(spark, sf_dir).localCheckpoint()
     keep = (
         sh.groupBy("sh")
         .agg(F.count(F.lit(1)).alias("df"))

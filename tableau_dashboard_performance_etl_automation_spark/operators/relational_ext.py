@@ -15,6 +15,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from tableau_dashboard_performance_etl_automation_spark.catalog import load_table
+from tableau_dashboard_performance_etl_automation_spark.functions.skew import (
+    salted_count,
+)
 
 
 def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -135,8 +138,23 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def event_type_counts_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key aggregation through the explicit salting path: events
+    group to only ~5 event types, which at 100 TB makes the final
+    aggregate 5 straggler partitions; the two-phase salted count
+    spreads each key over 16 sub-partitions first. Results are
+    identical to a plain count — the oracle is the plain SQL."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        salted_count(e.select("event_type"), "event_type", n_salts=16)
+        .select("event_type", F.col("n").alias("n_events"))
+        .orderBy("event_type")
+    )
+
+
 QUERIES = {
     "customers_without_orders": customers_without_orders,
+    "event_type_counts_salted": event_type_counts_salted,
     "active_high_value_buyers": active_high_value_buyers,
     "priority_late_orders": priority_late_orders,
     "extreme_orders_union": extreme_orders_union,
@@ -207,4 +225,10 @@ ORACLE_SQL = {
     """,
     # approx_distinct_users: intentionally no oracle (sketch results
     # are engine-specific); driver records rows-only.
+    "event_type_counts_salted": """
+        SELECT event_type, COUNT(*) AS n_events
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
 }

@@ -121,9 +121,11 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _assignments(e: DataFrame) -> DataFrame:
+def _assignments(e: DataFrame, nprobe: int = 1) -> DataFrame:
     """Nearest-centroid assignment: one broadcast join against the
-    centroid set + a per-vector argmax window."""
+    centroid set + a per-vector rank window. ``nprobe=1`` gives the
+    storage assignment; ``nprobe>1`` keeps the n best centroids (used
+    on the *query* side to widen the search at higher recall)."""
     cent = e.filter(F.col("vec_id") < N_CENTROIDS).select(
         F.col("vec_id").alias("cent_id"), F.col("vec").alias("cvec")
     )
@@ -134,18 +136,20 @@ def _assignments(e: DataFrame) -> DataFrame:
         e.crossJoin(F.broadcast(cent))
         .withColumn("ccos", F.round(cosine(F.col("vec"), F.col("cvec")), 6))
         .withColumn("crn", F.row_number().over(w))
-        .filter(F.col("crn") == 1)
+        .filter(F.col("crn") <= nprobe)
         .select("vec_id", "cent_id", "vec")
     )
 
 
-def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-pruned top-k: search only the query's centroid cluster
-    (nprobe=1). Trades recall for a ~1/K candidate cut — the scale
+def ann_ivf_topk(
+    spark: SparkSession, sf_dir: str, nprobe: int = 1
+) -> DataFrame:
+    """IVF-pruned top-k: search the query's ``nprobe`` best centroid
+    clusters. Trades recall for a ~nprobe/K candidate cut — the scale
     path when the corpus is billions of vectors."""
     e = _emb(spark, sf_dir)
     assign = _assignments(e)
-    q = assign.filter(F.col("vec_id") < N_QUERIES).select(
+    q = _assignments(e, nprobe=nprobe).filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("cent_id"),
         F.col("vec").alias("qvec"),

@@ -58,6 +58,25 @@ def test_ivf_recall_against_brute_force(spark, sf_dir):
     assert len(brute & ivf) >= 0.2 * len(brute)
 
 
+def test_ivf_recall_improves_with_nprobe(spark, sf_dir):
+    brute = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.ann_cosine_topk(spark, sf_dir).collect()
+    }
+
+    def recall(nprobe: int) -> float:
+        ivf = {
+            (r.query_id, r.neighbor_id)
+            for r in similarity.ann_ivf_topk(spark, sf_dir, nprobe=nprobe).collect()
+        }
+        return len(brute & ivf) / len(brute)
+
+    r1, r4, rall = recall(1), recall(4), recall(similarity.N_CENTROIDS)
+    assert r1 <= r4 <= rall
+    # probing every cluster IS brute force → perfect recall
+    assert rall == 1.0
+
+
 def test_lang_id_predicts_from_markers(spark, tmp_path):
     docs = spark.createDataFrame(
         [
