@@ -152,9 +152,51 @@ def event_type_counts_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access: parse the JSON ``props`` column with a
+    declared schema (``from_json`` — JVM-side, no UDF) and aggregate
+    on the extracted field."""
+    e = load_table(spark, sf_dir, "events")
+    parsed = e.withColumn(
+        "k", F.from_json(F.col("props"), "struct<k:int>").getField("k")
+    )
+    return (
+        parsed.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.round(F.avg("k"), 4).alias("avg_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def daily_metric_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: per-day average value per event type, types as columns
+    (the summary_line wide-format shape). Pivot values are declared
+    explicitly — at scale an undeclared pivot needs an extra pass to
+    discover the column set."""
+    e = load_table(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    return (
+        e.withColumn("event_date", F.col("ts").cast("date"))
+        .groupBy("event_date")
+        .pivot("event_type", types)
+        .agg(F.round(F.avg("value"), 4))
+        .select(
+            F.date_format("event_date", "yyyy-MM-dd").alias("event_date"),
+            *[F.col(t).alias(f"avg_{t}") for t in types],
+        )
+        .orderBy("event_date")
+    )
+
+
 QUERIES = {
     "customers_without_orders": customers_without_orders,
     "event_type_counts_salted": event_type_counts_salted,
+    "events_json_extract": events_json_extract,
+    "daily_metric_pivot": daily_metric_pivot,
     "active_high_value_buyers": active_high_value_buyers,
     "priority_late_orders": priority_late_orders,
     "extreme_orders_union": extreme_orders_union,
@@ -230,5 +272,33 @@ ORACLE_SQL = {
         FROM events
         GROUP BY event_type
         ORDER BY event_type
+    """,
+    "events_json_extract": """
+        SELECT event_type, COUNT(*) AS n_events,
+               MIN(k) AS min_k, MAX(k) AS max_k,
+               ROUND(AVG(k), 4) AS avg_k
+        FROM (
+            SELECT event_type,
+                   CAST(json_extract_string(props, '$.k') AS INT) AS k
+            FROM events
+        )
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    "daily_metric_pivot": """
+        SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS event_date,
+               ROUND(AVG(CASE WHEN event_type = 'click' THEN value END), 4)
+                   AS avg_click,
+               ROUND(AVG(CASE WHEN event_type = 'error' THEN value END), 4)
+                   AS avg_error,
+               ROUND(AVG(CASE WHEN event_type = 'purchase' THEN value END), 4)
+                   AS avg_purchase,
+               ROUND(AVG(CASE WHEN event_type = 'signup' THEN value END), 4)
+                   AS avg_signup,
+               ROUND(AVG(CASE WHEN event_type = 'view' THEN value END), 4)
+                   AS avg_view
+        FROM events
+        GROUP BY CAST(ts AS DATE)
+        ORDER BY event_date
     """,
 }

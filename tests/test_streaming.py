@@ -67,6 +67,39 @@ def test_regression_alerts_flag_only_above_threshold(spark, sf_dir, tmp_path):
     assert all(r.percentage_difference > 20.0 for r in rows)
 
 
+def test_file_sink_is_exactly_once_across_restarts(spark, sf_dir, tmp_path):
+    """Checkpointed file sink: two availableNow runs over a growing
+    input directory must process each input file exactly once —
+    restart recovery picks up from the checkpoint, not from scratch."""
+    inp = str(tmp_path / "inp")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    events = load_table(spark, sf_dir, "events")
+    first_half = events.filter(F.col("event_id") % 2 == 0)
+    second_half = events.filter(F.col("event_id") % 2 == 1)
+    first_half.write.mode("append").parquet(inp)
+
+    def run_once():
+        (
+            trend.events_stream(spark, inp)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+
+    run_once()
+    n_first = spark.read.parquet(out).count()
+    assert n_first == first_half.count()
+
+    second_half.write.mode("append").parquet(inp)
+    run_once()  # "restart": same checkpoint, new files only
+    assert spark.read.parquet(out).count() == events.count()
+
+
 def test_stateful_running_profile_matches_batch(spark, sf_dir, tmp_path):
     inp = _stage_stream_input(spark, sf_dir, tmp_path)
     stream = trend.events_stream(spark, inp)
