@@ -179,11 +179,23 @@ def daily_metric_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     discover the column set."""
     e = load_table(spark, sf_dir, "events")
     types = ["click", "error", "purchase", "signup", "view"]
+    # Fully exact aggregation: value has 2 decimals, so sum cents as
+    # bigint (order-independent), and perform the 4-decimal half-up
+    # rounding ITSELF in integer arithmetic —
+    # round(100*sum/cnt) == (200*sum + cnt) div (2*cnt) — because
+    # engines disagree on rounding a double that sits exactly on a
+    # boundary (Spark rounds the shortest decimal repr, DuckDB the
+    # binary value; observed at sf0.001 with 30703/800 = 38.37875).
+    exact_avg = F.expr(
+        "((200 * sum(CAST(ROUND(value * 100) AS BIGINT)) + count(value))"
+        " div (2 * count(value))) / 1e4"  # 1e4: double literal (10000.0
+        # would parse as DECIMAL and change the output type)
+    )
     return (
         e.withColumn("event_date", F.col("ts").cast("date"))
         .groupBy("event_date")
         .pivot("event_type", types)
-        .agg(F.round(F.avg("value"), 4))
+        .agg(exact_avg)
         .select(
             F.date_format("event_date", "yyyy-MM-dd").alias("event_date"),
             *[F.col(t).alias(f"avg_{t}") for t in types],
@@ -287,15 +299,25 @@ ORACLE_SQL = {
     """,
     "daily_metric_pivot": """
         SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS event_date,
-               ROUND(AVG(CASE WHEN event_type = 'click' THEN value END), 4)
+               CAST((200 * SUM(CASE WHEN event_type = 'click' THEN CAST(ROUND(value * 100) AS BIGINT) END)
+                      + COUNT(CASE WHEN event_type = 'click' THEN value END))
+                     // (2 * COUNT(CASE WHEN event_type = 'click' THEN value END)) AS BIGINT) / 1e4
                    AS avg_click,
-               ROUND(AVG(CASE WHEN event_type = 'error' THEN value END), 4)
+               CAST((200 * SUM(CASE WHEN event_type = 'error' THEN CAST(ROUND(value * 100) AS BIGINT) END)
+                      + COUNT(CASE WHEN event_type = 'error' THEN value END))
+                     // (2 * COUNT(CASE WHEN event_type = 'error' THEN value END)) AS BIGINT) / 1e4
                    AS avg_error,
-               ROUND(AVG(CASE WHEN event_type = 'purchase' THEN value END), 4)
+               CAST((200 * SUM(CASE WHEN event_type = 'purchase' THEN CAST(ROUND(value * 100) AS BIGINT) END)
+                      + COUNT(CASE WHEN event_type = 'purchase' THEN value END))
+                     // (2 * COUNT(CASE WHEN event_type = 'purchase' THEN value END)) AS BIGINT) / 1e4
                    AS avg_purchase,
-               ROUND(AVG(CASE WHEN event_type = 'signup' THEN value END), 4)
+               CAST((200 * SUM(CASE WHEN event_type = 'signup' THEN CAST(ROUND(value * 100) AS BIGINT) END)
+                      + COUNT(CASE WHEN event_type = 'signup' THEN value END))
+                     // (2 * COUNT(CASE WHEN event_type = 'signup' THEN value END)) AS BIGINT) / 1e4
                    AS avg_signup,
-               ROUND(AVG(CASE WHEN event_type = 'view' THEN value END), 4)
+               CAST((200 * SUM(CASE WHEN event_type = 'view' THEN CAST(ROUND(value * 100) AS BIGINT) END)
+                      + COUNT(CASE WHEN event_type = 'view' THEN value END))
+                     // (2 * COUNT(CASE WHEN event_type = 'view' THEN value END)) AS BIGINT) / 1e4
                    AS avg_view
         FROM events
         GROUP BY CAST(ts AS DATE)
