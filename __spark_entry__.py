@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from tableau_dashboard_performance_etl_automation_spark.operators import (
     analytics,
+    asof,
     clustering,
     curation,
     dedup,
@@ -52,6 +53,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(relational_ext.QUERIES)
     out.update(clustering.QUERIES)
     out.update(curation.QUERIES)
+    out.update(asof.QUERIES)
     return out
 
 
@@ -67,4 +69,5 @@ def oracle_sql() -> dict[str, str]:
     out.update(relational_ext.ORACLE_SQL)
     out.update(clustering.ORACLE_SQL)
     out.update(curation.ORACLE_SQL)
+    out.update(asof.ORACLE_SQL)
     return out

@@ -59,7 +59,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ensure_engine_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") in ("bigint", "long"):
-        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        # integer division: `ts / 1000` in double loses precision at
+        # 1.7e18 nanos (double ulp ≈ 256 ns → off-by-1 µs vs DuckDB's
+        # exact integer ns→µs truncation)
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
 

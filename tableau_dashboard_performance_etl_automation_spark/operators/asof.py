@@ -1,0 +1,105 @@
+"""As-of join — the classic time-series operator Spark has no
+built-in for (SURVEY.md §2.6 notes the reference has none either;
+this is engine capability beyond both).
+
+Semantics: for each left-side event, attach the most recent
+right-side event with the same key at or before its timestamp.
+
+Spark-first implementation: the **union + partitioned window** form —
+tag both streams, union them, and carry the right side's latest value
+forward with ``last_value(..., ignoreNulls) OVER (PARTITION BY key
+ORDER BY ts)``. One shuffle on the key, state bounded per key,
+no range cross-join, no per-key driver loop — this is the shape that
+scales to billions of rows per day. (A range-join would compare every
+left row against every right row in a time bucket; the union form is
+strictly cheaper when the right side is dense.)
+
+The DuckDB oracle uses its native ``ASOF JOIN`` — two genuinely
+different algorithms validating each other.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+from tableau_dashboard_performance_etl_automation_spark.catalog import load_table
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    ts: str,
+    right_value_cols: list[str],
+) -> DataFrame:
+    """Generic as-of join: left rows + latest right values at-or-before
+    each left timestamp. Ties (equal ts) see the right row, matching
+    ASOF JOIN's ``>=`` convention."""
+    l_tagged = left.withColumn("_side", F.lit(1))
+    r_tagged = right.select(
+        key, ts, *right_value_cols
+    ).withColumn("_side", F.lit(0))
+    merged = l_tagged.unionByName(r_tagged, allowMissingColumns=True)
+    # right rows sort before left rows at the same timestamp so a
+    # same-instant right row is visible to the left row (>= semantics)
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col(ts).asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = merged
+    for c in right_value_cols:
+        carried = carried.withColumn(
+            f"_asof_{c}",
+            F.last(F.when(F.col("_side") == 0, F.col(c)), ignorenulls=True).over(w),
+        )
+    out = carried.filter(F.col("_side") == 1).drop("_side", *right_value_cols)
+    for c in right_value_cols:
+        out = out.withColumnRenamed(f"_asof_{c}", f"asof_{c}")
+    return out
+
+
+def purchases_with_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribution query: every purchase event with the user's most
+    recent click at-or-before it (ts compared at epoch-micros
+    precision; rendered as strings for the oracle)."""
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").alias("purchase_value"),
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    joined = asof_join(
+        purchases, clicks, key="user_id", ts="ts", right_value_cols=["click_id"]
+    )
+    return joined.select(
+        "purchase_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("purchase_ts"),
+        F.round(F.col("purchase_value"), 2).alias("purchase_value"),
+        F.col("asof_click_id").alias("last_click_id"),
+    ).orderBy("purchase_id")
+
+
+QUERIES = {"purchases_with_last_click": purchases_with_last_click}
+
+ORACLE_SQL = {
+    # DuckDB's native ASOF JOIN: right side must be the one carried
+    # forward; ASOF LEFT JOIN keeps purchases with no prior click.
+    "purchases_with_last_click": """
+        SELECT p.event_id AS purchase_id,
+               p.user_id AS user_id,
+               strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+               ROUND(p.value, 2) AS purchase_value,
+               c.event_id AS last_click_id
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          ON p.user_id = c.user_id AND p.ts >= c.ts
+        ORDER BY purchase_id
+    """,
+}
