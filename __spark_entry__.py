@@ -21,6 +21,7 @@ from tableau_dashboard_performance_etl_automation_spark.operators import (
     dedup,
     multimodal,
     relational_ext,
+    sampling,
     similarity,
     tabjolt,
     textops,
@@ -54,6 +55,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(clustering.QUERIES)
     out.update(curation.QUERIES)
     out.update(asof.QUERIES)
+    out.update(sampling.QUERIES)
     return out
 
 
@@ -70,4 +72,5 @@ def oracle_sql() -> dict[str, str]:
     out.update(clustering.ORACLE_SQL)
     out.update(curation.ORACLE_SQL)
     out.update(asof.ORACLE_SQL)
+    out.update(sampling.ORACLE_SQL)
     return out

@@ -1,0 +1,134 @@
+"""Dataset splitting and distribution statistics — the bookkeeping
+operators of a training-data pipeline.
+
+Splits are **deterministic content-hash buckets**, never ``rand()``:
+the same document lands in the same split on every run, on any
+cluster, after any repartition — reproducibility is a correctness
+property for train/eval separation. The hash is md5-based so the
+DuckDB oracle computes the identical assignment.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from tableau_dashboard_performance_etl_automation_spark.catalog import load_table
+
+#: train/val/test percentages (bucket thresholds over 0..99).
+SPLITS = (("train", 0, 90), ("val", 90, 95), ("test", 95, 100))
+
+
+def _bucket(id_col: F.Column) -> F.Column:
+    """0..99 bucket from two md5 hex chars of the id — identical
+    arithmetic in DuckDB: (ascii(c1)*256 + ascii(c2)) % 100."""
+    h = F.md5(id_col.cast("string"))
+    return (
+        F.ascii(F.substring(h, 1, 1)) * 256 + F.ascii(F.substring(h, 2, 1))
+    ) % 100
+
+
+def _split_col(id_col: F.Column) -> F.Column:
+    b = _bucket(id_col)
+    expr = F.when(
+        (b >= SPLITS[0][1]) & (b < SPLITS[0][2]), SPLITS[0][0]
+    )
+    for name, lo, hi in SPLITS[1:]:
+        expr = expr.when((b >= lo) & (b < hi), name)
+    return expr
+
+
+def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document split assignment (90/5/5 train/val/test)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            _split_col(F.col("doc_id")).alias("split"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def dataset_split_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split × language counts — the leakage/balance audit table."""
+    return (
+        dataset_split(spark, sf_dir)
+        .groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("split", "lang")
+    )
+
+
+def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles of event value per type,
+    computed over exact integer cents so the interpolation arithmetic
+    is cross-engine deterministic. (At 100 TB you'd switch to
+    ``percentile_approx`` — sketch-based, single-pass, mergeable — and
+    accept the error bound; the exact form is the oracle-checkable
+    baseline.)"""
+    e = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    out = e.withColumn("cents", cents).groupBy("event_type")
+    percentiles = {
+        "p50": 0.5,
+        "p90": 0.9,
+        "p99": 0.99,
+    }
+    return (
+        out.agg(
+            *[
+                F.round(F.expr(f"percentile(cents, {q})") / 100.0, 4).alias(name)
+                for name, q in percentiles.items()
+            ],
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
+
+
+QUERIES = {
+    "dataset_split": dataset_split,
+    "dataset_split_summary": dataset_split_summary,
+    "value_percentiles": value_percentiles,
+}
+
+_BUCKET_SQL = (
+    "(ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) * 256"
+    " + ascii(substr(md5(CAST(doc_id AS VARCHAR)), 2, 1))) % 100"
+)
+
+_SPLIT_CASE = f"""
+    CASE WHEN {_BUCKET_SQL} >= 0  AND {_BUCKET_SQL} < 90 THEN 'train'
+         WHEN {_BUCKET_SQL} >= 90 AND {_BUCKET_SQL} < 95 THEN 'val'
+         WHEN {_BUCKET_SQL} >= 95 AND {_BUCKET_SQL} < 100 THEN 'test'
+    END
+"""
+
+ORACLE_SQL = {
+    "dataset_split": f"""
+        SELECT doc_id, lang, {_SPLIT_CASE} AS split
+        FROM documents
+        ORDER BY doc_id
+    """,
+    "dataset_split_summary": f"""
+        SELECT {_SPLIT_CASE} AS split, lang, COUNT(*) AS n_docs
+        FROM documents
+        GROUP BY 1, lang
+        ORDER BY split, lang
+    """,
+    "value_percentiles": """
+        SELECT event_type,
+               ROUND(quantile_cont(cents, 0.50) / 100.0, 4) AS p50,
+               ROUND(quantile_cont(cents, 0.90) / 100.0, 4) AS p90,
+               ROUND(quantile_cont(cents, 0.99) / 100.0, 4) AS p99,
+               COUNT(*) AS n_events
+        FROM (
+            SELECT event_type,
+                   CAST(ROUND(value * 100) AS BIGINT) AS cents
+            FROM events
+        )
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+}
