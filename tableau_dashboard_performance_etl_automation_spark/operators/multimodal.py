@@ -120,6 +120,52 @@ def sample_frames(payloads: DataFrame, n_frames: int = 4) -> DataFrame:
     return payloads.mapInPandas(_frame_batches(n_frames), schema=FRAME_SCHEMA)
 
 
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("height", IntegerType()),
+        StructField("width", IntegerType()),
+        StructField("pixel_mean", StringType()),  # digest of resized grid
+    ]
+)
+
+
+def _resize_batches(side: int):
+    import numpy as np
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rows: dict[str, list] = {
+            "doc_id": [], "height": [], "width": [], "pixel_mean": []
+        }
+        for pdf in batches:
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                # stand-in decode: bytes → square uint8 "image", then a
+                # real nearest-neighbor resize via numpy fancy indexing
+                # (the exact op a thumbnailer runs post-decode, and the
+                # same batch shape/vectorization)
+                raw = np.frombuffer(bytes(payload), dtype=np.uint8)
+                dim = max(int(len(raw) ** 0.5), 1)
+                img = raw[: dim * dim].reshape(dim, dim)
+                idx = np.minimum(
+                    (np.arange(side) * dim / side).astype(int), dim - 1
+                )
+                small = img[np.ix_(idx, idx)]
+                rows["doc_id"].append(doc_id)
+                rows["height"].append(side)
+                rows["width"].append(side)
+                rows["pixel_mean"].append(f"{small.mean():.4f}")
+        yield pd.DataFrame(rows)
+
+    return gen
+
+
+def resize_thumbnails(payloads: DataFrame, side: int = 8) -> DataFrame:
+    """Vectorized numpy resize over Arrow batches — the post-decode
+    thumbnail pass with the decode step stubbed to a deterministic
+    byte-grid image."""
+    return payloads.mapInPandas(_resize_batches(side), schema=RESIZE_SCHEMA)
+
+
 def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Oracle-checkable end of the plumbing: byte length + content
     digest per payload, computed in Python over Arrow batches and

@@ -131,6 +131,22 @@ def test_frame_sampling_is_one_to_n(spark, tmp_path):
     assert per_doc == {1: 4, 2: 4}
 
 
+def test_resize_thumbnails_shape_and_determinism(spark, tmp_path):
+    docs = spark.createDataFrame(
+        [(1, "x" * 100), (2, "abcdefghij" * 30)], ["doc_id", "text"]
+    )
+    p = str(tmp_path / "sf")
+    docs.write.parquet(f"{p}/documents.parquet")
+    payloads = multimodal.with_binary_payload(
+        spark.read.parquet(f"{p}/documents.parquet")
+    )
+    out = {r.doc_id: r for r in multimodal.resize_thumbnails(payloads).collect()}
+    assert set(out) == {1, 2}
+    assert all(r.height == 8 and r.width == 8 for r in out.values())
+    # doc 1 is all 'x' (0x78): resized mean must be exactly 120
+    assert out[1].pixel_mean == "120.0000"
+
+
 def test_decode_image_is_stubbed():
     with pytest.raises(NotImplementedError):
         multimodal.decode_image(b"\x89PNG")
