@@ -204,8 +204,40 @@ def daily_metric_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def user_activity_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER snapshot merge (the SCD/upsert shape): first-half vs
+    second-half month per-user activity, outer-joined so users present
+    in either window survive, with COALESCE-style reconciliation."""
+    e = load_table(spark, sf_dir, "events")
+    mid = F.lit("2024-01-16").cast("timestamp_ntz")
+    first = (
+        e.filter(F.col("ts") < mid)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("h1_events"))
+    )
+    second = (
+        e.filter(F.col("ts") >= mid)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("h2_events"))
+    )
+    return (
+        first.join(second, "user_id", "full_outer")
+        .select(
+            "user_id",
+            F.coalesce("h1_events", F.lit(0)).alias("h1_events"),
+            F.coalesce("h2_events", F.lit(0)).alias("h2_events"),
+            F.when(F.col("h1_events").isNull(), "new")
+            .when(F.col("h2_events").isNull(), "churned")
+            .otherwise("retained")
+            .alias("status"),
+        )
+        .orderBy("user_id")
+    )
+
+
 QUERIES = {
     "customers_without_orders": customers_without_orders,
+    "user_activity_merge": user_activity_merge,
     "event_type_counts_salted": event_type_counts_salted,
     "events_json_extract": events_json_extract,
     "daily_metric_pivot": daily_metric_pivot,
@@ -284,6 +316,23 @@ ORACLE_SQL = {
         FROM events
         GROUP BY event_type
         ORDER BY event_type
+    """,
+    "user_activity_merge": """
+        SELECT COALESCE(f.user_id, s.user_id) AS user_id,
+               COALESCE(h1_events, 0) AS h1_events,
+               COALESCE(h2_events, 0) AS h2_events,
+               CASE WHEN h1_events IS NULL THEN 'new'
+                    WHEN h2_events IS NULL THEN 'churned'
+                    ELSE 'retained' END AS status
+        FROM (
+            SELECT user_id, COUNT(*) AS h1_events FROM events
+            WHERE ts < TIMESTAMP '2024-01-16' GROUP BY user_id
+        ) f
+        FULL OUTER JOIN (
+            SELECT user_id, COUNT(*) AS h2_events FROM events
+            WHERE ts >= TIMESTAMP '2024-01-16' GROUP BY user_id
+        ) s ON f.user_id = s.user_id
+        ORDER BY user_id
     """,
     "events_json_extract": """
         SELECT event_type, COUNT(*) AS n_events,
