@@ -62,7 +62,17 @@ def test_pct_diff_algebra(spark, avg, cur):
     if avg == 0:
         assert out is None
     else:
-        assert abs(out - round((cur - avg) / avg * 100.0, 4)) < 1e-6
+        # reference implements Spark's ROUND semantics: HALF_UP on the
+        # shortest decimal repr (Python's round() is half-to-even and
+        # diverges exactly on .00005 boundaries — hypothesis found one)
+        from decimal import ROUND_HALF_UP, Decimal
+
+        want = float(
+            Decimal(repr((cur - avg) / avg * 100.0)).quantize(
+                Decimal("0.0001"), rounding=ROUND_HALF_UP
+            )
+        )
+        assert abs(out - want) < 1e-9
 
 
 @given(
