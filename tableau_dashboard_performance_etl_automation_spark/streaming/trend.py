@@ -106,6 +106,45 @@ def regression_alerts(
     )
 
 
+def purchase_click_attribution(
+    purchases: DataFrame, clicks: DataFrame, max_gap: str = "1 hour"
+) -> DataFrame:
+    """Watermarked stream-stream interval join: each purchase joined to
+    the same user's clicks within the preceding ``max_gap``.
+
+    Both sides carry watermarks so the join state is bounded: a
+    buffered click can be dropped once event time passes click_ts +
+    max_gap + watermark — without the time-range condition the state
+    would grow forever. This is the streaming twin of the batch as-of
+    join (operators/asof.py), trading exact latest-match for bounded
+    state and per-event latency.
+    """
+    p = (
+        purchases.withWatermark("ts", "30 minutes")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("value").alias("purchase_value"),
+        )
+    )
+    c = clicks.withWatermark("ts", "30 minutes").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    return p.join(
+        c,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {max_gap}")),
+        "inner",
+    ).select(
+        "purchase_id", "p_user", "purchase_ts", "purchase_value",
+        "click_id", "click_ts",
+    )
+
+
 def run_to_memory(
     df: DataFrame, table_name: str, mode: str = "complete"
 ) -> None:

@@ -100,6 +100,47 @@ def test_file_sink_is_exactly_once_across_restarts(spark, sf_dir, tmp_path):
     assert spark.read.parquet(out).count() == events.count()
 
 
+def test_stream_stream_interval_join_matches_batch(spark, sf_dir, tmp_path):
+    inp = _stage_stream_input(spark, sf_dir, tmp_path)
+    s = trend.events_stream(spark, inp)
+    joined = trend.purchase_click_attribution(
+        s.filter(F.col("event_type") == "purchase"),
+        trend.events_stream(spark, inp).filter(F.col("event_type") == "click"),
+    )
+    (
+        joined.writeStream.format("memory")
+        .queryName("attr_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    got = {
+        (r.purchase_id, r.click_id)
+        for r in spark.table("attr_sink").collect()
+    }
+    e = load_table(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.col("ts").alias("pts"),
+        F.col("event_id").alias("pid"),
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"), F.col("ts").alias("cts"),
+        F.col("event_id").alias("cid"),
+    )
+    want = {
+        (r.pid, r.cid)
+        for r in p.join(
+            c,
+            (F.col("pu") == F.col("cu"))
+            & (F.col("cts") <= F.col("pts"))
+            & (F.col("cts") >= F.col("pts") - F.expr("INTERVAL 1 HOUR")),
+        ).collect()
+    }
+    assert got == want
+    assert got, "expected some attributed purchases on this corpus"
+
+
 def test_stateful_running_profile_matches_batch(spark, sf_dir, tmp_path):
     inp = _stage_stream_input(spark, sf_dir, tmp_path)
     stream = trend.events_stream(spark, inp)
