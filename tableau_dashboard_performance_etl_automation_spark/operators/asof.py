@@ -86,7 +86,52 @@ def purchases_with_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("purchase_id")
 
 
-QUERIES = {"purchases_with_last_click": purchases_with_last_click}
+def purchase_click_window_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval (range) join: every (purchase, click) pair for the
+    same user with the click inside the hour before the purchase.
+
+    Spark evaluates the equi-part (user_id) as the join key — only the
+    time-range predicate is post-join, so this shuffles once on
+    user_id, never a cross product. The streaming twin (bounded state
+    via watermarks) is streaming/trend.purchase_click_attribution.
+    """
+    e = load_table(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    return (
+        p.join(
+            c,
+            (p.user_id == c.user_id)
+            & (F.col("click_ts") <= F.col("purchase_ts"))
+            & (
+                F.col("click_ts")
+                >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR")
+            ),
+        )
+        .select(
+            "purchase_id",
+            "click_id",
+            p.user_id.alias("user_id"),
+            (
+                F.unix_millis("purchase_ts") - F.unix_millis("click_ts")
+            ).alias("gap_ms"),
+        )
+        .orderBy("purchase_id", "click_id")
+    )
+
+
+QUERIES = {
+    "purchases_with_last_click": purchases_with_last_click,
+    "purchase_click_window_join": purchase_click_window_join,
+}
 
 ORACLE_SQL = {
     # DuckDB's native ASOF JOIN: right side must be the one carried
@@ -101,5 +146,17 @@ ORACLE_SQL = {
         ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
           ON p.user_id = c.user_id AND p.ts >= c.ts
         ORDER BY purchase_id
+    """,
+    "purchase_click_window_join": """
+        SELECT p.event_id AS purchase_id,
+               c.event_id AS click_id,
+               p.user_id AS user_id,
+               epoch_ms(p.ts) - epoch_ms(c.ts) AS gap_ms
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          ON p.user_id = c.user_id
+         AND c.ts <= p.ts
+         AND c.ts >= p.ts - INTERVAL 1 HOUR
+        ORDER BY purchase_id, click_id
     """,
 }
