@@ -87,8 +87,30 @@ def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Per-language sampling rates (percent) — an up/down-sampling mixture.
+MIX_RATES = {"en": 100, "de": 60, "es": 60, "fr": 60, "zh": 40}
+
+
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: keep each document iff its
+    content-hash bucket falls under its language's mixture rate.
+    Hash-based (not rand()) so the sample is stable across runs and
+    partitionings — the property a reproducible data mixture needs."""
+    docs = load_table(spark, sf_dir, "documents")
+    rate = F.when(F.col("lang") == "en", F.lit(MIX_RATES["en"]))
+    for lang, pct in list(MIX_RATES.items())[1:]:
+        rate = rate.when(F.col("lang") == lang, F.lit(pct))
+    return (
+        docs.withColumn("_b", _bucket(F.col("doc_id")))
+        .filter(F.col("_b") < rate.otherwise(F.lit(0)))
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
 QUERIES = {
     "dataset_split": dataset_split,
+    "stratified_sample": stratified_sample,
     "dataset_split_summary": dataset_split_summary,
     "value_percentiles": value_percentiles,
 }
@@ -105,7 +127,17 @@ _SPLIT_CASE = f"""
     END
 """
 
+_RATE_CASE = "CASE " + " ".join(
+    f"WHEN lang = '{lang}' THEN {pct}" for lang, pct in MIX_RATES.items()
+) + " ELSE 0 END"
+
 ORACLE_SQL = {
+    "stratified_sample": f"""
+        SELECT doc_id, lang, n_chars
+        FROM documents
+        WHERE {_BUCKET_SQL} < {_RATE_CASE}
+        ORDER BY doc_id
+    """,
     "dataset_split": f"""
         SELECT doc_id, lang, {_SPLIT_CASE} AS split
         FROM documents
