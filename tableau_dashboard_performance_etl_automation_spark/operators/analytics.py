@@ -201,8 +201,49 @@ def user_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-score anomaly detection per event type, with mean/variance
+    built from **exact integer** sums (cents and squared cents as
+    bigints) so the statistics are identical across engines — float
+    accumulation order would make the z-threshold comparison flaky.
+    Two passes: per-key moments (broadcastable aggregate), then a
+    broadcast join back onto the stream to flag outliers."""
+    e = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    ec = e.withColumn("cents", cents)
+    stats = ec.groupBy("event_type").agg(
+        F.sum("cents").alias("s1"),
+        F.sum(F.col("cents") * F.col("cents")).alias("s2"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    # mean/var from exact sums: identical doubles in both engines
+    stats = stats.select(
+        "event_type",
+        (F.col("s1") / F.col("n")).alias("mean_c"),
+        (
+            (F.col("s2") / F.col("n"))
+            - (F.col("s1") / F.col("n")) * (F.col("s1") / F.col("n"))
+        ).alias("var_c"),
+    )
+    flagged = (
+        ec.join(F.broadcast(stats), "event_type")
+        .withColumn(
+            "z",
+            (F.col("cents") - F.col("mean_c")) / F.sqrt(F.col("var_c")),
+        )
+        .filter(F.abs(F.col("z")) > 3.0)
+    )
+    return flagged.select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value"), 2).alias("value"),
+        F.round(F.col("z"), 4).alias("z_score"),
+    ).orderBy("event_id")
+
+
 QUERIES = {
     "pricing_summary": pricing_summary,
+    "value_outliers": value_outliers,
     "top_revenue_orders": top_revenue_orders,
     "region_revenue": region_revenue,
     "supplier_part_volume": supplier_part_volume,
@@ -212,6 +253,27 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "value_outliers": """
+        WITH ec AS (
+            SELECT event_id, event_type, value,
+                   CAST(ROUND(value * 100) AS BIGINT) AS cents
+            FROM events
+        ),
+        stats AS (
+            SELECT event_type,
+                   SUM(cents) * 1.0 / COUNT(*) AS mean_c,
+                   (SUM(cents * cents) * 1.0 / COUNT(*))
+                     - (SUM(cents) * 1.0 / COUNT(*))
+                       * (SUM(cents) * 1.0 / COUNT(*)) AS var_c
+            FROM ec GROUP BY event_type
+        )
+        SELECT event_id, ec.event_type AS event_type,
+               ROUND(value, 2) AS value,
+               ROUND((cents - mean_c) / sqrt(var_c), 4) AS z_score
+        FROM ec JOIN stats ON ec.event_type = stats.event_type
+        WHERE abs((cents - mean_c) / sqrt(var_c)) > 3.0
+        ORDER BY event_id
+    """,
     "pricing_summary": """
         SELECT l_returnflag, l_linestatus,
                ROUND(SUM(l_quantity), 2) AS sum_qty,

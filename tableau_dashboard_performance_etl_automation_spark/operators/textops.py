@@ -128,8 +128,26 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corpus_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level 2-gram frequency table (top 50) — the vocabulary
+    statistics a tokenizer-training pass reads. Map-side-combining
+    count on an exploded shingle stream; top-k via sort+limit
+    (TakeOrderedAndProject, no full sort)."""
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.withColumn("w", words()).select(
+        F.explode(word_shingles(k=2)).alias("gram")
+    )
+    return (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("gram"))
+        .limit(50)
+    )
+
+
 QUERIES = {
     "text_lang_id": text_lang_id,
+    "corpus_top_ngrams": corpus_top_ngrams,
     "text_quality": text_quality,
     "text_token_count": text_token_count,
     "text_fingerprint": text_fingerprint,
@@ -161,6 +179,21 @@ _STOPLIST_SQL = ", ".join(f"'{s}'" for s in STOPWORDS)
 
 ORACLE_SQL = {
     "text_lang_id": _lang_oracle(),
+    "corpus_top_ngrams": """
+        WITH doc_words AS (
+            SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        ),
+        grams AS (
+            SELECT unnest(list_transform(range(1, len(w)),
+                          i -> w[i] || ' ' || w[i+1])) AS gram
+            FROM doc_words
+        )
+        SELECT gram, COUNT(*) AS freq
+        FROM grams
+        GROUP BY gram
+        ORDER BY freq DESC, gram
+        LIMIT 50
+    """,
     "text_quality": f"""
         SELECT doc_id, text_len, n_words,
                ROUND((text_len - (n_words - 1)) * 1.0 / n_words, 4)
