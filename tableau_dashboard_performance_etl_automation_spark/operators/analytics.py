@@ -241,9 +241,34 @@ def value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_id")
 
 
+def user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-seen week, counted by
+    weeks-since-cohort activity. Two aggregations (first-seen per
+    user, then cohort × offset distinct users) — both shuffle on
+    user-ish keys with map-side combine; no window over the full
+    stream."""
+    e = load_table(spark, sf_dir, "events")
+    first_seen = e.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("first_date")
+    )
+    cohorted = e.join(first_seen, "user_id").select(
+        "user_id",
+        F.weekofyear("first_date").alias("cohort_week"),
+        F.floor(
+            F.datediff(F.col("ts").cast("date"), F.col("first_date")) / 7
+        ).cast("int").alias("weeks_since"),
+    )
+    return (
+        cohorted.groupBy("cohort_week", "weeks_since")
+        .agg(F.countDistinct("user_id").alias("active_users"))
+        .orderBy("cohort_week", "weeks_since")
+    )
+
+
 QUERIES = {
     "pricing_summary": pricing_summary,
     "value_outliers": value_outliers,
+    "user_retention_cohorts": user_retention_cohorts,
     "top_revenue_orders": top_revenue_orders,
     "region_revenue": region_revenue,
     "supplier_part_volume": supplier_part_volume,
@@ -253,6 +278,19 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "user_retention_cohorts": """
+        WITH first_seen AS (
+            SELECT user_id, MIN(CAST(ts AS DATE)) AS first_date
+            FROM events GROUP BY user_id
+        )
+        SELECT weekofyear(first_date) AS cohort_week,
+               CAST(FLOOR(date_diff('day', first_date, CAST(ts AS DATE))
+                          / 7.0) AS INTEGER) AS weeks_since,
+               COUNT(DISTINCT e.user_id) AS active_users
+        FROM events e JOIN first_seen USING (user_id)
+        GROUP BY 1, 2
+        ORDER BY cohort_week, weeks_since
+    """,
     "value_outliers": """
         WITH ec AS (
             SELECT event_id, event_type, value,
