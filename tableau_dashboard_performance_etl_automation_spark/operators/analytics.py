@@ -172,9 +172,14 @@ def daily_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 def user_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30-min inactivity) via lag window —
     the standard streaming-adjacent stateful shape expressed as a
-    batch window; partitions by user so state never concentrates."""
+    batch window; partitions by user so state never concentrates.
+
+    Cross-engine determinism: windows order by (ts, event_id) so
+    equal timestamps can't reorder across engines, and session_value
+    is accumulated as exact integer cents — summing raw doubles is
+    accumulation-order dependent and flips the last cent."""
     e = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     sessions = (
         e.withColumn("prev_ts", F.lag("ts").over(w))
         .withColumn(
@@ -186,16 +191,17 @@ def user_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn(
             "session_id",
-            F.sum("new_session").over(
-                w.rowsBetween(Window.unboundedPreceding, 0)
-            ),
+            F.sum("new_session")
+            .over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .cast("bigint"),
         )
+        .withColumn("cents", F.round(F.col("value") * 100).cast("bigint"))
     )
     return (
         sessions.groupBy("user_id", "session_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("session_value"),
+            (F.sum("cents") / F.lit(100.0)).alias("session_value"),
         )
         .orderBy("user_id", "session_id")
     )
@@ -392,23 +398,24 @@ ORACLE_SQL = {
     "user_sessionization": """
         SELECT user_id, session_id,
                COUNT(*) AS n_events,
-               ROUND(SUM(value), 2) AS session_value
+               SUM(cents) / 1e2 AS session_value
         FROM (
-            SELECT user_id, value,
-                   SUM(new_session) OVER (
-                       PARTITION BY user_id ORDER BY ts
+            SELECT user_id, cents,
+                   CAST(SUM(new_session) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-                   ) AS session_id
+                   ) AS BIGINT) AS session_id
             FROM (
-                SELECT user_id, ts, value,
+                SELECT user_id, ts, event_id, cents,
                        CASE WHEN prev_ts IS NULL
                                  OR epoch_ms(ts) - epoch_ms(prev_ts)
                                     > 30 * 60 * 1000
                             THEN 1 ELSE 0 END AS new_session
                 FROM (
-                    SELECT user_id, ts, value,
+                    SELECT user_id, ts, event_id,
+                           CAST(ROUND(value * 100) AS BIGINT) AS cents,
                            LAG(ts) OVER (
-                               PARTITION BY user_id ORDER BY ts
+                               PARTITION BY user_id ORDER BY ts, event_id
                            ) AS prev_ts
                     FROM events
                 )

@@ -146,9 +146,9 @@ ORACLE_SQL = {
     "curate_corpus": _CURATE_SQL + " ORDER BY s.doc_id",
     "curation_summary": f"""
         SELECT lang, COUNT(*) AS n_docs,
-               SUM(text_len) AS total_chars,
-               SUM(ws_tokens) AS total_ws_tokens,
-               SUM(bpe_ish_tokens) AS total_bpe_ish_tokens
+               CAST(SUM(text_len) AS BIGINT) AS total_chars,
+               CAST(SUM(ws_tokens) AS BIGINT) AS total_ws_tokens,
+               CAST(SUM(bpe_ish_tokens) AS BIGINT) AS total_bpe_ish_tokens
         FROM ({_CURATE_SQL} ORDER BY doc_id) c
         GROUP BY lang
         ORDER BY lang

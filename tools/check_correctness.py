@@ -1,10 +1,18 @@
-"""Local mirror of the driver's DuckDB-oracle correctness gate.
+"""Local mirror of the driver's DuckDB-oracle correctness gate —
+deliberately STRICTER than the driver.
 
-Runs every ``queries()`` entry from ``__spark_entry__`` and its
-``oracle_sql()`` twin on the same parquet tables, then compares
-row count + column names + an order-insensitive value multiset
-(floats rounded to 9 significant digits before hashing, stricter than
-the queries' own rounding). Usage:
+Round-1 lesson: the driver hashes cell values with their types and
+full float precision, so a local pass with 9-significant-digit float
+rounding did NOT guarantee a driver pass (``user_sessionization``,
+``curation_summary``).  This checker now compares
+
+* row count and column names,
+* **arrow-level column types** (catches DuckDB HUGEINT vs Spark BIGINT,
+  decimal vs double, ...),
+* an order-insensitive value multiset with **exact** float repr
+  (every bit of the double matters).
+
+Usage::
 
     python tools/check_correctness.py [sf_dir] [query ...]
 """
@@ -26,7 +34,7 @@ def normalize_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "f:nan"
-        return f"f:{v:.9g}"
+        return f"f:{v!r}"  # exact shortest-roundtrip repr — full precision
     if isinstance(v, int):
         return f"i:{v}"
     return f"s:{v}"
@@ -37,6 +45,41 @@ def row_multiset(cols: list[str], rows: list[tuple]) -> list[str]:
     each row, sort rows (mirrors the driver's compare contract)."""
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     return sorted("|".join(normalize_cell(r[i]) for i in order) for r in rows)
+
+
+def _type_class(arrow_type) -> str:
+    """Collapse an arrow type to the class the driver's hash would
+    distinguish.  int64 vs int32 both arrive as Python ints, so they
+    hash the same — but DuckDB HUGEINT arrives as int128/decimal via
+    arrow and (per round 1) hashes differently, as do decimal/double."""
+    import pyarrow as pa
+
+    t = arrow_type
+    if pa.types.is_decimal(t):
+        return "decimal"
+    if pa.types.is_integer(t):
+        # int128 (hugeint) is surfaced as decimal128 by duckdb's arrow
+        # export, so any integer type that survives to here is fine.
+        return "int"
+    if pa.types.is_floating(t):
+        return "float"
+    if pa.types.is_boolean(t):
+        return "bool"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "str"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return f"list<{_type_class(t.value_type)}>"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "binary"
+    return str(t)
+
+
+def _arrow_type_map(tbl) -> dict[str, str]:
+    return {f.name: _type_class(f.type) for f in tbl.schema}
 
 
 def main() -> int:
@@ -70,6 +113,7 @@ def main() -> int:
         try:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
+            stbl = sdf.toArrow()
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as exc:  # noqa: BLE001
             print(f"FAIL {name}: spark error: {exc}")
@@ -82,6 +126,7 @@ def main() -> int:
         try:
             res = con.sql(oracles[name])
             ocols = res.columns
+            otbl = con.sql(oracles[name]).arrow()
             orows = [tuple(r) for r in res.fetchall()]
         except Exception as exc:  # noqa: BLE001
             print(f"FAIL {name}: oracle error: {exc}")
@@ -92,6 +137,15 @@ def main() -> int:
             problems.append(f"rowcount spark={len(srows)} oracle={len(orows)}")
         if sorted(scols) != sorted(ocols):
             problems.append(f"cols spark={sorted(scols)} oracle={sorted(ocols)}")
+        else:
+            stypes, otypes = _arrow_type_map(stbl), _arrow_type_map(otbl)
+            bad = {
+                c: (stypes[c], otypes[c])
+                for c in scols
+                if stypes.get(c) != otypes.get(c)
+            }
+            if bad:
+                problems.append(f"column type class mismatch: {bad}")
         if not problems:
             sm, om = row_multiset(scols, srows), row_multiset(ocols, orows)
             if sm != om:
