@@ -33,8 +33,16 @@ from tableau_dashboard_performance_etl_automation_spark.functions.vectors import
     norm,
 )
 
-#: Near-dup threshold for embedding pairs (within-label blocking).
+#: Near-dup threshold for embedding pairs (LSH-bucketed candidates).
 NEARDUP_COSINE = 0.35
+#: Random-hyperplane LSH: ``LSH_BANDS`` bands of ``LSH_BAND_BITS``
+#: sign bits each (one md5-derived ±1 hyperplane per bit). Scale dial:
+#: band-signature cardinality is 2^LSH_BAND_BITS — raise BAND_BITS
+#: with log2(corpus) so per-bucket membership stays bounded (8 bits /
+#: 256 values suits the test corpora; a 1e9-vector corpus wants 16+).
+LSH_BAND_BITS = 8
+LSH_BANDS = 16
+EMB_DIM = 64
 #: ANN parameters: fixed deterministic query/centroid sets + top-k.
 N_QUERIES = 10
 N_CENTROIDS = 8
@@ -52,32 +60,134 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hyperplane_coef(h: int, d: int) -> float:
+    """±1 Rademacher hyperplane entry from md5 — the same primitive
+    (and the same bytes) DuckDB's ``md5()`` computes, so both engines
+    project onto literally identical hyperplanes."""
+    import hashlib
+
+    return (
+        1.0
+        if hashlib.md5(f"{h}|{d}".encode()).hexdigest()[0] >= "8"
+        else -1.0
+    )
+
+
+def _band_signatures(e: DataFrame) -> DataFrame:
+    """(vec_id, band, sig) — sign-random-projection band signatures,
+    computed as an Arrow ``mapInPandas`` batch projection.
+
+    Why Python here (the repo otherwise keeps math JVM-side): the
+    projection is 128 dot products per row. Expressed with
+    ``aggregate``/``zip_with`` it runs interpreted (HOFs don't
+    codegen) at ~10× cost; expressed as 8 192-node straight-line
+    expressions it compiles fast but makes every downstream optimizer
+    pass walk the giant tree — the candidate self-join plan went from
+    2 s to 30+ s. A single Arrow stage keeps the logical plan one
+    node and the compute vectorized. Per-row work only — partitions
+    stream through independently, nothing concentrates.
+
+    Exactness: the accumulation loops over dimensions **sequentially**
+    (``acc += emb[:, d] * coef``), so every cell is the same
+    left-associated IEEE-754 fold as the oracle's
+    ``list_dot_product`` chain — the sign bits agree bit-for-bit
+    (vectorizing across rows doesn't change per-element rounding).
+    Band signature = the band's 8 sign bits packed into a BIGINT."""
+    import numpy as np
+    import pandas as pd
+
+    n_hyper = LSH_BANDS * LSH_BAND_BITS
+    coefs = np.array(
+        [
+            [_hyperplane_coef(h, d) for h in range(n_hyper)]
+            for d in range(EMB_DIM)
+        ]
+    )  # (dim, hyper)
+
+    def project(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            emb = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            )  # (n, dim) — float32 → float64 is exact
+            acc = np.zeros((len(pdf), n_hyper))
+            for d in range(EMB_DIM):  # sequential: left-associated fold
+                acc += emb[:, d : d + 1] * coefs[d]
+            bits = (acc >= 0).astype(np.int64)  # (n, hyper)
+            sigs = np.zeros((len(pdf), LSH_BANDS), dtype=np.int64)
+            # pack: band b uses hyperplanes [b*BITS, (b+1)*BITS)
+            for b in range(LSH_BANDS):
+                band_bits = bits[:, b * LSH_BAND_BITS : (b + 1) * LSH_BAND_BITS]
+                sigs[:, b] = (band_bits << np.arange(LSH_BAND_BITS)).sum(axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(
+                        pdf["vec_id"].to_numpy(), LSH_BANDS
+                    ),
+                    "band": np.tile(
+                        np.arange(LSH_BANDS, dtype=np.int32), len(pdf)
+                    ),
+                    "sig": sigs.reshape(-1),
+                }
+            )
+
+    return e.select("vec_id", "embedding").mapInPandas(
+        project, "vec_id BIGINT, band INT, sig BIGINT"
+    )
+
+
 def neardup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-duplicate pairs: label acts as the blocking key
-    (a stand-in for an LSH bucket — pairs are only scored within a
-    block, never across the full corpus), cosine ≥ threshold confirms.
+    """Embedding near-duplicate pairs via random-hyperplane LSH:
+    candidates are generated by an **equi-join on (band, signature)**
+    — never an all-pairs join within any fixed block — then confirmed
+    with the exact cosine ≥ threshold.
+
+    Scale shape: candidate generation shuffles on (band, sig) whose
+    cardinality is LSH_BANDS × 2^LSH_BAND_BITS; per-bucket membership
+    is ~n / 2^BAND_BITS, so pair production is bounded per bucket and
+    BAND_BITS is the knob that keeps buckets small as the corpus
+    grows. Recall at a given cosine c is 1-(1-p^r)^b with
+    p = 1 - arccos(c)/π — the standard banding trade, documented
+    rather than hidden.
     """
     e = _emb(spark, sf_dir)
+    # Both sides of the candidate self-join recompute the projection —
+    # deliberately NOT checkpointed: the signatures are straight-line
+    # codegen (cheap to recompute), while localCheckpoint on this wide
+    # expression tree costs far more in plan-cloning than it saves.
+    sigs = _band_signatures(load_table(spark, sf_dir, "embeddings"))
+    cand = (
+        sigs.alias("a")
+        .join(
+            sigs.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+        )
+        .distinct()
+    )
     # Precompute each vector's norm once (O(n) folds) instead of per
-    # pair (O(pairs)); the pair step is then a single dot product.
-    # dot/(norm_a*norm_b) evaluates the exact same doubles as the
-    # inline cosine, so the oracle comparison is unaffected.
+    # pair; dot/(norm_a*norm_b) evaluates the exact same doubles as
+    # the inline cosine, so the oracle comparison is unaffected.
     en = e.withColumn("nrm", norm(F.col("vec")))
     a = en.select(
-        F.col("label"),
         F.col("vec_id").alias("vec_a"),
         F.col("vec").alias("va"),
         F.col("nrm").alias("na"),
     )
     b = en.select(
-        F.col("label"),
         F.col("vec_id").alias("vec_b"),
         F.col("vec").alias("vb"),
         F.col("nrm").alias("nb"),
     )
     return (
-        a.join(b, "label")
-        .filter(F.col("vec_a") < F.col("vec_b"))
+        cand.join(a, "vec_a")
+        .join(b, "vec_b")
         .withColumn(
             "cos",
             F.round(
@@ -88,8 +198,8 @@ def neardup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .filter(F.col("cos") >= NEARDUP_COSINE)
-        .select("label", "vec_a", "vec_b", F.col("cos").alias("cosine"))
-        .orderBy("label", "vec_a", "vec_b")
+        .select("vec_a", "vec_b", F.col("cos").alias("cosine"))
+        .orderBy("vec_a", "vec_b")
     )
 
 
@@ -187,13 +297,41 @@ _cos_qc = _COS_SQL.format(a="q.embedding", b="c.embedding")
 _cos_vc = _COS_SQL.format(a="v.embedding", b="cent.embedding")
 
 ORACLE_SQL = {
+    # Same LSH pipeline, hyperplanes re-derived in SQL from the same
+    # md5 primitive; list_dot_product is bit-identical to the Spark
+    # fold, so the sign bits (and hence the candidate set) agree.
     "neardup_embedding_cosine": f"""
-        SELECT a.label AS label, a.vec_id AS vec_a, b.vec_id AS vec_b,
+        WITH hyper AS (
+            SELECT h,
+                   list_transform(range({EMB_DIM}), d ->
+                       CASE WHEN substr(md5(CAST(h AS VARCHAR) || '|'
+                                         || CAST(d AS VARCHAR)), 1, 1) >= '8'
+                            THEN 1e0 ELSE -1e0 END) AS hvec
+            FROM (SELECT unnest(range({LSH_BANDS * LSH_BAND_BITS})) AS h)
+        ),
+        sigs AS (
+            SELECT vec_id, h // {LSH_BAND_BITS} AS band,
+                   CAST(SUM(
+                       (CASE WHEN list_dot_product(embedding::DOUBLE[], hvec)
+                                  >= 0 THEN 1 ELSE 0 END)
+                       * (1 << (h % {LSH_BAND_BITS}))
+                   ) AS BIGINT) AS sig
+            FROM embeddings CROSS JOIN hyper
+            GROUP BY vec_id, (h // {LSH_BAND_BITS})
+        ),
+        cand AS (
+            SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+            FROM sigs a
+            JOIN sigs b ON a.band = b.band AND a.sig = b.sig
+                       AND a.vec_id < b.vec_id
+        )
+        SELECT c.vec_a AS vec_a, c.vec_b AS vec_b,
                ROUND({_cos_ab}, 4) AS cosine
-        FROM embeddings a
-        JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+        FROM cand c
+        JOIN embeddings a ON a.vec_id = c.vec_a
+        JOIN embeddings b ON b.vec_id = c.vec_b
         WHERE ROUND({_cos_ab}, 4) >= {NEARDUP_COSINE}
-        ORDER BY a.label, vec_a, vec_b
+        ORDER BY vec_a, vec_b
     """,
     "ann_cosine_topk": f"""
         SELECT query_id, neighbor_id, ROUND(cos6, 4) AS cosine, rank

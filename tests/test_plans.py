@@ -7,6 +7,7 @@ operator stopped scaling even if its results are still correct.
 
 from __future__ import annotations
 
+from tableau_dashboard_performance_etl_automation_spark.catalog import load_table
 from tableau_dashboard_performance_etl_automation_spark.operators import (
     analytics,
     dedup,
@@ -72,3 +73,19 @@ def test_ann_broadcasts_queries_not_corpus(spark, sf_dir):
 def test_ivf_join_is_hash_join_on_centroid(spark, sf_dir):
     df = similarity.ann_ivf_topk(spark, sf_dir)
     assert has_broadcast_hash_join(df)
+
+
+def test_neardup_blocks_on_lsh_not_label(spark, sf_dir):
+    """Candidate generation must be an equi-join on (band, sig) —
+    never an all-pairs join inside a fixed-cardinality block like
+    ``label`` (the round-1 scale hazard)."""
+    df = similarity.neardup_embedding_cosine(spark, sf_dir)
+    assert not has_cartesian_product(df)
+    plan = formatted_plan(df)
+    assert "label" not in plan  # blocking key is the LSH signature
+    sigs = similarity._band_signatures(
+        load_table(spark, sf_dir, "embeddings")
+    )
+    # every vector emits one signature per band
+    n_vec = sigs.select("vec_id").distinct().count()
+    assert sigs.count() == n_vec * similarity.LSH_BANDS
