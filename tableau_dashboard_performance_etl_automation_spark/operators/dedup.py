@@ -36,7 +36,10 @@ from tableau_dashboard_performance_etl_automation_spark.functions.text import (
 MINHASH_HASHES = 8
 MINHASH_BANDS = 4
 #: SimHash width in bits and band count for candidate blocking.
-SIMHASH_BITS = 32
+#: 64-bit fingerprint / 16-bit bands → 65 536 bucket values per band,
+#: so band buckets stay sub-quadratic at corpus scale (8-bit bands'
+#: 256 values per band collapse into hot buckets at billions of docs).
+SIMHASH_BITS = 64
 SIMHASH_BANDS = 4
 SIMHASH_MAX_HAMMING = 3
 #: n-gram Jaccard: drop shingles shared by more than this many docs
@@ -202,13 +205,16 @@ def _simhash_signed_bit(bit: int) -> F.Column:
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frequency-weighted 32-bit SimHash near-dup pairs.
+    """Frequency-weighted 64-bit SimHash near-dup pairs.
 
     Per (doc, token) counts weight the ±1 bit contributions; the
-    fingerprint's 4 × 8-bit bands block candidate pairs (equality
+    fingerprint's 4 × 16-bit bands block candidate pairs (equality
     join), then exact hamming distance ≤ 3 confirms. Weighting by
     term frequency keeps documents with identical vocab *sets* but
     different word counts from collapsing into one quadratic bucket.
+    Bit 63 makes the BIGINT fingerprint negative in two's complement
+    — harmless: xor/bit_count/masked band extraction are bit-pattern
+    operations, identical in both engines.
     """
     docs = load_table(spark, sf_dir, "documents")
     tokens = (
@@ -235,11 +241,15 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         )
     )
+    one = F.lit(1).cast("bigint")
+    zero = F.lit(0).cast("bigint")
     simhash = sums.select(
         "doc_id",
         sum(
             [
-                F.when(F.col(f"s{j}") > 0, F.lit(2**j)).otherwise(F.lit(0))
+                # shiftleft, not 2**j literals: 1<<63 only exists as
+                # the (negative) min-long bit pattern
+                F.when(F.col(f"s{j}") > 0, F.shiftleft(one, j)).otherwise(zero)
                 for j in range(SIMHASH_BITS)
             ]
         )
@@ -329,8 +339,17 @@ def _simhash_oracle() -> str:
         f"THEN 1 ELSE -1 END) AS s{j}"
         for j in range(SIMHASH_BITS)
     )
+    # shift-built powers; DuckDB refuses 1<<63 (overflow-checked), so
+    # the sign bit is the min-long literal. The j-ascending order
+    # keeps every partial sum inside BIGINT range.
+    def _pow2(j: int) -> str:
+        if j == SIMHASH_BITS - 1 == 63:
+            return "CAST(-9223372036854775807 - 1 AS BIGINT)"
+        return f"(CAST(1 AS BIGINT) << {j})"
+
     hash_expr = " + ".join(
-        f"CASE WHEN s{j} > 0 THEN {2**j} ELSE 0 END" for j in range(SIMHASH_BITS)
+        f"CASE WHEN s{j} > 0 THEN {_pow2(j)} ELSE CAST(0 AS BIGINT) END"
+        for j in range(SIMHASH_BITS)
     )
     bits_per_band = SIMHASH_BITS // SIMHASH_BANDS
     band_selects = " UNION ALL ".join(

@@ -45,7 +45,15 @@ LSH_BANDS = 16
 EMB_DIM = 64
 #: ANN parameters: fixed deterministic query/centroid sets + top-k.
 N_QUERIES = 10
-N_CENTROIDS = 8
+#: IVF codebook: K centroids trained with IVF_ITERS Lloyd iterations
+#: (spherical k-means: assign by cosine, update by arithmetic mean).
+#: K is a dial — ≈√n per cluster-balance rule of thumb; fixed here so
+#: the oracle can replay training. Centroid updates accumulate exact
+#: integer micro-units (round(x*1e6) as BIGINT) so the means are
+#: order-independent and bit-identical across engines.
+N_CENTROIDS = 16
+IVF_ITERS = 3
+QUANT_SCALE = "1e6"
 TOP_K = 5
 
 _COS_SQL = (
@@ -231,14 +239,11 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _assignments(e: DataFrame, nprobe: int = 1) -> DataFrame:
+def _nearest(e: DataFrame, cent: DataFrame, nprobe: int = 1) -> DataFrame:
     """Nearest-centroid assignment: one broadcast join against the
     centroid set + a per-vector rank window. ``nprobe=1`` gives the
     storage assignment; ``nprobe>1`` keeps the n best centroids (used
     on the *query* side to widen the search at higher recall)."""
-    cent = e.filter(F.col("vec_id") < N_CENTROIDS).select(
-        F.col("vec_id").alias("cent_id"), F.col("vec").alias("cvec")
-    )
     w = Window.partitionBy("vec_id").orderBy(
         F.col("ccos").desc(), F.col("cent_id")
     )
@@ -251,15 +256,57 @@ def _assignments(e: DataFrame, nprobe: int = 1) -> DataFrame:
     )
 
 
+def _train_centroids(e: DataFrame) -> DataFrame:
+    """K-means codebook: init = first K vectors, then ``IVF_ITERS``
+    Lloyd rounds of (assign by cosine → arithmetic-mean update).
+
+    Each round is: broadcast-join assignment (corpus never shuffles
+    for scoring), then a per-dimension aggregate. The mean is computed
+    from **exact integer micro-unit sums** — SUM(BIGINT) is
+    order-independent where SUM(DOUBLE) is not — so the trained
+    centroids are the same doubles in Spark and the DuckDB oracle
+    replay. At corpus scale this is the standard k-means-on-a-sample
+    pattern: train on a sampled fraction, then assign everything."""
+    cent = e.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("cent_id"), F.col("vec").alias("cvec")
+    )
+    for _ in range(IVF_ITERS):
+        assign = _nearest(e, cent)
+        quant = assign.select(
+            "cent_id",
+            F.posexplode(
+                F.transform(
+                    "vec",
+                    lambda x: F.round(x * F.expr(QUANT_SCALE)).cast("bigint"),
+                )
+            ).alias("d", "q"),
+        )
+        sums = quant.groupBy("cent_id", "d").agg(
+            F.sum("q").alias("s"), F.count(F.lit(1)).alias("n")
+        )
+        cent = sums.groupBy("cent_id").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("d", "s", "n"))),
+                lambda x: (x["s"].cast("double") / x["n"])
+                / F.expr(QUANT_SCALE),
+            ).alias("cvec")
+        )
+    return cent
+
+
 def ann_ivf_topk(
     spark: SparkSession, sf_dir: str, nprobe: int = 1
 ) -> DataFrame:
     """IVF-pruned top-k: search the query's ``nprobe`` best centroid
-    clusters. Trades recall for a ~nprobe/K candidate cut — the scale
-    path when the corpus is billions of vectors."""
+    clusters of a k-means-trained codebook. Trades recall for a
+    ~nprobe/K candidate cut — the scale path when the corpus is
+    billions of vectors."""
     e = _emb(spark, sf_dir)
-    assign = _assignments(e)
-    q = _assignments(e, nprobe=nprobe).filter(F.col("vec_id") < N_QUERIES).select(
+    cent = _train_centroids(e).localCheckpoint()
+    assign = _nearest(e, cent)
+    q = _nearest(e, cent, nprobe=nprobe).filter(
+        F.col("vec_id") < N_QUERIES
+    ).select(
         F.col("vec_id").alias("query_id"),
         F.col("cent_id"),
         F.col("vec").alias("qvec"),
@@ -349,29 +396,67 @@ ORACLE_SQL = {
         WHERE rank <= {TOP_K}
         ORDER BY query_id, rank
     """,
-    "ann_ivf_topk": f"""
-        WITH assign AS (
+    "ann_ivf_topk": None,  # filled in below (generated CTE chain)
+}
+
+
+def _ivf_oracle() -> str:
+    """Replay k-means training + IVF search in SQL: the Lloyd rounds
+    unroll into a CTE chain (assign_i → integer-sum update → cent_i),
+    mirroring :func:`_train_centroids` arithmetic exactly."""
+    cos_vc = "list_cosine_similarity(v.embedding::DOUBLE[], c.cvec)"
+    ctes = [
+        f"""cent0 AS (
+            SELECT vec_id AS cent_id, embedding::DOUBLE[] AS cvec
+            FROM embeddings WHERE vec_id < {N_CENTROIDS}
+        )"""
+    ]
+    for i in range(1, IVF_ITERS + 1):
+        ctes.append(f"""assign{i} AS (
             SELECT vec_id, cent_id, embedding FROM (
-                SELECT v.vec_id, cent.vec_id AS cent_id, v.embedding,
+                SELECT v.vec_id, c.cent_id, v.embedding,
                        ROW_NUMBER() OVER (
                            PARTITION BY v.vec_id
-                           ORDER BY ROUND({_cos_vc}, 6) DESC, cent.vec_id
+                           ORDER BY ROUND({cos_vc}, 6) DESC, c.cent_id
                        ) AS crn
-                FROM embeddings v
-                JOIN embeddings cent ON cent.vec_id < {N_CENTROIDS}
-            )
-            WHERE crn = 1
-        )
+                FROM embeddings v CROSS JOIN cent{i - 1} c
+            ) WHERE crn = 1
+        )""")
+        ctes.append(f"""sums{i} AS (
+            SELECT cent_id, d, SUM(q) AS s, COUNT(*) AS n FROM (
+                SELECT cent_id,
+                       generate_subscripts(embedding, 1) AS d,
+                       CAST(ROUND(CAST(unnest(embedding) AS DOUBLE)
+                                  * {QUANT_SCALE}) AS BIGINT) AS q
+                FROM assign{i}
+            ) GROUP BY cent_id, d
+        )""")
+        ctes.append(f"""cent{i} AS (
+            SELECT cent_id,
+                   list((CAST(s AS DOUBLE) / n) / {QUANT_SCALE} ORDER BY d)
+                       AS cvec
+            FROM sums{i} GROUP BY cent_id
+        )""")
+    ctes.append(f"""assign AS (
+        SELECT vec_id, cent_id, embedding FROM (
+            SELECT v.vec_id, c.cent_id, v.embedding,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY ROUND({cos_vc}, 6) DESC, c.cent_id
+                   ) AS crn
+            FROM embeddings v CROSS JOIN cent{IVF_ITERS} c
+        ) WHERE crn = 1
+    )""")
+    cos_qc2 = _COS_SQL.format(a="q.embedding", b="c.embedding")
+    return f"""
+        WITH {", ".join(ctes)}
         SELECT query_id, neighbor_id, ROUND(cos6, 4) AS cosine, rank
         FROM (
             SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-                   ROUND({_COS_SQL.format(a="q.embedding", b="c.embedding")}, 6)
-                       AS cos6,
+                   ROUND({cos_qc2}, 6) AS cos6,
                    ROW_NUMBER() OVER (
                        PARTITION BY q.vec_id
-                       ORDER BY ROUND(
-                           {_COS_SQL.format(a="q.embedding", b="c.embedding")}, 6
-                       ) DESC, c.vec_id
+                       ORDER BY ROUND({cos_qc2}, 6) DESC, c.vec_id
                    ) AS rank
             FROM assign q
             JOIN assign c ON c.cent_id = q.cent_id
@@ -380,5 +465,7 @@ ORACLE_SQL = {
         )
         WHERE rank <= {TOP_K}
         ORDER BY query_id, rank
-    """,
-}
+    """
+
+
+ORACLE_SQL["ann_ivf_topk"] = _ivf_oracle()
