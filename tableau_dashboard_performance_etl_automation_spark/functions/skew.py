@@ -18,11 +18,18 @@ from pyspark.sql import DataFrame, functions as F
 
 def salted(df: DataFrame, key: str, n_salts: int = 16,
            salt_col: str = "_salt") -> DataFrame:
-    """Add a deterministic salt derived from a row-unique hash (not
-    rand(): deterministic plans replay identically on retry/resume,
-    which matters for fault tolerance at scale)."""
+    """Add a deterministic salt that varies PER ROW (not rand():
+    deterministic plans replay identically on retry/resume, which
+    matters for fault tolerance at scale).
+
+    The salt hashes ``monotonically_increasing_id()`` — row-unique by
+    construction — rather than the row's columns: hashing columns
+    collapses to ONE salt per key when the projection carries only the
+    key (every row of a hot key landing in the same sub-partition is
+    exactly the skew this exists to prevent)."""
     return df.withColumn(
-        salt_col, F.pmod(F.xxhash64(*df.columns), F.lit(n_salts))
+        salt_col,
+        F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts)),
     )
 
 

@@ -43,20 +43,37 @@ def connected_components(edges: DataFrame, max_rounds: int = MAX_ROUNDS) -> Data
         .distinct()
         .withColumn("cluster_id", F.col("doc_id"))
     )
+    changed = 0
     for _ in range(max_rounds):
         neighbor_min = (
             sym.join(labels, sym.dst == labels.doc_id)
             .groupBy(F.col("src").alias("doc_id"))
             .agg(F.min("cluster_id").alias("neighbor_min"))
         )
+        propagated = labels.join(neighbor_min, "doc_id", "left").select(
+            "doc_id",
+            F.least(
+                F.col("cluster_id"),
+                F.coalesce(F.col("neighbor_min"), F.col("cluster_id")),
+            ).alias("cluster_id"),
+        )
+        # pointer jumping: relabel through the mapping itself
+        # (cluster_id := label(cluster_id)), which shortcuts long
+        # chains — rounds become O(log diameter) instead of
+        # O(diameter). Every cluster_id is a doc_id in the mapping,
+        # so the self-join is total; least() keeps monotonicity.
+        mapping = propagated.selectExpr(
+            "doc_id AS m_id", "cluster_id AS m_cluster"
+        )
         updated = (
-            labels.join(neighbor_min, "doc_id", "left")
+            propagated.join(
+                mapping, propagated.cluster_id == mapping.m_id
+            )
             .select(
                 "doc_id",
-                F.least(
-                    F.col("cluster_id"),
-                    F.coalesce(F.col("neighbor_min"), F.col("cluster_id")),
-                ).alias("cluster_id"),
+                F.least(F.col("cluster_id"), F.col("m_cluster")).alias(
+                    "cluster_id"
+                ),
             )
             .localCheckpoint()
         )
@@ -69,6 +86,15 @@ def connected_components(edges: DataFrame, max_rounds: int = MAX_ROUNDS) -> Data
         labels = updated
         if changed == 0:
             break
+    if changed != 0:
+        # an unconverged mapping silently mislabels downstream dedup
+        # (wrong survivors dropped) — fail loudly instead
+        raise RuntimeError(
+            f"connected_components did not converge in {max_rounds} "
+            f"rounds ({changed} labels still changing); raise "
+            f"max_rounds — rounds needed is O(log diameter) with "
+            f"pointer jumping"
+        )
     return labels
 
 

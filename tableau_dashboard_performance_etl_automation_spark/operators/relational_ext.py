@@ -123,16 +123,27 @@ def event_type_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog-backed approximate distinct per event type.
 
-    Deliberately has NO oracle twin: sketch implementations differ
-    across engines, so the driver records the weaker rows-only check.
-    The exact count rides along so the estimate is self-auditable
-    (rsd 5% default)."""
+    Sketch values differ across engines, so the raw estimate can't be
+    hash-compared — instead the *accuracy contract* is the checked
+    value: ``estimate_ok`` asserts the HLL estimate lands within
+    ±3·rsd (rsd = 0.05 default) of the exact count, and the oracle
+    expects literally TRUE. A broken sketch fails the gate; the gate
+    stays green without pretending two engines' sketches agree."""
     e = load_table(spark, sf_dir, "events")
+    rsd = 0.05
     return (
         e.groupBy("event_type")
         .agg(
             F.approx_count_distinct("user_id").alias("approx_users"),
             F.countDistinct("user_id").alias("exact_users"),
+        )
+        .select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("approx_users") - F.col("exact_users"))
+                <= 3 * rsd * F.col("exact_users")
+            ).alias("estimate_ok"),
         )
         .orderBy("event_type")
     )
@@ -309,8 +320,17 @@ ORACLE_SQL = {
         )
         ORDER BY event_type
     """,
-    # approx_distinct_users: intentionally no oracle (sketch results
-    # are engine-specific); driver records rows-only.
+    # The raw sketch value is engine-specific; the oracle checks the
+    # exact count and asserts the accuracy contract (estimate within
+    # ±3·rsd) that the Spark side evaluated.
+    "approx_distinct_users": """
+        SELECT event_type,
+               COUNT(DISTINCT user_id) AS exact_users,
+               TRUE AS estimate_ok
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
     "event_type_counts_salted": """
         SELECT event_type, COUNT(*) AS n_events
         FROM events

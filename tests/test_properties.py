@@ -17,6 +17,7 @@ from tableau_dashboard_performance_etl_automation_spark.functions.expressions im
     guarded_pct_diff,
 )
 from tableau_dashboard_performance_etl_automation_spark.functions.skew import (
+    salted,
     salted_count,
     salted_join,
 )
@@ -117,3 +118,18 @@ def test_salted_join_equals_plain_join(spark, rows):
         for r in salted_join(big, small, "k", n_salts=4).collect()
     )
     assert plain == salted
+
+
+def test_salt_actually_spreads_hot_keys(spark):
+    """A single hot key must fan out over >1 salt even when the
+    projection carries ONLY the key column — the round-1 regression
+    was a column-derived salt that collapsed to one value per key,
+    silently turning the two-phase count into a plain groupBy."""
+    df = spark.createDataFrame([("hot",)] * 500, ["k"])
+    per_key = (
+        salted(df, "k", n_salts=16)
+        .groupBy("k")
+        .agg(F.countDistinct("_salt").alias("n_salts_used"))
+        .collect()
+    )
+    assert per_key[0].n_salts_used > 1
