@@ -21,6 +21,17 @@ def main(argv: list[str] | None = None) -> int:
     p_report.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     p_report.add_argument("--html-out", default=None)
     p_report.add_argument("--chart-out", default=None)
+    p_report.add_argument(
+        "--config",
+        default=None,
+        help="reference-shaped config.json; its s3 section is bridged "
+        "to fs.s3a.* and its smtp section is used with --send",
+    )
+    p_report.add_argument(
+        "--send",
+        action="store_true",
+        help="actually send the report email (requires --config smtp)",
+    )
 
     p_query = sub.add_parser("query", help="run one registered query")
     p_query.add_argument("name")
@@ -46,8 +57,22 @@ def main(argv: list[str] | None = None) -> int:
         if args.cmd == "report":
             from tableau_dashboard_performance_etl_automation_spark import pipeline
 
+            smtp_config = None
+            if args.config:
+                cfg = pipeline.load_config(args.config)
+                if cfg.get("s3"):
+                    from tableau_dashboard_performance_etl_automation_spark.sources.s3 import (
+                        configure_s3a,
+                    )
+
+                    configure_s3a(spark, cfg["s3"])
+                if args.send:
+                    smtp_config = cfg.get("smtp")
             res = pipeline.run_report(
-                spark, args.sf_dir, chart_out=args.chart_out
+                spark,
+                args.sf_dir,
+                chart_out=args.chart_out,
+                smtp_config=smtp_config,
             )
             for metric, value in res.metrics:
                 print(f"{metric}: {value}")

@@ -91,16 +91,30 @@ def load_manifest(
     spark: SparkSession,
     manifest: list[tuple[str, str, StructType, str, bool]],
     reject_path: str | None = None,
+    s3_config: dict | None = None,
 ) -> dict[str, LoadResult]:
     """Load a list of ``(path, view_name, schema, delimiter,
     skip_header)`` entries — the Spark form of the reference's
     ``files_to_load`` loop (tabjolt_email.py:361-372). Each good side
-    is registered as a temp view (the ``tabjolt.<table>`` analog)."""
+    is registered as a temp view (the ``tabjolt.<table>`` analog).
+
+    With ``s3_config`` (the reference's config.json s3 section), the
+    section's credentials are bridged to fs.s3a.* and bare object keys
+    in the manifest resolve to ``s3a://bucket/folder/key`` — replacing
+    the reference's driver-side boto3 download (tabjolt_email.py:17-31)
+    with direct distributed reads. Local/schemed paths are untouched."""
+    from tableau_dashboard_performance_etl_automation_spark.sources.s3 import (
+        configure_s3a,
+        resolve_extract_path,
+    )
+
+    if s3_config is not None:
+        configure_s3a(spark, s3_config)
     results: dict[str, LoadResult] = {}
     for path, view_name, schema, delimiter, skip_header in manifest:
         res = load_delimited(
             spark,
-            path,
+            resolve_extract_path(path, s3_config),
             schema,
             delimiter=delimiter,
             skip_header=skip_header,

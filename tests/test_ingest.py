@@ -137,3 +137,51 @@ def test_manifest_registers_views(spark, tmp_path):
     assert set(results) == {"summary_line", "wincounter"}
     assert spark.table("summary_line").count() == 1
     assert spark.table("wincounter").count() == 1
+
+
+def test_s3_config_bridges_to_s3a(spark):
+    """The reference's config.json s3 section (tabjolt_email.py:17-31)
+    must land on fs.s3a.* so spark.read resolves s3a:// directly."""
+    from tableau_dashboard_performance_etl_automation_spark.sources.s3 import (
+        configure_s3a,
+        resolve_extract_path,
+        s3a_uri,
+    )
+
+    cfg = {
+        "bucket_name": "perf-logs",
+        "folder_path": "daily/",
+        "aws_access_key_id": "AKIAEXAMPLE",
+        "aws_secret_access_key": "secretexample",
+        "region_name": "us-east-1",
+    }
+    applied = configure_s3a(spark, cfg)
+    assert applied == {
+        "fs.s3a.access.key": "AKIAEXAMPLE",
+        "fs.s3a.secret.key": "secretexample",
+        "fs.s3a.endpoint.region": "us-east-1",
+    }
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    assert hconf.get("fs.s3a.access.key") == "AKIAEXAMPLE"
+    assert s3a_uri(cfg, "summary_line.csv") == (
+        "s3a://perf-logs/daily/summary_line.csv"
+    )
+    # bare relative keys resolve to s3a; absolute/schemed pass through
+    assert resolve_extract_path("summary_line.csv", cfg).startswith("s3a://")
+    assert resolve_extract_path("/tmp/x.csv", cfg) == "/tmp/x.csv"
+    assert (
+        resolve_extract_path("file:///tmp/x.csv", cfg) == "file:///tmp/x.csv"
+    )
+
+
+def test_manifest_local_fallback_with_s3_config(spark, tmp_path):
+    """A manifest of absolute local paths must load unchanged even
+    when an s3 config is supplied (the test-fixture path)."""
+    a = tmp_path / "summary_line.csv"
+    a.write_text("Avg,100,2024-07-30\n")
+    results = load_manifest(
+        spark,
+        [(str(a), "summary_line_s3fb", SUMMARY_SCHEMA, ",", False)],
+        s3_config={"bucket_name": "unused"},
+    )
+    assert results["summary_line_s3fb"].good.count() == 1
