@@ -54,6 +54,11 @@ N_QUERIES = 10
 N_CENTROIDS = 16
 IVF_ITERS = 3
 QUANT_SCALE = "1e6"
+#: Train on a deterministic 2-in-5 sample of the corpus (vec_id % 5
+#: < 2) — k-means codebooks are trained on a sample and applied to
+#: everything; the sample predicate is replayed in the oracle.
+TRAIN_MOD = 5
+TRAIN_KEEP = 2
 TOP_K = 5
 
 _COS_SQL = (
@@ -267,11 +272,13 @@ def _train_centroids(e: DataFrame) -> DataFrame:
     centroids are the same doubles in Spark and the DuckDB oracle
     replay. At corpus scale this is the standard k-means-on-a-sample
     pattern: train on a sampled fraction, then assign everything."""
+    spark = e.sparkSession
+    train = e.filter((F.col("vec_id") % TRAIN_MOD) < TRAIN_KEEP)
     cent = e.filter(F.col("vec_id") < N_CENTROIDS).select(
         F.col("vec_id").alias("cent_id"), F.col("vec").alias("cvec")
     )
     for _ in range(IVF_ITERS):
-        assign = _nearest(e, cent)
+        assign = _nearest(train, cent)
         quant = assign.select(
             "cent_id",
             F.posexplode(
@@ -284,12 +291,21 @@ def _train_centroids(e: DataFrame) -> DataFrame:
         sums = quant.groupBy("cent_id", "d").agg(
             F.sum("q").alias("s"), F.count(F.lit(1)).alias("n")
         )
-        cent = sums.groupBy("cent_id").agg(
+        updated = sums.groupBy("cent_id").agg(
             F.transform(
                 F.array_sort(F.collect_list(F.struct("d", "s", "n"))),
                 lambda x: (x["s"].cast("double") / x["n"])
                 / F.expr(QUANT_SCALE),
             ).alias("cvec")
+        )
+        # collect the K centroids (tiny) and restart the lineage:
+        # without this, round N's plan embeds rounds 1..N-1 and
+        # optimizer time dominates. Driver roundtrip of K×dim doubles
+        # is the standard k-means broadcast step (MLlib does the
+        # same); Python floats are IEEE doubles, so values are exact.
+        cent = spark.createDataFrame(
+            [(r.cent_id, r.cvec) for r in updated.collect()],
+            "cent_id BIGINT, cvec ARRAY<DOUBLE>",
         )
     return cent
 
@@ -302,10 +318,13 @@ def ann_ivf_topk(
     ~nprobe/K candidate cut — the scale path when the corpus is
     billions of vectors."""
     e = _emb(spark, sf_dir)
-    cent = _train_centroids(e).localCheckpoint()
+    cent = _train_centroids(e)
     assign = _nearest(e, cent)
-    q = _nearest(e, cent, nprobe=nprobe).filter(
-        F.col("vec_id") < N_QUERIES
+    # score only the query vectors against the codebook — per-vector
+    # assignment is independent, so filtering before _nearest gives
+    # the same rows as filtering after, minus a full-corpus pass
+    q = _nearest(
+        e.filter(F.col("vec_id") < N_QUERIES), cent, nprobe=nprobe
     ).select(
         F.col("vec_id").alias("query_id"),
         F.col("cent_id"),
@@ -406,10 +425,14 @@ def _ivf_oracle() -> str:
     mirroring :func:`_train_centroids` arithmetic exactly."""
     cos_vc = "list_cosine_similarity(v.embedding::DOUBLE[], c.cvec)"
     ctes = [
+        f"""train AS (
+            SELECT * FROM embeddings
+            WHERE (vec_id % {TRAIN_MOD}) < {TRAIN_KEEP}
+        )""",
         f"""cent0 AS (
             SELECT vec_id AS cent_id, embedding::DOUBLE[] AS cvec
             FROM embeddings WHERE vec_id < {N_CENTROIDS}
-        )"""
+        )""",
     ]
     for i in range(1, IVF_ITERS + 1):
         ctes.append(f"""assign{i} AS (
@@ -419,7 +442,7 @@ def _ivf_oracle() -> str:
                            PARTITION BY v.vec_id
                            ORDER BY ROUND({cos_vc}, 6) DESC, c.cent_id
                        ) AS crn
-                FROM embeddings v CROSS JOIN cent{i - 1} c
+                FROM train v CROSS JOIN cent{i - 1} c
             ) WHERE crn = 1
         )""")
         ctes.append(f"""sums{i} AS (
