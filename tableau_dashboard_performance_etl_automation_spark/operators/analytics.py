@@ -271,8 +271,93 @@ def user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly-ordered conversion funnel (view → click → purchase):
+    per-user first view, first click *after* that view, first purchase
+    *after* that click, summarized as per-stage user counts with
+    conversion vs. funnel entry.
+
+    Each stage is a filter + groupBy on ``user_id`` joined to the
+    previous stage's per-user timestamp — every shuffle is on
+    ``user_id``, so the three stages co-partition and AQE coalesces
+    the tiny later stages. No window over the raw stream, no
+    ``collect``; the final 3-row summary uses a window over the stage
+    axis only."""
+    e = load_table(spark, sf_dir, "events")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    stages = None
+    for no, (name, df) in enumerate(
+        [("view", v), ("view>click", c), ("view>click>purchase", p)], 1
+    ):
+        s = df.agg(F.count(F.lit(1)).alias("users")).select(
+            F.lit(no).alias("stage_no"), F.lit(name).alias("stage"), "users"
+        )
+        stages = s if stages is None else stages.unionByName(s)
+    w = Window.orderBy("stage_no").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        stages.withColumn(
+            "pct_of_entry",
+            F.round(F.col("users") / F.first("users").over(w), 4),
+        )
+        .orderBy("stage_no")
+    )
+
+
+def rolling_value_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily event value with a 7-day trailing moving average — the
+    dashboard smoothing pass. Aggregates to exact integer cents per
+    day first (shuffle with map-side combine), then windows over the
+    ~30-row daily series only; the unpartitioned window never sees raw
+    events, so the single-partition sort is bounded by days, not data.
+    All sums are exact cents; divisions of exact ints are bit-identical
+    across engines."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("cents"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    w = Window.orderBy("d").rowsBetween(-6, 0)
+    return (
+        daily.withColumn(
+            "ma7_cents", F.sum("cents").over(w).cast("bigint")
+        )
+        .withColumn("n_days", F.count(F.lit(1)).over(w).cast("bigint"))
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("event_date"),
+            (F.col("cents") / F.lit(100.0)).alias("total_value"),
+            F.round(
+                F.col("ma7_cents") / (F.lit(100.0) * F.col("n_days")), 4
+            ).alias("ma7_value"),
+            "n_days",
+        )
+        .orderBy("event_date")
+    )
+
+
 QUERIES = {
     "pricing_summary": pricing_summary,
+    "event_funnel": event_funnel,
+    "rolling_value_7d": rolling_value_7d,
     "value_outliers": value_outliers,
     "user_retention_cohorts": user_retention_cohorts,
     "top_revenue_orders": top_revenue_orders,
@@ -284,6 +369,62 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "event_funnel": """
+        WITH v AS (
+            SELECT user_id, MIN(ts) AS t_view FROM events
+            WHERE event_type = 'view' GROUP BY user_id
+        ),
+        c AS (
+            SELECT e.user_id, MIN(e.ts) AS t_click
+            FROM events e JOIN v USING (user_id)
+            WHERE e.event_type = 'click' AND e.ts > v.t_view
+            GROUP BY e.user_id
+        ),
+        p AS (
+            SELECT e.user_id, MIN(e.ts) AS t_purchase
+            FROM events e JOIN c USING (user_id)
+            WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+            GROUP BY e.user_id
+        ),
+        stages AS (
+            SELECT 1 AS stage_no, 'view' AS stage,
+                   CAST(COUNT(*) AS BIGINT) AS users FROM v
+            UNION ALL
+            SELECT 2, 'view>click', CAST(COUNT(*) AS BIGINT) FROM c
+            UNION ALL
+            SELECT 3, 'view>click>purchase', CAST(COUNT(*) AS BIGINT) FROM p
+        )
+        SELECT stage_no, stage, users,
+               ROUND(users * 1.0 / FIRST_VALUE(users)
+                     OVER (ORDER BY stage_no), 4) AS pct_of_entry
+        FROM stages
+        ORDER BY stage_no
+    """,
+    "rolling_value_7d": """
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS d,
+                   CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                       AS cents,
+                   COUNT(*) AS n_events
+            FROM events GROUP BY 1
+        ),
+        win AS (
+            SELECT d, cents,
+                   CAST(SUM(cents) OVER (
+                       ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS ma7_cents,
+                   CAST(COUNT(*) OVER (
+                       ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS n_days
+            FROM daily
+        )
+        SELECT strftime(d, '%Y-%m-%d') AS event_date,
+               cents / 100.0 AS total_value,
+               ROUND(ma7_cents / (100.0 * n_days), 4) AS ma7_value,
+               n_days
+        FROM win
+        ORDER BY event_date
+    """,
     "user_retention_cohorts": """
         WITH first_seen AS (
             SELECT user_id, MIN(CAST(ts AS DATE)) AS first_date

@@ -13,6 +13,7 @@ hash aggregate (Spark expands grouping sets map-side).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
 
 from tableau_dashboard_performance_etl_automation_spark.catalog import load_table
 from tableau_dashboard_performance_etl_automation_spark.functions.skew import (
@@ -246,7 +247,71 @@ def user_activity_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def part_cube_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY CUBE(p_brand, p_size) with an explicit grouping
+    id — all four aggregation levels (detail, per-brand, per-size,
+    grand total) in one multi-level hash aggregate, the OLAP cross-tab
+    shape. Totals accumulate exact integer cents so every level is
+    bit-identical across engines; gid is computed as
+    2*grouping(brand) + grouping(size) on both sides."""
+    part = load_table(spark, sf_dir, "part")
+    cents = F.round(F.col("p_retailprice") * 100).cast("bigint")
+    return (
+        part.withColumn("cents", cents)
+        .cube("p_brand", "p_size")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum("cents").alias("sum_cents"),
+            (F.grouping("p_brand") * 2 + F.grouping("p_size"))
+            .cast("int")
+            .alias("gid"),
+        )
+        .select(
+            "gid",
+            "p_brand",
+            "p_size",
+            "n_parts",
+            (F.col("sum_cents") / F.lit(100.0)).alias("total_retail"),
+        )
+        .orderBy(
+            "gid",
+            F.col("p_brand").asc_nulls_first(),
+            F.col("p_size").asc_nulls_first(),
+        )
+    )
+
+
+def order_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE(4) price quartiles within each order priority, rolled up
+    to per-(priority, quartile) stats. The window partitions on
+    ``o_orderpriority`` (bounded key domain) and orders by
+    (price, key) — the full tiebreak makes tile assignment
+    deterministic in both engines. Exact ntile needs a per-key sort;
+    at corpus scale with an unbounded key domain the scale path is
+    approx-percentile boundaries + a broadcast range join, which
+    ``value_percentiles`` (sampling.py) demonstrates."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    return (
+        orders.withColumn("quartile", F.ntile(4).over(w))
+        .withColumn("cents", cents)
+        .groupBy("o_orderpriority", "quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.min("o_totalprice"), 2).alias("min_price"),
+            F.round(F.max("o_totalprice"), 2).alias("max_price"),
+            (F.sum("cents") / F.lit(100.0)).alias("total_price"),
+        )
+        .orderBy("o_orderpriority", "quartile")
+    )
+
+
 QUERIES = {
+    "part_cube_stats": part_cube_stats,
+    "order_quartiles": order_quartiles,
     "customers_without_orders": customers_without_orders,
     "user_activity_merge": user_activity_merge,
     "event_type_counts_salted": event_type_counts_salted,
@@ -261,6 +326,36 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "part_cube_stats": """
+        SELECT CAST(GROUPING(p_brand) * 2 + GROUPING(p_size)
+                    AS INTEGER) AS gid,
+               p_brand, p_size,
+               CAST(COUNT(*) AS BIGINT) AS n_parts,
+               CAST(SUM(CAST(ROUND(p_retailprice * 100) AS BIGINT))
+                    AS BIGINT) / 100.0 AS total_retail
+        FROM part
+        GROUP BY CUBE (p_brand, p_size)
+        ORDER BY gid, p_brand NULLS FIRST, p_size NULLS FIRST
+    """,
+    "order_quartiles": """
+        WITH tiled AS (
+            SELECT o_orderpriority, o_totalprice,
+                   CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+                   CAST(NTILE(4) OVER (
+                       PARTITION BY o_orderpriority
+                       ORDER BY o_totalprice, o_orderkey
+                   ) AS INTEGER) AS quartile
+            FROM orders
+        )
+        SELECT o_orderpriority, quartile,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               ROUND(MIN(o_totalprice), 2) AS min_price,
+               ROUND(MAX(o_totalprice), 2) AS max_price,
+               CAST(SUM(cents) AS BIGINT) / 100.0 AS total_price
+        FROM tiled
+        GROUP BY o_orderpriority, quartile
+        ORDER BY o_orderpriority, quartile
+    """,
     "customers_without_orders": """
         SELECT c_custkey, c_name, c_mktsegment
         FROM customer

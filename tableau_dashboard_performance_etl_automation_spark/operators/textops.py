@@ -128,6 +128,61 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style intra-document repetition filter: top-word share
+    (most frequent word / total words) and duplicate-trigram fraction
+    (1 - distinct trigrams / total trigrams), plus a rule keep flag.
+
+    Two per-doc aggregations — word counts and trigram cardinality —
+    each a shuffle on ``doc_id`` with map-side combine, joined back on
+    the same key (co-partitioned, no extra exchange). No windows over
+    the corpus and no cross-document state, so it scales linearly.
+    Ratios are exact-integer divisions (bit-identical across engines),
+    rounded to 4 anyway per the parity discipline."""
+    docs = load_table(spark, sf_dir, "documents")
+    wc = (
+        docs.select("doc_id", F.explode(words()).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    word_stats = wc.groupBy("doc_id").agg(
+        F.sum("cnt").cast("bigint").alias("n_words"),
+        F.max("cnt").cast("bigint").alias("top_cnt"),
+    )
+    tri = (
+        docs.withColumn("w", words())
+        .select("doc_id", F.explode(word_shingles(k=3)).alias("sh"))
+    )
+    tri_stats = tri.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("total_tri"),
+        F.countDistinct("sh").alias("distinct_tri"),
+    )
+    out = (
+        word_stats.join(tri_stats, "doc_id")
+        .withColumn(
+            "top_word_share", F.round(F.col("top_cnt") / F.col("n_words"), 4)
+        )
+        .withColumn(
+            "dup_trigram_frac",
+            F.round(
+                (F.col("total_tri") - F.col("distinct_tri"))
+                / F.col("total_tri"),
+                4,
+            ),
+        )
+        .withColumn(
+            "keep",
+            (
+                (F.col("top_word_share") < 0.12)
+                & (F.col("dup_trigram_frac") < 0.55)
+            ).cast("int"),
+        )
+    )
+    return out.select(
+        "doc_id", "n_words", "top_word_share", "dup_trigram_frac", "keep"
+    ).orderBy("doc_id")
+
+
 def corpus_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level 2-gram frequency table (top 50) — the vocabulary
     statistics a tokenizer-training pass reads. Map-side-combining
@@ -147,6 +202,7 @@ def corpus_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "text_lang_id": text_lang_id,
+    "doc_repetition": doc_repetition,
     "corpus_top_ngrams": corpus_top_ngrams,
     "text_quality": text_quality,
     "text_token_count": text_token_count,
@@ -179,6 +235,44 @@ _STOPLIST_SQL = ", ".join(f"'{s}'" for s in STOPWORDS)
 
 ORACLE_SQL = {
     "text_lang_id": _lang_oracle(),
+    "doc_repetition": """
+        WITH doc_words AS (
+            SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        ),
+        wc AS (
+            SELECT doc_id, word, COUNT(*) AS cnt
+            FROM (SELECT doc_id, unnest(w) AS word FROM doc_words)
+            GROUP BY doc_id, word
+        ),
+        word_stats AS (
+            SELECT doc_id,
+                   CAST(SUM(cnt) AS BIGINT) AS n_words,
+                   CAST(MAX(cnt) AS BIGINT) AS top_cnt
+            FROM wc GROUP BY doc_id
+        ),
+        tri AS (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(w) - 1),
+                          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+            FROM doc_words
+        ),
+        tri_stats AS (
+            SELECT doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS total_tri,
+                   CAST(COUNT(DISTINCT sh) AS BIGINT) AS distinct_tri
+            FROM tri GROUP BY doc_id
+        )
+        SELECT ws.doc_id, ws.n_words,
+               ROUND(ws.top_cnt * 1.0 / ws.n_words, 4) AS top_word_share,
+               ROUND((ts.total_tri - ts.distinct_tri) * 1.0 / ts.total_tri, 4)
+                   AS dup_trigram_frac,
+               CAST(ROUND(ws.top_cnt * 1.0 / ws.n_words, 4) < 0.12
+                    AND ROUND((ts.total_tri - ts.distinct_tri) * 1.0
+                              / ts.total_tri, 4) < 0.55
+                    AS INTEGER) AS keep
+        FROM word_stats ws JOIN tri_stats ts USING (doc_id)
+        ORDER BY doc_id
+    """,
     "corpus_top_ngrams": """
         WITH doc_words AS (
             SELECT doc_id, string_split(text, ' ') AS w FROM documents
