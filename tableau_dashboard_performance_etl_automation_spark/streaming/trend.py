@@ -145,6 +145,22 @@ def purchase_click_attribution(
     )
 
 
+def dedup_events_stream(stream: DataFrame, lateness: str = "1 hour") -> DataFrame:
+    """Streaming ingestion dedup: drop replayed events by ``event_id``
+    with watermark-bounded state — the streaming twin of
+    ``dedup_exact`` for an at-least-once upstream (the reference's
+    extract re-runs on cron and can re-deliver a day's file,
+    tabjolt_email.py:351-359).
+
+    ``dropDuplicatesWithinWatermark`` keys state on ``event_id`` only
+    and expires entries once the watermark passes their event time, so
+    state is O(events per lateness window), not O(stream length) —
+    the property that makes this runnable forever at 100 TB/day."""
+    return stream.withWatermark("ts", lateness).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
 def run_to_memory(
     df: DataFrame, table_name: str, mode: str = "complete"
 ) -> None:

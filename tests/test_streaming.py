@@ -171,3 +171,26 @@ def test_stateful_running_profile_matches_batch(spark, sf_dir, tmp_path):
     for k, (n, total) in batch.items():
         assert final[k][0] == n
         assert abs(final[k][1] - total) < 0.01
+
+
+def test_stream_dedup_drops_replayed_files(spark, sf_dir, tmp_path):
+    """An at-least-once upstream delivers the same batch twice; the
+    watermarked dedup emits each event_id exactly once."""
+    inp = str(tmp_path / "events_dup")
+    ev = load_table(spark, sf_dir, "events")
+    ev.write.parquet(inp)
+    ev.write.mode("append").parquet(inp)  # the replay
+    stream = trend.events_stream(spark, inp)
+    (
+        trend.dedup_events_stream(stream)
+        .writeStream.format("memory")
+        .queryName("dedup_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    got = spark.table("dedup_sink")
+    n_distinct = ev.select("event_id").distinct().count()
+    assert got.count() == n_distinct
+    assert got.select("event_id").distinct().count() == n_distinct
