@@ -222,6 +222,10 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.explode("w").alias("word"))
         .groupBy("doc_id", "word")
         .agg(F.count(F.lit(1)).alias("cnt"))
+        # materialized once: both the vocabulary pass and the
+        # weighted-sum join consume it — without this the explode +
+        # count runs twice (same sharing pattern as ngram_jaccard)
+        .localCheckpoint()
     )
     # Hash each DISTINCT word once (the vocabulary is tiny relative to
     # the corpus — this is a broadcast-joined lookup, not a per-row

@@ -246,16 +246,36 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _nearest(e: DataFrame, cent: DataFrame, nprobe: int = 1) -> DataFrame:
     """Nearest-centroid assignment: one broadcast join against the
-    centroid set + a per-vector rank window. ``nprobe=1`` gives the
-    storage assignment; ``nprobe>1`` keeps the n best centroids (used
-    on the *query* side to widen the search at higher recall)."""
+    centroid set. ``nprobe=1`` (the storage assignment) is an argmax
+    expressed as ``MAX(struct(ccos, -cent_id, ...))`` — a hash
+    aggregate with map-side partial combine, so the corpus never goes
+    through a per-vector sort shuffle. ``nprobe>1`` (the query-side
+    widened search) keeps the rank window, which only ever sees the
+    tiny query set. Tie order matches the oracle's ROW_NUMBER
+    (``ccos DESC, cent_id ASC``) via the negated cent_id."""
+    scored = e.crossJoin(F.broadcast(cent)).withColumn(
+        "ccos", F.round(cosine(F.col("vec"), F.col("cvec")), 6)
+    )
+    if nprobe == 1:
+        best = scored.groupBy("vec_id").agg(
+            F.max(
+                F.struct(
+                    "ccos",
+                    (-F.col("cent_id")).alias("neg_cent"),
+                    F.col("vec").alias("v"),
+                )
+            ).alias("b")
+        )
+        return best.select(
+            "vec_id",
+            (-F.col("b.neg_cent")).alias("cent_id"),
+            F.col("b.v").alias("vec"),
+        )
     w = Window.partitionBy("vec_id").orderBy(
         F.col("ccos").desc(), F.col("cent_id")
     )
     return (
-        e.crossJoin(F.broadcast(cent))
-        .withColumn("ccos", F.round(cosine(F.col("vec"), F.col("cvec")), 6))
-        .withColumn("crn", F.row_number().over(w))
+        scored.withColumn("crn", F.row_number().over(w))
         .filter(F.col("crn") <= nprobe)
         .select("vec_id", "cent_id", "vec")
     )
@@ -273,7 +293,18 @@ def _train_centroids(e: DataFrame) -> DataFrame:
     replay. At corpus scale this is the standard k-means-on-a-sample
     pattern: train on a sampled fraction, then assign everything."""
     spark = e.sparkSession
-    train = e.filter((F.col("vec_id") % TRAIN_MOD) < TRAIN_KEEP)
+    # Materialize the training sample once (localCheckpoint) instead
+    # of re-scanning parquet every Lloyd round, and compact it — the
+    # sample is a small fraction of the corpus, so leaving it spread
+    # over full-scan partitioning makes every round pay scan-width
+    # task overhead for near-empty partitions. On a cluster, size the
+    # partition count to sample_rows / desired_rows_per_partition.
+    train = (
+        e.filter((F.col("vec_id") % TRAIN_MOD) < TRAIN_KEEP)
+        .select("vec_id", "vec")
+        .coalesce(8)
+        .localCheckpoint()
+    )
     cent = e.filter(F.col("vec_id") < N_CENTROIDS).select(
         F.col("vec_id").alias("cent_id"), F.col("vec").alias("cvec")
     )

@@ -89,3 +89,36 @@ def test_neardup_blocks_on_lsh_not_label(spark, sf_dir):
     # every vector emits one signature per band
     n_vec = sigs.select("vec_id").distinct().count()
     assert sigs.count() == n_vec * similarity.LSH_BANDS
+
+
+def test_funnel_stages_are_equi_joins(spark, sf_dir):
+    """Every funnel stage joins on user_id — no cartesian, and the
+    raw stream never goes through a window sort."""
+    df = analytics.event_funnel(spark, sf_dir)
+    assert not has_cartesian_product(df)
+
+
+def test_cube_is_single_expand_aggregate(spark, sf_dir):
+    """CUBE must compile to one Expand + hash aggregate over the
+    scan — not a union of four aggregate plans (4× the scan cost)."""
+    from tableau_dashboard_performance_etl_automation_spark.operators import (
+        relational_ext,
+    )
+
+    df = relational_ext.part_cube_stats(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert plan.count("Expand") >= 1
+    assert "Union" not in plan  # not 4 unioned aggregate plans
+    assert plan.count("Location: InMemoryFileIndex") == 1  # one scan
+
+
+def test_rolling_window_sees_daily_rows_not_events(spark, sf_dir):
+    """The moving-average window must sit above the daily aggregate:
+    a hash aggregate appears below the window sort, so the
+    single-partition section only ever handles ~days rows."""
+    df = analytics.rolling_value_7d(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "Window" in plan
+    agg_pos = plan.find("HashAggregate")
+    win_pos = plan.find("Window")
+    assert agg_pos != -1 and win_pos != -1
