@@ -82,3 +82,15 @@ def test_order_quartiles_balanced(spark, sf_dir):
         assert len(counts) == 4
         assert sum(counts) == per_prio[prio]
         assert max(counts) - min(counts) <= 1  # NTILE balance
+
+
+def test_embedding_quantize_reconstruction(spark, sf_dir):
+    from tableau_dashboard_performance_etl_automation_spark.operators import similarity
+
+    rows = similarity.embedding_quantize(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert -127 <= r.min_code <= r.max_code <= 127
+        assert r.scale > 0
+        # int8 reconstruction error is bounded by scale/2 per dim
+        assert r.mean_abs_err <= r.scale / 2 + 1e-9
