@@ -301,11 +301,62 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Decontamination n-gram length and the held-out "benchmark" slice
+#: (the first DECON_BENCH_DOCS doc_ids stand in for an eval suite).
+#: Production decontamination uses 8-13-gram overlap; 4 suits the
+#: small-vocabulary synthetic corpus — the machinery is identical.
+DECON_K = 4
+DECON_BENCH_DOCS = 10
+
+
+def benchmark_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing any
+    ``DECON_K``-gram with the benchmark set — the pass every training
+    corpus runs against its eval suites before training.
+
+    The benchmark shingle set is tiny (eval suites are human-sized)
+    and broadcasts; the corpus side streams through explode →
+    broadcast-hash join → per-doc count, so the full-corpus work is
+    one narrow pass plus a shuffle on ``doc_id`` for the count —
+    no pair explosion possible since hits aggregate per corpus doc."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = (
+        docs.withColumn("w", words())
+        .select("doc_id", F.explode(word_shingles(k=DECON_K)).alias("sh"))
+        .distinct()
+    )
+    bench = (
+        sh.filter(F.col("doc_id") < DECON_BENCH_DOCS).select("sh").distinct()
+    )
+    hits = (
+        sh.filter(F.col("doc_id") >= DECON_BENCH_DOCS)
+        .join(F.broadcast(bench), "sh")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        docs.filter(F.col("doc_id") >= DECON_BENCH_DOCS)
+        .select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_hits"), F.lit(0).cast("bigint")).alias(
+                "n_hits"
+            ),
+            (F.coalesce(F.col("n_hits"), F.lit(0)) > 0)
+            .cast("int")
+            .alias("contaminated"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_simhash": dedup_simhash,
+    "benchmark_decontaminate": benchmark_decontaminate,
 }
 
 
@@ -393,6 +444,31 @@ def _simhash_oracle() -> str:
 
 
 ORACLE_SQL = {
+    "benchmark_decontaminate": f"""
+        WITH doc_words AS (
+            SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        ),
+        sh AS (
+            SELECT DISTINCT doc_id,
+                   unnest({shingles_sql_duckdb(DECON_K)}) AS sh
+            FROM doc_words
+        ),
+        bench AS (
+            SELECT DISTINCT sh FROM sh WHERE doc_id < {DECON_BENCH_DOCS}
+        ),
+        hits AS (
+            SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+            FROM sh s JOIN bench USING (sh)
+            WHERE s.doc_id >= {DECON_BENCH_DOCS}
+            GROUP BY s.doc_id
+        )
+        SELECT d.doc_id,
+               COALESCE(h.n_hits, 0) AS n_hits,
+               CAST(COALESCE(h.n_hits, 0) > 0 AS INTEGER) AS contaminated
+        FROM documents d LEFT JOIN hits h USING (doc_id)
+        WHERE d.doc_id >= {DECON_BENCH_DOCS}
+        ORDER BY d.doc_id
+    """,
     "dedup_exact": """
         SELECT md5(text) AS text_hash,
                COUNT(*) AS n_copies,

@@ -94,3 +94,17 @@ def test_embedding_quantize_reconstruction(spark, sf_dir):
         assert r.scale > 0
         # int8 reconstruction error is bounded by scale/2 per dim
         assert r.mean_abs_err <= r.scale / 2 + 1e-9
+
+
+def test_decontaminate_excludes_benchmark_and_flags_consistently(spark, sf_dir):
+    from tableau_dashboard_performance_etl_automation_spark.operators import dedup
+
+    rows = dedup.benchmark_decontaminate(spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents")
+    n_corpus = docs.filter(
+        F.col("doc_id") >= dedup.DECON_BENCH_DOCS
+    ).count()
+    assert len(rows) == n_corpus
+    for r in rows:
+        assert r.doc_id >= dedup.DECON_BENCH_DOCS
+        assert (r.n_hits > 0) == (r.contaminated == 1)
