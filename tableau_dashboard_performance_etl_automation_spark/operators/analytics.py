@@ -354,10 +354,51 @@ def rolling_value_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def daily_open_close(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily OHLC bars over the event stream: first/last value by
+    (ts, event_id) plus low/high/count per day. FIRST_VALUE /
+    LAST_VALUE over a full-frame window partitioned by day — windows
+    partition on the day key, so no global sort; the deterministic
+    (ts, event_id) tiebreak makes open/close identical across
+    engines even with colliding timestamps."""
+    e = load_table(spark, sf_dir, "events")
+    d = F.col("ts").cast("date")
+    w = (
+        Window.partitionBy("d")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    bars = (
+        e.withColumn("d", d)
+        .withColumn("open_value", F.first("value").over(w))
+        .withColumn("close_value", F.last("value").over(w))
+    )
+    return (
+        bars.groupBy("d")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.min("open_value"), 2).alias("open_value"),
+            F.round(F.min("close_value"), 2).alias("close_value"),
+            F.round(F.min("value"), 2).alias("low_value"),
+            F.round(F.max("value"), 2).alias("high_value"),
+        )
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("event_date"),
+            "n_events",
+            "open_value",
+            "close_value",
+            "low_value",
+            "high_value",
+        )
+        .orderBy("event_date")
+    )
+
+
 QUERIES = {
     "pricing_summary": pricing_summary,
     "event_funnel": event_funnel,
     "rolling_value_7d": rolling_value_7d,
+    "daily_open_close": daily_open_close,
     "value_outliers": value_outliers,
     "user_retention_cohorts": user_retention_cohorts,
     "top_revenue_orders": top_revenue_orders,
@@ -369,6 +410,33 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "daily_open_close": """
+        WITH bars AS (
+            SELECT CAST(ts AS DATE) AS d, value,
+                   FIRST_VALUE(value) OVER (
+                       PARTITION BY CAST(ts AS DATE)
+                       ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND UNBOUNDED FOLLOWING
+                   ) AS open_value,
+                   LAST_VALUE(value) OVER (
+                       PARTITION BY CAST(ts AS DATE)
+                       ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND UNBOUNDED FOLLOWING
+                   ) AS close_value
+            FROM events
+        )
+        SELECT strftime(d, '%Y-%m-%d') AS event_date,
+               COUNT(*) AS n_events,
+               ROUND(MIN(open_value), 2) AS open_value,
+               ROUND(MIN(close_value), 2) AS close_value,
+               ROUND(MIN(value), 2) AS low_value,
+               ROUND(MAX(value), 2) AS high_value
+        FROM bars
+        GROUP BY d
+        ORDER BY event_date
+    """,
     "event_funnel": """
         WITH v AS (
             SELECT user_id, MIN(ts) AS t_view FROM events

@@ -108,11 +108,49 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def approx_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based percentiles (``percentile_approx``, the
+    single-pass mergeable form that replaces exact sort-based
+    percentiles at 100 TB), gated like ``approx_distinct_users``:
+    sketch internals differ across engines, so the hash-checked
+    value is the exact p50 plus an ``estimate_ok`` contract column
+    asserting the sketch lands within 2% relative error of it (the
+    oracle expects literally TRUE). A broken sketch fails the gate
+    without pretending two engines' sketches agree."""
+    e = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    tol = 0.02
+    return (
+        e.withColumn("cents", cents)
+        .groupBy("event_type")
+        .agg(
+            F.round(F.expr("percentile(cents, 0.5)") / 100.0, 4).alias(
+                "exact_p50"
+            ),
+            (F.expr("approx_percentile(cents, 0.5, 10000)") / 100.0).alias(
+                "approx_p50"
+            ),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            "event_type",
+            "exact_p50",
+            "n_events",
+            (
+                F.abs(F.col("approx_p50") - F.col("exact_p50"))
+                <= tol * F.abs(F.col("exact_p50"))
+            ).alias("estimate_ok"),
+        )
+        .orderBy("event_type")
+    )
+
+
 QUERIES = {
     "dataset_split": dataset_split,
     "stratified_sample": stratified_sample,
     "dataset_split_summary": dataset_split_summary,
     "value_percentiles": value_percentiles,
+    "approx_value_percentiles": approx_value_percentiles,
 }
 
 _BUCKET_SQL = (
@@ -132,6 +170,16 @@ _RATE_CASE = "CASE " + " ".join(
 ) + " ELSE 0 END"
 
 ORACLE_SQL = {
+    "approx_value_percentiles": """
+        SELECT event_type,
+               ROUND(quantile_cont(CAST(ROUND(value * 100) AS BIGINT), 0.50)
+                     / 100.0, 4) AS exact_p50,
+               COUNT(*) AS n_events,
+               TRUE AS estimate_ok
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
     "stratified_sample": f"""
         SELECT doc_id, lang, n_chars
         FROM documents

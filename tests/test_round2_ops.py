@@ -108,3 +108,12 @@ def test_decontaminate_excludes_benchmark_and_flags_consistently(spark, sf_dir):
     for r in rows:
         assert r.doc_id >= dedup.DECON_BENCH_DOCS
         assert (r.n_hits > 0) == (r.contaminated == 1)
+
+
+def test_daily_open_close_bars_consistent(spark, sf_dir):
+    rows = analytics.daily_open_close(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.low_value <= r.open_value <= r.high_value
+        assert r.low_value <= r.close_value <= r.high_value
+        assert r.n_events > 0
