@@ -181,19 +181,20 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             "jaccard",
         )
     )
-    w = Window.partitionBy("doc_a").orderBy(
-        F.col("jaccard").desc(), F.col("doc_b")
+    # top-1 as a MAX(struct) argmax — hash aggregate with map-side
+    # partial combine over the pair set, instead of sorting every
+    # doc's candidate list in a rank window. Tie order matches the
+    # oracle's ROW_NUMBER (jaccard DESC, doc_b ASC) via -doc_b.
+    best = sym.groupBy("doc_a").agg(
+        F.max(
+            F.struct("jaccard", (-F.col("doc_b")).alias("neg_b"))
+        ).alias("b")
     )
-    return (
-        sym.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(
-            F.col("doc_a").alias("doc_id"),
-            F.col("doc_b").alias("best_match"),
-            "jaccard",
-        )
-        .orderBy("doc_id")
-    )
+    return best.select(
+        F.col("doc_a").alias("doc_id"),
+        (-F.col("b.neg_b")).alias("best_match"),
+        F.col("b.jaccard").alias("jaccard"),
+    ).orderBy("doc_id")
 
 
 def _simhash_signed_bit(bit: int) -> F.Column:
