@@ -309,9 +309,29 @@ def order_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def buyer_cohort_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT over yearly buyer cohorts: customers who
+    ordered in both 1997 and 1998 (retained) vs only in 1997
+    (lapsed). Set ops compile to distinct-aggregated joins on the
+    customer key — shuffle on ``o_custkey`` with map-side distinct,
+    no row duplication."""
+    orders = load_table(spark, sf_dir, "orders")
+    yr = F.year("o_orderdate")
+    a = orders.filter(yr == 1997).select("o_custkey").distinct()
+    b = orders.filter(yr == 1998).select("o_custkey").distinct()
+    retained = a.intersect(b).withColumn("segment", F.lit("retained"))
+    lapsed = a.subtract(b).withColumn("segment", F.lit("lapsed"))
+    return (
+        retained.unionByName(lapsed)
+        .select("o_custkey", "segment")
+        .orderBy("segment", "o_custkey")
+    )
+
+
 QUERIES = {
     "part_cube_stats": part_cube_stats,
     "order_quartiles": order_quartiles,
+    "buyer_cohort_setops": buyer_cohort_setops,
     "customers_without_orders": customers_without_orders,
     "user_activity_merge": user_activity_merge,
     "event_type_counts_salted": event_type_counts_salted,
@@ -326,6 +346,26 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "buyer_cohort_setops": """
+        WITH a AS (
+            SELECT DISTINCT o_custkey FROM orders
+            WHERE year(o_orderdate) = 1997
+        ),
+        b AS (
+            SELECT DISTINCT o_custkey FROM orders
+            WHERE year(o_orderdate) = 1998
+        ),
+        tagged AS (
+            SELECT o_custkey, 'retained' AS segment
+            FROM (SELECT o_custkey FROM a INTERSECT SELECT o_custkey FROM b)
+            UNION ALL
+            SELECT o_custkey, 'lapsed' AS segment
+            FROM (SELECT o_custkey FROM a EXCEPT SELECT o_custkey FROM b)
+        )
+        SELECT o_custkey, segment
+        FROM tagged
+        ORDER BY segment, o_custkey
+    """,
     "part_cube_stats": """
         SELECT CAST(GROUPING(p_brand) * 2 + GROUPING(p_size)
                     AS INTEGER) AS gid,
