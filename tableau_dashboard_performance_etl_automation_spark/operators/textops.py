@@ -12,6 +12,7 @@ list filters, md5 — no Python UDFs.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
 
 from tableau_dashboard_performance_etl_automation_spark.catalog import load_table
 from tableau_dashboard_performance_etl_automation_spark.functions.text import (
@@ -183,6 +184,50 @@ def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def doc_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by TF·(N/DF) — the
+    keyword-extraction pass feeding corpus summaries and topic
+    sampling. Uses the rational form N/df instead of ln(N/df):
+    exact-integer products and one double division are bit-identical
+    across engines, where libm ``ln`` may differ in the last ulp.
+
+    Shape: per-(doc,word) counts and per-word document frequencies
+    are both map-side-combining aggregates; the corpus size N is a
+    broadcast 1-row cross join; ranking windows partition on the
+    high-cardinality ``doc_id``."""
+    docs = load_table(spark, sf_dir, "documents")
+    tokens = (
+        docs.select("doc_id", F.explode(words()).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    df = tokens.groupBy("word").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    n = docs.agg(F.countDistinct("doc_id").alias("n_docs"))
+    scored = (
+        tokens.join(df, "word")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "score", (F.col("cnt") * F.col("n_docs")) / F.col("df")
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.round("score", 6).desc(), "word"
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "doc_id",
+            F.col("rn").alias("term_rank"),
+            F.col("word").alias("term"),
+            F.round("score", 4).alias("tfidf_score"),
+        )
+        .orderBy("doc_id", "term_rank")
+    )
+
+
 def corpus_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level 2-gram frequency table (top 50) — the vocabulary
     statistics a tokenizer-training pass reads. Map-side-combining
@@ -203,6 +248,7 @@ def corpus_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "text_lang_id": text_lang_id,
     "doc_repetition": doc_repetition,
+    "doc_top_terms": doc_top_terms,
     "corpus_top_ngrams": corpus_top_ngrams,
     "text_quality": text_quality,
     "text_token_count": text_token_count,
@@ -235,6 +281,39 @@ _STOPLIST_SQL = ", ".join(f"'{s}'" for s in STOPWORDS)
 
 ORACLE_SQL = {
     "text_lang_id": _lang_oracle(),
+    "doc_top_terms": """
+        WITH tokens AS (
+            SELECT doc_id, word, COUNT(*) AS cnt
+            FROM (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS word
+                FROM documents
+            )
+            GROUP BY doc_id, word
+        ),
+        docfreq AS (
+            SELECT word, COUNT(DISTINCT doc_id) AS df
+            FROM tokens GROUP BY word
+        ),
+        n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+        scored AS (
+            SELECT t.doc_id, t.word,
+                   (t.cnt * n.n_docs) * 1.0 / d.df AS score
+            FROM tokens t JOIN docfreq d USING (word) CROSS JOIN n
+        ),
+        ranked AS (
+            SELECT doc_id, word, score,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY doc_id
+                       ORDER BY ROUND(score, 6) DESC, word
+                   ) AS INTEGER) AS rn
+            FROM scored
+        )
+        SELECT doc_id, rn AS term_rank, word AS term,
+               ROUND(score, 4) AS tfidf_score
+        FROM ranked
+        WHERE rn <= 3
+        ORDER BY doc_id, term_rank
+    """,
     "doc_repetition": """
         WITH doc_words AS (
             SELECT doc_id, string_split(text, ' ') AS w FROM documents
