@@ -394,11 +394,57 @@ def daily_open_close(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def event_type_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median / MAD per event type via a grouped-map ``applyInPandas``
+    (Arrow batches, the batch twin of the streaming state operator) —
+    the robust-statistics pass where a rank-based statistic is genuinely
+    awkward in one SQL aggregate.
+
+    Exactness: medians interpolate on integer *cents*, so every value
+    is an exact binary half/quarter and numpy's ``(a+b)/2`` equals the
+    oracle's ``a+(b-a)*0.5`` bit-for-bit — no float-fuzz between
+    engines. Scale note: grouping is by the ~5-value ``event_type``,
+    so each pandas batch sees one key's rows — fine for a
+    bounded-cardinality diagnostic; the unbounded-cardinality scale
+    path is the sketch form (``approx_value_percentiles``)."""
+    import numpy as np
+    import pandas as pd
+
+    e = load_table(spark, sf_dir, "events")
+    ec = e.select(
+        "event_type", F.round(F.col("value") * 100).cast("bigint").alias("cents")
+    )
+
+    def robust(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        c = pdf["cents"].to_numpy(dtype=np.float64)
+        med = float(np.median(c))
+        mad = float(np.median(np.abs(c - med)))
+        return pd.DataFrame(
+            {
+                "event_type": [pdf["event_type"].iloc[0]],
+                "median_value": [med / 100.0],
+                "mad_value": [mad / 100.0],
+                "n_events": [len(c)],
+            }
+        )
+
+    return (
+        ec.groupBy("event_type")
+        .applyInPandas(
+            robust,
+            "event_type string, median_value double, mad_value double,"
+            " n_events bigint",
+        )
+        .orderBy("event_type")
+    )
+
+
 QUERIES = {
     "pricing_summary": pricing_summary,
     "event_funnel": event_funnel,
     "rolling_value_7d": rolling_value_7d,
     "daily_open_close": daily_open_close,
+    "event_type_robust_stats": event_type_robust_stats,
     "value_outliers": value_outliers,
     "user_retention_cohorts": user_retention_cohorts,
     "top_revenue_orders": top_revenue_orders,
@@ -410,6 +456,27 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "event_type_robust_stats": """
+        WITH ec AS (
+            SELECT event_type,
+                   CAST(ROUND(value * 100) AS BIGINT) AS cents
+            FROM events
+        ),
+        med AS (
+            SELECT event_type,
+                   quantile_cont(cents, 0.5) AS med_c,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM ec GROUP BY event_type
+        )
+        SELECT ec.event_type,
+               MIN(med.med_c) / 100.0 AS median_value,
+               quantile_cont(abs(ec.cents - med.med_c), 0.5) / 100.0
+                   AS mad_value,
+               MIN(med.n_events) AS n_events
+        FROM ec JOIN med USING (event_type)
+        GROUP BY ec.event_type
+        ORDER BY ec.event_type
+    """,
     "daily_open_close": """
         WITH bars AS (
             SELECT CAST(ts AS DATE) AS d, value,
