@@ -439,12 +439,50 @@ def event_type_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap sessions via Spark's native ``session_window`` (the
+    streaming-capable merging-window operator), aggregated per
+    session — proving the native operator against the classic
+    lag/sum SQL formulation the oracle replays.
+
+    Boundary semantics: ``session_window(ts, gap)`` merges an event
+    whose gap from the previous is strictly less than 30 minutes, so
+    the oracle's split rule is ``diff >= 30 min`` (note
+    ``user_sessionization`` uses ``>`` — both conventions exist; the
+    oracle matches the engine under test). State partitions by
+    ``user_id``; the window start is the session's min event time.
+    Session value accumulates exact integer cents."""
+    e = load_table(spark, sf_dir, "events")
+    ec = e.withColumn(
+        "cents", F.round(F.col("value") * 100).cast("bigint")
+    )
+    return (
+        ec.groupBy(
+            "user_id", F.session_window("ts", "30 minutes").alias("sw")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum("cents") / F.lit(100.0)).alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format("sw.start", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "session_start"
+            ),
+            "n_events",
+            "session_value",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
 QUERIES = {
     "pricing_summary": pricing_summary,
     "event_funnel": event_funnel,
     "rolling_value_7d": rolling_value_7d,
     "daily_open_close": daily_open_close,
     "event_type_robust_stats": event_type_robust_stats,
+    "session_window_stats": session_window_stats,
     "value_outliers": value_outliers,
     "user_retention_cohorts": user_retention_cohorts,
     "top_revenue_orders": top_revenue_orders,
@@ -456,6 +494,39 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "session_window_stats": """
+        WITH ordered AS (
+            SELECT user_id, ts, event_id,
+                   CAST(ROUND(value * 100) AS BIGINT) AS cents,
+                   LAG(ts) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS prev
+            FROM events
+        ),
+        flagged AS (
+            SELECT *,
+                   CASE WHEN prev IS NULL
+                             OR epoch_us(ts) - epoch_us(prev)
+                                >= 30 * 60 * 1000000
+                        THEN 1 ELSE 0 END AS ns
+            FROM ordered
+        ),
+        sess AS (
+            SELECT *,
+                   CAST(SUM(ns) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING
+                   ) AS BIGINT) AS sid
+            FROM flagged
+        )
+        SELECT user_id,
+               strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(cents) AS BIGINT) / 100.0 AS session_value
+        FROM sess
+        GROUP BY user_id, sid
+        ORDER BY user_id, session_start
+    """,
     "event_type_robust_stats": """
         WITH ec AS (
             SELECT event_type,
