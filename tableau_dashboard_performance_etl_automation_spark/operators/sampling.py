@@ -60,6 +60,51 @@ def dataset_split_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def split_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token budget per (split, lang): the table a training run reads
+    to decide mixture weights and epoch counts — docs, whitespace
+    tokens, and BPE-ish tokens per cell, with per-split token share.
+
+    Composition of the deterministic split assignment with the token
+    counters: one narrow projection computing both token counts, one
+    aggregate keyed on (split, lang), then a broadcast 1-row total
+    for the share — no windows over the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    bpe_re = "[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"
+    per_doc = docs.select(
+        _split_col(F.col("doc_id")).alias("split"),
+        "lang",
+        F.size(F.expr("regexp_extract_all(text, '[^ ]+', 0)")).alias(
+            "ws_tokens"
+        ),
+        F.size(F.expr(f"regexp_extract_all(text, '{bpe_re}', 0)")).alias(
+            "bpe_ish_tokens"
+        ),
+    )
+    cells = per_doc.groupBy("split", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("ws_tokens").cast("bigint").alias("total_ws_tokens"),
+        F.sum("bpe_ish_tokens").cast("bigint").alias("total_bpe_ish_tokens"),
+    )
+    total = per_doc.agg(
+        F.sum("ws_tokens").cast("bigint").alias("corpus_ws_tokens")
+    )
+    return (
+        cells.crossJoin(F.broadcast(total))
+        .select(
+            "split",
+            "lang",
+            "n_docs",
+            "total_ws_tokens",
+            "total_bpe_ish_tokens",
+            F.round(
+                F.col("total_ws_tokens") / F.col("corpus_ws_tokens"), 4
+            ).alias("ws_token_share"),
+        )
+        .orderBy("split", "lang")
+    )
+
+
 def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles of event value per type,
     computed over exact integer cents so the interpolation arithmetic
@@ -151,6 +196,7 @@ QUERIES = {
     "dataset_split_summary": dataset_split_summary,
     "value_percentiles": value_percentiles,
     "approx_value_percentiles": approx_value_percentiles,
+    "split_token_budget": split_token_budget,
 }
 
 _BUCKET_SQL = (
@@ -170,6 +216,33 @@ _RATE_CASE = "CASE " + " ".join(
 ) + " ELSE 0 END"
 
 ORACLE_SQL = {
+    "split_token_budget": f"""
+        WITH per_doc AS (
+            SELECT {_SPLIT_CASE} AS split,
+                   lang,
+                   len(regexp_extract_all(text, '[^ ]+')) AS ws_tokens,
+                   len(regexp_extract_all(text,
+                       '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]')) AS bpe_ish_tokens
+            FROM documents
+        ),
+        cells AS (
+            SELECT split, lang,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(ws_tokens) AS BIGINT) AS total_ws_tokens,
+                   CAST(SUM(bpe_ish_tokens) AS BIGINT)
+                       AS total_bpe_ish_tokens
+            FROM per_doc GROUP BY split, lang
+        ),
+        total AS (
+            SELECT CAST(SUM(ws_tokens) AS BIGINT) AS corpus_ws_tokens
+            FROM per_doc
+        )
+        SELECT split, lang, n_docs, total_ws_tokens, total_bpe_ish_tokens,
+               ROUND(total_ws_tokens * 1.0 / corpus_ws_tokens, 4)
+                   AS ws_token_share
+        FROM cells CROSS JOIN total
+        ORDER BY split, lang
+    """,
     "approx_value_percentiles": """
         SELECT event_type,
                ROUND(quantile_cont(CAST(ROUND(value * 100) AS BIGINT), 0.50)

@@ -133,3 +133,45 @@ def test_salt_actually_spreads_hot_keys(spark):
         .collect()
     )
     assert per_key[0].n_salts_used > 1
+
+
+@_SETTINGS
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5),   # key
+            st.integers(min_value=0, max_value=50),  # candidate id
+            st.floats(
+                min_value=-10, max_value=10,
+                allow_nan=False, allow_infinity=False,
+            ),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_struct_argmax_equals_rank_window_top1(spark, rows):
+    """MAX(struct(score, -id)) must agree with
+    ROW_NUMBER() OVER (ORDER BY score DESC, id) = 1 for any input —
+    the equivalence the IVF assignment and jaccard best-match rely
+    on (dedup.py / similarity.py)."""
+    from pyspark.sql.window import Window
+
+    df = spark.createDataFrame(rows, "k INT, id INT, score DOUBLE").dropDuplicates(
+        ["k", "id"]
+    )
+    w = Window.partitionBy("k").orderBy(F.col("score").desc(), F.col("id"))
+    via_window = {
+        (r.k, r.id)
+        for r in df.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .collect()
+    }
+    best = df.groupBy("k").agg(
+        F.max(F.struct("score", (-F.col("id")).alias("neg_id"))).alias("b")
+    )
+    via_argmax = {
+        (r.k, r.best_id)
+        for r in best.select("k", (-F.col("b.neg_id")).alias("best_id")).collect()
+    }
+    assert via_argmax == via_window
