@@ -174,9 +174,39 @@ def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_binary_meta(with_binary_payload(docs)).orderBy("doc_id")
 
 
-QUERIES = {"multimodal_binary_meta": multimodal_binary_meta}
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable 1→N frame sampling: the ``mapInPandas`` frame
+    extractor over the payload table, ordered for the gate. The
+    payloads are ASCII text bytes, so the oracle replays the byte
+    windows with substr + md5 — proving the Python batch path emits
+    exactly the declared windows (a real decoder swaps in for the
+    window digest without touching the Spark plumbing)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return sample_frames(with_binary_payload(docs)).orderBy(
+        "doc_id", "frame_idx"
+    )
+
+
+QUERIES = {
+    "multimodal_binary_meta": multimodal_binary_meta,
+    "multimodal_frame_sample": multimodal_frame_sample,
+}
 
 ORACLE_SQL = {
+    "multimodal_frame_sample": """
+        WITH f AS (
+            SELECT doc_id, text,
+                   GREATEST(length(text) // 4, 1) AS step
+            FROM documents
+        ),
+        idx AS (SELECT unnest(range(0, 4)) AS i)
+        SELECT doc_id,
+               CAST(i AS INTEGER) AS frame_idx,
+               md5(substr(text, CAST(i * step + 1 AS INTEGER),
+                          CAST(step AS INTEGER))) AS frame_sig
+        FROM f CROSS JOIN idx
+        ORDER BY doc_id, frame_idx
+    """,
     "multimodal_binary_meta": """
         SELECT doc_id,
                octet_length(encode(text)) AS byte_len,
