@@ -187,12 +187,54 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def multimodal_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable thumbnail pass: the vectorized numpy
+    nearest-neighbor resize over Arrow batches, with a DuckDB twin
+    that replays the exact pixel selection (ASCII byte values via
+    substr) and the mean digest. Every intermediate is an exact
+    integer in float64 (uint8 sums are exact), so numpy's pairwise
+    mean and SQL's list_sum agree bit-for-bit and the printf('%.4f')
+    digests match."""
+    docs = load_table(spark, sf_dir, "documents")
+    return resize_thumbnails(with_binary_payload(docs)).orderBy("doc_id")
+
+
 QUERIES = {
     "multimodal_binary_meta": multimodal_binary_meta,
     "multimodal_frame_sample": multimodal_frame_sample,
+    "multimodal_thumbnail": multimodal_thumbnail,
 }
 
 ORACLE_SQL = {
+    "multimodal_thumbnail": """
+        WITH d AS (
+            SELECT doc_id, text,
+                   CAST(FLOOR(sqrt(length(text))) AS BIGINT) AS dim
+            FROM documents
+        ),
+        sel AS (
+            SELECT doc_id, text, dim,
+                   list_transform(range(0, 8),
+                       i -> LEAST(CAST(FLOOR(i * dim / 8.0) AS BIGINT),
+                                  dim - 1)) AS idx
+            FROM d
+        ),
+        px AS (
+            SELECT doc_id,
+                   list_sum(flatten(list_transform(idx,
+                       r -> list_transform(idx,
+                           c -> ascii(substr(text,
+                                CAST(r * dim + c + 1 AS INTEGER), 1)))))
+                   ) AS s
+            FROM sel
+        )
+        SELECT doc_id,
+               CAST(8 AS INTEGER) AS height,
+               CAST(8 AS INTEGER) AS width,
+               printf('%.4f', s / 64.0) AS pixel_mean
+        FROM px
+        ORDER BY doc_id
+    """,
     "multimodal_frame_sample": """
         WITH f AS (
             SELECT doc_id, text,
