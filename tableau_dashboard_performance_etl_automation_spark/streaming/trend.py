@@ -145,6 +145,39 @@ def purchase_click_attribution(
     )
 
 
+def session_stats_stream(
+    stream: DataFrame, gap: str = "30 minutes", lateness: str = "1 day"
+) -> DataFrame:
+    """Streaming gap sessions via ``session_window`` — the merging
+    window whose state closes (and emits) once the watermark passes a
+    session's end + gap, so state is O(open sessions), bounded by the
+    lateness horizon rather than stream length. The batch twin is
+    ``analytics.session_window_stats``; the test asserts they emit
+    identical sessions."""
+    return (
+        stream.withWatermark("ts", lateness)
+        .groupBy(
+            F.col("user_id"), F.session_window("ts", gap).alias("sw")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (
+                F.sum(
+                    F.round(F.col("value") * 100).cast("bigint")
+                ) / F.lit(100.0)
+            ).alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format("sw.start", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "session_start"
+            ),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
 def dedup_events_stream(stream: DataFrame, lateness: str = "1 hour") -> DataFrame:
     """Streaming ingestion dedup: drop replayed events by ``event_id``
     with watermark-bounded state — the streaming twin of

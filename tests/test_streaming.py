@@ -194,3 +194,49 @@ def test_stream_dedup_drops_replayed_files(spark, sf_dir, tmp_path):
     n_distinct = ev.select("event_id").distinct().count()
     assert got.count() == n_distinct
     assert got.select("event_id").distinct().count() == n_distinct
+
+
+def test_stream_session_window_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming session_window must emit exactly the sessions the
+    batch operator computes once the stream drains."""
+    from tableau_dashboard_performance_etl_automation_spark.operators import analytics
+
+    inp = _stage_stream_input(spark, sf_dir, tmp_path)
+    stream = trend.events_stream(spark, inp)
+    (
+        trend.session_stats_stream(stream)
+        .writeStream.format("memory")
+        .queryName("session_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    got = {
+        (r.user_id, r.session_start, r.n_events, r.session_value)
+        for r in spark.table("session_sink").collect()
+    }
+    want = {
+        (r.user_id, r.session_start, r.n_events, r.session_value)
+        for r in analytics.session_window_stats(spark, sf_dir).collect()
+    }
+    # append mode emits only watermark-finalized sessions: everything
+    # emitted must match the batch result exactly, and the only
+    # missing sessions are the ones still open at end-of-stream
+    # (inside the lateness + gap horizon of the max event time)
+    assert got <= want
+    assert got, "stream emitted nothing"
+    max_ts = (
+        load_table(spark, sf_dir, "events")
+        .agg(F.max("ts").alias("m"))
+        .collect()[0]
+        .m
+    )
+    import datetime
+
+    horizon = max_ts - datetime.timedelta(days=1, minutes=30)
+    for _, start, _, _ in want - got:
+        assert (
+            datetime.datetime.strptime(start, "%Y-%m-%d %H:%M:%S.%f")
+            >= horizon
+        ), f"finalized session {start} was not emitted"
