@@ -476,8 +476,72 @@ def session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: ungrouped revenue forecast over a year/
+    discount/quantity band — the selective-scan aggregate whose
+    predicates must reach the parquet reader (asserted in
+    test_plans). Revenue multiplies exact cents by discount basis
+    points, so the single output value is an exact integer quotient."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    bps = F.round(F.col("l_discount") * 100).cast("bigint")
+    filtered = li.filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+        & (F.col("l_discount") >= 0.02)
+        & (F.col("l_discount") <= 0.09)
+        & (F.col("l_quantity") < 24)
+    )
+    return filtered.select(cents.alias("c"), bps.alias("b")).agg(
+        (F.sum(F.col("c") * F.col("b")) / F.lit(10000.0)).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: segment-filtered customers ⋈ pre-cutoff orders
+    ⋈ post-cutoff lineitems, revenue per order, top 10. The customer
+    dimension broadcasts; orders⋈lineitem is the one fact-fact
+    shuffle, on the order key; top-10 is TakeOrderedAndProject (no
+    full sort)."""
+    cutoff = F.lit("1998-06-15").cast("timestamp_ntz")
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < cutoff
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > cutoff
+    )
+    cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    bps = F.round(F.col("l_discount") * 100).cast("bigint")
+    return (
+        li.withColumn("rev_c", cents * (F.lit(100) - bps))
+        .join(
+            orders.select("o_orderkey", "o_custkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(cust.select("c_custkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg((F.sum("rev_c") / F.lit(10000.0)).alias("revenue"))
+        .select(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            F.round("revenue", 4).alias("revenue"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
 QUERIES = {
     "pricing_summary": pricing_summary,
+    "forecast_revenue": forecast_revenue,
+    "shipping_priority": shipping_priority,
     "event_funnel": event_funnel,
     "rolling_value_7d": rolling_value_7d,
     "daily_open_close": daily_open_close,
@@ -494,6 +558,33 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "forecast_revenue": """
+        SELECT CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                        * CAST(ROUND(l_discount * 100) AS BIGINT))
+                    AS BIGINT) / 10000.0 AS revenue,
+               CAST(COUNT(*) AS BIGINT) AS n_lines
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+          AND l_discount >= 0.02 AND l_discount <= 0.09
+          AND l_quantity < 24
+    """,
+    "shipping_priority": """
+        SELECT o_orderkey,
+               strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+               ROUND(CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                          * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))
+                     AS BIGINT) / 10000.0, 4) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-06-15'
+          AND l_shipdate > TIMESTAMP '1998-06-15'
+        GROUP BY o_orderkey, o_orderdate
+        ORDER BY revenue DESC, o_orderkey
+        LIMIT 10
+    """,
     "session_window_stats": """
         WITH ordered AS (
             SELECT user_id, ts, event_id,

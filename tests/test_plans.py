@@ -122,3 +122,21 @@ def test_rolling_window_sees_daily_rows_not_events(spark, sf_dir):
     agg_pos = plan.find("HashAggregate")
     win_pos = plan.find("Window")
     assert agg_pos != -1 and win_pos != -1
+
+
+def test_forecast_revenue_predicates_reach_scan(spark, sf_dir):
+    """Q6's selectivity only pays off if the band predicates push to
+    parquet — all three filter columns must appear in PushedFilters."""
+    df = analytics.forecast_revenue(spark, sf_dir)
+    pushed = " ".join(pushed_filters(df))
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, col
+
+
+def test_shipping_priority_broadcasts_customers(spark, sf_dir):
+    df = analytics.shipping_priority(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BroadcastExchange" in plan
+    assert not has_cartesian_product(df)
+    # top-10 must be TakeOrderedAndProject, not a full global sort
+    assert "TakeOrderedAndProject" in plan
