@@ -538,10 +538,35 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def hourly_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekday × hour activity grid (the dashboard heatmap): event
+    count and exact-cents mean value per cell. One hash aggregate on
+    a 7×24-bounded key. Weekday convention: Monday=0 (Spark
+    ``weekday``; oracle uses ``isodow - 1``)."""
+    e = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    return (
+        e.select(
+            F.weekday("ts").alias("wd"),
+            F.hour("ts").alias("hh"),
+            cents.alias("cents"),
+        )
+        .groupBy("wd", "hh")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(
+                F.sum("cents") / (F.lit(100.0) * F.count(F.lit(1))), 4
+            ).alias("avg_value"),
+        )
+        .orderBy("wd", "hh")
+    )
+
+
 QUERIES = {
     "pricing_summary": pricing_summary,
     "forecast_revenue": forecast_revenue,
     "shipping_priority": shipping_priority,
+    "hourly_heatmap": hourly_heatmap,
     "event_funnel": event_funnel,
     "rolling_value_7d": rolling_value_7d,
     "daily_open_close": daily_open_close,
@@ -558,6 +583,16 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "hourly_heatmap": """
+        SELECT CAST(isodow(ts) - 1 AS INTEGER) AS wd,
+               CAST(hour(ts) AS INTEGER) AS hh,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               ROUND(CAST(SUM(CAST(ROUND(value * 100) AS BIGINT))
+                          AS BIGINT) / (100.0 * COUNT(*)), 4) AS avg_value
+        FROM events
+        GROUP BY 1, 2
+        ORDER BY wd, hh
+    """,
     "forecast_revenue": """
         SELECT CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
                         * CAST(ROUND(l_discount * 100) AS BIGINT))

@@ -184,6 +184,31 @@ def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the language-ID heuristic against the
+    labeled ``lang`` column — the model-eval table a classifier pass
+    publishes (per (actual, predicted) cell: count and share of the
+    actual class). Composes :func:`text_lang_id`, then one bounded
+    aggregate plus a broadcast per-class total."""
+    pred = text_lang_id(spark, sf_dir)
+    cells = pred.groupBy("lang", "predicted_lang").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    totals = pred.groupBy("lang").agg(F.count(F.lit(1)).alias("class_total"))
+    return (
+        cells.join(F.broadcast(totals), "lang")
+        .select(
+            "lang",
+            "predicted_lang",
+            "n_docs",
+            F.round(F.col("n_docs") / F.col("class_total"), 4).alias(
+                "class_share"
+            ),
+        )
+        .orderBy("lang", "predicted_lang")
+    )
+
+
 def doc_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 characteristic terms per document by TF·(N/DF) — the
     keyword-extraction pass feeding corpus summaries and topic
@@ -249,6 +274,7 @@ QUERIES = {
     "text_lang_id": text_lang_id,
     "doc_repetition": doc_repetition,
     "doc_top_terms": doc_top_terms,
+    "lang_id_confusion": lang_id_confusion,
     "corpus_top_ngrams": corpus_top_ngrams,
     "text_quality": text_quality,
     "text_token_count": text_token_count,
@@ -281,6 +307,22 @@ _STOPLIST_SQL = ", ".join(f"'{s}'" for s in STOPWORDS)
 
 ORACLE_SQL = {
     "text_lang_id": _lang_oracle(),
+    "lang_id_confusion": f"""
+        WITH pred AS ({_lang_oracle()}),
+        cells AS (
+            SELECT lang, predicted_lang,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs
+            FROM pred GROUP BY lang, predicted_lang
+        ),
+        totals AS (
+            SELECT lang, CAST(COUNT(*) AS BIGINT) AS class_total
+            FROM pred GROUP BY lang
+        )
+        SELECT c.lang, c.predicted_lang, c.n_docs,
+               ROUND(c.n_docs * 1.0 / t.class_total, 4) AS class_share
+        FROM cells c JOIN totals t USING (lang)
+        ORDER BY c.lang, c.predicted_lang
+    """,
     "doc_top_terms": """
         WITH tokens AS (
             SELECT doc_id, word, COUNT(*) AS cnt
