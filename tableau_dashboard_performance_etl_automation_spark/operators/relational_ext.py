@@ -328,10 +328,46 @@ def buyer_cohort_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def price_rank_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 orders per priority with dense_rank, percent_rank, and
+    the LEAD gap to the next-cheaper order — the leaderboard shape
+    exercising the rank-family windows together. One window partition
+    per priority (bounded key domain), full (price, key) tiebreak so
+    every rank value is deterministic; percent_rank is an exact
+    integer ratio."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .withColumn("price_rank", F.dense_rank().over(w))
+        .withColumn("pct_rank", F.round(F.percent_rank().over(w), 6))
+        .withColumn(
+            "gap_to_next",
+            F.round(
+                F.col("o_totalprice") - F.lead("o_totalprice").over(w), 2
+            ),
+        )
+        .filter(F.col("rn") <= 10)
+        .select(
+            "o_orderpriority",
+            F.col("rn").alias("pos"),
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("total_price"),
+            "price_rank",
+            "pct_rank",
+            "gap_to_next",
+        )
+        .orderBy("o_orderpriority", "pos")
+    )
+
+
 QUERIES = {
     "part_cube_stats": part_cube_stats,
     "order_quartiles": order_quartiles,
     "buyer_cohort_setops": buyer_cohort_setops,
+    "price_rank_gaps": price_rank_gaps,
     "customers_without_orders": customers_without_orders,
     "user_activity_merge": user_activity_merge,
     "event_type_counts_salted": event_type_counts_salted,
@@ -346,6 +382,27 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "price_rank_gaps": """
+        WITH ranked AS (
+            SELECT o_orderpriority, o_orderkey, o_totalprice,
+                   CAST(ROW_NUMBER() OVER w AS INTEGER) AS pos,
+                   CAST(DENSE_RANK() OVER w AS INTEGER) AS price_rank,
+                   ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+                   ROUND(o_totalprice - LEAD(o_totalprice) OVER w, 2)
+                       AS gap_to_next
+            FROM orders
+            WINDOW w AS (
+                PARTITION BY o_orderpriority
+                ORDER BY o_totalprice DESC, o_orderkey
+            )
+        )
+        SELECT o_orderpriority, pos, o_orderkey,
+               ROUND(o_totalprice, 2) AS total_price,
+               price_rank, pct_rank, gap_to_next
+        FROM ranked
+        WHERE pos <= 10
+        ORDER BY o_orderpriority, pos
+    """,
     "buyer_cohort_setops": """
         WITH a AS (
             SELECT DISTINCT o_custkey FROM orders
