@@ -51,18 +51,21 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "query_set_wall_seconds",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
+    summary = json.dumps(
+        {
+            "metric": "query_set_wall_seconds",
+            "value": round(sum(timings.values()), 3),
+            "unit": "sec",
+            "queries": timings,
+            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        }
     )
+    # stop BEFORE printing so no late executor/console output can land
+    # after (or interleave with) the JSON line a capturing driver
+    # parses from the stdout tail; progress bars are also disabled in
+    # session.py for the same reason.
     spark.stop()
+    print(summary, flush=True)
 
 
 if __name__ == "__main__":

@@ -394,46 +394,75 @@ def daily_open_close(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _grouped_median_parts(df: DataFrame, key: str, val: str) -> DataFrame:
+    """Exact weighted median per key, fully distributed: compact to
+    (key, value, count) — a hash aggregate with map-side combine —
+    then locate the two middle order statistics via cumulative counts.
+    Returns (key, m1, m2, n) with median = (m1 + m2) / 2
+    (``quantile_cont`` semantics on the raw rows).
+
+    Memory is bounded by DISTINCT values per key (the window sorts the
+    compacted counts, never the rows), so no executor ever holds a
+    key's row set — the scale-safe exact-median shape. The per-key
+    window is a sort over the value domain; at 100 TB the domain
+    (integer cents) stays thousands of rows per key while the row
+    count grows unbounded."""
+    counts = df.groupBy(key, val).agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy(key).orderBy(val)
+    cum = counts.withColumn("hi", F.sum("cnt").over(w)).withColumn(
+        "lo", F.col("hi") - F.col("cnt")
+    )
+    totals = df.groupBy(key).agg(F.count(F.lit(1)).alias("n"))
+    k1 = F.expr("(n - 1) DIV 2")  # 0-based lower middle
+    k2 = F.expr("n DIV 2")  # 0-based upper middle
+    return (
+        cum.join(totals, key)
+        .groupBy(key)
+        .agg(
+            F.max(
+                F.when((F.col("lo") <= k1) & (k1 < F.col("hi")), F.col(val))
+            ).alias("m1"),
+            F.max(
+                F.when((F.col("lo") <= k2) & (k2 < F.col("hi")), F.col(val))
+            ).alias("m2"),
+            F.max("n").alias("n"),
+        )
+    )
+
+
 def event_type_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Median / MAD per event type via a grouped-map ``applyInPandas``
-    (Arrow batches, the batch twin of the streaming state operator) —
-    the robust-statistics pass where a rank-based statistic is genuinely
-    awkward in one SQL aggregate.
+    """Median / MAD per event type via two exact weighted-median
+    passes over (value, count) compactions — no operator anywhere in
+    the plan holds a whole key's rows (the prior grouped-map
+    ``applyInPandas`` form concentrated each event_type into one
+    pandas frame: an OOM at 100×, not a slowdown).
 
-    Exactness: medians interpolate on integer *cents*, so every value
-    is an exact binary half/quarter and numpy's ``(a+b)/2`` equals the
-    oracle's ``a+(b-a)*0.5`` bit-for-bit — no float-fuzz between
-    engines. Scale note: grouping is by the ~5-value ``event_type``,
-    so each pandas batch sees one key's rows — fine for a
-    bounded-cardinality diagnostic; the unbounded-cardinality scale
-    path is the sketch form (``approx_value_percentiles``)."""
-    import numpy as np
-    import pandas as pd
-
+    Exactness: all arithmetic stays in integer half-cents until the
+    final division — median = (m1+m2)/200, MAD = (d1+d2)/400 — and
+    every intermediate the oracle's ``quantile_cont`` interpolation
+    produces is a dyadic rational computed exactly in IEEE doubles,
+    so the single final rounding matches bit-for-bit."""
     e = load_table(spark, sf_dir, "events")
     ec = e.select(
         "event_type", F.round(F.col("value") * 100).cast("bigint").alias("cents")
     )
-
-    def robust(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        c = pdf["cents"].to_numpy(dtype=np.float64)
-        med = float(np.median(c))
-        mad = float(np.median(np.abs(c - med)))
-        return pd.DataFrame(
-            {
-                "event_type": [pdf["event_type"].iloc[0]],
-                "median_value": [med / 100.0],
-                "mad_value": [mad / 100.0],
-                "n_events": [len(c)],
-            }
-        )
-
+    med = _grouped_median_parts(ec, "event_type", "cents").select(
+        "event_type",
+        (F.col("m1") + F.col("m2")).alias("med_hc"),  # 2×median, exact int
+        "n",
+    )
+    dev = ec.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        F.abs(F.lit(2) * F.col("cents") - F.col("med_hc")).alias("dev_hc"),
+    )
+    mad = _grouped_median_parts(dev, "event_type", "dev_hc")
     return (
-        ec.groupBy("event_type")
-        .applyInPandas(
-            robust,
-            "event_type string, median_value double, mad_value double,"
-            " n_events bigint",
+        med.join(mad.select("event_type", "m1", "m2"), "event_type")
+        .select(
+            "event_type",
+            (F.col("med_hc") / F.lit(200.0)).alias("median_value"),
+            ((F.col("m1") + F.col("m2")) / F.lit(400.0)).alias("mad_value"),
+            F.col("n").alias("n_events"),
         )
         .orderBy("event_type")
     )

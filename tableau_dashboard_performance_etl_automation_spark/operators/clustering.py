@@ -34,6 +34,11 @@ def connected_components(edges: DataFrame, max_rounds: int = MAX_ROUNDS) -> Data
     """Min-label propagation over an undirected edge list
     (columns ``doc_a``, ``doc_b``) → (doc_id, cluster_id) where
     cluster_id is the component's minimum doc id."""
+    if max_rounds < 1:
+        # max_rounds=0 would skip the loop and silently return the
+        # identity labeling — the exact silent-wrong-answer the
+        # non-convergence RuntimeError below exists to prevent
+        raise ValueError(f"max_rounds must be >= 1, got {max_rounds}")
     sym = edges.selectExpr("doc_a AS src", "doc_b AS dst").union(
         edges.selectExpr("doc_b AS src", "doc_a AS dst")
     )

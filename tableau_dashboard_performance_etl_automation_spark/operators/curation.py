@@ -37,7 +37,11 @@ MIN_WORDS = 20
 #: the survivor set once and derives reports from it). curate_corpus
 #: itself always recomputes, so its timings stay honest. Keyed by
 #: (applicationId, sf_dir); the checkpointed result is a few thousand
-#: narrow rows.
+#: narrow rows. Capped to the single most recent entry (each write
+#: evicts prior ones) so checkpoint blocks from other sf_dirs don't
+#: stay pinned for the application lifetime. Staleness assumption:
+#: an sf_dir's parquet is immutable within a session (true for the
+#: driver's test corpora) — mutate the data, restart the session.
 _SURVIVOR_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
@@ -86,6 +90,7 @@ def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_id")
         .localCheckpoint()
     )
+    _SURVIVOR_CACHE.clear()  # single-entry cap; see docstring above
     _SURVIVOR_CACHE[key] = out
     return out
 

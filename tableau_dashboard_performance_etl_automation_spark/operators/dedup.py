@@ -35,13 +35,26 @@ from tableau_dashboard_performance_etl_automation_spark.functions.text import (
 #: MinHash signature size and LSH banding (8 hashes → 4 bands × 2).
 MINHASH_HASHES = 8
 MINHASH_BANDS = 4
-#: SimHash width in bits and band count for candidate blocking.
-#: 64-bit fingerprint / 16-bit bands → 65 536 bucket values per band,
-#: so band buckets stay sub-quadratic at corpus scale (8-bit bands'
-#: 256 values per band collapse into hot buckets at billions of docs).
-SIMHASH_BITS = 64
+#: SimHash banding: the band count is PINNED at MAX_HAMMING + 1 — the
+#: pigeonhole bound that makes blocking EXACT (any pair within the
+#: hamming radius must agree on at least one band) — so the scale
+#: dial is the fingerprint width: ``simhash_fingerprint_bits(n)``
+#: widens 64 → 128 bits once 2^(bits/4) bucket values per band would
+#: go hotter than SIMHASH_TARGET_BUCKET docs deep. Word-aligned
+#: widths only (bands must not straddle the BIGINT words the
+#: fingerprint is packed into).
 SIMHASH_BANDS = 4
 SIMHASH_MAX_HAMMING = 3
+SIMHASH_TARGET_BUCKET = 8
+
+
+def simhash_fingerprint_bits(n_docs: int) -> int:
+    """Fingerprint width for an ``n_docs`` corpus: 64-bit (16-bit
+    bands, 65 536 values) while expected band-bucket depth
+    n / 2^16 stays at or below SIMHASH_TARGET_BUCKET, else 128-bit
+    (32-bit bands, 4.3e9 values — sub-quadratic past billions of
+    docs)."""
+    return 64 if n_docs <= SIMHASH_TARGET_BUCKET * (2 ** 16) else 128
 #: n-gram Jaccard: drop shingles shared by more than this many docs
 #: (stop-shingle guard against quadratic buckets).
 JACCARD_MAX_DF = 100
@@ -205,19 +218,24 @@ def _simhash_signed_bit(bit: int) -> F.Column:
     ).otherwise(F.lit(-1))
 
 
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frequency-weighted 64-bit SimHash near-dup pairs.
+def simhash_pairs(docs: DataFrame, fingerprint_bits: int) -> DataFrame:
+    """Frequency-weighted SimHash near-dup pairs at an arbitrary
+    word-aligned fingerprint width (64 → one BIGINT word, 128 → two).
 
     Per (doc, token) counts weight the ±1 bit contributions; the
-    fingerprint's 4 × 16-bit bands block candidate pairs (equality
-    join), then exact hamming distance ≤ 3 confirms. Weighting by
-    term frequency keeps documents with identical vocab *sets* but
-    different word counts from collapsing into one quadratic bucket.
-    Bit 63 makes the BIGINT fingerprint negative in two's complement
-    — harmless: xor/bit_count/masked band extraction are bit-pattern
-    operations, identical in both engines.
-    """
-    docs = load_table(spark, sf_dir, "documents")
+    fingerprint's ``SIMHASH_BANDS`` bands block candidate pairs
+    (equality join), then exact hamming distance ≤ 3 confirms.
+    Weighting by term frequency keeps documents with identical vocab
+    *sets* but different word counts from collapsing into one
+    quadratic bucket. The top bit of each word makes that BIGINT
+    negative in two's complement — harmless: xor/bit_count/masked
+    band extraction are bit-pattern operations, identical in both
+    engines. Bands are word-aligned by construction (bits/4 is 16 or
+    32), so a band never straddles words."""
+    n_words = fingerprint_bits // 64
+    assert fingerprint_bits % 64 == 0 and n_words >= 1
+    bits_per_band = fingerprint_bits // SIMHASH_BANDS
+    assert 64 % bits_per_band == 0 or bits_per_band % 64 == 0
     tokens = (
         docs.withColumn("w", words())
         .select("doc_id", F.explode("w").alias("word"))
@@ -230,11 +248,14 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Hash each DISTINCT word once (the vocabulary is tiny relative to
     # the corpus — this is a broadcast-joined lookup, not a per-row
-    # 32-way md5), then weight by per-doc counts. Numerically
+    # per-bit md5), then weight by per-doc counts. Numerically
     # identical to hashing inline; ~|vocab|/|corpus| of the hash work.
     word_bits = tokens.select("word").distinct().select(
         "word",
-        *[_simhash_signed_bit(j).alias(f"b{j}") for j in range(SIMHASH_BITS)],
+        *[
+            _simhash_signed_bit(j).alias(f"b{j}")
+            for j in range(fingerprint_bits)
+        ],
     )
     sums = (
         tokens.join(F.broadcast(word_bits), "word")
@@ -242,7 +263,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             *[
                 F.sum(F.col("cnt") * F.col(f"b{j}")).alias(f"s{j}")
-                for j in range(SIMHASH_BITS)
+                for j in range(fingerprint_bits)
             ]
         )
     )
@@ -250,27 +271,34 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero = F.lit(0).cast("bigint")
     simhash = sums.select(
         "doc_id",
-        sum(
-            [
-                # shiftleft, not 2**j literals: 1<<63 only exists as
-                # the (negative) min-long bit pattern
-                F.when(F.col(f"s{j}") > 0, F.shiftleft(one, j)).otherwise(zero)
-                for j in range(SIMHASH_BITS)
-            ]
-        )
-        .cast("bigint")
-        .alias("simhash"),
+        *[
+            sum(
+                [
+                    # shiftleft, not 2**j literals: 1<<63 only exists
+                    # as the (negative) min-long bit pattern
+                    F.when(
+                        F.col(f"s{64 * w + j}") > 0, F.shiftleft(one, j)
+                    ).otherwise(zero)
+                    for j in range(64)
+                ]
+            )
+            .cast("bigint")
+            .alias(f"sh{w}")
+            for w in range(n_words)
+        ],
     )
-    bits_per_band = SIMHASH_BITS // SIMHASH_BANDS
     bands = simhash.select(
         "doc_id",
-        "simhash",
+        *[F.col(f"sh{w}") for w in range(n_words)],
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(b).alias("band_id"),
-                        F.shiftright(F.col("simhash"), b * bits_per_band)
+                        F.shiftright(
+                            F.col(f"sh{(b * bits_per_band) // 64}"),
+                            (b * bits_per_band) % 64,
+                        )
                         .bitwiseAND(2**bits_per_band - 1)
                         .alias("band_val"),
                     )
@@ -278,7 +306,12 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("band"),
-    ).select("doc_id", "simhash", "band.band_id", "band.band_val")
+    ).select(
+        "doc_id",
+        *[F.col(f"sh{w}") for w in range(n_words)],
+        "band.band_id",
+        "band.band_val",
+    )
     a, b = bands.alias("a"), bands.alias("b")
     pairs = (
         a.join(
@@ -290,16 +323,32 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.simhash").bitwiseXOR(F.col("b.simhash")).alias("x"),
+            *[
+                F.col(f"a.sh{w}")
+                .bitwiseXOR(F.col(f"b.sh{w}"))
+                .alias(f"x{w}")
+                for w in range(n_words)
+            ],
         )
         .distinct()
     )
+    hamming = sum([F.bit_count(F.col(f"x{w}")) for w in range(n_words)])
     return (
-        pairs.withColumn("hamming", F.bit_count(F.col("x")))
+        pairs.withColumn("hamming", hamming)
         .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
         .select("doc_a", "doc_b", "hamming")
         .orderBy("doc_a", "doc_b")
     )
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs with the fingerprint width derived from
+    the corpus count (``simhash_fingerprint_bits``) — one COUNT(*)
+    prices the dial; the test corpora land on 64-bit (the regime the
+    static DuckDB oracle replays), a >512k-doc corpus widens to
+    128-bit automatically (pytest-exercised on a synthetic corpus)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_pairs(docs, simhash_fingerprint_bits(docs.count()))
 
 
 #: Decontamination n-gram length and the held-out "benchmark" slice
@@ -352,8 +401,54 @@ def benchmark_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_replayed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of ``streaming.trend.dedup_events_stream``
+    (dropDuplicatesWithinWatermark): an at-least-once upstream
+    re-delivers the newest day's file (the reference's cron extract
+    re-runs exactly this way, tabjolt_email.py:351-359); dedup keeps
+    one row per ``event_id`` and reports the delivery count.
+
+    Deterministic replay model — re-deliver every event of the
+    corpus's max date — so the DuckDB oracle replays it; the streaming
+    equivalence is pytest-asserted against the watermarked stream
+    (tests/test_streaming.py). Shape: one union (no shuffle) + one
+    hash aggregate on event_id; the 1-row max-date anchor broadcasts.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    anchor = e.agg(F.max(F.to_date("ts")).alias("replay_day"))
+    replay = (
+        e.crossJoin(F.broadcast(anchor))
+        .filter(F.to_date("ts") == F.col("replay_day"))
+        .drop("replay_day")
+    )
+    return (
+        e.unionByName(replay)
+        .groupBy("event_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_deliveries"),
+            F.min("ts").alias("mts"),
+            # replicas are bit-identical rows; MIN just picks the one
+            F.min("event_type").alias("event_type"),
+            F.min("value").alias("value"),
+        )
+        .select(
+            "event_id",
+            F.date_format("mts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "event_ts"
+            ),
+            "event_type",
+            "value",
+            "n_deliveries",
+        )
+        .orderBy("event_id")
+    )
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
+    "dedup_replayed_events": dedup_replayed_events,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_simhash": dedup_simhash,
@@ -390,24 +485,28 @@ def _minhash_oracle() -> str:
 
 
 def _simhash_oracle() -> str:
+    # static 64-bit replay: the width dial lands on 64 for every
+    # corpus the driver checks (simhash_fingerprint_bits flips to 128
+    # only past ~512k docs; that regime is pytest-covered instead)
+    bits = 64
     signed = ", ".join(
         f"SUM(cnt * CASE WHEN substr(md5('{j}|' || word), 1, 1) >= '8' "
         f"THEN 1 ELSE -1 END) AS s{j}"
-        for j in range(SIMHASH_BITS)
+        for j in range(bits)
     )
     # shift-built powers; DuckDB refuses 1<<63 (overflow-checked), so
     # the sign bit is the min-long literal. The j-ascending order
     # keeps every partial sum inside BIGINT range.
     def _pow2(j: int) -> str:
-        if j == SIMHASH_BITS - 1 == 63:
+        if j == bits - 1 == 63:
             return "CAST(-9223372036854775807 - 1 AS BIGINT)"
         return f"(CAST(1 AS BIGINT) << {j})"
 
     hash_expr = " + ".join(
         f"CASE WHEN s{j} > 0 THEN {_pow2(j)} ELSE CAST(0 AS BIGINT) END"
-        for j in range(SIMHASH_BITS)
+        for j in range(bits)
     )
-    bits_per_band = SIMHASH_BITS // SIMHASH_BANDS
+    bits_per_band = bits // SIMHASH_BANDS
     band_selects = " UNION ALL ".join(
         f"SELECT doc_id, simhash, {b} AS band_id, "
         f"(simhash >> {b * bits_per_band}) & {2**bits_per_band - 1} AS band_val "
@@ -477,6 +576,23 @@ ORACLE_SQL = {
         FROM documents
         GROUP BY md5(text)
         ORDER BY text_hash
+    """,
+    "dedup_replayed_events": """
+        WITH deliveries AS (
+            SELECT event_id, ts, event_type, value FROM events
+            UNION ALL
+            SELECT event_id, ts, event_type, value FROM events
+            WHERE CAST(ts AS DATE) =
+                  (SELECT MAX(CAST(ts AS DATE)) FROM events)
+        )
+        SELECT event_id,
+               strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS event_ts,
+               MIN(event_type) AS event_type,
+               MIN(value) AS value,
+               CAST(COUNT(*) AS BIGINT) AS n_deliveries
+        FROM deliveries
+        GROUP BY event_id
+        ORDER BY event_id
     """,
     "dedup_minhash_lsh": _minhash_oracle(),
     "dedup_ngram_jaccard": f"""

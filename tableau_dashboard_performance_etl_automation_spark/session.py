@@ -67,5 +67,9 @@ def get_spark(app_name: str = "tdpe-spark", master: str | None = None) -> SparkS
             "spark.driver.extraJavaOptions", "-Dderby.system.home=/tmp/tdpe-derby"
         )
         .config("spark.ui.enabled", "false")
+        # keep stdout machine-readable: console progress bars interleave
+        # with (and in captured runs truncate) the one-line JSON outputs
+        # bench.py / tools emit
+        .config("spark.ui.showConsoleProgress", "false")
     )
     return builder.getOrCreate()

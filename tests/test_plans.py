@@ -83,8 +83,9 @@ def test_neardup_blocks_on_lsh_not_label(spark, sf_dir):
     assert not has_cartesian_product(df)
     plan = formatted_plan(df)
     assert "label" not in plan  # blocking key is the LSH signature
+    emb = load_table(spark, sf_dir, "embeddings")
     sigs = similarity._band_signatures(
-        load_table(spark, sf_dir, "embeddings")
+        emb, similarity.lsh_band_bits(emb.count())
     )
     # every vector emits one signature per band
     n_vec = sigs.select("vec_id").distinct().count()

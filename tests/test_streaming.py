@@ -240,3 +240,50 @@ def test_stream_session_window_matches_batch(spark, sf_dir, tmp_path):
             datetime.datetime.strptime(start, "%Y-%m-%d %H:%M:%S.%f")
             >= horizon
         ), f"finalized session {start} was not emitted"
+
+
+def test_batch_replay_dedup_matches_streaming_dedup(spark, sf_dir, tmp_path):
+    """The registered batch twin (dedup_replayed_events) and the
+    watermarked streaming dedup must agree on the survivor set when
+    fed the same replayed deliveries (base corpus + the newest day's
+    file re-delivered)."""
+    from tableau_dashboard_performance_etl_automation_spark.operators.dedup import (
+        dedup_replayed_events,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    inp = str(tmp_path / "events_replay")
+    ev.write.parquet(inp)
+    replay_day = ev.agg(F.max(F.to_date("ts"))).collect()[0][0]
+    ev.filter(F.to_date("ts") == F.lit(replay_day)).write.mode(
+        "append"
+    ).parquet(inp)
+
+    stream = spark.readStream.schema(ev.schema).parquet(inp)
+    (
+        trend.dedup_events_stream(stream)
+        .writeStream.format("memory")
+        .queryName("replay_dedup_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    streamed_ids = {
+        r.event_id for r in spark.table("replay_dedup_sink").collect()
+    }
+    batch = dedup_replayed_events(spark, sf_dir)
+    batch_ids = {r.event_id for r in batch.select("event_id").collect()}
+    assert streamed_ids == batch_ids
+    # and the twin counts the replayed day's rows as double deliveries
+    doubles = {
+        r.event_id
+        for r in batch.filter(F.col("n_deliveries") == 2).collect()
+    }
+    want_doubles = {
+        r.event_id
+        for r in ev.filter(F.to_date("ts") == F.lit(replay_day)).collect()
+    }
+    assert doubles == want_doubles
