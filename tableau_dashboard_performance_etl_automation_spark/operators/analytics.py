@@ -468,6 +468,85 @@ def event_type_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def value_robust_outlier_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type robust outlier share: events whose deviation from the
+    type median exceeds 3.5×MAD — the robust z-score gate a metrics
+    pipeline uses where mean/stddev would chase their own outliers.
+
+    Built on the same distributed weighted-median passes as
+    ``event_type_robust_stats`` (nothing holds a key's rows); the
+    3.5×MAD comparison is integer-exact — ``4·dev_hc > 7·(d1+d2)``
+    in half-cent units — so both engines flag identical rows."""
+    e = load_table(spark, sf_dir, "events")
+    ec = e.select(
+        "event_type", F.round(F.col("value") * 100).cast("bigint").alias("cents")
+    )
+    med = _grouped_median_parts(ec, "event_type", "cents").select(
+        "event_type", (F.col("m1") + F.col("m2")).alias("med_hc"), "n"
+    )
+    dev = ec.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        F.abs(F.lit(2) * F.col("cents") - F.col("med_hc")).alias("dev_hc"),
+    )
+    mad = _grouped_median_parts(dev, "event_type", "dev_hc").select(
+        "event_type", (F.col("m1") + F.col("m2")).alias("dsum")
+    )
+    outliers = (
+        dev.join(F.broadcast(mad), "event_type")
+        .filter(F.lit(4) * F.col("dev_hc") > F.lit(7) * F.col("dsum"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_outliers"))
+    )
+    return (
+        med.join(outliers, "event_type", "left")
+        .select(
+            "event_type",
+            F.col("n").alias("n_events"),
+            F.coalesce("n_outliers", F.lit(0).cast("bigint")).alias(
+                "n_outliers"
+            ),
+            F.round(
+                F.coalesce("n_outliers", F.lit(0)) / F.col("n"), 4
+            ).alias("outlier_rate"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def new_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily first-conversion acquisition with a running total: each
+    user's first PURCHASE date (one filtered hash aggregate on
+    user_id), counted per day, then a cumulative sum. The window runs
+    over the DAILY aggregate — ≤ one row per calendar day, never the
+    raw stream — so the unpartitioned ordering is bounded by date
+    cardinality, not data size; the purchase filter reaches the scan.
+    """
+    e = load_table(spark, sf_dir, "events")
+    first_seen = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min(F.to_date("ts")).alias("first_date"))
+    )
+    daily = first_seen.groupBy("first_date").agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    w = (
+        Window.orderBy("first_date")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        daily.withColumn(
+            "cum_users", F.sum("new_users").over(w).cast("bigint")
+        )
+        .select(
+            F.date_format("first_date", "yyyy-MM-dd").alias("event_date"),
+            "new_users",
+            "cum_users",
+        )
+        .orderBy("event_date")
+    )
+
+
 def session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap sessions via Spark's native ``session_window`` (the
     streaming-capable merging-window operator), aggregated per
@@ -600,6 +679,8 @@ QUERIES = {
     "rolling_value_7d": rolling_value_7d,
     "daily_open_close": daily_open_close,
     "event_type_robust_stats": event_type_robust_stats,
+    "value_robust_outlier_rates": value_robust_outlier_rates,
+    "new_users_daily": new_users_daily,
     "session_window_stats": session_window_stats,
     "value_outliers": value_outliers,
     "user_retention_cohorts": user_retention_cohorts,
@@ -681,6 +762,56 @@ ORACLE_SQL = {
         FROM sess
         GROUP BY user_id, sid
         ORDER BY user_id, session_start
+    """,
+    "value_robust_outlier_rates": """
+        WITH ec AS (
+            SELECT event_type,
+                   CAST(ROUND(value * 100) AS BIGINT) AS cents
+            FROM events
+        ),
+        med AS (
+            SELECT event_type,
+                   quantile_cont(cents, 0.5) AS med_c,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM ec GROUP BY event_type
+        ),
+        dev AS (
+            SELECT ec.event_type, abs(ec.cents - med.med_c) AS dev
+            FROM ec JOIN med USING (event_type)
+        ),
+        mad AS (
+            SELECT event_type, quantile_cont(dev, 0.5) AS mad
+            FROM dev GROUP BY event_type
+        )
+        SELECT d.event_type,
+               MIN(med.n_events) AS n_events,
+               CAST(SUM(CASE WHEN d.dev > 3.5 * mad.mad THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_outliers,
+               ROUND(SUM(CASE WHEN d.dev > 3.5 * mad.mad THEN 1 ELSE 0 END)
+                     * 1.0 / MIN(med.n_events), 4) AS outlier_rate
+        FROM dev d
+        JOIN mad USING (event_type)
+        JOIN med USING (event_type)
+        GROUP BY d.event_type
+        ORDER BY d.event_type
+    """,
+    "new_users_daily": """
+        WITH first_seen AS (
+            SELECT user_id, MIN(CAST(ts AS DATE)) AS first_date
+            FROM events WHERE event_type = 'purchase' GROUP BY user_id
+        ),
+        daily AS (
+            SELECT first_date, CAST(COUNT(*) AS BIGINT) AS new_users
+            FROM first_seen GROUP BY first_date
+        )
+        SELECT strftime(first_date, '%Y-%m-%d') AS event_date,
+               new_users,
+               CAST(SUM(new_users) OVER (
+                   ORDER BY first_date
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS cum_users
+        FROM daily
+        ORDER BY event_date
     """,
     "event_type_robust_stats": """
         WITH ec AS (

@@ -363,7 +363,132 @@ def price_rank_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: PROMO parts' share of discounted revenue per
+    ship year. The part dimension broadcasts (never shuffles the
+    fact); revenue accumulates in exact cents×percent integer units,
+    so the share is a ratio of exact BIGINTs and the displayed total
+    is an integer-truncated quotient — identical in both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    bps = F.round(F.col("l_discount") * 100).cast("bigint")
+    rev = cents * (F.lit(100) - bps)  # dollars × 1e4, exact int
+    j = li.join(
+        F.broadcast(part.select("p_partkey", "p_type")),
+        li.l_partkey == F.col("p_partkey"),
+    )
+    return (
+        j.groupBy(F.year("l_shipdate").alias("ship_year"))
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0)).alias(
+                "promo_units"
+            ),
+            F.sum(rev).alias("total_units"),
+        )
+        .select(
+            "ship_year",
+            F.round(
+                F.col("promo_units") * 100 / F.col("total_units"), 4
+            ).alias("promo_pct"),
+            (
+                F.expr("CAST(total_units DIV 100 AS DOUBLE)") / F.lit(100.0)
+            ).alias("total_revenue"),
+        )
+        .orderBy("ship_year")
+    )
+
+
+def brand_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct suppliers per (brand, type),
+    excluding the PROMO type — COUNT(DISTINCT) over the broadcast
+    part join, ordered suppliers-first like a sourcing report."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    j = li.join(
+        F.broadcast(
+            part.filter(F.col("p_type") != "PROMO").select(
+                "p_partkey", "p_brand", "p_type"
+            )
+        ),
+        li.l_partkey == F.col("p_partkey"),
+    )
+    return (
+        j.groupBy("p_brand", "p_type")
+        .agg(
+            F.countDistinct("l_suppkey").alias("supplier_cnt"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type")
+    )
+
+
+def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue locked in small-lot lines (quantity
+    below 20% of the part's average). The per-part average joins back
+    on the fact's own key (one co-partitioned shuffle); the 0.2×avg
+    comparison is integer-exact — ``5·q·n < Σq`` — since quantities
+    are integral."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.col("l_quantity").cast("bigint").alias("qty"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
+    )
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum("qty").alias("sum_q"), F.count(F.lit(1)).alias("n_lines")
+    )
+    small = li.join(per_part, "l_partkey").filter(
+        F.col("qty") * 5 * F.col("n_lines") < F.col("sum_q")
+    )
+    return small.agg(
+        F.count(F.lit(1)).alias("n_small_lines"),
+        (F.sum("cents") / F.lit(100.0)).alias("small_revenue"),
+    )
+
+
+def quantity_band_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunctive (type, quantity-band) predicate
+    pairs across the broadcast part join — the OR-of-ANDs filter that
+    exercises predicate pushdown through a join. Revenue in exact
+    cents×percent units, displayed as an integer-truncated quotient."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    qty = F.col("l_quantity")
+    j = li.join(
+        F.broadcast(part.select("p_partkey", "p_type")),
+        li.l_partkey == F.col("p_partkey"),
+    )
+    cond = (
+        ((F.col("p_type") == "SMALL") & qty.between(1, 11))
+        | ((F.col("p_type") == "MEDIUM") & qty.between(10, 20))
+        | ((F.col("p_type") == "LARGE") & qty.between(20, 30))
+    )
+    rev = F.round(F.col("l_extendedprice") * 100).cast("bigint") * (
+        F.lit(100) - F.round(F.col("l_discount") * 100).cast("bigint")
+    )
+    return (
+        j.filter(cond)
+        .groupBy("p_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(rev).alias("units"),
+        )
+        .select(
+            "p_type",
+            "n_lines",
+            (F.expr("CAST(units DIV 100 AS DOUBLE)") / F.lit(100.0)).alias(
+                "band_revenue"
+            ),
+        )
+        .orderBy("p_type")
+    )
+
+
 QUERIES = {
+    "promo_revenue_share": promo_revenue_share,
+    "brand_supplier_counts": brand_supplier_counts,
+    "small_quantity_revenue": small_quantity_revenue,
+    "quantity_band_revenue": quantity_band_revenue,
     "part_cube_stats": part_cube_stats,
     "order_quartiles": order_quartiles,
     "buyer_cohort_setops": buyer_cohort_setops,
@@ -382,6 +507,68 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "promo_revenue_share": """
+        WITH units AS (
+            SELECT YEAR(l_shipdate) AS ship_year, p.p_type,
+                   CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                   * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)) AS rev
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        ),
+        agg AS (
+            SELECT ship_year,
+                   CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0 END)
+                        AS BIGINT) AS promo_units,
+                   CAST(SUM(rev) AS BIGINT) AS total_units
+            FROM units GROUP BY ship_year
+        )
+        SELECT CAST(ship_year AS INTEGER) AS ship_year,
+               ROUND((promo_units * 100) * 1.0 / total_units, 4)
+                   AS promo_pct,
+               (total_units // 100) / 100.0 AS total_revenue
+        FROM agg
+        ORDER BY ship_year
+    """,
+    "brand_supplier_counts": """
+        SELECT p.p_brand, p.p_type,
+               CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt,
+               CAST(COUNT(*) AS BIGINT) AS n_lines
+        FROM lineitem l
+        JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE p.p_type != 'PROMO'
+        GROUP BY p.p_brand, p.p_type
+        ORDER BY supplier_cnt DESC, p.p_brand, p.p_type
+    """,
+    "small_quantity_revenue": """
+        WITH li AS (
+            SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty,
+                   CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents
+            FROM lineitem
+        ),
+        per_part AS (
+            SELECT l_partkey, CAST(SUM(qty) AS BIGINT) AS sum_q,
+                   CAST(COUNT(*) AS BIGINT) AS n_lines
+            FROM li GROUP BY l_partkey
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_small_lines,
+               CAST(SUM(li.cents) AS BIGINT) / 100.0 AS small_revenue
+        FROM li JOIN per_part USING (l_partkey)
+        WHERE li.qty * 5 * per_part.n_lines < per_part.sum_q
+    """,
+    "quantity_band_revenue": """
+        SELECT p.p_type,
+               CAST(COUNT(*) AS BIGINT) AS n_lines,
+               (CAST(SUM(
+                   CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                   * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))
+               ) AS BIGINT) // 100) / 100.0 AS band_revenue
+        FROM lineitem l
+        JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE (p.p_type = 'SMALL' AND l_quantity BETWEEN 1 AND 11)
+           OR (p.p_type = 'MEDIUM' AND l_quantity BETWEEN 10 AND 20)
+           OR (p.p_type = 'LARGE' AND l_quantity BETWEEN 20 AND 30)
+        GROUP BY p.p_type
+        ORDER BY p.p_type
+    """,
     "price_rank_gaps": """
         WITH ranked AS (
             SELECT o_orderpriority, o_orderkey, o_totalprice,

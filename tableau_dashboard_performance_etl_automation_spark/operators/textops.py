@@ -270,7 +270,60 @@ def corpus_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def source_quality_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per (source, lang) corpus health: doc counts, quality-gate keep
+    rate, and mean length — the matrix a data-mixture owner reads to
+    decide which crawls/feeds to up- or down-weight. One narrow join
+    of the per-doc quality flags back onto the dimension columns (both
+    sides shuffle on doc_id once), then a low-cardinality hash
+    aggregate; every reported rate is an exact-int ratio rounded
+    once."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang", "n_chars"
+    )
+    quality = text_quality(spark, sf_dir).select("doc_id", "keep")
+    return (
+        docs.join(quality, "doc_id")
+        .groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("keep").cast("bigint").alias("n_kept"),
+            F.round(F.sum("keep") / F.count(F.lit(1)), 4).alias("keep_rate"),
+            F.round(F.sum("n_chars") / F.count(F.lit(1)), 4).alias(
+                "avg_chars"
+            ),
+        )
+        .orderBy("source", "lang")
+    )
+
+
+def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus length distribution in 50-char buckets — the first
+    diagnostic a curation pass draws (truncation cliffs, boilerplate
+    spikes). Integer-division binning, one hash aggregate over a
+    narrow projection; the mean inside each bucket is an exact-int
+    ratio rounded once."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            (F.expr("n_chars DIV 50") * 50).alias("bucket_lo"), "n_chars"
+        )
+        .groupBy("bucket_lo")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+            F.round(F.sum("n_chars") / F.count(F.lit(1)), 4).alias(
+                "avg_chars"
+            ),
+        )
+        .orderBy("bucket_lo")
+    )
+
+
 QUERIES = {
+    "doc_length_histogram": doc_length_histogram,
+    "source_quality_matrix": source_quality_matrix,
     "text_lang_id": text_lang_id,
     "doc_repetition": doc_repetition,
     "doc_top_terms": doc_top_terms,
@@ -306,6 +359,17 @@ def _lang_oracle() -> str:
 _STOPLIST_SQL = ", ".join(f"'{s}'" for s in STOPWORDS)
 
 ORACLE_SQL = {
+    "doc_length_histogram": """
+        SELECT (n_chars // 50) * 50 AS bucket_lo,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               MIN(n_chars) AS min_chars,
+               MAX(n_chars) AS max_chars,
+               ROUND(CAST(SUM(n_chars) AS BIGINT) * 1.0 / COUNT(*), 4)
+                   AS avg_chars
+        FROM documents
+        GROUP BY (n_chars // 50) * 50
+        ORDER BY bucket_lo
+    """,
     "text_lang_id": _lang_oracle(),
     "lang_id_confusion": f"""
         WITH pred AS ({_lang_oracle()}),
@@ -408,6 +472,34 @@ ORACLE_SQL = {
         GROUP BY gram
         ORDER BY freq DESC, gram
         LIMIT 50
+    """,
+    "source_quality_matrix": f"""
+        WITH q AS (
+            SELECT doc_id,
+                   CAST(n_words >= 20
+                        AND ROUND(stop_hits * 1.0 / n_words, 4) >= 0.01
+                        AND ROUND((text_len - (n_words - 1)) * 1.0
+                                  / n_words, 4) < 12
+                        AS INTEGER) AS keep
+            FROM (
+                SELECT doc_id,
+                       length(text) AS text_len,
+                       len(string_split(text, ' ')) AS n_words,
+                       len(list_filter(string_split(text, ' '),
+                           x -> x IN ({_STOPLIST_SQL}))) AS stop_hits
+                FROM documents
+            )
+        )
+        SELECT d.source, d.lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(q.keep) AS BIGINT) AS n_kept,
+               ROUND(CAST(SUM(q.keep) AS BIGINT) * 1.0 / COUNT(*), 4)
+                   AS keep_rate,
+               ROUND(CAST(SUM(d.n_chars) AS BIGINT) * 1.0 / COUNT(*), 4)
+                   AS avg_chars
+        FROM documents d JOIN q USING (doc_id)
+        GROUP BY d.source, d.lang
+        ORDER BY d.source, d.lang
     """,
     "text_quality": f"""
         SELECT doc_id, text_len, n_words,

@@ -141,3 +141,43 @@ def test_shipping_priority_broadcasts_customers(spark, sf_dir):
     assert not has_cartesian_product(df)
     # top-10 must be TakeOrderedAndProject, not a full global sort
     assert "TakeOrderedAndProject" in plan
+
+
+def test_new_tpch_shapes_broadcast_and_no_cartesian(spark, sf_dir):
+    """Round-3 shapes: the part dimension must broadcast into the
+    fact scan (never shuffle it), and the per-part average join in
+    the Q17 shape must stay an equi-join."""
+    from tableau_dashboard_performance_etl_automation_spark.operators import (
+        relational_ext,
+    )
+
+    for fn in (
+        relational_ext.promo_revenue_share,
+        relational_ext.brand_supplier_counts,
+        relational_ext.quantity_band_revenue,
+    ):
+        df = fn(spark, sf_dir)
+        assert has_broadcast_hash_join(df), fn.__name__
+        assert not has_cartesian_product(df), fn.__name__
+    df = relational_ext.small_quantity_revenue(spark, sf_dir)
+    assert not has_cartesian_product(df)
+
+
+def test_new_users_daily_pushes_purchase_filter(spark, sf_dir):
+    df = analytics.new_users_daily(spark, sf_dir)
+    pushed = " ".join(pushed_filters(df))
+    assert "event_type" in pushed  # purchase filter reaches the scan
+    schemas = " ".join(read_schemas(df))
+    assert "props" not in schemas  # column pruning holds
+
+
+def test_robust_stats_has_no_python_stage(spark, sf_dir):
+    """The round-3 rewrite must keep median/MAD fully JVM-side — no
+    Arrow/Python evaluation anywhere in the plan."""
+    for fn in (
+        analytics.event_type_robust_stats,
+        analytics.value_robust_outlier_rates,
+    ):
+        plan = formatted_plan(fn(spark, sf_dir))
+        assert "ArrowEvalPython" not in plan, fn.__name__
+        assert "FlatMapGroupsInPandas" not in plan, fn.__name__

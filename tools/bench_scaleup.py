@@ -1,0 +1,139 @@
+"""Corpus scale-up probe for the pair-producing operators.
+
+The SF range the driver ships (sf0.001→sf0.1) exercises 100× fact-row
+scaling, but the dedup/similarity candidate sets are corpus-shaped:
+what matters at 100 TB is whether candidate-pair production stays
+near-linear as the CORPUS grows. This tool materializes 4× and 16×
+replicas of the sf0.1 documents/embeddings tables under /tmp (never
+touching /root/testdata), decorrelated so replicas don't form
+artificial near-dup cliques:
+
+- documents: every third word is tagged with the replica index, which
+  destroys ~all 3-gram shingles shared with other replicas while
+  keeping in-replica duplicate structure intact;
+- embeddings: each replica's vectors are cyclically rotated by the
+  replica index (norm- and distribution-preserving, decorrelates
+  projections).
+
+It then times the pair-producing ops and reports wall seconds, output
+rows, and the self-executing dial values (LSH band bits / simhash
+fingerprint width) at each scale. Usage:
+
+    python tools/bench_scaleup.py [base_sf_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from tableau_dashboard_performance_etl_automation_spark.catalog import load_table  # noqa: E402
+from tableau_dashboard_performance_etl_automation_spark.operators import (  # noqa: E402
+    dedup,
+    similarity,
+)
+from tableau_dashboard_performance_etl_automation_spark.session import get_spark  # noqa: E402
+
+SCALE_ROOT = "/tmp/tdpe-scaleup"
+FACTORS = [1, 4, 16]
+
+
+def build_scaled(spark, base_dir: str, factor: int) -> str:
+    """Materialize a factor× corpus under SCALE_ROOT/{factor}x."""
+    out = f"{SCALE_ROOT}/{factor}x"
+    if factor == 1:
+        return base_dir
+    if os.path.exists(out):
+        return out
+    os.makedirs(out, exist_ok=True)
+    docs = load_table(spark, base_dir, "documents")
+    n_docs = docs.count()
+    doc_parts = []
+    for r in range(factor):
+        doc_parts.append(
+            docs.select(
+                (F.col("doc_id") + F.lit(r * n_docs)).alias("doc_id"),
+                F.concat_ws(
+                    " ",
+                    F.expr(
+                        f"transform(split(text, ' '), (w, i) -> "
+                        f"CASE WHEN (i + {r}) % 3 = 0 "
+                        f"THEN concat(w, '_{r}') ELSE w END)"
+                    ),
+                ).alias("text"),
+                "lang",
+                "source",
+                "n_chars",
+            )
+        )
+    scaled_docs = doc_parts[0]
+    for p in doc_parts[1:]:
+        scaled_docs = scaled_docs.unionByName(p)
+    scaled_docs.write.mode("overwrite").parquet(f"{out}/documents.parquet")
+
+    emb = load_table(spark, base_dir, "embeddings")
+    n_vec = emb.count()
+    emb_parts = []
+    for r in range(factor):
+        rot = r % similarity.EMB_DIM
+        emb_parts.append(
+            emb.select(
+                (F.col("vec_id") + F.lit(r * n_vec)).alias("vec_id"),
+                "label",
+                F.expr(
+                    f"concat(slice(embedding, {rot + 1}, "
+                    f"{similarity.EMB_DIM - rot}), "
+                    f"slice(embedding, 1, {rot}))"
+                ).alias("embedding"),
+            )
+        )
+    scaled_emb = emb_parts[0]
+    for p in emb_parts[1:]:
+        scaled_emb = scaled_emb.unionByName(p)
+    scaled_emb.write.mode("overwrite").parquet(f"{out}/embeddings.parquet")
+    return out
+
+
+def main() -> None:
+    base = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    spark = get_spark("tdpe-scaleup")
+    spark.sparkContext.setLogLevel("ERROR")
+    ops = {
+        "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
+        "dedup_simhash": dedup.dedup_simhash,
+        "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
+        "neardup_embedding_cosine": similarity.neardup_embedding_cosine,
+    }
+    report: dict = {"base": base, "scales": {}}
+    for factor in FACTORS:
+        sf_dir = build_scaled(spark, base, factor)
+        n_docs = load_table(spark, sf_dir, "documents").count()
+        n_vec = load_table(spark, sf_dir, "embeddings").count()
+        row: dict = {
+            "n_docs": n_docs,
+            "n_vectors": n_vec,
+            "lsh_band_bits": similarity.lsh_band_bits(n_vec),
+            "simhash_bits": dedup.simhash_fingerprint_bits(n_docs),
+        }
+        for name, fn in ops.items():
+            t0 = time.time()
+            n_rows = fn(spark, sf_dir).count()
+            row[name] = {
+                "sec": round(time.time() - t0, 2),
+                "rows": n_rows,
+            }
+        report["scales"][f"{factor}x"] = row
+        print(json.dumps({f"{factor}x": row}), flush=True)
+    print(json.dumps(report), flush=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
