@@ -175,3 +175,37 @@ def test_struct_argmax_equals_rank_window_top1(spark, rows):
         for r in best.select("k", (-F.col("b.neg_id")).alias("best_id")).collect()
     }
     assert via_argmax == via_window
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "c"]),
+            st.integers(min_value=-10_000, max_value=10_000),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@_SETTINGS
+def test_grouped_median_matches_quantile_cont(spark, rows):
+    """The distributed weighted-median parts must reproduce
+    statistics.median (== quantile_cont 0.5) for arbitrary grouped
+    integer multisets — including ties, negatives, and 1-row groups."""
+    import statistics
+
+    from tableau_dashboard_performance_etl_automation_spark.operators.analytics import (
+        _grouped_median_parts,
+    )
+
+    df = spark.createDataFrame(rows, "k string, v bigint")
+    got = {
+        r.k: ((r.m1 + r.m2) / 2, r.n)
+        for r in _grouped_median_parts(df, "k", "v").collect()
+    }
+    by_key: dict[str, list[int]] = {}
+    for k, v in rows:
+        by_key.setdefault(k, []).append(v)
+    for k, vals in by_key.items():
+        assert got[k][0] == statistics.median(vals), k
+        assert got[k][1] == len(vals)
