@@ -484,8 +484,104 @@ def quantity_band_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: the distribution of orders-per-customer —
+    LEFT OUTER join so zero-order customers count, then a histogram
+    over the per-customer counts. Two hash aggregates; the second
+    groups on a count (bounded domain), so the final shuffle is
+    tiny."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return (
+        per_cust.groupBy("n_orders")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy(F.col("n_customers").desc(), F.col("n_orders").desc())
+    )
+
+
+def large_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: customers behind bulk orders — HAVING on the
+    per-order quantity sum, then joined back to orders + customer.
+    The qualifying-order set is small (HAVING is selective), so it
+    broadcasts into both enrichment joins; quantity sums stay exact
+    BIGINTs."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )
+    return (
+        orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            F.round("o_totalprice", 2).alias("total_price"),
+            "total_qty",
+        )
+        .orderBy(F.col("total_qty").desc(), F.col("o_orderkey"))
+        .limit(100)
+    )
+
+
+def dormant_segment_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: above-average-balance customers in selected
+    segments with no order since 2000 — scalar-average subquery
+    (1-row broadcast) + LEFT ANTI join against the recent-order set,
+    grouped per segment. The above-average test is an exact integer
+    comparison (``100·n·bal > Σcents``)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp_ntz")
+    )
+    seg = cust.filter(
+        F.col("c_mktsegment").isin("AUTOMOBILE", "MACHINERY", "HOUSEHOLD")
+    )
+    avg_bal = seg.filter(F.col("c_acctbal") > 0).agg(
+        F.sum(F.round(F.col("c_acctbal") * 100).cast("bigint")).alias(
+            "bal_cents"
+        ),
+        F.count(F.lit(1)).alias("n"),
+    )
+    rich = (
+        seg.crossJoin(F.broadcast(avg_bal))
+        # exact-integer comparison: 100·n·bal > sum_cents  ⇔  bal > avg
+        .filter(
+            F.round(F.col("c_acctbal") * 100).cast("bigint") * F.col("n")
+            > F.col("bal_cents")
+        )
+    )
+    dormant = rich.join(
+        orders, rich.c_custkey == orders.o_custkey, "left_anti"
+    )
+    return (
+        dormant.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            (
+                F.sum(F.round(F.col("c_acctbal") * 100).cast("bigint"))
+                / F.lit(100.0)
+            ).alias("total_balance"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
 QUERIES = {
     "promo_revenue_share": promo_revenue_share,
+    "customer_order_distribution": customer_order_distribution,
+    "large_order_customers": large_order_customers,
+    "dormant_segment_balances": dormant_segment_balances,
     "brand_supplier_counts": brand_supplier_counts,
     "small_quantity_revenue": small_quantity_revenue,
     "quantity_band_revenue": quantity_band_revenue,
@@ -507,6 +603,67 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "customer_order_distribution": """
+        WITH per_cust AS (
+            SELECT c.c_custkey,
+                   CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_orders
+            FROM customer c
+            LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+            GROUP BY c.c_custkey
+        )
+        SELECT n_orders, CAST(COUNT(*) AS BIGINT) AS n_customers
+        FROM per_cust
+        GROUP BY n_orders
+        ORDER BY n_customers DESC, n_orders DESC
+    """,
+    "large_order_customers": """
+        WITH big AS (
+            SELECT l_orderkey,
+                   CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)
+                       AS total_qty
+            FROM lineitem
+            GROUP BY l_orderkey
+            HAVING SUM(CAST(l_quantity AS BIGINT)) > 150
+        )
+        SELECT c.c_custkey, c.c_name, o.o_orderkey,
+               strftime(o.o_orderdate, '%Y-%m-%d') AS order_date,
+               ROUND(o.o_totalprice, 2) AS total_price,
+               big.total_qty
+        FROM orders o
+        JOIN big ON o.o_orderkey = big.l_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        ORDER BY big.total_qty DESC, o.o_orderkey
+        LIMIT 100
+    """,
+    "dormant_segment_balances": """
+        WITH seg AS (
+            SELECT * FROM customer
+            WHERE c_mktsegment IN ('AUTOMOBILE', 'MACHINERY', 'HOUSEHOLD')
+        ),
+        avg_bal AS (
+            SELECT CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT))
+                        AS BIGINT) AS bal_cents,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM seg WHERE c_acctbal > 0
+        ),
+        rich AS (
+            SELECT s.* FROM seg s CROSS JOIN avg_bal a
+            WHERE CAST(ROUND(s.c_acctbal * 100) AS BIGINT) * a.n
+                  > a.bal_cents
+        )
+        SELECT c_mktsegment,
+               CAST(COUNT(*) AS BIGINT) AS n_customers,
+               CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+                   / 100.0 AS total_balance
+        FROM rich r
+        WHERE NOT EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = r.c_custkey
+              AND o.o_orderdate >= TIMESTAMP '2000-01-01'
+        )
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment
+    """,
     "promo_revenue_share": """
         WITH units AS (
             SELECT YEAR(l_shipdate) AS ship_year, p.p_type,

@@ -190,7 +190,40 @@ def approx_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Fixed-size deterministic sample size.
+SAMPLE_N = 100
+
+
+def fixed_size_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fixed-size uniform sample: the N documents with
+    the smallest content-hash values — the "give me exactly 10k docs
+    for eyeballing / eval" operator. Unlike ``TABLESAMPLE`` /
+    ``rand()`` this is stable across runs, partitionings, and
+    engines, and unlike a per-row rate it returns exactly N rows.
+
+    Scale shape: ORDER BY hash LIMIT N compiles to
+    ``TakeOrderedAndProject`` — per-partition top-N heaps merged on
+    one reducer, never a global sort materialization. The rank window
+    runs over the N survivors only."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.concat(F.lit("sample|"), F.col("doc_id").cast("string")))
+    top = (
+        docs.select("doc_id", "lang", h.alias("hk"))
+        .orderBy("hk")
+        .limit(SAMPLE_N)
+    )
+    w = Window.orderBy("hk")
+    return (
+        top.withColumn("sample_rank", F.row_number().over(w))
+        .select("doc_id", "lang", "sample_rank")
+        .orderBy("sample_rank")
+    )
+
+
 QUERIES = {
+    "fixed_size_sample": fixed_size_sample,
     "dataset_split": dataset_split,
     "stratified_sample": stratified_sample,
     "dataset_split_summary": dataset_split_summary,
@@ -216,6 +249,19 @@ _RATE_CASE = "CASE " + " ".join(
 ) + " ELSE 0 END"
 
 ORACLE_SQL = {
+    "fixed_size_sample": f"""
+        SELECT doc_id, lang,
+               CAST(ROW_NUMBER() OVER (ORDER BY hk) AS INTEGER)
+                   AS sample_rank
+        FROM (
+            SELECT doc_id, lang,
+                   md5('sample|' || CAST(doc_id AS VARCHAR)) AS hk
+            FROM documents
+            ORDER BY hk
+            LIMIT {SAMPLE_N}
+        )
+        ORDER BY sample_rank
+    """,
     "split_token_budget": f"""
         WITH per_doc AS (
             SELECT {_SPLIT_CASE} AS split,
