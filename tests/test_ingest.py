@@ -185,3 +185,42 @@ def test_manifest_local_fallback_with_s3_config(spark, tmp_path):
         s3_config={"bucket_name": "unused"},
     )
     assert results["summary_line_s3fb"].good.count() == 1
+
+
+def test_jsonl_row_conservation_and_reject_classes(spark, tmp_path):
+    """JSONL corpus ingest: good + rejected == input lines, with all
+    three reject classes diverted (invalid JSON, type-coercion
+    failure, missing required field)."""
+    from tableau_dashboard_performance_etl_automation_spark.sources.jsonl import (
+        load_jsonl,
+    )
+
+    lines = [
+        '{"doc_id": 1, "text": "alpha beta", "lang": "en"}',
+        '{"doc_id": 2, "text": "gamma delta", "lang": "de"}',
+        '{"doc_id": "not-a-number", "text": "x", "lang": "en"}',  # coercion
+        '{"doc_id": 4, "lang": "en"}',  # missing required text
+        '{broken json',  # invalid
+        '{"doc_id": 6, "text": "epsilon", "lang": null}',  # null ok (not req)
+    ]
+    src = tmp_path / "docs.jsonl"
+    src.write_text("\n".join(lines) + "\n")
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+            StructField("lang", StringType()),
+        ]
+    )
+    res = load_jsonl(
+        spark, str(src), schema, required=("doc_id", "text")
+    )
+    n_good, n_rej = res.counts()
+    assert n_good == 3 and n_rej == 3
+    assert n_good + n_rej == len(lines)
+    got_ids = sorted(r.doc_id for r in res.good.collect())
+    assert got_ids == [1, 2, 6]
+    # rejects are raw re-parseable text
+    rej = [r.rejected_row for r in res.rejected.collect()]
+    assert any("broken json" in r for r in rej)
+    assert all(isinstance(r, str) and r for r in rej)
