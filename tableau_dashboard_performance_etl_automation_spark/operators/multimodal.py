@@ -199,13 +199,83 @@ def multimodal_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resize_thumbnails(with_binary_payload(docs)).orderBy("doc_id")
 
 
+#: Shard count for training-shard packing (a dial: ≈ total_bytes /
+#: desired_shard_bytes at corpus scale; 16 keeps the test corpora
+#: readable).
+N_SHARDS = 16
+
+
+def multimodal_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-hash shard assignment + per-shard size accounting — the
+    pass that packs a multimodal corpus into fixed training shards.
+
+    Hash-bucket packing (shard = md5(payload) mod N) beats greedy
+    size-packing at scale because it's a single narrow hash aggregate
+    with map-side combine — no sequential bin-packing state, no
+    driver involvement — and the law of large numbers evens out shard
+    byte totals (the fill stats this query reports verify exactly
+    that). Deterministic: content-addressed, so re-runs and replicas
+    place every payload identically."""
+    docs = load_table(spark, sf_dir, "documents")
+    p = with_binary_payload(docs)
+    h = F.md5(F.col("payload"))
+
+    def hexval(c: F.Column) -> F.Column:
+        # parse one hex digit to 0..15 — uniform, unlike ascii % N
+        # (ascii codes of '0'-'9'/'a'-'f' are neither contiguous nor
+        # uniform under a modulus)
+        return F.when(c <= "9", F.ascii(c) - 48).otherwise(F.ascii(c) - 87)
+
+    shard = (
+        hexval(F.substring(h, 1, 1)) * 16 + hexval(F.substring(h, 2, 1))
+    ) % N_SHARDS
+    return (
+        p.select(shard.alias("shard_id"), F.length("payload").alias("nb"))
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("nb").cast("bigint").alias("total_bytes"),
+            F.max("nb").alias("max_bytes"),
+            F.round(F.sum("nb") / F.count(F.lit(1)), 4).alias("avg_bytes"),
+        )
+        .orderBy("shard_id")
+    )
+
+
 QUERIES = {
+    "multimodal_shard_packing": multimodal_shard_packing,
     "multimodal_binary_meta": multimodal_binary_meta,
     "multimodal_frame_sample": multimodal_frame_sample,
     "multimodal_thumbnail": multimodal_thumbnail,
 }
 
 ORACLE_SQL = {
+    "multimodal_shard_packing": f"""
+        WITH hx AS (
+            SELECT octet_length(encode(text)) AS nb,
+                   substr(md5(text), 1, 1) AS c1,
+                   substr(md5(text), 2, 1) AS c2
+            FROM documents
+        ),
+        items AS (
+            SELECT ((CASE WHEN c1 <= '9' THEN ascii(c1) - 48
+                          ELSE ascii(c1) - 87 END) * 16
+                    + (CASE WHEN c2 <= '9' THEN ascii(c2) - 48
+                            ELSE ascii(c2) - 87 END)) % {N_SHARDS}
+                       AS shard_id,
+                   CAST(nb AS INTEGER) AS nb
+            FROM hx
+        )
+        SELECT shard_id,
+               CAST(COUNT(*) AS BIGINT) AS n_items,
+               CAST(SUM(nb) AS BIGINT) AS total_bytes,
+               MAX(nb) AS max_bytes,
+               ROUND(CAST(SUM(nb) AS BIGINT) * 1.0 / COUNT(*), 4)
+                   AS avg_bytes
+        FROM items
+        GROUP BY shard_id
+        ORDER BY shard_id
+    """,
     "multimodal_thumbnail": """
         WITH d AS (
             SELECT doc_id, text,

@@ -194,6 +194,25 @@ def dedup_events_stream(stream: DataFrame, lateness: str = "1 hour") -> DataFram
     )
 
 
+def first_purchase_stream(stream: DataFrame) -> DataFrame:
+    """Streaming twin of ``analytics.new_users_daily``'s first-seen
+    pass: running MIN(event date) per purchasing user, emitted in
+    update mode as earlier first-purchases arrive.
+
+    State is one date per purchasing user — O(entity domain), which
+    the acquisition semantics genuinely require (a user's "first
+    purchase ever" cannot be horizon-bounded; the horizon-bounded
+    cousin is ``dedup_events_stream``). Determinism: MIN is
+    order-insensitive, so unlike ``dropDuplicates`` the final state
+    is independent of micro-batch arrival order — that's what makes
+    the batch equivalence testable exactly."""
+    return (
+        stream.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min(F.to_date("ts")).alias("first_date"))
+    )
+
+
 def run_to_memory(
     df: DataFrame, table_name: str, mode: str = "complete"
 ) -> None:

@@ -287,3 +287,46 @@ def test_batch_replay_dedup_matches_streaming_dedup(spark, sf_dir, tmp_path):
         for r in ev.filter(F.to_date("ts") == F.lit(replay_day)).collect()
     }
     assert doubles == want_doubles
+
+
+def test_first_purchase_stream_matches_batch_cohorts(spark, sf_dir, tmp_path):
+    """The streaming running-MIN first-purchase state must converge to
+    exactly the batch first-seen assignment (and hence the same daily
+    acquisition counts as new_users_daily)."""
+    from tableau_dashboard_performance_etl_automation_spark.operators.analytics import (
+        new_users_daily,
+    )
+
+    inp = _stage_stream_input(spark, sf_dir, tmp_path)
+    stream = trend.events_stream(spark, inp)
+    (
+        trend.first_purchase_stream(stream)
+        .writeStream.format("memory")
+        .queryName("first_purchase_sink")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    final = {
+        r.user_id: r.first_date
+        for r in spark.table("first_purchase_sink").collect()
+    }
+    batch = {
+        r.user_id: r.first_date
+        for r in load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min(F.to_date("ts")).alias("first_date"))
+        .collect()
+    }
+    assert final == batch
+    # daily counts derived from the converged state == new_users_daily
+    from collections import Counter
+
+    daily = Counter(d.strftime("%Y-%m-%d") for d in final.values())
+    want = {
+        r.event_date: r.new_users
+        for r in new_users_daily(spark, sf_dir).collect()
+    }
+    assert dict(daily) == want
