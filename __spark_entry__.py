@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from tableau_dashboard_performance_etl_automation_spark.operators import (
     analytics,
     asof,
+    chunking,
     clustering,
     curation,
     dedup,
@@ -23,6 +24,7 @@ from tableau_dashboard_performance_etl_automation_spark.operators import (
     relational_ext,
     sampling,
     similarity,
+    starjoins,
     tabjolt,
     textops,
 )
@@ -83,6 +85,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(textops.QUERIES)
     out.update(multimodal.QUERIES)
     out.update(relational_ext.QUERIES)
+    out.update(starjoins.QUERIES)
+    out.update(chunking.QUERIES)
     out.update(clustering.QUERIES)
     out.update(curation.QUERIES)
     out.update(asof.QUERIES)
@@ -100,6 +104,8 @@ def oracle_sql() -> dict[str, str]:
     out.update(textops.ORACLE_SQL)
     out.update(multimodal.ORACLE_SQL)
     out.update(relational_ext.ORACLE_SQL)
+    out.update(starjoins.ORACLE_SQL)
+    out.update(chunking.ORACLE_SQL)
     out.update(clustering.ORACLE_SQL)
     out.update(curation.ORACLE_SQL)
     out.update(asof.ORACLE_SQL)

@@ -1,0 +1,428 @@
+"""Multi-way star/fact joins — the remaining classic warehouse query
+shapes (TPC-H Q5/Q7/Q8/Q10/Q15/Q21 analogs) a migrating analytics
+user expects an engine to run well.
+
+Scale notes (100 TB): every dimension side (region, nation, supplier
+— 25/25/100-row class tables that stay dimension-sized at any fact
+scale) is broadcast, so the only shuffles are the true fact-fact
+edges (lineitem⋈orders on orderkey, orders⋈customer on custkey) and
+the final small-key aggregates. Revenue is accumulated in exact
+integer units (cents × discount-percent) so sums are
+reduction-order-independent and the DuckDB oracle hashes match
+bit-for-bit; the displayed double is one integer→double division,
+identical in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+from tableau_dashboard_performance_etl_automation_spark.catalog import load_table
+
+
+def rev_units() -> Column:
+    """Revenue in exact integer units: cents × (100 − discount%).
+
+    ``l_extendedprice`` carries 2 decimals and ``l_discount`` 2, so
+    both round exactly to integers; the product is an exact BIGINT —
+    associative, commutative, partition-order-proof. Divide the sum
+    by 1e4 (one float op on one integer) for display.
+    """
+    return F.round(F.col("l_extendedprice") * 100).cast("bigint") * (
+        F.lit(100) - F.round(F.col("l_discount") * 100).cast("bigint")
+    )
+
+
+#: DuckDB twin of :func:`rev_units`.
+REV_UNITS_SQL = (
+    "CAST(round(l_extendedprice * 100) AS BIGINT)"
+    " * (100 - CAST(round(l_discount * 100) AS BIGINT))"
+)
+
+
+def local_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: revenue per nation where the customer and the
+    supplier sit in the SAME nation (local fulfilment), within one
+    region and a date window.
+
+    Plan: nation⋈region collapses to a broadcast dim; supplier (100
+    rows) broadcasts into the lineitem scan; the only shuffles are
+    lineitem⋈orders and orders⋈customer on their natural keys. The
+    c_nationkey = s_nationkey locality condition is a residual filter
+    on the already-joined row — no extra join edge.
+    """
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "EUROPE"
+    )
+    dims = F.broadcast(
+        nation.join(region, nation.n_regionkey == region.r_regionkey).select(
+            "n_nationkey", "n_name"
+        )
+    )
+    supp = F.broadcast(
+        load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp_ntz"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(supp, li.l_suppkey == F.col("s_suppkey"))
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(dims, F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.sum(rev_units()).alias("units"))
+        .select("n_name", (F.col("units") / F.lit(1e4)).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "n_name")
+    )
+
+
+def nation_trade_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral trade volume between two nations per
+    ship-year — supplier nation exports to customer nation, both
+    directions kept, grouped by (supp_nation, cust_nation, year).
+
+    Plan: both nation maps broadcast (one onto supplier, one onto
+    customer); the two fact shuffles are the same orderkey/custkey
+    edges as every star query here, and the nation-pair filter prunes
+    rows before the final 3-key aggregate.
+    """
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    pair = ("NATION_1", "NATION_2")
+    supp = F.broadcast(
+        load_table(spark, sf_dir, "supplier")
+        .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+        .filter(F.col("n_name").isin(*pair))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(nation),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .filter(F.col("n_name").isin(*pair))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(supp, li.l_suppkey == F.col("s_suppkey"))
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == F.col("c_custkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(F.sum(rev_units()).alias("units"))
+        .select(
+            "supp_nation",
+            "cust_nation",
+            "l_year",
+            (F.col("units") / F.lit(1e4)).alias("volume"),
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one supplier nation's share of all revenue sold
+    to a region's customers, per order-year — the conditional-sum /
+    total-sum ratio computed in ONE aggregate pass (no second scan,
+    no window).
+
+    Both numerator and denominator are exact integer-unit sums, so
+    the share is a ratio of exact ints — cross-engine safe.
+    """
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "AMERICA"
+    )
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(
+                nation.join(
+                    region, nation.n_regionkey == region.r_regionkey
+                ).select("n_nationkey")
+            ),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey")
+    )
+    supp = F.broadcast(
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            nation.select("n_nationkey", "n_name"),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("2000-01-01").cast("timestamp_ntz"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    target_units = F.when(
+        F.col("supp_nation") == "NATION_3", rev_units()
+    ).otherwise(F.lit(0).cast("bigint"))
+    return (
+        li.join(supp, li.l_suppkey == F.col("s_suppkey"))
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == F.col("c_custkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.sum(target_units).alias("nation_units"),
+            F.sum(rev_units()).alias("all_units"),
+        )
+        .select(
+            "o_year",
+            F.round(F.col("nation_units") / F.col("all_units"), 6).alias(
+                "mkt_share"
+            ),
+        )
+        .orderBy("o_year")
+    )
+
+
+def returned_item_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top 20 customers by revenue lost to returned
+    lines in a one-year window — the join + aggregate + top-k that
+    should compile to a TakeOrderedAndProject (per-partition heaps,
+    only 20 rows to the driver-side merge), never a full sort.
+    """
+    nation = F.broadcast(
+        load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("2000-01-01").cast("timestamp_ntz"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(nation, cust.c_nationkey == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(rev_units()).alias("units"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "n_name",
+            (F.col("units") / F.lit(1e4)).alias("lost_revenue"),
+        )
+        .orderBy(F.col("lost_revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+def top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the supplier(s) with the maximum revenue over
+    a half-year window. The scalar max is a 1-row broadcast
+    cross-joined into the per-supplier aggregate (the standard
+    scalar-subquery plan) — ties all surface, exactly like the spec's
+    ``= (SELECT MAX(...))``. Exact integer units make the equality
+    well-defined.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1998-07-01").cast("timestamp_ntz"))
+    )
+    rev = li.groupBy("l_suppkey").agg(F.sum(rev_units()).alias("units"))
+    mx = F.broadcast(rev.agg(F.max("units").alias("max_units")))
+    supp = F.broadcast(
+        load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    )
+    return (
+        rev.crossJoin(mx)
+        .filter(F.col("units") == F.col("max_units"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            (F.col("units") / F.lit(1e4)).alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+def order_last_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 analog (the testdata has no commit/receipt dates):
+    for every multi-supplier order, find the UNIQUE supplier whose
+    final shipment closed the order (its per-order max ship date is
+    strictly after every other supplier's), and count closed orders
+    per supplier — the existence + non-existence self-join pattern,
+    expressed as two aggregates and a join-back instead of correlated
+    subqueries.
+
+    Plan: both aggregates and the join-back share the l_orderkey
+    hash partitioning, so the self-join adds no extra shuffle beyond
+    the first groupBy; uniqueness (`n_tied = 1`) replaces the NOT
+    EXISTS.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    per_supp = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("l_shipdate").alias("supp_last")
+    )
+    per_order = per_supp.groupBy("l_orderkey").agg(
+        F.max("supp_last").alias("order_last"),
+        F.count(F.lit(1)).alias("n_supp"),
+    )
+    laggards = (
+        per_supp.join(per_order, "l_orderkey")
+        .filter(
+            (F.col("n_supp") >= 2)
+            & (F.col("supp_last") == F.col("order_last"))
+        )
+        .groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_tied"),
+            F.max("l_suppkey").alias("laggard"),
+        )
+        .filter(F.col("n_tied") == 1)
+    )
+    supp = F.broadcast(
+        load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    )
+    return (
+        laggards.join(supp, F.col("laggard") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.col("n_orders").desc(), "s_name")
+    )
+
+
+QUERIES = {
+    "local_supplier_revenue": local_supplier_revenue,
+    "nation_trade_flows": nation_trade_flows,
+    "nation_market_share": nation_market_share,
+    "returned_item_revenue": returned_item_revenue,
+    "top_supplier_revenue": top_supplier_revenue,
+    "order_last_shippers": order_last_shippers,
+}
+
+ORACLE_SQL = {
+    "local_supplier_revenue": f"""
+        SELECT n_name,
+               CAST(SUM({REV_UNITS_SQL}) AS BIGINT) / 1e4 AS revenue
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE c_nationkey = s_nationkey
+          AND r_name = 'EUROPE'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1999-01-01'
+        GROUP BY n_name
+        ORDER BY revenue DESC, n_name
+    """,
+    "nation_trade_flows": f"""
+        SELECT sn.n_name AS supp_nation,
+               cn.n_name AS cust_nation,
+               CAST(year(l_shipdate) AS INTEGER) AS l_year,
+               CAST(SUM({REV_UNITS_SQL}) AS BIGINT) / 1e4 AS volume
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation sn ON s_nationkey = sn.n_nationkey
+        JOIN nation cn ON c_nationkey = cn.n_nationkey
+        WHERE sn.n_name IN ('NATION_1', 'NATION_2')
+          AND cn.n_name IN ('NATION_1', 'NATION_2')
+          AND sn.n_name <> cn.n_name
+        GROUP BY supp_nation, cust_nation, l_year
+        ORDER BY supp_nation, cust_nation, l_year
+    """,
+    "nation_market_share": f"""
+        SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+               ROUND(
+                   CAST(SUM(CASE WHEN sn.n_name = 'NATION_3'
+                                 THEN {REV_UNITS_SQL}
+                                 ELSE 0 END) AS BIGINT)
+                   / CAST(SUM({REV_UNITS_SQL}) AS BIGINT),
+                   6
+               ) AS mkt_share
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation sn ON s_nationkey = sn.n_nationkey
+        JOIN nation cn ON c_nationkey = cn.n_nationkey
+        JOIN region ON cn.n_regionkey = r_regionkey
+        WHERE r_name = 'AMERICA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '2000-01-01'
+        GROUP BY o_year
+        ORDER BY o_year
+    """,
+    "returned_item_revenue": f"""
+        SELECT c_custkey, c_name, n_name,
+               CAST(SUM({REV_UNITS_SQL}) AS BIGINT) / 1e4 AS lost_revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+          AND o_orderdate >= TIMESTAMP '1999-01-01'
+          AND o_orderdate < TIMESTAMP '2000-01-01'
+        GROUP BY c_custkey, c_name, n_name
+        ORDER BY lost_revenue DESC, c_custkey
+        LIMIT 20
+    """,
+    "top_supplier_revenue": f"""
+        WITH rev AS (
+            SELECT l_suppkey, CAST(SUM({REV_UNITS_SQL}) AS BIGINT) AS units
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+              AND l_shipdate < TIMESTAMP '1998-07-01'
+            GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name, units / 1e4 AS total_revenue
+        FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        WHERE units = (SELECT MAX(units) FROM rev)
+        ORDER BY s_suppkey
+    """,
+    "order_last_shippers": """
+        WITH per_supp AS (
+            SELECT l_orderkey, l_suppkey, MAX(l_shipdate) AS supp_last
+            FROM lineitem GROUP BY l_orderkey, l_suppkey
+        ),
+        per_order AS (
+            SELECT l_orderkey, MAX(supp_last) AS order_last,
+                   COUNT(*) AS n_supp
+            FROM per_supp GROUP BY l_orderkey
+        ),
+        laggards AS (
+            SELECT ps.l_orderkey, MAX(ps.l_suppkey) AS laggard
+            FROM per_supp ps
+            JOIN per_order po ON ps.l_orderkey = po.l_orderkey
+            WHERE po.n_supp >= 2 AND ps.supp_last = po.order_last
+            GROUP BY ps.l_orderkey
+            HAVING COUNT(*) = 1
+        )
+        SELECT s_name, CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM laggards JOIN supplier ON laggard = s_suppkey
+        GROUP BY s_name
+        ORDER BY n_orders DESC, s_name
+    """,
+}

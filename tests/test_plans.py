@@ -181,3 +181,65 @@ def test_robust_stats_has_no_python_stage(spark, sf_dir):
         plan = formatted_plan(fn(spark, sf_dir))
         assert "ArrowEvalPython" not in plan, fn.__name__
         assert "FlatMapGroupsInPandas" not in plan, fn.__name__
+
+
+def test_starjoin_dims_broadcast_facts_shuffle(spark, sf_dir):
+    """Q5/Q7/Q8/Q10 shapes: every dimension side broadcasts; no
+    cartesian products; the lineitem scan is column-pruned."""
+    from tableau_dashboard_performance_etl_automation_spark.operators import starjoins
+
+    for fn in (
+        starjoins.local_supplier_revenue,
+        starjoins.nation_trade_flows,
+        starjoins.nation_market_share,
+        starjoins.returned_item_revenue,
+    ):
+        df = fn(spark, sf_dir)
+        assert has_broadcast_hash_join(df), fn.__name__
+        assert not has_cartesian_product(df), fn.__name__
+        schemas = " ".join(read_schemas(df))
+        assert "l_comment" not in schemas and "l_tax" not in schemas, (
+            fn.__name__
+        )
+
+
+def test_returned_items_topk_is_heap_not_sort(spark, sf_dir):
+    """Q10's LIMIT 20 must compile to TakeOrderedAndProject
+    (per-partition heaps), never a global sort of all customers."""
+    from tableau_dashboard_performance_etl_automation_spark.operators import starjoins
+
+    plan = formatted_plan(starjoins.returned_item_revenue(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_top_supplier_scalar_max_broadcasts(spark, sf_dir):
+    """Q15's scalar-max compare must be a 1-row broadcast into the
+    per-supplier aggregate, not a shuffle or a second full scan
+    feeding a sort."""
+    from tableau_dashboard_performance_etl_automation_spark.operators import starjoins
+
+    plan = formatted_plan(starjoins.top_supplier_revenue(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert not has_cartesian_product(
+        starjoins.top_supplier_revenue(spark, sf_dir)
+    )
+
+
+def test_chunking_is_single_scan_no_python(spark, sf_dir):
+    """Chunking/pair-count/mixture passes: one documents scan each,
+    no Python stages, no joins at all except the 1-row broadcast
+    total in the mixture query."""
+    from tableau_dashboard_performance_etl_automation_spark.operators import chunking
+
+    for fn, max_scans in (
+        (chunking.doc_chunks, 1),
+        (chunking.bpe_pair_counts, 1),
+        # the mixture query's 1-row total re-derives from the grouped
+        # aggregate, which Spark plans as a second (narrow) scan
+        (chunking.source_mixture_weights, 2),
+    ):
+        df = fn(spark, sf_dir)
+        plan = formatted_plan(df)
+        assert "ArrowEvalPython" not in plan, fn.__name__
+        assert "BatchEvalPython" not in plan, fn.__name__
+        assert len(read_schemas(df)) <= max_scans, fn.__name__
