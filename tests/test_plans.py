@@ -243,3 +243,27 @@ def test_chunking_is_single_scan_no_python(spark, sf_dir):
         assert "ArrowEvalPython" not in plan, fn.__name__
         assert "BatchEvalPython" not in plan, fn.__name__
         assert len(read_schemas(df)) <= max_scans, fn.__name__
+
+
+def test_scd2_is_one_scan_one_window(spark, sf_dir):
+    """The SCD2 build must stay a single events scan + per-user
+    window + aggregate — no self-join, no Python stage."""
+    from tableau_dashboard_performance_etl_automation_spark.operators import history
+
+    df = history.scd2_user_bands(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert len(read_schemas(df)) == 1
+    assert "ArrowEvalPython" not in plan
+    assert not has_cartesian_product(df)
+
+
+def test_fk_audit_anti_joins_broadcast_dimension_parents(spark, sf_dir):
+    """FK audit: anti joins only, no cartesian; dimension-sized
+    parents (nation/region/part/supplier/customer) broadcast."""
+    from tableau_dashboard_performance_etl_automation_spark.operators import history
+
+    df = history.fk_integrity_audit(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert not has_cartesian_product(df)
+    assert "LeftAnti" in plan
+    assert "BroadcastExchange" in plan
