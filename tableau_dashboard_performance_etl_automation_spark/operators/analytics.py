@@ -670,7 +670,48 @@ def hourly_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def daily_p95_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily p95 latency/value series with a new-local-high flag —
+    the SLO monitoring query: exact interpolated p95 per day (on
+    integer cents, so the interpolation is cross-engine exact), then
+    each day compared against the rolling MAX of the prior 7 days'
+    p95. MAX (a selection, not arithmetic) over already-rounded
+    values keeps the flag deterministic — no float accumulation
+    anywhere. The window runs over the DAILY aggregate (≤ one row per
+    calendar day), never the raw stream."""
+    e = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    daily = (
+        e.select(F.to_date("ts").alias("d"), cents.alias("cents"))
+        .groupBy("d")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.expr("percentile(cents, 0.95)") / 100.0, 4).alias(
+                "p95"
+            ),
+        )
+    )
+    w = Window.orderBy("d").rowsBetween(-7, -1)
+    return (
+        daily.withColumn("prior_max", F.max("p95").over(w))
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("event_date"),
+            "n_events",
+            "p95",
+            F.when(
+                F.col("prior_max").isNotNull()
+                & (F.col("p95") > F.col("prior_max")),
+                1,
+            )
+            .otherwise(0)
+            .alias("is_new_high"),
+        )
+        .orderBy("event_date")
+    )
+
+
 QUERIES = {
+    "daily_p95_series": daily_p95_series,
     "pricing_summary": pricing_summary,
     "forecast_revenue": forecast_revenue,
     "shipping_priority": shipping_priority,
@@ -693,6 +734,31 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "daily_p95_series": """
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS d,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   ROUND(quantile_cont(
+                       CAST(ROUND(value * 100) AS BIGINT), 0.95
+                   ) / 100.0, 4) AS p95
+            FROM events
+            GROUP BY d
+        )
+        SELECT strftime(d, '%Y-%m-%d') AS event_date,
+               n_events,
+               p95,
+               CASE WHEN MAX(p95) OVER (
+                        ORDER BY d ROWS BETWEEN 7 PRECEDING
+                                       AND 1 PRECEDING
+                    ) IS NOT NULL
+                    AND p95 > MAX(p95) OVER (
+                        ORDER BY d ROWS BETWEEN 7 PRECEDING
+                                       AND 1 PRECEDING
+                    )
+                    THEN 1 ELSE 0 END AS is_new_high
+        FROM daily
+        ORDER BY event_date
+    """,
     "hourly_heatmap": """
         SELECT CAST(isodow(ts) - 1 AS INTEGER) AS wd,
                CAST(hour(ts) AS INTEGER) AS hh,

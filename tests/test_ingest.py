@@ -224,3 +224,37 @@ def test_jsonl_row_conservation_and_reject_classes(spark, tmp_path):
     rej = [r.rejected_row for r in res.rejected.collect()]
     assert any("broken json" in r for r in rej)
     assert all(isinstance(r, str) and r for r in rej)
+
+
+def test_orc_round_trip_preserves_rows_and_pushdown(spark, sf_dir, tmp_path):
+    """ORC source: a lineitem round-trip must conserve every row and
+    value, and date filters must push into the ORC scan exactly as
+    they do for parquet."""
+    from pyspark.sql import functions as F
+
+    from tableau_dashboard_performance_etl_automation_spark.catalog import load_table
+    from tableau_dashboard_performance_etl_automation_spark.plans import (
+        formatted_plan,
+        pushed_filters,
+    )
+    from tableau_dashboard_performance_etl_automation_spark.sources.formats import (
+        read_orc,
+        write_orc,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    path = str(tmp_path / "lineitem_orc")
+    write_orc(li, path)
+    back = read_orc(spark, path)
+    assert back.count() == li.count()
+    # value conservation: exact-cents grand total survives the round trip
+    total = lambda df: df.agg(  # noqa: E731
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint"))
+    ).collect()[0][0]
+    assert total(back) == total(li)
+    # pushdown + pruning reach the ORC scan
+    q = back.filter(
+        F.col("l_shipdate") >= F.lit("1999-01-01").cast("timestamp_ntz")
+    ).select("l_orderkey", "l_quantity")
+    assert "l_shipdate" in " ".join(pushed_filters(q))
+    assert "ORC" in formatted_plan(q) or "orc" in formatted_plan(q)
