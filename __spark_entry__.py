@@ -24,8 +24,10 @@ from tableau_dashboard_performance_etl_automation_spark.operators import (
     multimodal,
     relational_ext,
     sampling,
+    scrubbing,
     similarity,
     starjoins,
+    subqueries,
     tabjolt,
     textops,
 )
@@ -94,6 +96,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(multimodal.QUERIES)
     out.update(relational_ext.QUERIES)
     out.update(starjoins.QUERIES)
+    out.update(subqueries.QUERIES)
+    out.update(scrubbing.QUERIES)
     out.update(chunking.QUERIES)
     out.update(history.QUERIES)
     out.update(clustering.QUERIES)
@@ -114,6 +118,8 @@ def oracle_sql() -> dict[str, str]:
     out.update(multimodal.ORACLE_SQL)
     out.update(relational_ext.ORACLE_SQL)
     out.update(starjoins.ORACLE_SQL)
+    out.update(subqueries.ORACLE_SQL)
+    out.update(scrubbing.ORACLE_SQL)
     out.update(chunking.ORACLE_SQL)
     out.update(history.ORACLE_SQL)
     out.update(clustering.ORACLE_SQL)

@@ -129,10 +129,66 @@ def source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Training-sequence capacity (tokens) for the packing plan.
+PACK_CAPACITY = 2048
+
+
+def sequence_packing_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk packing accounting: documents are concatenated
+    per source in doc_id order and cut into PACK_CAPACITY-token
+    training sequences (the standard LLM pretraining packing); report,
+    per source, how many sequences result, how many documents straddle
+    a sequence boundary, and the final-sequence fill ratio.
+
+    A doc occupying token positions [start, end] lands in sequences
+    ⌊start/C⌋..⌊end/C⌋ — one prefix-sum window per source (a single
+    sort-shuffle on the natural packing order) and pure integer
+    arithmetic after it, so the plan is deterministic and
+    cross-engine exact. At 100 TB the window's per-source ordering is
+    the same sort a real packer needs anyway; sources partition the
+    work, so no global sort exists.
+    """
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    per_doc = (
+        docs.select("source", "doc_id", F.size(words()).alias("toks"))
+        .withColumn("cum", F.sum("toks").over(w).cast("bigint"))
+        .withColumn("seq_first", F.expr(f"(cum - toks) div {PACK_CAPACITY}"))
+        .withColumn("seq_last", F.expr(f"(cum - 1) div {PACK_CAPACITY}"))
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("toks").cast("bigint").alias("total_tokens"),
+            (F.max("seq_last") + 1).cast("bigint").alias("n_sequences"),
+            F.sum(
+                (F.col("seq_last") > F.col("seq_first")).cast("bigint")
+            ).alias("n_split_docs"),
+        )
+        .withColumn(
+            "fill_ratio",
+            F.round(
+                F.col("total_tokens")
+                / (F.col("n_sequences") * F.lit(PACK_CAPACITY)),
+                6,
+            ),
+        )
+        .orderBy("source")
+    )
+
+
 QUERIES = {
     "doc_chunks": doc_chunks,
     "bpe_pair_counts": bpe_pair_counts,
     "source_mixture_weights": source_mixture_weights,
+    "sequence_packing_plan": sequence_packing_plan,
 }
 
 ORACLE_SQL = {
@@ -171,6 +227,39 @@ ORACLE_SQL = {
         GROUP BY pair
         ORDER BY n_pairs DESC, pair
         LIMIT 30
+    """,
+    "sequence_packing_plan": f"""
+        WITH per AS (
+            SELECT source, doc_id,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+            FROM documents
+        ),
+        cums AS (
+            SELECT source, toks,
+                   CAST(SUM(toks) OVER (
+                       PARTITION BY source ORDER BY doc_id
+                       ROWS UNBOUNDED PRECEDING
+                   ) AS BIGINT) AS cum
+            FROM per
+        ),
+        spans AS (
+            SELECT source, toks,
+                   (cum - toks) // {PACK_CAPACITY} AS seq_first,
+                   (cum - 1) // {PACK_CAPACITY} AS seq_last
+            FROM cums
+        )
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(toks) AS BIGINT) AS total_tokens,
+               CAST(MAX(seq_last) + 1 AS BIGINT) AS n_sequences,
+               CAST(SUM(CASE WHEN seq_last > seq_first THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_split_docs,
+               ROUND(SUM(toks) * 1.0
+                     / ((MAX(seq_last) + 1) * {PACK_CAPACITY}), 6)
+                   AS fill_ratio
+        FROM spans
+        GROUP BY source
+        ORDER BY source
     """,
     "source_mixture_weights": """
         WITH per AS (

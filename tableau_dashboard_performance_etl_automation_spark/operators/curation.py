@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from tableau_dashboard_performance_etl_automation_spark.catalog import load_table
 from tableau_dashboard_performance_etl_automation_spark.operators.clustering import (
     ORACLE_SQL as _CLUSTER_ORACLE,
     connected_components,
@@ -117,9 +118,62 @@ def curation_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Bottom fraction of each source's length distribution dropped by
+#: the adaptive filter (numerator/denominator kept integer so the
+#: rank threshold is exact in both engines).
+PCTL_DROP_NUM, PCTL_DROP_DEN = 1, 4
+
+
+def quality_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source ADAPTIVE quality floor: instead of one global
+    min-words rule, each source drops its own bottom quartile by
+    token count (rank ≤ ⌊n/4⌋ in (n_words, doc_id) order) — the
+    heterogeneous-corpus curation rule (a transcript source and an
+    encyclopedia source have different 'short' thresholds).
+
+    The rank is an exact integer window per source (deterministic
+    tiebreak on doc_id), so the survivor set — not just its size — is
+    cross-engine reproducible. At scale the window sort shuffles once
+    on source, the same partitioning the downstream per-source ops
+    reuse; no global sort, no percentile interpolation ambiguity.
+    """
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("n_words", "doc_id")
+    wc = Window.partitionBy("source")
+    ranked = (
+        docs.select("source", "doc_id", F.size(F.split("text", " ")).alias("n_words"))
+        .withColumn("rk", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(wc))
+        .withColumn(
+            "kept",
+            (
+                F.col("rk")
+                > F.expr(f"(n * {PCTL_DROP_NUM}) div {PCTL_DROP_DEN}")
+            ).cast("int"),
+        )
+    )
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("kept").cast("bigint").alias("n_kept"),
+            F.min(F.when(F.col("kept") == 1, F.col("n_words")))
+            .cast("bigint")
+            .alias("min_kept_words"),
+            F.sum(F.when(F.col("kept") == 1, F.col("n_words")).otherwise(0))
+            .cast("bigint")
+            .alias("kept_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
 QUERIES = {
     "curate_corpus": curate_corpus,
     "curation_summary": curation_summary,
+    "quality_percentile_filter": quality_percentile_filter,
 }
 
 # Oracle: replay the same staged chain in SQL. The cluster-label CTE
@@ -177,5 +231,33 @@ ORACLE_SQL = {
         FROM ({_CURATE_SQL} ORDER BY doc_id) c
         GROUP BY lang
         ORDER BY lang
+    """,
+    "quality_percentile_filter": f"""
+        WITH ranked AS (
+            SELECT source,
+                   CAST(len(string_split(text, ' ')) AS INTEGER) AS n_words,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY source
+                       ORDER BY len(string_split(text, ' ')), doc_id
+                   ) AS rk,
+                   COUNT(*) OVER (PARTITION BY source) AS n
+            FROM documents
+        ),
+        flagged AS (
+            SELECT source, n_words,
+                   CASE WHEN rk > (n * {PCTL_DROP_NUM}) // {PCTL_DROP_DEN}
+                        THEN 1 ELSE 0 END AS kept
+            FROM ranked
+        )
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(kept) AS BIGINT) AS n_kept,
+               CAST(MIN(CASE WHEN kept = 1 THEN n_words END) AS BIGINT)
+                   AS min_kept_words,
+               CAST(SUM(CASE WHEN kept = 1 THEN n_words ELSE 0 END)
+                    AS BIGINT) AS kept_tokens
+        FROM flagged
+        GROUP BY source
+        ORDER BY source
     """,
 }

@@ -446,9 +446,43 @@ def dedup_replayed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Where is the duplication COMING from: near-dup candidate pairs
+    (MinHash+LSH, same pipeline as :func:`dedup_minhash_lsh`) rolled
+    up into a source×source matrix — the curation diagnostic that
+    tells you whether two crawls overlap or one source self-plagiarizes.
+
+    Composition: the pair set is the LSH band join's output; attaching
+    sources is two equi-joins on doc_id (the corpus' primary key —
+    co-partitioned with any sensible bucketing); the matrix itself is
+    a tiny aggregate on (source, source) keys, canonicalized with
+    least/greatest so A↔B and B↔A land in one cell.
+    """
+    pairs = dedup_minhash_lsh(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    a = docs.select(
+        F.col("doc_id").alias("doc_a"), F.col("source").alias("src_a")
+    )
+    b = docs.select(
+        F.col("doc_id").alias("doc_b"), F.col("source").alias("src_b")
+    )
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            F.least("src_a", "src_b").alias("source_a"),
+            F.greatest("src_a", "src_b").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+        .orderBy("source_a", "source_b")
+    )
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_replayed_events": dedup_replayed_events,
+    "cross_source_dup_matrix": cross_source_dup_matrix,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_simhash": dedup_simhash,
@@ -595,6 +629,16 @@ ORACLE_SQL = {
         ORDER BY event_id
     """,
     "dedup_minhash_lsh": _minhash_oracle(),
+    "cross_source_dup_matrix": f"""
+        SELECT LEAST(da.source, db.source) AS source_a,
+               GREATEST(da.source, db.source) AS source_b,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs
+        FROM ({_minhash_oracle()}) p
+        JOIN documents da ON da.doc_id = p.doc_a
+        JOIN documents db ON db.doc_id = p.doc_b
+        GROUP BY 1, 2
+        ORDER BY source_a, source_b
+    """,
     "dedup_ngram_jaccard": f"""
         WITH {_SHINGLES_CTE},
         keep AS (

@@ -1,0 +1,113 @@
+"""PII / denylist scrubbing over the ``documents`` corpus — the
+redaction pass every training-data pipeline runs before tokenization.
+
+Three pattern families, applied in one projection:
+
+- EMAIL / PHONE — classic PII, replaced with ``<PII>``;
+- a term DENYLIST (word-boundary alternation) — contamination or
+  policy strings, replaced with ``<TERM>``.
+
+Scale design (100 TB): the whole pass is a narrow per-row projection
+(regexp_count + regexp_replace + md5) — no shuffle, no UDF, fully
+inside whole-stage codegen; it pipelines with whatever scan feeds it
+and the parquet reader prunes to (doc_id, text). The corpus here has
+no real PII, so the email/phone patterns exercise the zero-match
+path (pytest covers synthetic hits); the denylist terms DO occur,
+making the driver's oracle row non-trivial.
+
+Pattern language is the RE2/Java-regex common subset (character
+classes, bounded repeats, word boundaries, alternation — no
+lookaround, no backreferences) so Spark (Java regex) and the DuckDB
+oracle (RE2) match identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+from tableau_dashboard_performance_etl_automation_spark.catalog import load_table
+
+#: RE2-and-Java-safe patterns (no lookaround / backreferences).
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b"
+DENYLIST_RE = r"\b(spark|vector|stream)\b"
+
+PII_TOKEN = "<PII>"
+TERM_TOKEN = "<TERM>"
+
+
+def scrubbed(text: Column) -> Column:
+    """The redaction projection itself — email/phone → <PII>, then
+    denylist terms → <TERM> — as a reusable Column expression, so a
+    write-the-clean-corpus job and the audit query share one
+    definition."""
+    return F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(text, EMAIL_RE, PII_TOKEN),
+            PHONE_RE,
+            PII_TOKEN,
+        ),
+        DENYLIST_RE,
+        TERM_TOKEN,
+    )
+
+
+def pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document scrub accounting: match counts per pattern family,
+    the redacted text's md5 fingerprint, and the length delta.
+
+    The fingerprint (not the redacted text itself) is the output —
+    at 100 TB you audit the scrub with a 16-byte column, not by
+    hauling the corpus through the result set; the scrubbed corpus
+    itself would be written table-to-table by the same projection.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    clean = scrubbed(F.col("text"))
+    return (
+        docs.select(
+            "doc_id",
+            F.regexp_count(F.col("text"), F.lit(EMAIL_RE))
+            .cast("bigint")
+            .alias("n_email"),
+            F.regexp_count(F.col("text"), F.lit(PHONE_RE))
+            .cast("bigint")
+            .alias("n_phone"),
+            F.regexp_count(F.col("text"), F.lit(DENYLIST_RE))
+            .cast("bigint")
+            .alias("n_denylist"),
+            F.md5(clean).alias("clean_hash"),
+            (F.length(clean) - F.length("text"))
+            .cast("bigint")
+            .alias("len_delta"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+QUERIES = {"pii_scrub_stats": pii_scrub_stats}
+
+# DuckDB single-quoted literals pass backslashes through verbatim,
+# so the Python pattern strings embed as-is — no escape doubling.
+_SCRUB_SQL = (
+    "regexp_replace(regexp_replace(regexp_replace(text, "
+    f"'{EMAIL_RE}', '{PII_TOKEN}', 'g'), "
+    f"'{PHONE_RE}', '{PII_TOKEN}', 'g'), "
+    f"'{DENYLIST_RE}', '{TERM_TOKEN}', 'g')"
+)
+
+ORACLE_SQL = {
+    "pii_scrub_stats": f"""
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '{EMAIL_RE}')) AS BIGINT)
+                   AS n_email,
+               CAST(len(regexp_extract_all(text, '{PHONE_RE}')) AS BIGINT)
+                   AS n_phone,
+               CAST(len(regexp_extract_all(text, '{DENYLIST_RE}')) AS BIGINT)
+                   AS n_denylist,
+               md5({_SCRUB_SQL}) AS clean_hash,
+               CAST(length({_SCRUB_SQL}) - length(text) AS BIGINT)
+                   AS len_delta
+        FROM documents
+        ORDER BY doc_id
+    """,
+}

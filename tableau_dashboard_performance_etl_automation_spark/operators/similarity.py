@@ -288,6 +288,48 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN classification by majority vote over the exact top-k
+    neighbor set: each query vector takes the label its TOP_K nearest
+    neighbors (cosine) hold most often; ties break toward the label
+    holding the nearest neighbor (lowest best rank), then the lowest
+    label id.
+
+    Built ON TOP of :func:`ann_cosine_topk` — the classifier is a
+    composition, so swapping in the IVF index changes one call. The
+    vote itself is two hash aggregates (votes per (query,label), then
+    a MAX(struct) argmax per query) — map-side combinable, no window,
+    no extra shuffle beyond the label equi-join.
+    """
+    topk = ann_cosine_topk(spark, sf_dir)
+    labels = _emb(spark, sf_dir).select(
+        F.col("vec_id").alias("neighbor_id"), "label"
+    )
+    votes = (
+        topk.join(labels, "neighbor_id")
+        .groupBy("query_id", "label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("votes"),
+            F.min("rank").alias("best_rank"),
+        )
+    )
+    best = votes.groupBy("query_id").agg(
+        F.max(
+            F.struct(
+                F.col("votes"),
+                (-F.col("best_rank")).alias("neg_rank"),
+                (-F.col("label")).alias("neg_label"),
+            )
+        ).alias("m")
+    )
+    return best.select(
+        "query_id",
+        (-F.col("m.neg_label")).cast("int").alias("label"),
+        F.col("m.votes").alias("votes"),
+        (-F.col("m.neg_rank")).cast("int").alias("best_rank"),
+    ).orderBy("query_id")
+
+
 def _nearest(e: DataFrame, cent: DataFrame, nprobe: int = 1) -> DataFrame:
     """Nearest-centroid assignment: one broadcast join against the
     centroid set. ``nprobe=1`` (the storage assignment) is an argmax
@@ -495,6 +537,7 @@ QUERIES = {
     "ann_cosine_topk": ann_cosine_topk,
     "ann_ivf_topk": ann_ivf_topk,
     "embedding_quantize": embedding_quantize,
+    "knn_label_vote": knn_label_vote,
 }
 
 _cos_ab = _COS_SQL.format(a="a.embedding", b="b.embedding")
@@ -566,6 +609,40 @@ ORACLE_SQL = {
         )
         WHERE rank <= {TOP_K}
         ORDER BY query_id, rank
+    """,
+    "knn_label_vote": f"""
+        WITH topk AS (
+            SELECT query_id, neighbor_id, rank
+            FROM (
+                SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY ROUND({_cos_qc}, 6) DESC, c.vec_id
+                       ) AS rank
+                FROM embeddings q
+                JOIN embeddings c ON c.vec_id != q.vec_id
+                WHERE q.vec_id < {N_QUERIES}
+            )
+            WHERE rank <= {TOP_K}
+        ),
+        votes AS (
+            SELECT t.query_id, e.label,
+                   CAST(COUNT(*) AS BIGINT) AS votes,
+                   CAST(MIN(t.rank) AS INTEGER) AS best_rank
+            FROM topk t
+            JOIN embeddings e ON e.vec_id = t.neighbor_id
+            GROUP BY t.query_id, e.label
+        )
+        SELECT query_id, CAST(label AS INTEGER) AS label, votes, best_rank
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                       PARTITION BY query_id
+                       ORDER BY votes DESC, best_rank, label
+                   ) AS rn
+            FROM votes
+        )
+        WHERE rn = 1
+        ORDER BY query_id
     """,
     "ann_ivf_topk": None,  # filled in below (generated CTE chain)
 }

@@ -1,0 +1,280 @@
+"""Correlated-subquery and disjunctive-predicate query shapes —
+the TPC-H Q2 / Q4 / Q9 / Q19 analogs, adapted to the testdata schema
+(no ``partsupp`` table, no ``l_commitdate``/``l_shipmode`` columns):
+the *shape* each exercises — scalar-min decorrelation, EXISTS
+semi-join, multi-dim profit rollup, OR-of-conjunctions residual — is
+the point, not the literal TPC-H predicate.
+
+Reference parity: the reference (tabjolt_email.py) delegates every
+query to Vertica, whose planner decorrelates these shapes the same
+way; a migrating user writing them against this engine gets the
+equivalent Spark plans below.
+
+Scale notes (100 TB):
+
+- Q2 shape: the naive correlated form re-scans lineitem per part; the
+  decorrelated rewrite here is ONE aggregation over lineitem
+  (map-side-combinable MIN(struct) argmax per part) — no join-back,
+  no window sort. Supplier (dimension-class) broadcasts; the
+  part-name join shuffles on partkey, the natural key.
+- Q4 shape: EXISTS becomes LEFT SEMI — Spark dedups build-side keys
+  in the hash table, so a 7-lineitem order costs one probe, and the
+  returnflag filter is pushed to the lineitem scan.
+- Q9 shape: profit = revenue − cost in exact integer units so the
+  nation×year SUM is reduction-order-independent (hash-identical
+  across partitionings); dims broadcast, fact-fact edges shuffle on
+  natural keys.
+- Q19 shape: the OR-of-conjunctions stays a RESIDUAL on one equi-join
+  on partkey — never a cross join; the shared qty/size envelope
+  (qty ≤ 30, size ≤ 15) is pushed to both scans as a bounding filter,
+  the classic disjunction-envelope trick.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from tableau_dashboard_performance_etl_automation_spark.catalog import load_table
+from tableau_dashboard_performance_etl_automation_spark.operators.starjoins import (
+    REV_UNITS_SQL,
+    rev_units,
+)
+
+
+def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 shape (min-cost supplier per part), decorrelated.
+
+    TPC-H Q2's correlated ``ps_supplycost = (SELECT MIN …)`` subquery,
+    re-expressed over lineitem (the part↔supplier bridge this schema
+    has): for each large part (p_size ≥ 40), the supplier with the
+    LOWEST total observed spend (exact cents), tiebreak lowest
+    suppkey. One aggregation + one argmax — the decorrelated plan a
+    good optimizer produces from the subquery form.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_size") >= 40)
+    sup = load_table(spark, sf_dir, "supplier")
+
+    spend = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint")).alias(
+            "spend_cents"
+        )
+    )
+    # argmax: MIN(struct(spend, suppkey)) orders lexicographically —
+    # exactly "min spend, tiebreak min suppkey" — and combines
+    # map-side, unlike a join-back or a window sort
+    best = spend.groupBy("l_partkey").agg(
+        F.min(F.struct("spend_cents", "l_suppkey")).alias("m")
+    )
+    return (
+        best.select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.col("m.l_suppkey").alias("s_suppkey"),
+            F.col("m.spend_cents").alias("spend_cents"),
+        )
+        .join(part.select("p_partkey", "p_name", "p_size"), "p_partkey")
+        .join(F.broadcast(sup.select("s_suppkey", "s_name")), "s_suppkey")
+        .select(
+            "p_partkey",
+            "p_name",
+            "p_size",
+            "s_suppkey",
+            "s_name",
+            (F.col("spend_cents") / 100.0).alias("min_spend"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+def priority_return_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 shape: order-priority counts for orders that had at least
+    one returned line (EXISTS → LEFT SEMI) inside a one-year window.
+
+    The semi-join probes a hash table of distinct returned orderkeys;
+    the returnflag filter reaches the lineitem scan (pushdown), and
+    the date window reaches the orders scan.
+    """
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01"))
+    )
+    returned = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey")
+    )
+    return (
+        orders.join(
+            returned, orders.o_orderkey == returned.l_orderkey, "left_semi"
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def nation_year_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9 shape: profit per supplier-nation per order-year for one
+    part family (p_name LIKE '%widget%').
+
+    profit_units = revenue_units − cost_units, both exact BIGINTs
+    (cents-scale), so the big SUM is associative/commutative and
+    hash-identical across engines; the single float op is the final
+    display division. supplier+nation broadcast; lineitem⋈part and
+    lineitem⋈orders shuffle on their natural keys.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%widget%")
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").alias("o_year")
+    )
+    sup = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    sup_nat = F.broadcast(
+        sup.join(
+            nation, sup.s_nationkey == nation.n_nationkey
+        ).select("s_suppkey", "n_name")
+    )
+    # rev_units is cents × discount-percent (1e4 scale); put cost on
+    # the same scale: cents × 100 × quantity, so the subtraction is
+    # unit-consistent and stays integer
+    cost_units = (
+        F.round(F.col("p_retailprice") * 100).cast("bigint")
+        * F.lit(100)
+        * F.round(F.col("l_quantity")).cast("bigint")
+    )
+    return (
+        li.join(part.select("p_partkey", "p_retailprice"),
+                li.l_partkey == F.col("p_partkey"))
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(sup_nat, li.l_suppkey == F.col("s_suppkey"))
+        .withColumn("profit_units", rev_units() - cost_units)
+        .groupBy("n_name", "o_year")
+        .agg(
+            (F.sum("profit_units") / 10000.0).alias("profit"),
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        )
+        .orderBy("n_name", F.col("o_year").desc())
+    )
+
+
+def disjunctive_band_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19 shape: revenue from an OR of three (brand, size, quantity)
+    conjunctions — the disjunctive-residual join.
+
+    The join stays a single equi-join on partkey; the OR is a residual
+    filter on the joined row. The disjunction's shared envelope
+    (l_quantity ≤ 30, p_size ≤ 15) is applied to each scan
+    separately — the bounding-box pushdown a planner derives by
+    factoring the OR.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") <= 30)
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_size") <= 15)
+    branch = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("l_quantity").between(1, 11)
+            & F.col("p_size").between(1, 5)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("l_quantity").between(10, 20)
+            & F.col("p_size").between(1, 10)
+        )
+        | (
+            (F.col("p_brand") == "Brand#15")
+            & F.col("l_quantity").between(20, 30)
+            & F.col("p_size").between(1, 15)
+        )
+    )
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .filter(branch)
+        .groupBy("p_brand")
+        .agg(
+            (F.sum(rev_units()) / 10000.0).alias("revenue"),
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+QUERIES = {
+    "min_cost_supplier": min_cost_supplier,
+    "priority_return_orders": priority_return_orders,
+    "nation_year_profit": nation_year_profit,
+    "disjunctive_band_revenue": disjunctive_band_revenue,
+}
+
+ORACLE_SQL = {
+    "min_cost_supplier": """
+        WITH spend AS (
+            SELECT l_partkey, l_suppkey,
+                   CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                        AS BIGINT) AS spend_cents
+            FROM lineitem
+            GROUP BY l_partkey, l_suppkey
+        ),
+        best AS (
+            SELECT l_partkey, l_suppkey, spend_cents,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY l_partkey
+                       ORDER BY spend_cents, l_suppkey
+                   ) AS rn
+            FROM spend
+        )
+        SELECT b.l_partkey AS p_partkey, p.p_name, p.p_size,
+               b.l_suppkey AS s_suppkey, s.s_name,
+               b.spend_cents / 100.0 AS min_spend
+        FROM best b
+        JOIN part p ON p.p_partkey = b.l_partkey AND p.p_size >= 40
+        JOIN supplier s ON s.s_suppkey = b.l_suppkey
+        WHERE b.rn = 1
+        ORDER BY p_partkey
+    """,
+    "priority_return_orders": """
+        SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM orders o
+        WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+          AND o.o_orderdate < TIMESTAMP '1998-01-01'
+          AND EXISTS (
+              SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R'
+          )
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+    "nation_year_profit": f"""
+        SELECT n.n_name, CAST(YEAR(o.o_orderdate) AS INTEGER) AS o_year,
+               CAST(SUM({REV_UNITS_SQL}
+                        - CAST(ROUND(p.p_retailprice * 100) AS BIGINT) * 100
+                          * CAST(ROUND(l.l_quantity) AS BIGINT))
+                    AS BIGINT) / 10000.0 AS profit,
+               CAST(COUNT(*) AS BIGINT) AS n_lines
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+                   AND p.p_name LIKE '%widget%'
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        GROUP BY n.n_name, YEAR(o.o_orderdate)
+        ORDER BY n.n_name, o_year DESC
+    """,
+    "disjunctive_band_revenue": f"""
+        SELECT p_brand,
+               CAST(SUM({REV_UNITS_SQL}) AS BIGINT) / 10000.0 AS revenue,
+               CAST(COUNT(*) AS BIGINT) AS n_lines
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE (p.p_brand = 'Brand#12' AND l.l_quantity BETWEEN 1 AND 11
+               AND p.p_size BETWEEN 1 AND 5)
+           OR (p.p_brand = 'Brand#23' AND l.l_quantity BETWEEN 10 AND 20
+               AND p.p_size BETWEEN 1 AND 10)
+           OR (p.p_brand = 'Brand#15' AND l.l_quantity BETWEEN 20 AND 30
+               AND p.p_size BETWEEN 1 AND 15)
+        GROUP BY p_brand
+        ORDER BY p_brand
+    """,
+}

@@ -267,3 +267,73 @@ def test_fk_audit_anti_joins_broadcast_dimension_parents(spark, sf_dir):
     assert not has_cartesian_product(df)
     assert "LeftAnti" in plan
     assert "BroadcastExchange" in plan
+
+
+def test_priority_return_orders_is_left_semi(spark, sf_dir):
+    """Q4 shape: EXISTS must plan as a semi join (one probe per
+    order, build side deduped) with the returnflag filter pushed to
+    the lineitem scan."""
+    from tableau_dashboard_performance_etl_automation_spark.operators import subqueries
+
+    df = subqueries.priority_return_orders(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "LeftSemi" in plan
+    assert not has_cartesian_product(df)
+    assert "l_returnflag" in " ".join(pushed_filters(df))
+
+
+def test_min_cost_supplier_no_window_no_join_back(spark, sf_dir):
+    """Q2 shape: the decorrelated argmax must stay an aggregate —
+    no rank window over the (part, supplier) spend table and no
+    re-scan join-back of lineitem."""
+    from tableau_dashboard_performance_etl_automation_spark.operators import subqueries
+
+    df = subqueries.min_cost_supplier(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "Window" not in plan
+    # exactly one lineitem scan: ReadSchema mentioning l_extendedprice
+    li_scans = [s for s in read_schemas(df) if "l_extendedprice" in s]
+    assert len(li_scans) == 1
+    assert "BroadcastHashJoin" in plan  # supplier dim broadcasts
+
+
+def test_nation_year_profit_dims_broadcast(spark, sf_dir):
+    from tableau_dashboard_performance_etl_automation_spark.operators import subqueries
+
+    df = subqueries.nation_year_profit(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert not has_cartesian_product(df)
+
+
+def test_disjunctive_band_revenue_pushes_envelope(spark, sf_dir):
+    """Q19 shape: the OR's bounding envelope must reach both scans;
+    the join must stay an equi-join on partkey."""
+    from tableau_dashboard_performance_etl_automation_spark.operators import subqueries
+
+    df = subqueries.disjunctive_band_revenue(spark, sf_dir)
+    pushed = " ".join(pushed_filters(df))
+    assert "l_quantity" in pushed
+    assert "p_size" in pushed
+    assert not has_cartesian_product(df)
+
+
+def test_pii_scrub_is_single_scan_no_python(spark, sf_dir):
+    from tableau_dashboard_performance_etl_automation_spark.operators import scrubbing
+
+    df = scrubbing.pii_scrub_stats(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert len(read_schemas(df)) == 1
+    schemas = " ".join(read_schemas(df))
+    assert "lang" not in schemas  # pruned to (doc_id, text)
+
+
+def test_packing_plan_single_scan_one_window(spark, sf_dir):
+    from tableau_dashboard_performance_etl_automation_spark.operators import chunking
+
+    df = chunking.sequence_packing_plan(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert len(read_schemas(df)) == 1
+    assert "ArrowEvalPython" not in plan
+    assert not has_cartesian_product(df)
