@@ -330,6 +330,42 @@ def knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id")
 
 
+def embedding_centroid_by_label(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-label centroid statistics, one row per (label, dimension):
+    vector count, exact integer micro-unit component sum, and the
+    rounded mean — the class-prototype table a labeled embedding set
+    is summarized by (and the building block of nearest-class-mean
+    classification).
+
+    posexplode turns the K×dim centroid computation into a flat
+    (label, dim) hash aggregate — map-side combinable, no UDF, and
+    the micro-unit accumulation (round(x·1e6) as BIGINT, the same
+    trick the IVF trainer uses) makes the sums reduction-order-proof
+    so both engines agree bit-for-bit. At scale: rows = vectors × dim,
+    but the shuffle carries only |labels|·dim partial sums.
+    """
+    e = _emb(spark, sf_dir)
+    return (
+        e.select(
+            "label", F.posexplode("vec").alias("dim", "x")
+        )
+        .groupBy("label", "dim")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+            F.sum(F.round(F.col("x") * 1e6).cast("bigint")).alias(
+                "sum_micro"
+            ),
+        )
+        .withColumn(
+            "mean_val",
+            F.round(F.col("sum_micro") / (F.col("n_vecs") * F.lit(1e6)), 6),
+        )
+        .orderBy("label", "dim")
+    )
+
+
 def _nearest(e: DataFrame, cent: DataFrame, nprobe: int = 1) -> DataFrame:
     """Nearest-centroid assignment: one broadcast join against the
     centroid set. ``nprobe=1`` (the storage assignment) is an argmax
@@ -538,6 +574,7 @@ QUERIES = {
     "ann_ivf_topk": ann_ivf_topk,
     "embedding_quantize": embedding_quantize,
     "knn_label_vote": knn_label_vote,
+    "embedding_centroid_by_label": embedding_centroid_by_label,
 }
 
 _cos_ab = _COS_SQL.format(a="a.embedding", b="b.embedding")
@@ -643,6 +680,21 @@ ORACLE_SQL = {
         )
         WHERE rn = 1
         ORDER BY query_id
+    """,
+    "embedding_centroid_by_label": """
+        SELECT label,
+               CAST(i - 1 AS INTEGER) AS dim,
+               CAST(COUNT(*) AS BIGINT) AS n_vecs,
+               CAST(SUM(CAST(ROUND(embedding[CAST(i AS INTEGER)]::DOUBLE
+                                   * 1e6) AS BIGINT)) AS BIGINT)
+                   AS sum_micro,
+               ROUND(SUM(CAST(ROUND(embedding[CAST(i AS INTEGER)]::DOUBLE
+                                    * 1e6) AS BIGINT))
+                     / (COUNT(*) * 1e6), 6) AS mean_val
+        FROM embeddings,
+             UNNEST(generate_series(1, len(embedding))) AS t(i)
+        GROUP BY label, i
+        ORDER BY label, dim
     """,
     "ann_ivf_topk": None,  # filled in below (generated CTE chain)
 }

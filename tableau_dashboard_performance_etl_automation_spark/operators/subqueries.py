@@ -201,11 +201,103 @@ def disjunctive_band_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def important_parts_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 shape: parts whose total line value exceeds 1.4× the
+    average part's — the HAVING-against-a-scalar-aggregate-subquery
+    pattern (value concentration).
+
+    The scalar is a 1-row broadcast (total + part count), so the
+    comparison is a residual on the grouped rows — no second lineitem
+    scan, no join-back. The threshold is RELATIVE (×avg), so the
+    query means the same thing at every scale factor; the comparison
+    ``v·n·10 > total·14`` is pure integer arithmetic.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    pv = li.groupBy("l_partkey").agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint")).alias(
+            "value_cents"
+        )
+    )
+    totals = F.broadcast(
+        pv.agg(
+            F.sum("value_cents").alias("total_cents"),
+            F.count(F.lit(1)).alias("n_parts"),
+        )
+    )
+    return (
+        pv.crossJoin(totals)
+        .filter(
+            F.col("value_cents") * F.col("n_parts") * 10
+            > F.col("total_cents") * 14
+        )
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            (F.col("value_cents") / 100.0).alias("part_value"),
+            F.round(
+                F.col("value_cents") / F.col("total_cents"), 6
+            ).alias("value_share"),
+        )
+        .orderBy(F.col("part_value").desc(), "p_partkey")
+    )
+
+
+def excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20 shape: suppliers who shipped an outsized volume of one part
+    family ('red' parts) — an aggregate subquery feeding a semi-join
+    chain into the supplier dimension.
+
+    lineitem⋈part('red') aggregates per supplier; the 1-row broadcast
+    average makes the cutoff relative (>1.1× the mean supplier's
+    red-part volume); the surviving suppkey set then joins supplier +
+    nation (both dimension-sized, broadcast). The fact table is
+    scanned once.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    red = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%red%")
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    sup = load_table(spark, sf_dir, "supplier")
+    per_sup = (
+        li.join(red.select("p_partkey"), li.l_partkey == F.col("p_partkey"))
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(F.round(F.col("l_quantity")).cast("bigint")).alias(
+                "red_qty"
+            )
+        )
+    )
+    totals = F.broadcast(
+        per_sup.agg(
+            F.sum("red_qty").alias("total_qty"),
+            F.count(F.lit(1)).alias("n_sup"),
+        )
+    )
+    heavy = (
+        per_sup.crossJoin(totals)
+        .filter(
+            F.col("red_qty") * F.col("n_sup") * 10 > F.col("total_qty") * 11
+        )
+        .select(F.col("l_suppkey").alias("s_suppkey"), "red_qty")
+    )
+    return (
+        heavy.join(F.broadcast(sup), "s_suppkey")
+        .join(
+            F.broadcast(nation),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name", "n_name", "red_qty")
+        .orderBy(F.col("red_qty").desc(), "s_suppkey")
+    )
+
+
 QUERIES = {
     "min_cost_supplier": min_cost_supplier,
     "priority_return_orders": priority_return_orders,
     "nation_year_profit": nation_year_profit,
     "disjunctive_band_revenue": disjunctive_band_revenue,
+    "important_parts_value": important_parts_value,
+    "excess_stock_suppliers": excess_stock_suppliers,
 }
 
 ORACLE_SQL = {
@@ -276,5 +368,48 @@ ORACLE_SQL = {
                AND p.p_size BETWEEN 1 AND 15)
         GROUP BY p_brand
         ORDER BY p_brand
+    """,
+    "important_parts_value": """
+        WITH pv AS (
+            SELECT l_partkey,
+                   CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                        AS BIGINT) AS value_cents
+            FROM lineitem
+            GROUP BY l_partkey
+        ),
+        t AS (
+            SELECT CAST(SUM(value_cents) AS BIGINT) AS total_cents,
+                   CAST(COUNT(*) AS BIGINT) AS n_parts
+            FROM pv
+        )
+        SELECT l_partkey AS p_partkey,
+               value_cents / 100.0 AS part_value,
+               ROUND(value_cents * 1.0 / total_cents, 6) AS value_share
+        FROM pv, t
+        WHERE value_cents * n_parts * 10 > total_cents * 14
+        ORDER BY part_value DESC, p_partkey
+    """,
+    "excess_stock_suppliers": """
+        WITH per_sup AS (
+            SELECT l_suppkey,
+                   CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT)
+                       AS red_qty
+            FROM lineitem l
+            JOIN part p ON p.p_partkey = l.l_partkey
+                       AND p.p_name LIKE '%red%'
+            GROUP BY l_suppkey
+        ),
+        t AS (
+            SELECT CAST(SUM(red_qty) AS BIGINT) AS total_qty,
+                   CAST(COUNT(*) AS BIGINT) AS n_sup
+            FROM per_sup
+        )
+        SELECT ps.l_suppkey AS s_suppkey, s.s_name, n.n_name, ps.red_qty
+        FROM per_sup ps
+        CROSS JOIN t
+        JOIN supplier s ON s.s_suppkey = ps.l_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        WHERE ps.red_qty * t.n_sup * 10 > t.total_qty * 11
+        ORDER BY ps.red_qty DESC, s_suppkey
     """,
 }

@@ -167,3 +167,60 @@ def test_nation_year_profit_shape(spark, sf_dir):
         per_nation.setdefault(n, []).append(y)
     for years in per_nation.values():
         assert years == sorted(years, reverse=True)
+
+
+def test_important_parts_value_threshold(spark, sf_dir):
+    rows = subqueries.important_parts_value(spark, sf_dir).collect()
+    assert rows
+    # every survivor is above 1.4x the average share (1/n_parts)
+    n_parts = len(
+        set(
+            r["l_partkey"]
+            for r in __import__(
+                "tableau_dashboard_performance_etl_automation_spark.catalog",
+                fromlist=["load_table"],
+            )
+            .load_table(spark, sf_dir, "lineitem")
+            .select("l_partkey")
+            .distinct()
+            .collect()
+        )
+    )
+    for r in rows:
+        assert r["value_share"] > 1.4 / n_parts * 0.999
+    vals = [r["part_value"] for r in rows]
+    assert vals == sorted(vals, reverse=True)
+
+
+def test_excess_stock_suppliers_relative_cutoff(spark, sf_dir):
+    rows = subqueries.excess_stock_suppliers(spark, sf_dir).collect()
+    for r in rows:
+        assert r["red_qty"] > 0
+        assert r["s_name"] and r["n_name"]
+    qtys = [r["red_qty"] for r in rows]
+    assert qtys == sorted(qtys, reverse=True)
+
+
+def test_embedding_centroids_exact_sums(spark, sf_dir):
+    rows = similarity.embedding_centroid_by_label(spark, sf_dir).collect()
+    assert rows
+    dims = {r["dim"] for r in rows}
+    assert dims == set(range(similarity.EMB_DIM))
+    # recompute one (label, dim) cell exactly
+    import math
+
+    target = rows[0]
+    vecs = [
+        r["vec"]
+        for r in similarity._emb(spark, sf_dir)
+        .filter(F.col("label") == target["label"])
+        .collect()
+    ]
+    want = sum(
+        int(math.floor(v[target["dim"]] * 1e6 + 0.5))
+        if v[target["dim"]] >= 0
+        else -int(math.floor(-v[target["dim"]] * 1e6 + 0.5))
+        for v in vecs
+    )
+    assert target["sum_micro"] == want
+    assert target["n_vecs"] == len(vecs)
