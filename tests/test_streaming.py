@@ -330,3 +330,39 @@ def test_first_purchase_stream_matches_batch_cohorts(spark, sf_dir, tmp_path):
         for r in new_users_daily(spark, sf_dir).collect()
     }
     assert dict(daily) == want
+
+
+def test_idempotent_sink_exactly_once(spark, sf_dir, tmp_path):
+    """foreachBatch sink: a drained stream lands every source row
+    exactly once, and a replayed batch (same batch_id) is a no-op."""
+    from tableau_dashboard_performance_etl_automation_spark.streaming import sinks
+
+    inp = _stage_stream_input(spark, sf_dir, tmp_path)
+    target = str(tmp_path / "sink_out")
+    ckpt = str(tmp_path / "sink_ckpt")
+    stream = trend.events_stream(spark, inp).select(
+        "event_id", "user_id", "event_type"
+    )
+    q = sinks.idempotent_parquet_sink(stream, target, ckpt)
+    q.awaitTermination(120)
+
+    n_src = load_table(spark, sf_dir, "events").count()
+    out = spark.read.parquet(target)
+    assert out.count() == n_src
+    assert out.select("event_id").distinct().count() == n_src
+
+    committed = sinks.committed_batch_ids(target)
+    assert committed, "at least one batch must have committed"
+
+    # simulate the recovery replay: re-offer a committed batch
+    bid = min(committed)
+    replay = load_table(spark, sf_dir, "events").limit(5)
+    did_write = sinks.write_batch_idempotent(replay, bid, target)
+    assert did_write is False
+    assert spark.read.parquet(target).count() == n_src
+
+    # an uncommitted batch id writes (and then commits)
+    new_bid = max(committed) + 1000
+    assert sinks.write_batch_idempotent(replay, new_bid, target) is True
+    assert new_bid in sinks.committed_batch_ids(target)
+    assert spark.read.parquet(target).count() == n_src + 5
