@@ -66,3 +66,52 @@ def write_bucketed(
 
 def read_partitioned(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    src_path: str,
+    out_path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    partition_col: str | None = None,
+) -> int:
+    """Small-files compaction: rewrite a parquet directory into files
+    sized for the scan path. Returns the number of output tasks.
+
+    The small-files problem is the classic death-by-metadata failure
+    mode of a streaming or per-batch writer at 100 TB: thousands of
+    KB-scale files per partition turn every scan into an open/seek
+    storm and blow up the driver's file index. Compaction is a pure
+    rewrite:
+
+    - unpartitioned: repartition to ceil(total_bytes / target) tasks
+      (bytes measured from the actual file listing, not row counts,
+      so compression ratio is accounted for);
+    - partitioned: repartition ON the partition column, so each
+      partition's rows collapse into one task → one file per
+      partition directory (the layout partition pruning wants).
+
+    The rewrite is a narrow shuffle — no aggregation state — and at
+    scale it runs per-partition-subtree, embarrassingly parallel.
+    """
+    import math
+    import os
+
+    total = 0
+    for root, _dirs, files in os.walk(src_path):
+        for name in files:
+            if name.endswith(".parquet"):
+                total += os.path.getsize(os.path.join(root, name))
+    df = spark.read.parquet(src_path)
+    if partition_col is not None:
+        n_tasks = df.select(partition_col).distinct().count()
+        (
+            df.repartition(F.col(partition_col))
+            .write.mode("overwrite")
+            .partitionBy(partition_col)
+            .parquet(out_path)
+        )
+    else:
+        n_tasks = max(1, math.ceil(total / target_file_bytes))
+        df.repartition(n_tasks).write.mode("overwrite").parquet(out_path)
+    return n_tasks

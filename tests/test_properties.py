@@ -209,3 +209,38 @@ def test_grouped_median_matches_quantile_cont(spark, rows):
     for k, vals in by_key.items():
         assert got[k][0] == statistics.median(vals), k
         assert got[k][1] == len(vals)
+
+
+@given(
+    st.lists(st.integers(min_value=1, max_value=50), min_size=1, max_size=20),
+    st.integers(min_value=4, max_value=64),
+)
+@_SETTINGS
+def test_packing_boundary_math_matches_reference(spark, toks, capacity):
+    """The window-prefix-sum packing arithmetic must agree with a
+    direct sequential concat-and-chunk simulation for any doc-length
+    sequence and any capacity."""
+    from pyspark.sql.window import Window
+
+    rows = [(i, t) for i, t in enumerate(toks)]
+    df = spark.createDataFrame(rows, ["doc_id", "toks"])
+    w = (
+        Window.orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    got = (
+        df.withColumn("cum", F.sum("toks").over(w))
+        .withColumn("seq_first", F.expr(f"(cum - toks) div {capacity}"))
+        .withColumn("seq_last", F.expr(f"(cum - 1) div {capacity}"))
+        .orderBy("doc_id")
+        .collect()
+    )
+    # reference simulation: walk the concatenated token stream
+    pos = 0
+    for r, t in zip(got, toks):
+        assert r["seq_first"] == pos // capacity
+        assert r["seq_last"] == (pos + t - 1) // capacity
+        pos += t
+    total = sum(toks)
+    n_sequences = got[-1]["seq_last"] + 1
+    assert n_sequences == -(-total // capacity)  # ceil division
