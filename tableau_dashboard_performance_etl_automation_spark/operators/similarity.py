@@ -479,6 +479,28 @@ def _codebook(spark: SparkSession, sf_dir: str, e: DataFrame) -> DataFrame:
     return spark.createDataFrame(rows, "cent_id BIGINT, cvec ARRAY<DOUBLE>")
 
 
+#: Session-scoped memo of the corpus→centroid ASSIGNMENT — the IVF
+#: index's inverted lists. A deployed IVF index persists BOTH halves
+#: (codebook + posting lists); re-deriving the assignment per query
+#: is a full corpus scan that never amortizes. localCheckpointed
+#: (narrow rows: id, cent_id, vec) and capped to the most recent
+#: (applicationId, sf_dir) so stale checkpoint blocks don't pin;
+#: same immutable-sf_dir assumption as the codebook cache.
+_ASSIGN_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _assignments(
+    spark: SparkSession, sf_dir: str, e: DataFrame, cent: DataFrame
+) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    df = _ASSIGN_CACHE.get(key)
+    if df is None:
+        df = _nearest(e, cent).localCheckpoint()
+        _ASSIGN_CACHE.clear()  # single-entry cap
+        _ASSIGN_CACHE[key] = df
+    return df
+
+
 def ann_ivf_topk(
     spark: SparkSession, sf_dir: str, nprobe: int = 1
 ) -> DataFrame:
@@ -488,7 +510,7 @@ def ann_ivf_topk(
     billions of vectors."""
     e = _emb(spark, sf_dir)
     cent = _codebook(spark, sf_dir, e)
-    assign = _nearest(e, cent)
+    assign = _assignments(spark, sf_dir, e, cent)
     # score only the query vectors against the codebook — per-vector
     # assignment is independent, so filtering before _nearest gives
     # the same rows as filtering after, minus a full-corpus pass
