@@ -577,8 +577,101 @@ def dormant_segment_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def rolling_distinct_users_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 7-day DISTINCT user count per day — the windowed
+    count-distinct a plain window frame cannot express (DISTINCT
+    inside a moving frame isn't decomposable), solved as a bounded-
+    fanout interval join:
+
+    distinct (day, user) pairs join the tiny anchor-day dimension on
+    ``day BETWEEN anchor-6 AND anchor`` — each pair matches at most 7
+    anchors, so row growth is a constant ≤7× regardless of corpus
+    size, and the per-anchor COUNT(DISTINCT) runs as Spark's standard
+    two-phase (partial-distinct, then merge) aggregate. The anchor
+    dimension is calendar-sized (365 rows/year) — broadcast, never a
+    shuffle edge. A naive self-join on raw events instead of the
+    (day, user) distinct would fan out per EVENT — the pre-distinct
+    is the scale move.
+    """
+    events = load_table(spark, sf_dir, "events")
+    du = events.select(
+        F.col("ts").cast("date").alias("event_date"), "user_id"
+    ).distinct()
+    anchors = F.broadcast(
+        du.select(F.col("event_date").alias("d")).distinct()
+    )
+    return (
+        du.join(
+            anchors,
+            (F.col("event_date") <= F.col("d"))
+            & (F.col("event_date") >= F.date_sub(F.col("d"), 6)),
+        )
+        .groupBy("d")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("users_7d"))
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"), "users_7d"
+        )
+        .orderBy("day")
+    )
+
+
+def revenue_pareto_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto coverage per market segment: how many of the segment's
+    top customers cover 80% of its order revenue (the concentration
+    diagnostic behind every 'whale' analysis).
+
+    Revenue is exact cents; the per-segment cumulative sum is one
+    window over (revenue DESC, custkey) — segments partition the
+    sort, so no global ordering exists — and the 80% test is integer
+    cross-multiplication against the 1-row-per-segment total (no
+    float thresholds). Output: segment size, customers-to-80%, and
+    their actual share.
+    """
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("bigint")
+            ).alias("rev_cents")
+        )
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("rev_cents").desc(), "c_custkey"
+    )
+    wt = Window.partitionBy("c_mktsegment")
+    ranked = (
+        per_cust.withColumn("rk", F.row_number().over(w))
+        .withColumn("cum_cents", F.sum("rev_cents").over(w))
+        .withColumn("total_cents", F.sum("rev_cents").over(wt))
+        .withColumn("n_cust", F.count(F.lit(1)).over(wt))
+    )
+    covering = ranked.filter(
+        F.col("cum_cents") * 10 >= F.col("total_cents") * 8
+    )
+    return (
+        covering.groupBy("c_mktsegment")
+        .agg(
+            F.max("n_cust").cast("bigint").alias("n_customers"),
+            F.min("rk").cast("bigint").alias("top80_customers"),
+            F.round(
+                F.min(F.struct("rk", "cum_cents"))["cum_cents"]
+                / F.max("total_cents"),
+                6,
+            ).alias("top80_share"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
 QUERIES = {
     "promo_revenue_share": promo_revenue_share,
+    "rolling_distinct_users_7d": rolling_distinct_users_7d,
+    "revenue_pareto_customers": revenue_pareto_customers,
     "customer_order_distribution": customer_order_distribution,
     "large_order_customers": large_order_customers,
     "dormant_segment_balances": dormant_segment_balances,
@@ -603,6 +696,62 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "rolling_distinct_users_7d": """
+        WITH du AS (
+            SELECT DISTINCT CAST(ts AS DATE) AS event_date, user_id
+            FROM events
+        ),
+        anchors AS (SELECT DISTINCT event_date AS d FROM du)
+        SELECT strftime(a.d, '%Y-%m-%d') AS day,
+               CAST(COUNT(DISTINCT du.user_id) AS BIGINT) AS users_7d
+        FROM du
+        JOIN anchors a
+          ON du.event_date BETWEEN a.d - 6 AND a.d
+        GROUP BY a.d
+        ORDER BY day
+    """,
+    "revenue_pareto_customers": """
+        WITH per_cust AS (
+            SELECT o_custkey,
+                   CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS rev_cents
+            FROM orders
+            GROUP BY o_custkey
+        ),
+        seg AS (
+            SELECT c.c_mktsegment, p.rev_cents, p.o_custkey
+            FROM per_cust p
+            JOIN customer c ON p.o_custkey = c.c_custkey
+        ),
+        ranked AS (
+            SELECT c_mktsegment, rev_cents,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY c_mktsegment
+                       ORDER BY rev_cents DESC, o_custkey
+                   ) AS rk,
+                   SUM(rev_cents) OVER (
+                       PARTITION BY c_mktsegment
+                       ORDER BY rev_cents DESC, o_custkey
+                       ROWS UNBOUNDED PRECEDING
+                   ) AS cum_cents,
+                   SUM(rev_cents) OVER (
+                       PARTITION BY c_mktsegment
+                   ) AS total_cents,
+                   COUNT(*) OVER (
+                       PARTITION BY c_mktsegment
+                   ) AS n_cust
+            FROM seg
+        )
+        SELECT c_mktsegment,
+               CAST(MAX(n_cust) AS BIGINT) AS n_customers,
+               CAST(MIN(rk) AS BIGINT) AS top80_customers,
+               ROUND(arg_min(cum_cents, rk) * 1.0 / MAX(total_cents), 6)
+                   AS top80_share
+        FROM ranked
+        WHERE cum_cents * 10 >= total_cents * 8
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment
+    """,
     "customer_order_distribution": """
         WITH per_cust AS (
             SELECT c.c_custkey,

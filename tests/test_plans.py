@@ -337,3 +337,19 @@ def test_packing_plan_single_scan_one_window(spark, sf_dir):
     assert len(read_schemas(df)) == 1
     assert "ArrowEvalPython" not in plan
     assert not has_cartesian_product(df)
+
+
+def test_rolling_distinct_anchors_broadcast(spark, sf_dir):
+    """The interval join must broadcast the calendar-sized anchor set;
+    the distinct pre-aggregation must come before the fanout."""
+    from tableau_dashboard_performance_etl_automation_spark.operators import (
+        relational_ext,
+    )
+
+    df = relational_ext.rolling_distinct_users_7d(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BroadcastExchange" in plan
+    # the range condition rides a broadcast nested-loop whose build
+    # side is the anchor list — bounded 7x fanout, not a cartesian
+    # over raw events (the pre-join distinct is in the plan)
+    assert "BroadcastNestedLoopJoin" in plan

@@ -224,3 +224,44 @@ def test_embedding_centroids_exact_sums(spark, sf_dir):
     )
     assert target["sum_micro"] == want
     assert target["n_vecs"] == len(vecs)
+
+
+def test_rolling_distinct_users_7d_window_semantics(spark, sf_dir):
+    from tableau_dashboard_performance_etl_automation_spark.operators import (
+        relational_ext,
+    )
+
+    rows = relational_ext.rolling_distinct_users_7d(spark, sf_dir).collect()
+    assert rows
+    days = [r["day"] for r in rows]
+    assert days == sorted(days)
+    # the 7-day rolling count can never drop below the single-day count
+    from tableau_dashboard_performance_etl_automation_spark.catalog import load_table
+
+    single = {
+        r["day"]: r["n"]
+        for r in load_table(spark, sf_dir, "events")
+        .select(
+            F.date_format(F.col("ts").cast("date"), "yyyy-MM-dd").alias(
+                "day"
+            ),
+            "user_id",
+        )
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for r in rows:
+        assert r["users_7d"] >= single[r["day"]]
+
+
+def test_revenue_pareto_is_minimal_prefix(spark, sf_dir):
+    from tableau_dashboard_performance_etl_automation_spark.operators import (
+        relational_ext,
+    )
+
+    rows = relational_ext.revenue_pareto_customers(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r["top80_customers"] <= r["n_customers"]
+        assert 0.8 <= r["top80_share"] <= 1.0
