@@ -33,6 +33,11 @@ _REQUIRED_SQL_CONFS = {
     # events.parquet stores TIMESTAMP(NANOS), which Spark's reader
     # otherwise rejects outright; read as BIGINT nanos + convert below.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # tz-naive parquet TIMESTAMP(MICROS) must surface as TIMESTAMP
+    # (session-UTC), not TIMESTAMP_NTZ: the engine's epoch functions
+    # (unix_millis / unix_timestamp) reject NTZ, and the DuckDB oracle
+    # treats the same bytes as plain TIMESTAMP in a UTC session.
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     # Vertica-lax casts guarded by rlike filters (SURVEY.md §1.3).
     "spark.sql.ansi.enabled": "false",
     # Deterministic date/timestamp semantics matching the DuckDB oracle.

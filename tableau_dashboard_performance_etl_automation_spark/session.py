@@ -56,6 +56,9 @@ def get_spark(app_name: str = "tdpe-spark", master: str | None = None) -> SparkS
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
         .config("spark.sql.ansi.enabled", "false")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # tz-naive parquet micros → TIMESTAMP (session-UTC), not NTZ;
+        # keeps epoch functions valid and matches the DuckDB oracle
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
         # 128 MB input splits: right-sized tasks at 100 TB (≈800k

@@ -258,3 +258,20 @@ def test_orc_round_trip_preserves_rows_and_pushdown(spark, sf_dir, tmp_path):
     ).select("l_orderkey", "l_quantity")
     assert "l_shipdate" in " ".join(pushed_filters(q))
     assert "ORC" in formatted_plan(q) or "orc" in formatted_plan(q)
+
+
+def test_catalog_timestamps_surface_as_session_tz_not_ntz(spark, sf_dir):
+    """Testdata parquet stores tz-naive TIMESTAMP(MICROS); the catalog
+    must surface plain TIMESTAMP (session-UTC), not TIMESTAMP_NTZ —
+    the engine's epoch functions (unix_millis) reject NTZ, and the
+    DuckDB oracle reads the same bytes as plain TIMESTAMP."""
+    from pyspark.sql.types import TimestampType
+
+    from tableau_dashboard_performance_etl_automation_spark import catalog
+
+    events = catalog.load_table(spark, sf_dir, "events")
+    assert isinstance(events.schema["ts"].dataType, TimestampType)
+    orders = catalog.load_table(spark, sf_dir, "orders")
+    assert isinstance(orders.schema["o_orderdate"].dataType, TimestampType)
+    # and the epoch path that broke under NTZ analyzes cleanly
+    events.selectExpr("unix_millis(ts)").schema
