@@ -479,8 +479,132 @@ def cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Sub-document dedup granularity: non-overlapping word blocks.
+#: The dial trades dedup resolution against block-key cardinality —
+#: smaller blocks catch shorter copied spans but multiply the rows
+#: shuffled on the block hash (still one row per block either way).
+BLOCK_WORDS = 32
+
+#: Canonicalization rule for near-exact textual dedup: drop trivial
+#: tokens (short words + the high-frequency function words among the
+#: corpus stoplist that survive the length gate) before hashing, so
+#: documents differing only in such filler collapse to one canonical
+#: group. Both engines apply the identical predicate.
+CANON_MIN_LEN = 3
+CANON_DROP = ("the", "and")
+
+
+def dedup_subdoc_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document exact dedup (block level): every document is cut
+    into non-overlapping ``BLOCK_WORDS``-word blocks, each block is
+    content-hashed, and a block is a duplicate if the same hash
+    occurred at any earlier (doc_id, offset). Per-doc output reports
+    how much of the document survives block dedup — the
+    CCNet/RefinedWeb-style pass that removes boilerplate spans repeated
+    across a crawl without dropping whole documents.
+
+    Scale shape: one narrow explode (bounded multiplication, one row
+    per block), one hash-shuffle on the block md5 to find each hash's
+    first occurrence (map-side combinable MIN), one equi-join back on
+    the same key (co-partitioned with the aggregate — AQE reuses the
+    exchange), and a per-doc aggregate. No windows, no cross joins,
+    no driver involvement; every shuffle key is high-cardinality.
+
+    First-occurrence order is encoded as ``doc_id * 1_000_000 +
+    block_start`` — a single BIGINT min instead of a struct min, so
+    the same expression replays exactly in the oracle. (Offsets are
+    word indices; 1e6 words/doc bounds any real document, and the
+    encoding would simply widen for a corpus that exceeds it.)
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    blocks = (
+        docs.select("doc_id", words().alias("w"))
+        .select(
+            "doc_id",
+            "w",
+            F.explode(
+                F.expr(f"sequence(0, size(w) - 1, {BLOCK_WORDS})")
+            ).alias("block_start"),
+        )
+        .select(
+            "doc_id",
+            "block_start",
+            F.md5(
+                F.array_join(
+                    F.expr(f"slice(w, block_start + 1, {BLOCK_WORDS})"), " "
+                )
+            ).alias("bmd5"),
+        )
+        .withColumn(
+            "okey",
+            (F.col("doc_id") * 1_000_000 + F.col("block_start")).cast(
+                "bigint"
+            ),
+        )
+    )
+    first = blocks.groupBy("bmd5").agg(F.min("okey").alias("first_okey"))
+    flagged = blocks.join(first, "bmd5").withColumn(
+        "is_dup", (F.col("okey") != F.col("first_okey")).cast("int")
+    )
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_blocks"),
+            F.sum("is_dup").cast("bigint").alias("n_dup_blocks"),
+        )
+        .withColumn(
+            "retained_frac",
+            F.round(
+                F.lit(1.0)
+                - F.col("n_dup_blocks") * F.lit(1.0) / F.col("n_blocks"),
+                6,
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonicalized near-exact dedup: hash each document AFTER
+    dropping trivial tokens (length < ``CANON_MIN_LEN`` or in
+    ``CANON_DROP``), so texts that differ only in filler words land in
+    one canonical group. Reports, per group, the member count AND how
+    many *exact-distinct* texts it merged — the measure of what
+    canonicalization buys over plain exact dedup.
+
+    Same scale shape as :func:`dedup_exact` (one hash-shuffle on the
+    canonical md5, map-side combinable aggregates); the
+    canonicalization itself is a codegen'd filter+join projection,
+    zero Python."""
+    docs = load_table(spark, sf_dir, "documents")
+    drop = ", ".join(f"'{w}'" for w in CANON_DROP)
+    canon = F.md5(
+        F.array_join(
+            F.expr(
+                f"filter(split(text, ' '), x -> length(x) >= "
+                f"{CANON_MIN_LEN} AND NOT x IN ({drop}))"
+            ),
+            " ",
+        )
+    )
+    return (
+        docs.select(
+            "doc_id", F.md5(F.col("text")).alias("th"), canon.alias("canon_hash")
+        )
+        .groupBy("canon_hash")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
+            F.countDistinct("th").cast("bigint").alias("n_exact_variants"),
+            F.min("doc_id").alias("keep_id"),
+        )
+        .orderBy("canon_hash")
+    )
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
+    "dedup_subdoc_blocks": dedup_subdoc_blocks,
+    "dedup_canonical": dedup_canonical,
     "dedup_replayed_events": dedup_replayed_events,
     "cross_source_dup_matrix": cross_source_dup_matrix,
     "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -602,6 +726,51 @@ ORACLE_SQL = {
         FROM documents d LEFT JOIN hits h USING (doc_id)
         WHERE d.doc_id >= {DECON_BENCH_DOCS}
         ORDER BY d.doc_id
+    """,
+    "dedup_subdoc_blocks": f"""
+        WITH d AS (
+            SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        ),
+        b AS (
+            SELECT doc_id, CAST(gs AS INTEGER) AS block_start,
+                   md5(array_to_string(
+                       list_slice(w, gs + 1, gs + {BLOCK_WORDS}), ' '))
+                       AS bmd5,
+                   CAST(doc_id * 1000000 + gs AS BIGINT) AS okey
+            FROM d, UNNEST(generate_series(0, len(w) - 1, {BLOCK_WORDS}))
+                     AS t(gs)
+        ),
+        f AS (
+            SELECT bmd5, MIN(okey) AS first_okey FROM b GROUP BY bmd5
+        ),
+        per_doc AS (
+            SELECT b.doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_blocks,
+                   CAST(SUM(CASE WHEN b.okey != f.first_okey
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_dup_blocks
+            FROM b JOIN f USING (bmd5)
+            GROUP BY b.doc_id
+        )
+        SELECT doc_id, n_blocks, n_dup_blocks,
+               ROUND(1.0 - n_dup_blocks * 1.0 / n_blocks, 6)
+                   AS retained_frac
+        FROM per_doc
+        ORDER BY doc_id
+    """,
+    "dedup_canonical": f"""
+        SELECT md5(array_to_string(
+                   list_filter(string_split(text, ' '),
+                       x -> length(x) >= {CANON_MIN_LEN}
+                            AND x NOT IN ({", ".join(f"'{w}'" for w in CANON_DROP)})),
+                   ' ')) AS canon_hash,
+               CAST(COUNT(*) AS BIGINT) AS n_members,
+               CAST(COUNT(DISTINCT md5(text)) AS BIGINT)
+                   AS n_exact_variants,
+               MIN(doc_id) AS keep_id
+        FROM documents
+        GROUP BY 1
+        ORDER BY canon_hash
     """,
     "dedup_exact": """
         SELECT md5(text) AS text_hash,

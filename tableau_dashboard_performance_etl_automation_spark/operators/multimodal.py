@@ -242,14 +242,49 @@ def multimodal_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def multimodal_content_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-addressed exact dedup of opaque media payloads: group
+    by the byte-level digest the Arrow batch extractor computes
+    (:func:`extract_binary_meta`), keep the lowest doc_id per blob —
+    the pass that collapses byte-identical images/audio re-crawled
+    under different ids before any decode work is spent.
+
+    The digest comes from the ``mapInPandas`` path (per-partition
+    Arrow batches, no driver involvement), then one hash-shuffle on
+    the digest with map-side-combinable aggregates — the same scale
+    shape as text :func:`~..dedup.dedup_exact`, proven here over the
+    binary payload column."""
+    docs = load_table(spark, sf_dir, "documents")
+    meta = extract_binary_meta(with_binary_payload(docs))
+    return (
+        meta.groupBy("content_sig")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_copies"),
+            F.min("doc_id").alias("keep_id"),
+            F.min("byte_len").cast("bigint").alias("byte_len"),
+        )
+        .orderBy("content_sig")
+    )
+
+
 QUERIES = {
     "multimodal_shard_packing": multimodal_shard_packing,
+    "multimodal_content_dedup": multimodal_content_dedup,
     "multimodal_binary_meta": multimodal_binary_meta,
     "multimodal_frame_sample": multimodal_frame_sample,
     "multimodal_thumbnail": multimodal_thumbnail,
 }
 
 ORACLE_SQL = {
+    "multimodal_content_dedup": """
+        SELECT md5(text) AS content_sig,
+               CAST(COUNT(*) AS BIGINT) AS n_copies,
+               MIN(doc_id) AS keep_id,
+               CAST(MIN(octet_length(encode(text))) AS BIGINT) AS byte_len
+        FROM documents
+        GROUP BY 1
+        ORDER BY content_sig
+    """,
     "multimodal_shard_packing": f"""
         WITH hx AS (
             SELECT octet_length(encode(text)) AS nb,

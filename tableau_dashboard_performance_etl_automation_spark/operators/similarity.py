@@ -590,8 +590,47 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embedding_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space benchmark decontamination: flag every corpus
+    vector whose max cosine against the benchmark/eval set (the
+    ``vec_id < N_QUERIES`` vectors, standing in for an eval suite's
+    embeddings) reaches ``NEARDUP_COSINE`` — the semantic complement
+    of :func:`dedup.benchmark_decontaminate`'s n-gram overlap pass
+    (paraphrased contamination has no shared n-grams but stays close
+    in embedding space).
+
+    Scale shape: the benchmark set is eval-suite-sized and
+    broadcasts; every corpus partition scores locally against it
+    (same zero-corpus-movement layout as :func:`ann_cosine_topk`),
+    then one per-vector MAX aggregate — map-side combinable, so the
+    shuffle carries one row per corpus vector. Linear in the corpus,
+    no pair materialization. Cosines are rounded to 6 decimals before
+    the max/threshold on both engines (the same fixed-precision
+    boundary the ANN family uses)."""
+    e = _emb(spark, sf_dir)
+    bench = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("bench_id"), F.col("vec").alias("bvec")
+    )
+    corpus = e.filter(F.col("vec_id") >= N_QUERIES)
+    return (
+        corpus.crossJoin(F.broadcast(bench))
+        .withColumn("cos6", F.round(cosine(F.col("vec"), F.col("bvec")), 6))
+        .groupBy("vec_id")
+        .agg(F.max("cos6").alias("max_cos"))
+        .select(
+            "vec_id",
+            F.round("max_cos", 4).alias("max_benchmark_cos"),
+            (F.col("max_cos") >= NEARDUP_COSINE).cast("int").alias(
+                "contaminated"
+            ),
+        )
+        .orderBy("vec_id")
+    )
+
+
 QUERIES = {
     "neardup_embedding_cosine": neardup_embedding_cosine,
+    "embedding_decontaminate": embedding_decontaminate,
     "ann_cosine_topk": ann_cosine_topk,
     "ann_ivf_topk": ann_ivf_topk,
     "embedding_quantize": embedding_quantize,
@@ -604,6 +643,24 @@ _cos_qc = _COS_SQL.format(a="q.embedding", b="c.embedding")
 _cos_vc = _COS_SQL.format(a="v.embedding", b="cent.embedding")
 
 ORACLE_SQL = {
+    "embedding_decontaminate": f"""
+        WITH s AS (
+            SELECT c.vec_id,
+                   ROUND({_COS_SQL.format(a="c.embedding", b="b.embedding")},
+                         6) AS cos6
+            FROM embeddings c
+            JOIN embeddings b ON b.vec_id < {N_QUERIES}
+            WHERE c.vec_id >= {N_QUERIES}
+        ),
+        m AS (
+            SELECT vec_id, MAX(cos6) AS max_cos FROM s GROUP BY vec_id
+        )
+        SELECT vec_id,
+               ROUND(max_cos, 4) AS max_benchmark_cos,
+               CAST(max_cos >= {NEARDUP_COSINE} AS INTEGER) AS contaminated
+        FROM m
+        ORDER BY vec_id
+    """,
     # Same LSH pipeline, hyperplanes re-derived in SQL from the same
     # md5 primitive; embeddings are quantized to integer micro-units
     # before projecting, so the ±1-weighted sums are exact integers
