@@ -65,10 +65,31 @@ def _driver_green() -> set[str]:
     return green
 
 
+#: Queries added most recently (round 3c). When the unchecked set
+#: exceeds the driver's 50-slot window, these yield their slots to
+#: entries that have been waiting since earlier rounds — every query
+#: still earns its driver row within two rounds.
+_NEWEST = (
+    "dedup_subdoc_blocks",
+    "dedup_canonical",
+    "dedup_incremental_newbatch",
+    "multimodal_content_dedup",
+    "embedding_decontaminate",
+)
+
+
 def _rotated(full: dict) -> dict:
-    """Unchecked-first ordering: entries with no driver-green row lead."""
+    """Unchecked-first ordering: entries with no driver-green row
+    lead; among those, longest-waiting first."""
     green = _driver_green()
-    out = {k: v for k, v in full.items() if k not in green}
+    out = {
+        k: v
+        for k, v in full.items()
+        if k not in green and k not in _NEWEST
+    }
+    out.update(
+        {k: v for k, v in full.items() if k not in green and k in _NEWEST}
+    )
     out.update({k: v for k, v in full.items() if k in green})
     return out
 

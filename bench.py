@@ -20,8 +20,19 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def main() -> None:
+    import gc
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     os.environ.setdefault("SPARK_GRAFT_CPUS", "32")
+    # One JVM runs 119 queries back-to-back; several operators
+    # localCheckpoint intermediates, whose blocks stay pinned until
+    # the Python-side DataFrame is garbage-collected AND the
+    # ContextCleaner runs. On the default heap the accumulated blocks
+    # push the old gen into multi-second collection stalls that land
+    # on random queries (observed: the same trivial aggregate at
+    # 0.37 s in one full run and 15.3 s min-of-2 in another). A
+    # roomier heap is bench harness hygiene, not a query speedup.
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")
 
     import __spark_entry__ as entry_mod
     from tableau_dashboard_performance_etl_automation_spark.session import get_spark
@@ -49,6 +60,10 @@ def main() -> None:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.time() - t0)
         timings[name] = round(best, 3)
+        # drop Python references to the query's DataFrames so the
+        # ContextCleaner can unpin their localCheckpoint blocks
+        # before the next query runs (outside the timed window)
+        gc.collect()
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     summary = json.dumps(

@@ -97,13 +97,10 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH candidate pairs: shingle → 8-way minhash signature
-    → 4 bands of 2 → equality join on (band_id, band_value).
-
-    The band join is the only pair-producing step and it's a plain
-    equi-join (shuffle on band value) — no cross join at any scale.
-    """
+def _minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, band_id, band_val) MinHash LSH band signatures —
+    shingle → 8-way minhash → 4 bands of 2. Shared by the full-corpus
+    pair join and the incremental index probe."""
     sh = _doc_shingles(spark, sf_dir)
     sig = sh.groupBy("doc_id").agg(
         *[
@@ -112,7 +109,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     per_band = MINHASH_HASHES // MINHASH_BANDS
-    bands = sig.select(
+    return sig.select(
         "doc_id",
         F.explode(
             F.array(
@@ -128,6 +125,16 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("band"),
     ).select("doc_id", "band.band_id", "band.band_val")
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH candidate pairs: shingle → 8-way minhash signature
+    → 4 bands of 2 → equality join on (band_id, band_value).
+
+    The band join is the only pair-producing step and it's a plain
+    equi-join (shuffle on band value) — no cross join at any scale.
+    """
+    bands = _minhash_bands(spark, sf_dir)
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(
@@ -349,6 +356,65 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     128-bit automatically (pytest-exercised on a synthetic corpus)."""
     docs = load_table(spark, sf_dir, "documents")
     return simhash_pairs(docs, simhash_fingerprint_bits(docs.count()))
+
+
+#: Incremental-dedup batch split: docs with ``doc_id % NEWBATCH_MOD
+#: == NEWBATCH_REM`` play the role of today's freshly-crawled batch;
+#: the rest is the already-indexed corpus.
+NEWBATCH_MOD = 10
+NEWBATCH_REM = 9
+
+
+def dedup_incremental_newbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup of a new batch against the EXISTING corpus'
+    MinHash LSH index — the production shape at 100 TB, where you
+    never re-dedup the whole corpus: band signatures of the historical
+    corpus are a stored index (bucketed on band_val), and each new
+    batch only signs itself and probes.
+
+    Per new-batch doc: how many distinct existing docs share a band
+    (``n_index_hits``), the canonical existing match (``dup_of``, min
+    doc_id), and the drop flag. Scale shape: the new batch is a small
+    fraction of the corpus, the probe is a plain equi-join on
+    (band_id, band_val) against the index — with the index bucketed
+    on band_val the probe shuffles ONLY the new batch; nothing pairs
+    within the index side, so cost ∝ batch, not ∝ corpus.
+
+    (In-repo both sides are derived fresh from parquet — the sandbox
+    keeps no cross-query state — but the join shape IS the index
+    probe; persisting the index side is a storage decision, see
+    sources/warehouse.py for the bucketed-layout machinery.)"""
+    bands = _minhash_bands(spark, sf_dir)
+    is_new = F.col("doc_id") % NEWBATCH_MOD == NEWBATCH_REM
+    newb = bands.filter(is_new)
+    idx = bands.filter(~is_new).select(
+        F.col("doc_id").alias("existing_id"), "band_id", "band_val"
+    )
+    hits = (
+        newb.join(idx, ["band_id", "band_val"])
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("existing_id").cast("bigint").alias(
+                "n_index_hits"
+            ),
+            F.min("existing_id").alias("dup_of"),
+        )
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.filter(is_new)
+        .select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_index_hits"), F.lit(0).cast("bigint")).alias(
+                "n_index_hits"
+            ),
+            "dup_of",
+            F.col("dup_of").isNotNull().cast("int").alias("is_dup"),
+        )
+        .orderBy("doc_id")
+    )
 
 
 #: Decontamination n-gram length and the held-out "benchmark" slice
@@ -608,13 +674,15 @@ QUERIES = {
     "dedup_replayed_events": dedup_replayed_events,
     "cross_source_dup_matrix": cross_source_dup_matrix,
     "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_incremental_newbatch": dedup_incremental_newbatch,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_simhash": dedup_simhash,
     "benchmark_decontaminate": benchmark_decontaminate,
 }
 
 
-def _minhash_oracle() -> str:
+def _minhash_bands_cte() -> str:
+    """Shared CTE chain ending in ``bands(doc_id, band_id, band_val)``."""
     mins = ", ".join(
         f"MIN(md5('{s}|' || sh)) AS mh{s}" for s in range(MINHASH_HASHES)
     )
@@ -628,12 +696,16 @@ def _minhash_oracle() -> str:
         )
         for b in range(MINHASH_BANDS)
     )
-    return f"""
-        WITH {_SHINGLES_CTE},
+    return f"""{_SHINGLES_CTE},
         mh AS (
             SELECT doc_id, {mins} FROM doc_shingles GROUP BY doc_id
         ),
-        bands AS ({band_selects})
+        bands AS ({band_selects})"""
+
+
+def _minhash_oracle() -> str:
+    return f"""
+        WITH {_minhash_bands_cte()}
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM bands a
         JOIN bands b ON a.band_id = b.band_id AND a.band_val = b.band_val
@@ -798,6 +870,28 @@ ORACLE_SQL = {
         ORDER BY event_id
     """,
     "dedup_minhash_lsh": _minhash_oracle(),
+    "dedup_incremental_newbatch": f"""
+        WITH {_minhash_bands_cte()},
+        hits AS (
+            SELECT n.doc_id,
+                   CAST(COUNT(DISTINCT i.doc_id) AS BIGINT)
+                       AS n_index_hits,
+                   MIN(i.doc_id) AS dup_of
+            FROM bands n
+            JOIN bands i ON i.band_id = n.band_id
+                        AND i.band_val = n.band_val
+                        AND i.doc_id % {NEWBATCH_MOD} != {NEWBATCH_REM}
+            WHERE n.doc_id % {NEWBATCH_MOD} = {NEWBATCH_REM}
+            GROUP BY n.doc_id
+        )
+        SELECT d.doc_id,
+               COALESCE(h.n_index_hits, 0) AS n_index_hits,
+               h.dup_of,
+               CAST(h.dup_of IS NOT NULL AS INTEGER) AS is_dup
+        FROM documents d LEFT JOIN hits h USING (doc_id)
+        WHERE d.doc_id % {NEWBATCH_MOD} = {NEWBATCH_REM}
+        ORDER BY d.doc_id
+    """,
     "cross_source_dup_matrix": f"""
         SELECT LEAST(da.source, db.source) AS source_a,
                GREATEST(da.source, db.source) AS source_b,

@@ -145,3 +145,23 @@ def test_embedding_decontaminate_shape_and_flags(spark, sf_dir):
         assert (r.max_benchmark_cos >= similarity.NEARDUP_COSINE) == bool(
             r.contaminated
         )
+
+
+def test_incremental_newbatch_probe(spark, sf_dir):
+    out = dedup.dedup_incremental_newbatch(spark, sf_dir).collect()
+    from tableau_dashboard_performance_etl_automation_spark.catalog import (
+        load_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_new = docs.filter(
+        F.col("doc_id") % dedup.NEWBATCH_MOD == dedup.NEWBATCH_REM
+    ).count()
+    assert len(out) == n_new  # every new-batch doc gets a verdict
+    for r in out:
+        # dup_of must point into the existing corpus, never the batch
+        if r.is_dup:
+            assert r.dup_of % dedup.NEWBATCH_MOD != dedup.NEWBATCH_REM
+            assert r.n_index_hits >= 1
+        else:
+            assert r.dup_of is None and r.n_index_hits == 0
