@@ -1,0 +1,120 @@
+"""Fact-table scale-up probe for the relational operators.
+
+The corpus scale-up tool (bench_scaleup.py) stresses the
+pair-producing dedup/similarity ops; this one stresses the
+RELATIONAL layer the same way: materialize 4× and 16× replicas of
+the FACT tables (lineitem, orders, events) under /tmp while keeping
+the dimension tables fixed — exactly how a real warehouse grows
+(facts accumulate, dims don't) — then time a representative
+relational slice at each scale.
+
+Replication keeps referential integrity: each replica shifts
+o_orderkey / l_orderkey / event_id by r × (max key + 1) so
+orders⋈lineitem joins stay 1:N with N unchanged, while per-customer
+order counts, per-user event densities, and per-(part,supplier)
+volumes all grow with the factor — the realistic skew direction.
+
+Usage::
+
+    python tools/bench_factscale.py [base_sf_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+import __spark_entry__ as entry_mod  # noqa: E402
+
+from tableau_dashboard_performance_etl_automation_spark.catalog import (  # noqa: E402
+    TABLES,
+    load_table,
+)
+from tableau_dashboard_performance_etl_automation_spark.session import get_spark  # noqa: E402
+
+SCALE_ROOT = "/tmp/tdpe-factscale"
+FACTORS = [1, 4, 16]
+
+#: Facts to replicate and the key column each replica shifts.
+FACT_KEYS = {
+    "lineitem": "l_orderkey",
+    "orders": "o_orderkey",
+    "events": "event_id",
+}
+
+#: Representative relational slice: scan-agg, broadcast star joins,
+#: fact-fact join, windows, distinct-agg, top-k.
+PROBE_QUERIES = [
+    "pricing_summary",
+    "shipping_priority",
+    "nation_market_share",
+    "top_revenue_orders",
+    "daily_active_users",
+    "user_sessionization",
+    "rolling_value_7d",
+    "order_quartiles",
+]
+
+
+def build_scaled(spark, base_dir: str, factor: int) -> str:
+    out = f"{SCALE_ROOT}/{factor}x"
+    if factor == 1:
+        return base_dir
+    if os.path.exists(out):
+        return out
+    os.makedirs(out, exist_ok=True)
+    # dims: same bytes, same path semantics — symlink
+    for name in TABLES:
+        if name in FACT_KEYS:
+            continue
+        os.symlink(
+            f"{base_dir}/{name}.parquet", f"{out}/{name}.parquet"
+        )
+    for name, key in FACT_KEYS.items():
+        df = load_table(spark, base_dir, name)
+        shift = df.agg(F.max(key)).collect()[0][0] + 1
+        parts = [
+            df.withColumn(key, F.col(key) + F.lit(r * shift))
+            for r in range(factor)
+        ]
+        scaled = parts[0]
+        for p in parts[1:]:
+            scaled = scaled.unionByName(p)
+        scaled.write.mode("overwrite").parquet(f"{out}/{name}.parquet")
+    return out
+
+
+def main() -> None:
+    base = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    spark = get_spark("tdpe-factscale")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = entry_mod.queries()
+    report: dict = {"base": base, "scales": {}}
+    for factor in FACTORS:
+        sf_dir = build_scaled(spark, base, factor)
+        row: dict = {
+            "lineitem_rows": load_table(spark, sf_dir, "lineitem").count(),
+            "events_rows": load_table(spark, sf_dir, "events").count(),
+        }
+        for name in PROBE_QUERIES:
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.time()
+                queries[name](spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                best = min(best, time.time() - t0)
+            row[name] = round(best, 2)
+        report["scales"][f"{factor}x"] = row
+        print(json.dumps({f"{factor}x": row}), flush=True)
+    print(json.dumps(report), flush=True)
+
+
+if __name__ == "__main__":
+    main()
