@@ -54,6 +54,14 @@ def get_spark(app_name: str = "tdpe-spark", master: str | None = None) -> SparkS
         # schema (region/nation/supplier/part at 100 TB lineitem
         # scale) still broadcasts; fact-fact joins shuffle.
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+        # Runtime bloom-filter join pruning (pinned on, Spark default):
+        # a selective dim/fact filter semi-propagates into the big
+        # fact scan as a bloom_filter_might_contain predicate. The
+        # injection thresholds stay at their defaults (application
+        # side >= 10 GB) — it fires exactly in the 100 TB regime it
+        # exists for, not on toy scans; the plan contract is asserted
+        # with lowered thresholds in tests/test_plans.py.
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         .config("spark.sql.ansi.enabled", "false")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # tz-naive parquet micros → TIMESTAMP (session-UTC), not NTZ;

@@ -353,3 +353,40 @@ def test_rolling_distinct_anchors_broadcast(spark, sf_dir):
     # side is the anchor list — bounded 7x fanout, not a cartesian
     # over raw events (the pre-join distinct is in the plan)
     assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_dir):
+    """A selective filter on one join side must semi-propagate into
+    the fact scan as a runtime bloom filter when the sizes warrant it.
+    Default thresholds fire at 10 GB scans (the 100 TB regime);
+    lowered here only to make the toy-scale plan demonstrate the
+    contract."""
+    from pyspark.sql import functions as F
+
+    from tableau_dashboard_performance_etl_automation_spark.catalog import (
+        load_table,
+    )
+
+    overrides = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k) for k in overrides}
+    try:
+        for k, v in overrides.items():
+            spark.conf.set(k, v)
+        o = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        li = load_table(spark, sf_dir, "lineitem")
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.sum("l_extendedprice").alias("rev"))
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" in plan  # built from the filtered side
+        assert "might_contain" in plan  # applied on the fact scan side
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
