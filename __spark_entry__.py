@@ -26,6 +26,7 @@ from tableau_dashboard_performance_etl_automation_spark.operators import (
     sampling,
     scrubbing,
     similarity,
+    sketches,
     starjoins,
     subqueries,
     tabjolt,
@@ -75,6 +76,7 @@ _NEWEST = (
     "dedup_incremental_newbatch",
     "multimodal_content_dedup",
     "embedding_decontaminate",
+    "heavy_hitter_users_cms",
 )
 
 
@@ -118,6 +120,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(relational_ext.QUERIES)
     out.update(starjoins.QUERIES)
     out.update(subqueries.QUERIES)
+    out.update(sketches.QUERIES)
     out.update(scrubbing.QUERIES)
     out.update(chunking.QUERIES)
     out.update(history.QUERIES)
@@ -140,6 +143,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(relational_ext.ORACLE_SQL)
     out.update(starjoins.ORACLE_SQL)
     out.update(subqueries.ORACLE_SQL)
+    out.update(sketches.ORACLE_SQL)
     out.update(scrubbing.ORACLE_SQL)
     out.update(chunking.ORACLE_SQL)
     out.update(history.ORACLE_SQL)

@@ -1,0 +1,162 @@
+"""Count-min-sketch heavy hitters — the mergeable bounded-memory
+counting sketch (Cormode & Muthukrishnan 2005) over the events
+stream.
+
+Why a sketch when an exact groupBy exists: at 100 TB the exact
+per-key count is a full shuffle of every distinct key; the CMS state
+is a fixed D×W counter grid that partial-aggregates map-side,
+merges associatively across partitions/executors/batches (it is the
+shape you keep in a streaming state store), and answers any key's
+count within ε·N with min-over-rows. The estimate only ever
+OVERcounts (collisions add), which for heavy-hitter retrieval means
+no false negatives above the threshold.
+
+Engine parity: bucket assignment is the md5-hex-digit trick both
+engines already share (see multimodal shard packing) — two leading
+hex chars of ``md5('<row>|' || key)`` → 0..255 — so the DuckDB
+oracle replays the exact same grid, counters, and min.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+from tableau_dashboard_performance_etl_automation_spark.catalog import load_table
+
+#: Sketch geometry: D independent hash rows × W buckets. W=256 keeps
+#: the toy corpora colliding enough to exercise the min (the point of
+#: the test); at scale W is the ε dial (ε ≈ e/W of total count) and
+#: the state stays D×W counters regardless of key cardinality.
+CMS_DEPTH = 4
+CMS_WIDTH = 256
+TOP_N = 20
+
+
+def _hexval(c: Column) -> Column:
+    return F.when(c <= "9", F.ascii(c) - 48).otherwise(F.ascii(c) - 87)
+
+
+def _bucket(row: int, key: Column) -> Column:
+    """Bucket of ``key`` in hash row ``row``: first two hex digits of
+    the seeded md5 → 0..255."""
+    h = F.md5(F.concat(F.lit(f"{row}|"), key.cast("string")))
+    return _hexval(F.substring(h, 1, 1)) * 16 + _hexval(F.substring(h, 2, 1))
+
+
+def heavy_hitter_users_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-``TOP_N`` users by count-min-sketch estimated event count,
+    with the exact count joined alongside so the report shows the
+    sketch's (one-sided) error.
+
+    Scale shape: building the sketch is one explode (D rows per
+    event) + a hash aggregate onto at most D×W = 1024 cells —
+    map-side combined, so the shuffle carries ≤1024 rows per
+    partition no matter how many events or users exist. Querying it
+    for every distinct user is a broadcast join of the 1024-cell grid
+    onto the distinct-user set (itself the only key-cardinality
+    shuffle, and it exists only because the report enumerates
+    candidates — a deployment queries specific keys against the tiny
+    grid). The exact count is joined only for the error column."""
+    events = load_table(spark, sf_dir, "events").select("user_id")
+    cells = (
+        events.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(r).alias("r"),
+                            _bucket(r, F.col("user_id")).alias("bucket"),
+                        )
+                        for r in range(CMS_DEPTH)
+                    ]
+                )
+            ).alias("cell")
+        )
+        .groupBy("cell.r", "cell.bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    exact = events.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("exact_count")
+    )
+    probes = exact.select(
+        "user_id",
+        "exact_count",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"),
+                        _bucket(r, F.col("user_id")).alias("bucket"),
+                    )
+                    for r in range(CMS_DEPTH)
+                ]
+            )
+        ).alias("cell"),
+    ).select("user_id", "exact_count", "cell.r", "cell.bucket")
+    return (
+        probes.join(F.broadcast(cells), ["r", "bucket"])
+        .groupBy("user_id", "exact_count")
+        .agg(F.min("cnt").cast("bigint").alias("est_count"))
+        .select(
+            "user_id",
+            "est_count",
+            "exact_count",
+            (F.col("est_count") - F.col("exact_count")).alias(
+                "overcount"
+            ),
+        )
+        .orderBy(F.col("est_count").desc(), "user_id")
+        .limit(TOP_N)
+    )
+
+
+def _bucket_sql(row: int, key: str) -> str:
+    h = f"md5('{row}|' || CAST({key} AS VARCHAR))"
+    c1, c2 = f"substr({h}, 1, 1)", f"substr({h}, 2, 1)"
+    hv1 = f"(CASE WHEN {c1} <= '9' THEN ascii({c1}) - 48 ELSE ascii({c1}) - 87 END)"
+    hv2 = f"(CASE WHEN {c2} <= '9' THEN ascii({c2}) - 48 ELSE ascii({c2}) - 87 END)"
+    return f"({hv1} * 16 + {hv2})"
+
+
+def _cms_oracle() -> str:
+    cell_rows = " UNION ALL ".join(
+        f"SELECT {r} AS r, {_bucket_sql(r, 'user_id')} AS bucket"
+        f" FROM events"
+        for r in range(CMS_DEPTH)
+    )
+    probe_rows = " UNION ALL ".join(
+        f"SELECT user_id, exact_count, {r} AS r,"
+        f" {_bucket_sql(r, 'user_id')} AS bucket FROM exact"
+        for r in range(CMS_DEPTH)
+    )
+    return f"""
+        WITH cells AS (
+            SELECT r, bucket, COUNT(*) AS cnt
+            FROM ({cell_rows}) GROUP BY r, bucket
+        ),
+        exact AS (
+            SELECT user_id, CAST(COUNT(*) AS BIGINT) AS exact_count
+            FROM events GROUP BY user_id
+        ),
+        probes AS ({probe_rows}),
+        est AS (
+            SELECT p.user_id, p.exact_count,
+                   CAST(MIN(c.cnt) AS BIGINT) AS est_count
+            FROM probes p JOIN cells c USING (r, bucket)
+            GROUP BY p.user_id, p.exact_count
+        )
+        SELECT user_id, est_count, exact_count,
+               est_count - exact_count AS overcount
+        FROM est
+        ORDER BY est_count DESC, user_id
+        LIMIT {TOP_N}
+    """
+
+
+QUERIES = {
+    "heavy_hitter_users_cms": heavy_hitter_users_cms,
+}
+
+ORACLE_SQL = {
+    "heavy_hitter_users_cms": _cms_oracle(),
+}

@@ -165,3 +165,30 @@ def test_incremental_newbatch_probe(spark, sf_dir):
             assert r.n_index_hits >= 1
         else:
             assert r.dup_of is None and r.n_index_hits == 0
+
+
+def test_cms_heavy_hitters_one_sided_error(spark, sf_dir):
+    """CMS estimates can only overcount, and the heavy-hitter list
+    must contain the true top user (no false negative at the top)."""
+    from tableau_dashboard_performance_etl_automation_spark.operators import (
+        sketches,
+    )
+    from tableau_dashboard_performance_etl_automation_spark.catalog import (
+        load_table,
+    )
+
+    out = sketches.heavy_hitter_users_cms(spark, sf_dir).collect()
+    assert 0 < len(out) <= sketches.TOP_N
+    for r in out:
+        assert r.overcount >= 0  # one-sided
+        assert r.est_count >= r.exact_count
+    true_top = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .count()
+        .orderBy(F.col("count").desc(), "user_id")
+        .limit(1)
+        .collect()[0]
+    )
+    listed = {r.user_id for r in out}
+    assert true_top.user_id in listed
