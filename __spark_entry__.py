@@ -77,6 +77,7 @@ _NEWEST = (
     "multimodal_content_dedup",
     "embedding_decontaminate",
     "heavy_hitter_users_cms",
+    "poisson_token_sample",
 )
 
 

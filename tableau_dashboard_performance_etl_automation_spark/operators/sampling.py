@@ -222,8 +222,62 @@ def fixed_size_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Poisson-sampling dial: inclusion probability = min(1, tokens/CAP).
+#: At corpus scale CAP is the expected-tokens-per-kept-doc knob; the
+#: probability is length-proportional so the sample preserves the
+#: token mixture, not the doc-count mixture.
+POISSON_CAP = 200
+_U_BITS = 16  # md5-derived uniform resolution (4 hex digits)
+
+
+def _hex4(prefix: str, id_col: F.Column) -> F.Column:
+    """First 4 md5 hex digits as an integer 0..65535 — the
+    deterministic uniform for the inclusion test. Same CASE
+    arithmetic as the shard/CMS bucket helpers so DuckDB replays it
+    digit-for-digit."""
+    h = F.md5(F.concat(F.lit(prefix), id_col.cast("string")))
+
+    def hv(i: int) -> F.Column:
+        c = F.substring(h, i, 1)
+        return F.when(c <= "9", F.ascii(c) - 48).otherwise(F.ascii(c) - 87)
+
+    return hv(1) * 4096 + hv(2) * 256 + hv(3) * 16 + hv(4)
+
+
+def poisson_token_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Poisson (importance) sample with probability
+    proportional to token count, plus the Horvitz-Thompson weight
+    that makes any sample-side aggregate unbiased for the corpus
+    (weight = 1/p). The keep decision is EXACT integer arithmetic —
+    ``u · CAP < tokens · 2^16`` — so no float comparison can diverge
+    between engines, runs, or partitionings.
+
+    Scale shape: one narrow scan projection with a filter — no
+    shuffle at all until a consumer aggregates; every row decides
+    independently (the property that makes Poisson sampling THE
+    distributed/streaming sampler — no global state, merges
+    trivially)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.size(F.split(F.col("text"), " "))
+    u = _hex4("pois|", F.col("doc_id"))
+    return (
+        docs.select("doc_id", "lang", toks.alias("tokens"), u.alias("u"))
+        .filter(F.col("u") * POISSON_CAP < F.col("tokens") * (1 << _U_BITS))
+        .select(
+            "doc_id",
+            "lang",
+            "tokens",
+            F.when(F.col("tokens") >= POISSON_CAP, F.lit(1.0))
+            .otherwise(F.round(F.lit(float(POISSON_CAP)) / F.col("tokens"), 6))
+            .alias("ht_weight"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 QUERIES = {
     "fixed_size_sample": fixed_size_sample,
+    "poisson_token_sample": poisson_token_sample,
     "dataset_split": dataset_split,
     "stratified_sample": stratified_sample,
     "dataset_split_summary": dataset_split_summary,
@@ -248,7 +302,35 @@ _RATE_CASE = "CASE " + " ".join(
     f"WHEN lang = '{lang}' THEN {pct}" for lang, pct in MIX_RATES.items()
 ) + " ELSE 0 END"
 
+def _hex4_sql(prefix: str, id_expr: str) -> str:
+    h = f"md5('{prefix}' || CAST({id_expr} AS VARCHAR))"
+
+    def hv(i: int) -> str:
+        c = f"substr({h}, {i}, 1)"
+        return (
+            f"(CASE WHEN {c} <= '9' THEN ascii({c}) - 48"
+            f" ELSE ascii({c}) - 87 END)"
+        )
+
+    return f"({hv(1)} * 4096 + {hv(2)} * 256 + {hv(3)} * 16 + {hv(4)})"
+
+
 ORACLE_SQL = {
+    "poisson_token_sample": f"""
+        WITH d AS (
+            SELECT doc_id, lang,
+                   CAST(len(string_split(text, ' ')) AS INTEGER) AS tokens,
+                   {_hex4_sql('pois|', 'doc_id')} AS u
+            FROM documents
+        )
+        SELECT doc_id, lang, tokens,
+               CASE WHEN tokens >= {POISSON_CAP} THEN 1.0
+                    ELSE ROUND({POISSON_CAP}.0 / tokens, 6) END
+                   AS ht_weight
+        FROM d
+        WHERE u * {POISSON_CAP} < tokens * {1 << _U_BITS}
+        ORDER BY doc_id
+    """,
     "fixed_size_sample": f"""
         SELECT doc_id, lang,
                CAST(ROW_NUMBER() OVER (ORDER BY hk) AS INTEGER)

@@ -192,3 +192,34 @@ def test_cms_heavy_hitters_one_sided_error(spark, sf_dir):
     )
     listed = {r.user_id for r in out}
     assert true_top.user_id in listed
+
+
+def test_poisson_sample_keep_rule_and_weights(spark, sf_dir):
+    """Keep decisions must match a Python md5 replay exactly, and
+    Horvitz-Thompson weights must invert the inclusion probability."""
+    import hashlib
+
+    from tableau_dashboard_performance_etl_automation_spark.catalog import (
+        load_table,
+    )
+    from tableau_dashboard_performance_etl_automation_spark.operators import (
+        sampling,
+    )
+
+    docs = {
+        r.doc_id: len(r.text.split(" "))
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .collect()
+    }
+    expect = set()
+    for doc_id, toks in docs.items():
+        u = int(hashlib.md5(f"pois|{doc_id}".encode()).hexdigest()[:4], 16)
+        if u * sampling.POISSON_CAP < toks * (1 << 16):
+            expect.add(doc_id)
+    out = sampling.poisson_token_sample(spark, sf_dir).collect()
+    assert {r.doc_id for r in out} == expect
+    for r in out:
+        assert r.ht_weight >= 1.0
+        if r.tokens < sampling.POISSON_CAP:
+            assert abs(r.ht_weight - round(sampling.POISSON_CAP / r.tokens, 6)) < 1e-9
