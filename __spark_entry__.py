@@ -78,6 +78,7 @@ _NEWEST = (
     "embedding_decontaminate",
     "heavy_hitter_users_cms",
     "poisson_token_sample",
+    "decayed_event_scores",
 )
 
 

@@ -710,8 +710,65 @@ def daily_p95_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Exponential-decay half-life in days for recency-weighted scores.
+DECAY_HALFLIFE_DAYS = 7
+
+
+def decayed_event_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-weighted activity per event type: every event
+    contributes ``0.5^(age_days/halflife)``, anchored at the
+    corpus' newest day — the streaming-analytics staple that lets one
+    mergeable number stand in for "recent volume" without a window
+    cutoff.
+
+    Scale shape: the anchor is a 1-row broadcast; the heavy lifting
+    is a (type, age_day) integer pre-aggregate — map-side combined,
+    ≤ types × days rows after the shuffle — and the decay weighting
+    then multiplies EXACT integer counts/cent-sums by one pow() per
+    distinct age, so the final per-type sum folds ≤ #days terms
+    (order noise bounded far below the 4-decimal rounding). This is
+    also why the decayed sum is mergeable across batches: new days
+    only rescale yesterday's total by a constant factor."""
+    events = load_table(spark, sf_dir, "events")
+    anchor = F.broadcast(
+        events.agg(F.max(F.to_date("ts")).alias("anchor_date"))
+    )
+    per_day = (
+        events.crossJoin(anchor)
+        .select(
+            "event_type",
+            F.datediff(F.col("anchor_date"), F.to_date("ts")).alias(
+                "age_days"
+            ),
+            F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+        .groupBy("event_type", "age_days")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("cents").alias("cents"),
+        )
+    )
+    decay = F.pow(
+        F.lit(0.5), F.col("age_days") / F.lit(float(DECAY_HALFLIFE_DAYS))
+    )
+    return (
+        per_day.select(
+            "event_type",
+            (F.col("n") * decay).alias("dn"),
+            (F.col("cents") / 100.0 * decay).alias("dv"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.round(F.sum("dn"), 4).alias("decayed_count"),
+            F.round(F.sum("dv"), 4).alias("decayed_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
 QUERIES = {
     "daily_p95_series": daily_p95_series,
+    "decayed_event_scores": decayed_event_scores,
     "pricing_summary": pricing_summary,
     "forecast_revenue": forecast_revenue,
     "shipping_priority": shipping_priority,
@@ -734,6 +791,28 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "decayed_event_scores": f"""
+        WITH per_day AS (
+            SELECT event_type,
+                   date_diff('day', CAST(ts AS DATE),
+                             (SELECT MAX(CAST(ts AS DATE)) FROM events))
+                       AS age_days,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   SUM(CAST(ROUND(value * 100) AS BIGINT)) AS cents
+            FROM events
+            GROUP BY event_type, age_days
+        )
+        SELECT event_type,
+               ROUND(SUM(n * pow(0.5,
+                   age_days / {float(DECAY_HALFLIFE_DAYS)})), 4)
+                   AS decayed_count,
+               ROUND(SUM(cents / 100.0 * pow(0.5,
+                   age_days / {float(DECAY_HALFLIFE_DAYS)})), 4)
+                   AS decayed_value
+        FROM per_day
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
     "daily_p95_series": """
         WITH daily AS (
             SELECT CAST(ts AS DATE) AS d,

@@ -223,3 +223,27 @@ def test_poisson_sample_keep_rule_and_weights(spark, sf_dir):
         assert r.ht_weight >= 1.0
         if r.tokens < sampling.POISSON_CAP:
             assert abs(r.ht_weight - round(sampling.POISSON_CAP / r.tokens, 6)) < 1e-9
+
+
+def test_decayed_scores_bounded_by_totals(spark, sf_dir):
+    """Decay weights lie in (0, 1], so each type's decayed count is
+    positive and at most its raw count (equality only if everything
+    happened on the anchor day)."""
+    from tableau_dashboard_performance_etl_automation_spark.operators import (
+        analytics,
+    )
+    from tableau_dashboard_performance_etl_automation_spark.catalog import (
+        load_table,
+    )
+
+    totals = {
+        r.event_type: r.n
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    out = analytics.decayed_event_scores(spark, sf_dir).collect()
+    assert {r.event_type for r in out} == set(totals)
+    for r in out:
+        assert 0 < r.decayed_count <= totals[r.event_type]
