@@ -79,6 +79,7 @@ _NEWEST = (
     "heavy_hitter_users_cms",
     "poisson_token_sample",
     "decayed_event_scores",
+    "minhash_banding_precision",
 )
 
 

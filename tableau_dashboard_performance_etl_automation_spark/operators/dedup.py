@@ -358,6 +358,77 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs(docs, simhash_fingerprint_bits(docs.count()))
 
 
+#: Jaccard level a MinHash candidate must reach to count as a true
+#: near-dup in the banding-precision diagnostic.
+BANDING_CONFIRM_JACCARD = 0.5
+
+
+def minhash_banding_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banding quality diagnostic: for every MinHash candidate pair,
+    confirm with the EXACT shingle Jaccard and report the confirm
+    rate per shared-band count — the LSH analog of the IVF recall
+    table (PERF.md): it tells you whether the 4×2 banding geometry is
+    tuned to the duplication structure you actually have, and it is
+    the number you would watch when turning the band dials.
+
+    Scale shape: candidates come from the band equi-join (never a
+    cross join); the exact intersection is the shingle inverted-index
+    join — at true corpus scale you would co-group each candidate
+    pair's shingle sets instead of joining the full index, but the
+    diagnostic's aggregate output (≤ #bands rows) is identical either
+    way. Jaccard is a ratio of exact integers, so cross-engine
+    confirmation decisions cannot diverge at the threshold."""
+    bands = _minhash_bands(spark, sf_dir)
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("int").alias("band_overlap"))
+    )
+    sh = _doc_shingles(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    inter = (
+        sh.alias("x")
+        .join(
+            sh.alias("y"),
+            (F.col("x.sh") == F.col("y.sh"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .groupBy(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sza"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("szb"))
+    jac = F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter"))
+    confirmed = (jac >= BANDING_CONFIRM_JACCARD).cast("int")
+    return (
+        cand.join(inter, ["doc_a", "doc_b"])
+        .join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .groupBy("band_overlap")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.sum(confirmed).cast("bigint").alias("n_confirmed"),
+        )
+        .withColumn(
+            "confirm_rate",
+            F.round(F.col("n_confirmed") * F.lit(1.0) / F.col("n_pairs"), 6),
+        )
+        .orderBy("band_overlap")
+    )
+
+
 #: Incremental-dedup batch split: docs with ``doc_id % NEWBATCH_MOD
 #: == NEWBATCH_REM`` play the role of today's freshly-crawled batch;
 #: the rest is the already-indexed corpus.
@@ -675,6 +746,7 @@ QUERIES = {
     "cross_source_dup_matrix": cross_source_dup_matrix,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_incremental_newbatch": dedup_incremental_newbatch,
+    "minhash_banding_precision": minhash_banding_precision,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_simhash": dedup_simhash,
     "benchmark_decontaminate": benchmark_decontaminate,
@@ -870,6 +942,46 @@ ORACLE_SQL = {
         ORDER BY event_id
     """,
     "dedup_minhash_lsh": _minhash_oracle(),
+    "minhash_banding_precision": f"""
+        WITH {_minhash_bands_cte()},
+        cand AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(COUNT(*) AS INTEGER) AS band_overlap
+            FROM bands a
+            JOIN bands b ON a.band_id = b.band_id
+                        AND a.band_val = b.band_val
+                        AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        ),
+        sizes AS (
+            SELECT doc_id, COUNT(*) AS sz FROM doc_shingles GROUP BY doc_id
+        ),
+        inter AS (
+            SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+                   COUNT(*) AS inter
+            FROM doc_shingles x
+            JOIN doc_shingles y ON x.sh = y.sh AND x.doc_id < y.doc_id
+            GROUP BY x.doc_id, y.doc_id
+        ),
+        scored AS (
+            SELECT c.band_overlap,
+                   CASE WHEN i.inter * 1.0
+                             / (sa.sz + sb.sz - i.inter)
+                             >= {BANDING_CONFIRM_JACCARD}
+                        THEN 1 ELSE 0 END AS ok
+            FROM cand c
+            JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+            JOIN sizes sa ON sa.doc_id = c.doc_a
+            JOIN sizes sb ON sb.doc_id = c.doc_b
+        )
+        SELECT band_overlap,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(SUM(ok) AS BIGINT) AS n_confirmed,
+               ROUND(SUM(ok) * 1.0 / COUNT(*), 6) AS confirm_rate
+        FROM scored
+        GROUP BY band_overlap
+        ORDER BY band_overlap
+    """,
     "dedup_incremental_newbatch": f"""
         WITH {_minhash_bands_cte()},
         hits AS (

@@ -247,3 +247,23 @@ def test_decayed_scores_bounded_by_totals(spark, sf_dir):
     assert {r.event_type for r in out} == set(totals)
     for r in out:
         assert 0 < r.decayed_count <= totals[r.event_type]
+
+
+def test_banding_precision_partitions_candidates(spark, sf_dir):
+    """Rows partition the LSH candidate set, confirm counts are
+    bounded, and confirm rate is monotone-friendly at the top: the
+    max-band bucket (signature-identical pairs) must confirm at a
+    rate >= the 1-band bucket's."""
+    from tableau_dashboard_performance_etl_automation_spark.operators import (
+        dedup,
+    )
+
+    out = {r.band_overlap: r for r in
+           dedup.minhash_banding_precision(spark, sf_dir).collect()}
+    n_cand = dedup.dedup_minhash_lsh(spark, sf_dir).count()
+    assert sum(r.n_pairs for r in out.values()) == n_cand
+    for r in out.values():
+        assert 0 <= r.n_confirmed <= r.n_pairs
+        assert 0.0 <= r.confirm_rate <= 1.0
+    if 1 in out and max(out) > 1:
+        assert out[max(out)].confirm_rate >= out[1].confirm_rate
