@@ -69,7 +69,10 @@ def _driver_green() -> set[str]:
 #: Queries added most recently (round 3c). When the unchecked set
 #: exceeds the driver's 50-slot window, these yield their slots to
 #: entries that have been waiting since earlier rounds — every query
-#: still earns its driver row within two rounds.
+#: still earns its driver row within two rounds. The list self-expires
+#: (a green row moves an entry to the tail regardless), but a FUTURE
+#: round that adds queries while >50 remain unchecked should replace
+#: these names with its own newest, or the old deferral wins again.
 _NEWEST = (
     "dedup_subdoc_blocks",
     "dedup_canonical",

@@ -631,29 +631,11 @@ CANON_MIN_LEN = 3
 CANON_DROP = ("the", "and")
 
 
-def dedup_subdoc_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sub-document exact dedup (block level): every document is cut
-    into non-overlapping ``BLOCK_WORDS``-word blocks, each block is
-    content-hashed, and a block is a duplicate if the same hash
-    occurred at any earlier (doc_id, offset). Per-doc output reports
-    how much of the document survives block dedup — the
-    CCNet/RefinedWeb-style pass that removes boilerplate spans repeated
-    across a crawl without dropping whole documents.
-
-    Scale shape: one narrow explode (bounded multiplication, one row
-    per block), one hash-shuffle on the block md5 to find each hash's
-    first occurrence (map-side combinable MIN), one equi-join back on
-    the same key (co-partitioned with the aggregate — AQE reuses the
-    exchange), and a per-doc aggregate. No windows, no cross joins,
-    no driver involvement; every shuffle key is high-cardinality.
-
-    First-occurrence order is encoded as ``doc_id * 1_000_000 +
-    block_start`` — a single BIGINT min instead of a struct min, so
-    the same expression replays exactly in the oracle. (Offsets are
-    word indices; 1e6 words/doc bounds any real document, and the
-    encoding would simply widen for a corpus that exceeds it.)
-    """
-    docs = load_table(spark, sf_dir, "documents")
+def subdoc_block_stats(docs: DataFrame) -> DataFrame:
+    """Per-doc block-dedup accounting over any (doc_id, text) frame —
+    the reusable body of :func:`dedup_subdoc_blocks` (tests run their
+    brute-force oracles against THIS function, so the shipped pipeline
+    is what gets verified)."""
     blocks = (
         docs.select("doc_id", words().alias("w"))
         .select(
@@ -697,8 +679,33 @@ def dedup_subdoc_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ),
         )
-        .orderBy("doc_id")
     )
+
+
+def dedup_subdoc_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document exact dedup (block level): every document is cut
+    into non-overlapping ``BLOCK_WORDS``-word blocks, each block is
+    content-hashed, and a block is a duplicate if the same hash
+    occurred at any earlier (doc_id, offset). Per-doc output reports
+    how much of the document survives block dedup — the
+    CCNet/RefinedWeb-style pass that removes boilerplate spans repeated
+    across a crawl without dropping whole documents.
+
+    Scale shape: one narrow explode (bounded multiplication, one row
+    per block), one hash-shuffle on the block md5 to find each hash's
+    first occurrence (map-side combinable MIN), one equi-join back on
+    the same key (co-partitioned with the aggregate — AQE reuses the
+    exchange), and a per-doc aggregate. No windows, no cross joins,
+    no driver involvement; every shuffle key is high-cardinality.
+
+    First-occurrence order is encoded as ``doc_id * 1_000_000 +
+    block_start`` — a single BIGINT min instead of a struct min, so
+    the same expression replays exactly in the oracle. (Offsets are
+    word indices; 1e6 words/doc bounds any real document, and the
+    encoding would simply widen for a corpus that exceeds it.)
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return subdoc_block_stats(docs).orderBy("doc_id")
 
 
 def dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:

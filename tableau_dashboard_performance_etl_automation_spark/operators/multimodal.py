@@ -31,6 +31,10 @@ from pyspark.sql.types import (
 )
 
 from tableau_dashboard_performance_etl_automation_spark.catalog import load_table
+from tableau_dashboard_performance_etl_automation_spark.functions.hashing import (
+    md5_hex_int,
+    md5_hex_int_sql,
+)
 
 META_SCHEMA = StructType(
     [
@@ -218,17 +222,7 @@ def multimodal_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     place every payload identically."""
     docs = load_table(spark, sf_dir, "documents")
     p = with_binary_payload(docs)
-    h = F.md5(F.col("payload"))
-
-    def hexval(c: F.Column) -> F.Column:
-        # parse one hex digit to 0..15 — uniform, unlike ascii % N
-        # (ascii codes of '0'-'9'/'a'-'f' are neither contiguous nor
-        # uniform under a modulus)
-        return F.when(c <= "9", F.ascii(c) - 48).otherwise(F.ascii(c) - 87)
-
-    shard = (
-        hexval(F.substring(h, 1, 1)) * 16 + hexval(F.substring(h, 2, 1))
-    ) % N_SHARDS
+    shard = md5_hex_int(F.md5(F.col("payload")), 1, 2) % N_SHARDS
     return (
         p.select(shard.alias("shard_id"), F.length("payload").alias("nb"))
         .groupBy("shard_id")
@@ -288,15 +282,11 @@ ORACLE_SQL = {
     "multimodal_shard_packing": f"""
         WITH hx AS (
             SELECT octet_length(encode(text)) AS nb,
-                   substr(md5(text), 1, 1) AS c1,
-                   substr(md5(text), 2, 1) AS c2
+                   md5(text) AS h
             FROM documents
         ),
         items AS (
-            SELECT ((CASE WHEN c1 <= '9' THEN ascii(c1) - 48
-                          ELSE ascii(c1) - 87 END) * 16
-                    + (CASE WHEN c2 <= '9' THEN ascii(c2) - 48
-                            ELSE ascii(c2) - 87 END)) % {N_SHARDS}
+            SELECT {md5_hex_int_sql("h", 1, 2)} % {N_SHARDS}
                        AS shard_id,
                    CAST(nb AS INTEGER) AS nb
             FROM hx

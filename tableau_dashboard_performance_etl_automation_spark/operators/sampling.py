@@ -232,16 +232,14 @@ _U_BITS = 16  # md5-derived uniform resolution (4 hex digits)
 
 def _hex4(prefix: str, id_col: F.Column) -> F.Column:
     """First 4 md5 hex digits as an integer 0..65535 — the
-    deterministic uniform for the inclusion test. Same CASE
-    arithmetic as the shard/CMS bucket helpers so DuckDB replays it
-    digit-for-digit."""
+    deterministic uniform for the inclusion test (shared helper, see
+    functions/hashing)."""
+    from tableau_dashboard_performance_etl_automation_spark.functions.hashing import (
+        md5_hex_int,
+    )
+
     h = F.md5(F.concat(F.lit(prefix), id_col.cast("string")))
-
-    def hv(i: int) -> F.Column:
-        c = F.substring(h, i, 1)
-        return F.when(c <= "9", F.ascii(c) - 48).otherwise(F.ascii(c) - 87)
-
-    return hv(1) * 4096 + hv(2) * 256 + hv(3) * 16 + hv(4)
+    return md5_hex_int(h, 1, 4)
 
 
 def poisson_token_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -303,16 +301,12 @@ _RATE_CASE = "CASE " + " ".join(
 ) + " ELSE 0 END"
 
 def _hex4_sql(prefix: str, id_expr: str) -> str:
+    from tableau_dashboard_performance_etl_automation_spark.functions.hashing import (
+        md5_hex_int_sql,
+    )
+
     h = f"md5('{prefix}' || CAST({id_expr} AS VARCHAR))"
-
-    def hv(i: int) -> str:
-        c = f"substr({h}, {i}, 1)"
-        return (
-            f"(CASE WHEN {c} <= '9' THEN ascii({c}) - 48"
-            f" ELSE ascii({c}) - 87 END)"
-        )
-
-    return f"({hv(1)} * 4096 + {hv(2)} * 256 + {hv(3)} * 16 + {hv(4)})"
+    return md5_hex_int_sql(h, 1, 4)
 
 
 ORACLE_SQL = {

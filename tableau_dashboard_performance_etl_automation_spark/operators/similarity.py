@@ -605,8 +605,9 @@ def embedding_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     then one per-vector MAX aggregate — map-side combinable, so the
     shuffle carries one row per corpus vector. Linear in the corpus,
     no pair materialization. Cosines are rounded to 6 decimals before
-    the max/threshold on both engines (the same fixed-precision
-    boundary the ANN family uses)."""
+    the max (the ANN family's fixed-precision boundary); the reported
+    value and the threshold decision both use the 4-dp rounding, so
+    the row is self-consistent at the boundary."""
     e = _emb(spark, sf_dir)
     bench = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("bench_id"), F.col("vec").alias("bvec")
@@ -616,13 +617,17 @@ def embedding_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus.crossJoin(F.broadcast(bench))
         .withColumn("cos6", F.round(cosine(F.col("vec"), F.col("bvec")), 6))
         .groupBy("vec_id")
-        .agg(F.max("cos6").alias("max_cos"))
+        .agg(F.round(F.max("cos6"), 4).alias("max_benchmark_cos"))
         .select(
             "vec_id",
-            F.round("max_cos", 4).alias("max_benchmark_cos"),
-            (F.col("max_cos") >= NEARDUP_COSINE).cast("int").alias(
-                "contaminated"
-            ),
+            "max_benchmark_cos",
+            # flag derives from the SAME 4-dp value the row reports, so
+            # the output can never read "cosine above threshold, not
+            # contaminated" at the rounding boundary (and it mirrors
+            # the neardup confirm stage's ROUND(...,4) >= threshold)
+            (F.col("max_benchmark_cos") >= NEARDUP_COSINE)
+            .cast("int")
+            .alias("contaminated"),
         )
         .orderBy("vec_id")
     )
@@ -653,11 +658,13 @@ ORACLE_SQL = {
             WHERE c.vec_id >= {N_QUERIES}
         ),
         m AS (
-            SELECT vec_id, MAX(cos6) AS max_cos FROM s GROUP BY vec_id
+            SELECT vec_id, ROUND(MAX(cos6), 4) AS max_benchmark_cos
+            FROM s GROUP BY vec_id
         )
         SELECT vec_id,
-               ROUND(max_cos, 4) AS max_benchmark_cos,
-               CAST(max_cos >= {NEARDUP_COSINE} AS INTEGER) AS contaminated
+               max_benchmark_cos,
+               CAST(max_benchmark_cos >= {NEARDUP_COSINE} AS INTEGER)
+                   AS contaminated
         FROM m
         ORDER BY vec_id
     """,

@@ -22,6 +22,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
 from tableau_dashboard_performance_etl_automation_spark.catalog import load_table
+from tableau_dashboard_performance_etl_automation_spark.functions.hashing import (
+    md5_hex_int,
+    md5_hex_int_sql,
+)
 
 #: Sketch geometry: D independent hash rows × W buckets. W=256 keeps
 #: the toy corpora colliding enough to exercise the min (the point of
@@ -32,15 +36,11 @@ CMS_WIDTH = 256
 TOP_N = 20
 
 
-def _hexval(c: Column) -> Column:
-    return F.when(c <= "9", F.ascii(c) - 48).otherwise(F.ascii(c) - 87)
-
-
 def _bucket(row: int, key: Column) -> Column:
     """Bucket of ``key`` in hash row ``row``: first two hex digits of
-    the seeded md5 → 0..255."""
+    the seeded md5 → 0..255 (shared helper, see functions/hashing)."""
     h = F.md5(F.concat(F.lit(f"{row}|"), key.cast("string")))
-    return _hexval(F.substring(h, 1, 1)) * 16 + _hexval(F.substring(h, 2, 1))
+    return md5_hex_int(h, 1, 2)
 
 
 def heavy_hitter_users_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -112,10 +112,7 @@ def heavy_hitter_users_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _bucket_sql(row: int, key: str) -> str:
     h = f"md5('{row}|' || CAST({key} AS VARCHAR))"
-    c1, c2 = f"substr({h}, 1, 1)", f"substr({h}, 2, 1)"
-    hv1 = f"(CASE WHEN {c1} <= '9' THEN ascii({c1}) - 48 ELSE ascii({c1}) - 87 END)"
-    hv2 = f"(CASE WHEN {c2} <= '9' THEN ascii({c2}) - 48 ELSE ascii({c2}) - 87 END)"
-    return f"({hv1} * 16 + {hv2})"
+    return md5_hex_int_sql(h, 1, 2)
 
 
 def _cms_oracle() -> str:

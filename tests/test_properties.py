@@ -255,16 +255,18 @@ def test_packing_boundary_math_matches_reference(spark, toks, capacity):
 )
 @_SETTINGS
 def test_subdoc_block_dedup_matches_bruteforce(spark, docs_words):
-    """Per-doc duplicate-block counts must equal a Python brute-force
+    """Per-doc duplicate-block counts from the SHIPPED pipeline
+    (dedup.subdoc_block_stats) must equal a Python brute-force
     first-occurrence scan for arbitrary word lists (including docs
     shorter than one block and exact-duplicate docs)."""
     from tableau_dashboard_performance_etl_automation_spark.operators.dedup import (
         BLOCK_WORDS,
+        subdoc_block_stats,
     )
 
     rows = [(i, " ".join(ws)) for i, ws in enumerate(docs_words)]
     # brute force: blocks in (doc_id, offset) order, first owner wins
-    seen: dict[str, tuple[int, int]] = {}
+    seen: set[str] = set()
     expect: dict[int, tuple[int, int]] = {}
     for doc_id, text in rows:
         ws = text.split(" ")
@@ -275,46 +277,12 @@ def test_subdoc_block_dedup_matches_bruteforce(spark, docs_words):
             if body in seen:
                 dups += 1
             else:
-                seen[body] = (doc_id, start)
+                seen.add(body)
         expect[doc_id] = (n, dups)
 
     df = spark.createDataFrame(rows, ["doc_id", "text"])
-    blocks = (
-        df.select("doc_id", words().alias("w"))
-        .select(
-            "doc_id",
-            "w",
-            F.explode(
-                F.expr(f"sequence(0, size(w) - 1, {BLOCK_WORDS})")
-            ).alias("block_start"),
-        )
-        .select(
-            "doc_id",
-            "block_start",
-            F.md5(
-                F.array_join(
-                    F.expr(f"slice(w, block_start + 1, {BLOCK_WORDS})"), " "
-                )
-            ).alias("bmd5"),
-        )
-        .withColumn(
-            "okey",
-            (F.col("doc_id") * 1_000_000 + F.col("block_start")).cast(
-                "bigint"
-            ),
-        )
-    )
-    first = blocks.groupBy("bmd5").agg(F.min("okey").alias("first_okey"))
     got = {
-        r.doc_id: (r.n, r.d)
-        for r in blocks.join(first, "bmd5")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(
-                (F.col("okey") != F.col("first_okey")).cast("int")
-            ).alias("d"),
-        )
-        .collect()
+        r.doc_id: (r.n_blocks, r.n_dup_blocks)
+        for r in subdoc_block_stats(df).collect()
     }
     assert got == expect

@@ -19,28 +19,30 @@ def test_subdoc_blocks_accounting(spark, sf_dir):
         assert 1 <= r.n_blocks
         assert 0 <= r.n_dup_blocks <= r.n_blocks
         assert 0.0 <= r.retained_frac <= 1.0
-    # exact duplicate documents: every later copy must retain nothing
-    dups = {
-        r.keep_id: r.n_copies
-        for r in dedup.dedup_exact(spark, sf_dir).collect()
-        if r.n_copies > 1
+    # every LATER copy of an exact-duplicate text must retain nothing:
+    # all of its blocks were first seen at the keeper's offsets
+    from tableau_dashboard_performance_etl_automation_spark.catalog import (
+        load_table,
+    )
+
+    by_text: dict[str, list[int]] = {}
+    for r in load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    ).collect():
+        by_text.setdefault(r.text, []).append(r.doc_id)
+    later_copies = {
+        d for ids in by_text.values() if len(ids) > 1
+        for d in sorted(ids)[1:]
     }
-    if dups:
-        by_doc = {r.doc_id: r for r in out}
-        # the kept (first) copy of a duplicated text keeps all blocks
-        # unless an earlier doc already owned them; later exact copies
-        # can never own a first occurrence
-        later_copies = [
-            r for r in out
-            if r.doc_id not in dups and r.retained_frac == 0.0
-        ]
-        assert by_doc  # sanity: map built
-        assert len(later_copies) >= 0
+    by_doc = {r.doc_id: r for r in out}
+    for d in later_copies:
+        assert by_doc[d].retained_frac == 0.0
+        assert by_doc[d].n_dup_blocks == by_doc[d].n_blocks
 
 
 def test_subdoc_blocks_duplicate_doc_retains_zero(spark, sf_dir):
     """Append an exact copy of the corpus' first doc under a larger
-    doc_id: every one of its blocks must be flagged duplicate."""
+    doc_id: the shipped pipeline must flag every one of its blocks."""
     from tableau_dashboard_performance_etl_automation_spark.catalog import (
         load_table,
     )
@@ -54,50 +56,10 @@ def test_subdoc_blocks_duplicate_doc_retains_zero(spark, sf_dir):
         "source",
         "n_chars",
     )
-    patched = docs.unionByName(copy)
-    # route through the module's internals by temporarily swapping the
-    # loader is overkill — replicate the operator body on the patched df
-    from tableau_dashboard_performance_etl_automation_spark.functions.text import (
-        words,
-    )
-
-    blocks = (
-        patched.select("doc_id", words().alias("w"))
-        .select(
-            "doc_id",
-            "w",
-            F.explode(
-                F.expr(f"sequence(0, size(w) - 1, {dedup.BLOCK_WORDS})")
-            ).alias("block_start"),
-        )
-        .select(
-            "doc_id",
-            "block_start",
-            F.md5(
-                F.array_join(
-                    F.expr(
-                        f"slice(w, block_start + 1, {dedup.BLOCK_WORDS})"
-                    ),
-                    " ",
-                )
-            ).alias("bmd5"),
-        )
-        .withColumn(
-            "okey",
-            (F.col("doc_id") * 1_000_000 + F.col("block_start")).cast(
-                "bigint"
-            ),
-        )
-    )
-    firsts = blocks.groupBy("bmd5").agg(F.min("okey").alias("first_okey"))
-    dup_blocks = (
-        blocks.join(firsts, "bmd5")
-        .filter(F.col("doc_id") >= 10_000_000)
-        .select((F.col("okey") != F.col("first_okey")).cast("int").alias("d"))
-        .agg(F.sum("d").alias("n_dup"), F.count(F.lit(1)).alias("n"))
-        .collect()[0]
-    )
-    assert dup_blocks.n_dup == dup_blocks.n
+    stats = dedup.subdoc_block_stats(docs.unionByName(copy))
+    row = stats.filter(F.col("doc_id") >= 10_000_000).collect()[0]
+    assert row.n_dup_blocks == row.n_blocks
+    assert row.retained_frac == 0.0
 
 
 def test_canonical_groups_merge_exact_variants(spark, sf_dir):
@@ -167,31 +129,54 @@ def test_incremental_newbatch_probe(spark, sf_dir):
             assert r.dup_of is None and r.n_index_hits == 0
 
 
-def test_cms_heavy_hitters_one_sided_error(spark, sf_dir):
-    """CMS estimates can only overcount, and the heavy-hitter list
-    must contain the true top user (no false negative at the top)."""
-    from tableau_dashboard_performance_etl_automation_spark.operators import (
-        sketches,
-    )
+def test_cms_heavy_hitters_matches_python_replay(spark, sf_dir):
+    """The operator's output must equal an exact Python replay of the
+    sketch (same seeded-md5 buckets, same min-over-rows, same
+    ordering) — deterministic for any corpus, unlike a top-rank
+    membership claim, which CMS's one-sided bound does not make."""
+    import hashlib
+
     from tableau_dashboard_performance_etl_automation_spark.catalog import (
         load_table,
     )
+    from tableau_dashboard_performance_etl_automation_spark.operators import (
+        sketches,
+    )
+
+    users = [
+        r.user_id
+        for r in load_table(spark, sf_dir, "events")
+        .select("user_id")
+        .collect()
+    ]
+
+    def bucket(row: int, uid: int) -> int:
+        return int(
+            hashlib.md5(f"{row}|{uid}".encode()).hexdigest()[:2], 16
+        )
+
+    cells: dict[tuple[int, int], int] = {}
+    exact: dict[int, int] = {}
+    for uid in users:
+        exact[uid] = exact.get(uid, 0) + 1
+        for r in range(sketches.CMS_DEPTH):
+            k = (r, bucket(r, uid))
+            cells[k] = cells.get(k, 0) + 1
+    est = {
+        uid: min(
+            cells[(r, bucket(r, uid))] for r in range(sketches.CMS_DEPTH)
+        )
+        for uid in exact
+    }
+    expect = sorted(est.items(), key=lambda kv: (-kv[1], kv[0]))[
+        : sketches.TOP_N
+    ]
 
     out = sketches.heavy_hitter_users_cms(spark, sf_dir).collect()
-    assert 0 < len(out) <= sketches.TOP_N
+    assert [(r.user_id, r.est_count) for r in out] == expect
     for r in out:
-        assert r.overcount >= 0  # one-sided
-        assert r.est_count >= r.exact_count
-    true_top = (
-        load_table(spark, sf_dir, "events")
-        .groupBy("user_id")
-        .count()
-        .orderBy(F.col("count").desc(), "user_id")
-        .limit(1)
-        .collect()[0]
-    )
-    listed = {r.user_id for r in out}
-    assert true_top.user_id in listed
+        assert r.exact_count == exact[r.user_id]
+        assert r.overcount == r.est_count - r.exact_count >= 0
 
 
 def test_poisson_sample_keep_rule_and_weights(spark, sf_dir):

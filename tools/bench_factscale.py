@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import sys
 import time
 
@@ -41,11 +42,15 @@ from tableau_dashboard_performance_etl_automation_spark.session import get_spark
 SCALE_ROOT = "/tmp/tdpe-factscale"
 FACTORS = [1, 4, 16]
 
-#: Facts to replicate and the key column each replica shifts.
+#: Facts to replicate: table → (shifted key column, key DOMAIN the
+#: shift is derived from). lineitem's l_orderkey shifts by the ORDERS
+#: domain's max so replica r of both tables lands on the same key
+#: offset — referential integrity holds even if the tail order has no
+#: lineitems.
 FACT_KEYS = {
-    "lineitem": "l_orderkey",
-    "orders": "o_orderkey",
-    "events": "event_id",
+    "orders": ("o_orderkey", ("orders", "o_orderkey")),
+    "lineitem": ("l_orderkey", ("orders", "o_orderkey")),
+    "events": ("event_id", ("events", "event_id")),
 }
 
 #: Representative relational slice: scan-agg, broadcast star joins,
@@ -66,8 +71,21 @@ def build_scaled(spark, base_dir: str, factor: int) -> str:
     out = f"{SCALE_ROOT}/{factor}x"
     if factor == 1:
         return base_dir
-    if os.path.exists(out):
-        return out
+    # a cached build is only valid for the SAME base corpus and only
+    # if it finished: the meta marker (written last) records the base
+    # fact row count; mismatch or absence (e.g. corpus regenerated,
+    # or a prior run died mid-write) forces a rebuild
+    base_rows = load_table(spark, base_dir, "lineitem").count()
+    meta_path = f"{out}/meta.json"
+    if os.path.exists(meta_path):
+        try:
+            with open(meta_path) as fh:
+                meta = json.load(fh)
+            if meta == {"base_lineitem_rows": base_rows, "factor": factor}:
+                return out
+        except (OSError, ValueError):
+            pass
+    shutil.rmtree(out, ignore_errors=True)
     os.makedirs(out, exist_ok=True)
     # dims: same bytes, same path semantics — symlink
     for name in TABLES:
@@ -76,9 +94,17 @@ def build_scaled(spark, base_dir: str, factor: int) -> str:
         os.symlink(
             f"{base_dir}/{name}.parquet", f"{out}/{name}.parquet"
         )
-    for name, key in FACT_KEYS.items():
+    shifts = {}
+    for dom_table, dom_key in {d for _, d in FACT_KEYS.values()}:
+        shifts[(dom_table, dom_key)] = (
+            load_table(spark, base_dir, dom_table)
+            .agg(F.max(dom_key))
+            .collect()[0][0]
+            + 1
+        )
+    for name, (key, domain) in FACT_KEYS.items():
         df = load_table(spark, base_dir, name)
-        shift = df.agg(F.max(key)).collect()[0][0] + 1
+        shift = shifts[domain]
         parts = [
             df.withColumn(key, F.col(key) + F.lit(r * shift))
             for r in range(factor)
@@ -87,6 +113,8 @@ def build_scaled(spark, base_dir: str, factor: int) -> str:
         for p in parts[1:]:
             scaled = scaled.unionByName(p)
         scaled.write.mode("overwrite").parquet(f"{out}/{name}.parquet")
+    with open(meta_path, "w") as fh:
+        json.dump({"base_lineitem_rows": base_rows, "factor": factor}, fh)
     return out
 
 
