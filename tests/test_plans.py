@@ -390,3 +390,67 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_dir):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_poisson_sample_is_narrow_zero_shuffle(spark, sf_dir):
+    """The Poisson sampler must compile to a pure scan+filter+project
+    — zero exchanges — or it is not the per-row-independent shape
+    that makes it streaming/distribution-safe."""
+    from tableau_dashboard_performance_etl_automation_spark.operators import (
+        sampling,
+    )
+
+    df = sampling.poisson_token_sample(spark, sf_dir)
+    # the trailing orderBy exists for deterministic driver hashing;
+    # contract applies to the sampling computation itself
+    body = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "Join" not in body and "Aggregate" not in body
+    assert not has_cartesian_product(df)
+
+
+def test_cms_grid_broadcasts_to_probes(spark, sf_dir):
+    """The D×W counter grid (≤1024 cells) must broadcast into the
+    probe join — shipping the grid, never shuffling the keys to it."""
+    from tableau_dashboard_performance_etl_automation_spark.operators import (
+        sketches,
+    )
+
+    df = sketches.heavy_hitter_users_cms(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BroadcastExchange" in plan
+    assert not has_cartesian_product(df)
+
+
+def test_incremental_newbatch_is_equijoin_probe(spark, sf_dir):
+    from tableau_dashboard_performance_etl_automation_spark.operators import (
+        dedup,
+    )
+
+    df = dedup.dedup_incremental_newbatch(spark, sf_dir)
+    assert not has_cartesian_product(df)
+    plan = formatted_plan(df)
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_banding_precision_no_cartesian_no_python(spark, sf_dir):
+    from tableau_dashboard_performance_etl_automation_spark.operators import (
+        dedup,
+    )
+
+    df = dedup.minhash_banding_precision(spark, sf_dir)
+    assert not has_cartesian_product(df)
+    plan = formatted_plan(df)
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_decayed_scores_anchor_is_broadcast(spark, sf_dir):
+    """The 1-row max-date anchor must ride a broadcast, and the heavy
+    aggregate must be the bounded (type, age_day) pre-aggregate."""
+    from tableau_dashboard_performance_etl_automation_spark.operators import (
+        analytics,
+    )
+
+    df = analytics.decayed_event_scores(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
