@@ -83,6 +83,7 @@ _NEWEST = (
     "poisson_token_sample",
     "decayed_event_scores",
     "minhash_banding_precision",
+    "daily_anomaly_scores",
 )
 
 

@@ -766,9 +766,96 @@ def decayed_event_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Trailing window (days) and |z| threshold for daily anomaly flags.
+ANOMALY_WINDOW_DAYS = 7
+ANOMALY_Z = 2.0
+
+
+def daily_anomaly_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day mean-value anomaly score against the trailing
+    ``ANOMALY_WINDOW_DAYS``-day baseline — the daily ops alarm.
+
+    Numeric discipline: the window carries EXACT integer sums (count,
+    cent-sum, squared-cent-sum) and mean/variance come from the
+    closed form (Σx² − (Σx)²/n)/(n−1) evaluated once from those
+    integers, so the z-score is a fixed arithmetic expression of
+    exact values — no stddev aggregate whose accumulation order or
+    algorithm (Welford vs naive) could differ between engines.
+    Scale shape: one (day) hash aggregate with map-side combine, then
+    a window over the tiny per-day series; the raw table is touched
+    once."""
+    events = load_table(spark, sf_dir, "events")
+    daily = (
+        events.select(
+            F.to_date("ts").alias("d"),
+            F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+        .groupBy("d")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("cents").alias("s"),
+            F.sum(F.col("cents") * F.col("cents")).alias("ss"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.orderBy("d")
+        .rowsBetween(-ANOMALY_WINDOW_DAYS, -1)
+    )
+    trail = daily.select(
+        "d",
+        "n",
+        "s",
+        "ss",
+        F.sum("n").over(w).alias("tn"),
+        F.sum("s").over(w).alias("ts"),
+        F.sum("ss").over(w).alias("tss"),
+        F.count(F.lit(1)).over(w).alias("tdays"),
+    )
+    day_mean = F.col("s") / F.col("n") / 100.0
+    t_mean = F.col("ts") / F.col("tn") / 100.0
+    # ts*1.0*ts: promote to double BEFORE squaring — a BIGINT square
+    # overflows around 3e9 cents of trailing volume, where Spark's
+    # non-ANSI mode would wrap silently while DuckDB errors; the
+    # double path loses nothing that survives the later ROUND(...,4)
+    t_var = (
+        (F.col("tss") - F.col("ts") * F.lit(1.0) * F.col("ts") / F.col("tn"))
+        / (F.col("tn") - 1)
+        / 10000.0
+    )
+    z = (day_mean - t_mean) / F.sqrt(t_var)
+    return (
+        trail.withColumn(
+            "z_score",
+            F.when(
+                (F.col("tdays") >= ANOMALY_WINDOW_DAYS)
+                & (F.col("tn") > 1)
+                & (t_var > 0),
+                F.round(z, 4),
+            ),
+        )
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("event_date"),
+            "n",
+            F.round(day_mean, 4).alias("mean_value"),
+            "z_score",
+            F.when(
+                F.col("z_score").isNotNull()
+                & (F.abs("z_score") > ANOMALY_Z),
+                1,
+            )
+            .otherwise(0)
+            .alias("is_anomaly"),
+        )
+        .orderBy("event_date")
+    )
+
+
 QUERIES = {
     "daily_p95_series": daily_p95_series,
     "decayed_event_scores": decayed_event_scores,
+    "daily_anomaly_scores": daily_anomaly_scores,
     "pricing_summary": pricing_summary,
     "forecast_revenue": forecast_revenue,
     "shipping_priority": shipping_priority,
@@ -791,6 +878,50 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "daily_anomaly_scores": f"""
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS d,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   SUM(CAST(ROUND(value * 100) AS BIGINT)) AS s,
+                   SUM(CAST(ROUND(value * 100) AS BIGINT)
+                       * CAST(ROUND(value * 100) AS BIGINT)) AS ss
+            FROM events
+            GROUP BY d
+        ),
+        trail AS (
+            SELECT d, n, s, ss,
+                   SUM(n) OVER w AS tn,
+                   SUM(s) OVER w AS ts,
+                   SUM(ss) OVER w AS tss,
+                   COUNT(*) OVER w AS tdays
+            FROM daily
+            WINDOW w AS (ORDER BY d
+                         ROWS BETWEEN {ANOMALY_WINDOW_DAYS} PRECEDING
+                                  AND 1 PRECEDING)
+        ),
+        scored AS (
+            SELECT d, n,
+                   s / n / 100.0 AS day_mean,
+                   CASE WHEN tdays >= {ANOMALY_WINDOW_DAYS} AND tn > 1
+                             AND (tss - ts * 1.0 * ts / tn) / (tn - 1)
+                                 / 10000.0 > 0
+                        THEN ROUND(
+                            (s / n / 100.0 - ts / tn / 100.0)
+                            / sqrt((tss - ts * 1.0 * ts / tn) / (tn - 1)
+                                   / 10000.0), 4)
+                   END AS z_score
+            FROM trail
+        )
+        SELECT strftime(d, '%Y-%m-%d') AS event_date,
+               n,
+               ROUND(day_mean, 4) AS mean_value,
+               z_score,
+               CASE WHEN z_score IS NOT NULL
+                         AND abs(z_score) > {ANOMALY_Z}
+                    THEN 1 ELSE 0 END AS is_anomaly
+        FROM scored
+        ORDER BY event_date
+    """,
     "decayed_event_scores": f"""
         WITH per_day AS (
             SELECT event_type,

@@ -252,3 +252,24 @@ def test_banding_precision_partitions_candidates(spark, sf_dir):
         assert 0.0 <= r.confirm_rate <= 1.0
     if 1 in out and max(out) > 1:
         assert out[max(out)].confirm_rate >= out[1].confirm_rate
+
+
+def test_daily_anomaly_scores_warmup_and_flags(spark, sf_dir):
+    """The first ANOMALY_WINDOW_DAYS days have no full trailing
+    baseline (NULL z, never flagged); afterwards the flag must track
+    |z| > threshold exactly."""
+    from tableau_dashboard_performance_etl_automation_spark.operators import (
+        analytics,
+    )
+
+    out = analytics.daily_anomaly_scores(spark, sf_dir).collect()
+    assert len(out) > analytics.ANOMALY_WINDOW_DAYS
+    for i, r in enumerate(out):
+        if i < analytics.ANOMALY_WINDOW_DAYS:
+            assert r.z_score is None and r.is_anomaly == 0
+        if r.z_score is None:
+            assert r.is_anomaly == 0
+        else:
+            assert (abs(r.z_score) > analytics.ANOMALY_Z) == bool(
+                r.is_anomaly
+            )
