@@ -110,6 +110,8 @@ def main() -> None:
         "dedup_simhash": dedup.dedup_simhash,
         "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
         "neardup_embedding_cosine": similarity.neardup_embedding_cosine,
+        "dedup_subdoc_blocks": dedup.dedup_subdoc_blocks,
+        "dedup_incremental_newbatch": dedup.dedup_incremental_newbatch,
     }
     report: dict = {"base": base, "scales": {}}
     for factor in FACTORS:
