@@ -120,3 +120,62 @@ def test_compaction_shrinks_file_count_preserving_rows(spark, sf_dir, tmp_path):
                 if f.endswith(".parquet")
             ]
             assert len(files) == 1, d
+
+
+def test_parquet_schema_evolution_merges_new_column(spark, sf_dir, tmp_path):
+    """A warehouse accumulates files written under evolving schemas;
+    mergeSchema reads must unify them (new column NULL for old files)
+    without rewriting history."""
+    target = str(tmp_path / "evolving")
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    e.limit(100).write.mode("append").parquet(target)
+    e.limit(50).withColumn(
+        "schema_version", F.lit(2)
+    ).write.mode("append").parquet(target)
+    merged = spark.read.option("mergeSchema", "true").parquet(target)
+    assert "schema_version" in merged.columns
+    assert merged.count() == 150
+    # old files surface NULL for the new column, new files their value
+    assert merged.filter(F.col("schema_version").isNull()).count() == 100
+    assert merged.filter(F.col("schema_version") == 2).count() == 50
+
+
+def test_dynamic_partition_overwrite_replaces_only_touched_day(
+    spark, sf_dir, tmp_path
+):
+    """Re-running one day's load must replace ONLY that day's
+    partition (dynamic mode), not truncate the table — the semantics
+    an idempotent daily warehouse job depends on."""
+    target = str(tmp_path / "daily")
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "value", F.to_date("ts").alias("event_date")
+    )
+    days = [r.event_date for r in e.select("event_date").distinct().orderBy(
+        "event_date"
+    ).limit(2).collect()]
+    base = e.filter(F.col("event_date").isin(days))
+    base.write.partitionBy("event_date").mode("overwrite").parquet(target)
+    n_day0 = base.filter(F.col("event_date") == days[0]).count()
+
+    saved = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    try:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        # re-load day 1 only, with values doubled (the "corrected" rerun)
+        base.filter(F.col("event_date") == days[1]).withColumn(
+            "value", F.col("value") * 2
+        ).write.partitionBy("event_date").mode("overwrite").parquet(target)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", saved)
+
+    out = spark.read.parquet(target)
+    # day 0 untouched; day 1 replaced, not duplicated
+    assert out.filter(F.col("event_date") == days[0]).count() == n_day0
+    orig_day1 = base.filter(F.col("event_date") == days[1])
+    assert out.filter(F.col("event_date") == days[1]).count() == orig_day1.count()
+    s_new = out.filter(F.col("event_date") == days[1]).agg(
+        F.sum("value")
+    ).collect()[0][0]
+    s_old = orig_day1.agg(F.sum("value")).collect()[0][0]
+    assert abs(s_new - 2 * s_old) < 1e-6
