@@ -242,6 +242,26 @@ def _hex4(prefix: str, id_col: F.Column) -> F.Column:
     return md5_hex_int(h, 1, 4)
 
 
+def poisson_sample_rows(docs: DataFrame) -> DataFrame:
+    """The sampler body over any (doc_id, lang, text) frame — the
+    reusable pipeline :func:`poisson_token_sample` ships (property
+    tests replay THIS function against a Python oracle)."""
+    toks = F.size(F.split(F.col("text"), " "))
+    u = _hex4("pois|", F.col("doc_id"))
+    return (
+        docs.select("doc_id", "lang", toks.alias("tokens"), u.alias("u"))
+        .filter(F.col("u") * POISSON_CAP < F.col("tokens") * (1 << _U_BITS))
+        .select(
+            "doc_id",
+            "lang",
+            "tokens",
+            F.when(F.col("tokens") >= POISSON_CAP, F.lit(1.0))
+            .otherwise(F.round(F.lit(float(POISSON_CAP)) / F.col("tokens"), 6))
+            .alias("ht_weight"),
+        )
+    )
+
+
 def poisson_token_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic Poisson (importance) sample with probability
     proportional to token count, plus the Horvitz-Thompson weight
@@ -256,21 +276,7 @@ def poisson_token_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     distributed/streaming sampler — no global state, merges
     trivially)."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.size(F.split(F.col("text"), " "))
-    u = _hex4("pois|", F.col("doc_id"))
-    return (
-        docs.select("doc_id", "lang", toks.alias("tokens"), u.alias("u"))
-        .filter(F.col("u") * POISSON_CAP < F.col("tokens") * (1 << _U_BITS))
-        .select(
-            "doc_id",
-            "lang",
-            "tokens",
-            F.when(F.col("tokens") >= POISSON_CAP, F.lit(1.0))
-            .otherwise(F.round(F.lit(float(POISSON_CAP)) / F.col("tokens"), 6))
-            .alias("ht_weight"),
-        )
-        .orderBy("doc_id")
-    )
+    return poisson_sample_rows(docs).orderBy("doc_id")
 
 
 QUERIES = {

@@ -286,3 +286,41 @@ def test_subdoc_block_dedup_matches_bruteforce(spark, docs_words):
         for r in subdoc_block_stats(df).collect()
     }
     assert got == expect
+
+
+@given(
+    st.lists(
+        st.lists(_word, min_size=1, max_size=12),
+        min_size=1,
+        max_size=8,
+    )
+)
+@_SETTINGS
+def test_poisson_keep_set_matches_md5_replay(spark, docs_words):
+    """The shipped sampler pipeline's keep set and HT weights must
+    match an exact Python md5 replay for arbitrary texts."""
+    import hashlib
+
+    from tableau_dashboard_performance_etl_automation_spark.operators.sampling import (
+        POISSON_CAP,
+        poisson_sample_rows,
+    )
+
+    rows = [(i, "xx", " ".join(ws)) for i, ws in enumerate(docs_words)]
+    expect = {}
+    for doc_id, _, text in rows:
+        toks = len(text.split(" "))
+        u = int(hashlib.md5(f"pois|{doc_id}".encode()).hexdigest()[:4], 16)
+        if u * POISSON_CAP < toks * (1 << 16):
+            w = 1.0 if toks >= POISSON_CAP else round(POISSON_CAP / toks, 6)
+            expect[doc_id] = (toks, w)
+
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+    got = {
+        r.doc_id: (r.tokens, r.ht_weight)
+        for r in poisson_sample_rows(df).collect()
+    }
+    assert set(got) == set(expect)
+    for k, (toks, w) in expect.items():
+        assert got[k][0] == toks
+        assert abs(got[k][1] - w) < 1e-9
