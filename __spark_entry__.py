@@ -28,6 +28,7 @@ from tableau_dashboard_performance_etl_automation_spark.operators import (
     similarity,
     sketches,
     starjoins,
+    streaming_twins,
     subqueries,
     tabjolt,
     textops,
@@ -66,41 +67,40 @@ def _driver_green() -> set[str]:
     return green
 
 
-#: Queries added most recently (round 3c). When the unchecked set
-#: exceeds the driver's 50-slot window, these yield their slots to
-#: entries that have been waiting since earlier rounds — every query
-#: still earns its driver row within two rounds. The list self-expires
-#: (a green row moves an entry to the tail regardless), but a FUTURE
-#: round that adds queries while >50 remain unchecked should replace
-#: these names with its own newest, or the old deferral wins again.
-_NEWEST = (
-    "dedup_subdoc_blocks",
-    "dedup_canonical",
-    "dedup_incremental_newbatch",
-    "multimodal_content_dedup",
-    "embedding_decontaminate",
-    "heavy_hitter_users_cms",
-    "poisson_token_sample",
-    "decayed_event_scores",
-    "minhash_banding_precision",
-    "daily_anomaly_scores",
-)
+def _ledger_order() -> dict[str, int]:
+    """Registration order, read from ``QUERY_LEDGER.json`` — an
+    append-only list of query names in the order they were first
+    registered (``tools/update_ledger.py`` appends new names;
+    ``tests/test_entry_rotation.py`` fails if a registered query is
+    missing, so the ledger cannot silently rot). No query-name
+    literals live in this module."""
+    import json
+    import os
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        with open(os.path.join(here, "QUERY_LEDGER.json")) as fh:
+            names = json.load(fh)
+    except (OSError, ValueError):
+        names = []
+    return {name: i for i, name in enumerate(names)}
 
 
 def _rotated(full: dict) -> dict:
     """Unchecked-first ordering: entries with no driver-green row
-    lead; among those, longest-waiting first."""
+    lead, sorted longest-waiting first (earliest ledger position);
+    names not yet in the ledger are by definition the newest and sort
+    last among the unchecked. Green entries go to the tail. With the
+    driver checking the first 50, every query earns its driver row
+    within two rounds of being registered."""
     green = _driver_green()
-    out = {
-        k: v
-        for k, v in full.items()
-        if k not in green and k not in _NEWEST
-    }
-    out.update(
-        {k: v for k, v in full.items() if k not in green and k in _NEWEST}
-    )
-    out.update({k: v for k, v in full.items() if k in green})
-    return out
+    order = _ledger_order()
+    unseen = len(order)
+    # name tiebreak: ledger-unseen entries (all equally new until
+    # tools/update_ledger.py runs) order identically in queries() and
+    # oracle_sql() even though the module dicts declare them apart
+    ranked = sorted(full, key=lambda k: (k in green, order.get(k, unseen), k))
+    return {k: full[k] for k in ranked}
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -135,6 +135,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(curation.QUERIES)
     out.update(asof.QUERIES)
     out.update(sampling.QUERIES)
+    out.update(streaming_twins.QUERIES)
     return _rotated(out)
 
 
@@ -158,4 +159,5 @@ def oracle_sql() -> dict[str, str]:
     out.update(curation.ORACLE_SQL)
     out.update(asof.ORACLE_SQL)
     out.update(sampling.ORACLE_SQL)
+    out.update(streaming_twins.ORACLE_SQL)
     return _rotated(out)

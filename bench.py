@@ -66,20 +66,40 @@ def main() -> None:
         gc.collect()
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    summary = json.dumps(
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    detail = json.dumps(
         {
             "metric": "query_set_wall_seconds",
             "value": round(sum(timings.values()), 3),
             "unit": "sec",
             "queries": timings,
-            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            "sf": sf_val,
+        }
+    )
+    # The capturing driver keeps only the last ~2,000 chars of stdout
+    # and parses the FINAL line as JSON. The per-query dict alone is
+    # >4,000 chars, so it goes to a side file + an EARLIER stdout line;
+    # the final line carries only the short parseable summary.
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"),
+        "w",
+    ) as fh:
+        fh.write(detail + "\n")
+    summary = json.dumps(
+        {
+            "metric": "query_set_wall_seconds",
+            "value": round(sum(timings.values()), 3),
+            "unit": "sec",
+            "n_queries": len(timings),
+            "sf": sf_val,
         }
     )
     # stop BEFORE printing so no late executor/console output can land
-    # after (or interleave with) the JSON line a capturing driver
+    # after (or interleave with) the JSON lines a capturing driver
     # parses from the stdout tail; progress bars are also disabled in
     # session.py for the same reason.
     spark.stop()
+    print(detail, flush=True)
     print(summary, flush=True)
 
 

@@ -410,10 +410,16 @@ def minhash_banding_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sza"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("szb"))
-    jac = F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter"))
+    # LEFT join + COALESCE(inter, 0): a band collision normally implies
+    # >=1 shared shingle, but if that invariant ever broke (md5
+    # collision, future band_val change) the pair must count as
+    # UNCONFIRMED (Jaccard 0), not vanish from n_pairs — the
+    # partition-of-candidates property holds unconditionally.
+    inter0 = F.coalesce(F.col("inter"), F.lit(0))
+    jac = inter0 / (F.col("sza") + F.col("szb") - inter0)
     confirmed = (jac >= BANDING_CONFIRM_JACCARD).cast("int")
     return (
-        cand.join(inter, ["doc_a", "doc_b"])
+        cand.join(inter, ["doc_a", "doc_b"], "left")
         .join(sa, "doc_a")
         .join(sb, "doc_b")
         .groupBy("band_overlap")
@@ -435,6 +441,43 @@ def minhash_banding_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
 NEWBATCH_MOD = 10
 NEWBATCH_REM = 9
 
+#: Persisted LSH index: the existing corpus' band signatures live in
+#: a table bucketed on ``band_val``, so every probe join reads the
+#: index pre-distributed — no index-side exchange, ever. Memoized per
+#: (applicationId, sf_dir) like the IVF codebook: built once per
+#: session, single-entry cap so a stale sf_dir's table isn't trusted.
+BAND_INDEX_TABLE = "minhash_band_index"
+BAND_INDEX_BUCKETS = 16
+_BAND_INDEX_CACHE: dict[tuple[str, str], str] = {}
+
+
+def _band_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The existing corpus' (existing_id, band_id, band_val) MinHash
+    band signatures as a bucketed table — the stored half of the
+    incremental-dedup index. The one-time write pays the only
+    index-side shuffle it will ever do; every subsequent probe joins
+    against bucket-co-located files."""
+    from tableau_dashboard_performance_etl_automation_spark.sources.warehouse import (
+        write_bucketed,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if _BAND_INDEX_CACHE.get(key) is None:
+        is_new = F.col("doc_id") % NEWBATCH_MOD == NEWBATCH_REM
+        idx = (
+            _minhash_bands(spark, sf_dir)
+            .filter(~is_new)
+            .select(
+                F.col("doc_id").alias("existing_id"), "band_id", "band_val"
+            )
+        )
+        write_bucketed(
+            idx, BAND_INDEX_TABLE, "band_val", n_buckets=BAND_INDEX_BUCKETS
+        )
+        _BAND_INDEX_CACHE.clear()  # single-entry cap
+        _BAND_INDEX_CACHE[key] = BAND_INDEX_TABLE
+    return spark.table(BAND_INDEX_TABLE)
+
 
 def dedup_incremental_newbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental dedup of a new batch against the EXISTING corpus'
@@ -451,16 +494,15 @@ def dedup_incremental_newbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     on band_val the probe shuffles ONLY the new batch; nothing pairs
     within the index side, so cost ∝ batch, not ∝ corpus.
 
-    (In-repo both sides are derived fresh from parquet — the sandbox
-    keeps no cross-query state — but the join shape IS the index
-    probe; persisting the index side is a storage decision, see
-    sources/warehouse.py for the bucketed-layout machinery.)"""
-    bands = _minhash_bands(spark, sf_dir)
+    The index side IS persisted: ``_band_index`` writes the existing
+    corpus' signatures once per session as a table bucketed on
+    ``band_val`` (``sources/warehouse.write_bucketed``), and every
+    probe reads it bucket-co-located — the plan contract
+    (``tests/test_plans.py``) asserts the index side joins with no
+    Exchange, so only the batch ever moves."""
     is_new = F.col("doc_id") % NEWBATCH_MOD == NEWBATCH_REM
-    newb = bands.filter(is_new)
-    idx = bands.filter(~is_new).select(
-        F.col("doc_id").alias("existing_id"), "band_id", "band_val"
-    )
+    newb = _minhash_bands(spark, sf_dir).filter(is_new)
+    idx = _band_index(spark, sf_dir)
     hits = (
         newb.join(idx, ["band_id", "band_val"])
         .groupBy("doc_id")
@@ -630,6 +672,12 @@ BLOCK_WORDS = 32
 CANON_MIN_LEN = 3
 CANON_DROP = ("the", "and")
 
+#: First-occurrence keys encode (doc_id, block_start) as
+#: ``doc_id * OKEY_STRIDE + block_start``. 1e9 word offsets bounds any
+#: document (a 1B-word doc is ~5 TB of text); the builder raises
+#: loudly rather than silently corrupting order if one exceeds it.
+OKEY_STRIDE = 1_000_000_000
+
 
 def subdoc_block_stats(docs: DataFrame) -> DataFrame:
     """Per-doc block-dedup accounting over any (doc_id, text) frame —
@@ -656,8 +704,18 @@ def subdoc_block_stats(docs: DataFrame) -> DataFrame:
         )
         .withColumn(
             "okey",
-            (F.col("doc_id") * 1_000_000 + F.col("block_start")).cast(
-                "bigint"
+            F.when(
+                F.col("block_start") < OKEY_STRIDE,
+                (F.col("doc_id") * OKEY_STRIDE + F.col("block_start")).cast(
+                    "bigint"
+                ),
+            ).otherwise(
+                F.raise_error(
+                    F.lit(
+                        "subdoc_block_stats: block_start exceeds OKEY_STRIDE "
+                        f"({OKEY_STRIDE}); widen the stride for this corpus"
+                    )
+                )
             ),
         )
     )
@@ -698,11 +756,12 @@ def dedup_subdoc_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchange), and a per-doc aggregate. No windows, no cross joins,
     no driver involvement; every shuffle key is high-cardinality.
 
-    First-occurrence order is encoded as ``doc_id * 1_000_000 +
+    First-occurrence order is encoded as ``doc_id * OKEY_STRIDE +
     block_start`` — a single BIGINT min instead of a struct min, so
     the same expression replays exactly in the oracle. (Offsets are
-    word indices; 1e6 words/doc bounds any real document, and the
-    encoding would simply widen for a corpus that exceeds it.)
+    word indices; 1e9 words/doc bounds any real document, and the
+    builder raises loudly — ``raise_error`` — rather than corrupting
+    order if a pathological document exceeds it.)
     """
     docs = load_table(spark, sf_dir, "documents")
     return subdoc_block_stats(docs).orderBy("doc_id")
@@ -887,7 +946,7 @@ ORACLE_SQL = {
                    md5(array_to_string(
                        list_slice(w, gs + 1, gs + {BLOCK_WORDS}), ' '))
                        AS bmd5,
-                   CAST(doc_id * 1000000 + gs AS BIGINT) AS okey
+                   CAST(doc_id * {OKEY_STRIDE} + gs AS BIGINT) AS okey
             FROM d, UNNEST(generate_series(0, len(w) - 1, {BLOCK_WORDS}))
                      AS t(gs)
         ),
@@ -972,12 +1031,12 @@ ORACLE_SQL = {
         ),
         scored AS (
             SELECT c.band_overlap,
-                   CASE WHEN i.inter * 1.0
-                             / (sa.sz + sb.sz - i.inter)
+                   CASE WHEN COALESCE(i.inter, 0) * 1.0
+                             / (sa.sz + sb.sz - COALESCE(i.inter, 0))
                              >= {BANDING_CONFIRM_JACCARD}
                         THEN 1 ELSE 0 END AS ok
             FROM cand c
-            JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+            LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
             JOIN sizes sa ON sa.doc_id = c.doc_a
             JOIN sizes sb ON sb.doc_id = c.doc_b
         )

@@ -1,0 +1,85 @@
+"""Batch twins of the pytest-only streaming operators.
+
+The streaming layer (``streaming/``) proves its semantics against
+batch equivalents in ``tests/test_streaming.py``; these queries
+register those batch equivalents with the driver gate, so the
+semantics every stream must converge to are themselves
+oracle-verified each round (the ``dedup_replayed_events`` pattern —
+reference behavior: the cron extract's nightly re-run,
+tabjolt_email.py:351-359, makes every streaming pipeline restartable
+from batch state).
+
+Scale shapes are all single hash-aggregates over the events table —
+map-side combinable, one shuffle on the group key, no windows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from tableau_dashboard_performance_etl_automation_spark.catalog import load_table
+
+
+def running_profile_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Converged state of ``streaming.stateful.running_key_profile``
+    (the ``applyInPandasWithState`` per-key profile): after the stream
+    drains, each key's state is exactly this per-type profile.
+    ``total_value`` sums integer cents so the driver's value hash is
+    order-independent in both engines (SUM(DOUBLE) is not);
+    ``tests/test_streaming.py`` asserts the stateful operator's final
+    update matches this frame key-for-key."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            (
+                F.sum(F.round(F.col("value") * 100).cast("bigint"))
+                / F.lit(100.0)
+            ).alias("total_value"),
+            F.max("value").alias("max_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def user_first_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Converged state of ``streaming.trend.first_purchase_stream``:
+    running MIN(purchase date) per user — the acquisition assignment
+    behind ``new_users_daily``, at user grain. MIN is
+    order-insensitive, which is precisely why the streaming operator
+    converges to this batch result regardless of micro-batch order."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min(F.to_date("ts")).cast("date").alias("first_date"))
+        .orderBy("user_id")
+    )
+
+
+QUERIES = {
+    "running_profile_final": running_profile_final,
+    "user_first_purchase": user_first_purchase,
+}
+
+ORACLE_SQL = {
+    "running_profile_final": """
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0
+                   AS total_value,
+               MAX(value) AS max_value
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    "user_first_purchase": """
+        SELECT user_id,
+               CAST(MIN(CAST(ts AS DATE)) AS DATE) AS first_date
+        FROM events
+        WHERE event_type = 'purchase'
+        GROUP BY user_id
+        ORDER BY user_id
+    """,
+}

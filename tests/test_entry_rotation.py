@@ -1,0 +1,66 @@
+"""Contract tests for the driver-window rotation in __spark_entry__.
+
+The driver's correctness gate checks only the FIRST 50 entries of
+``queries()``; these tests pin the properties that guarantee every
+registered query earns a driver-green row within two rounds:
+
+* every registered query is in the append-only ledger (else the
+  "longest-waiting first" order could silently rot — this is the
+  fail-loud replacement for round 3's hardcoded ``_NEWEST`` tuple);
+* unchecked queries lead, in ledger (registration) order — newest
+  registrations last among the unchecked;
+* driver-green queries sit at the tail.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import __spark_entry__ as entry_mod
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _ledger() -> list[str]:
+    with open(os.path.join(ROOT, "QUERY_LEDGER.json")) as fh:
+        return json.load(fh)
+
+
+def test_ledger_covers_every_registered_query():
+    names = _ledger()
+    missing = [k for k in entry_mod.queries() if k not in set(names)]
+    assert not missing, (
+        f"queries missing from QUERY_LEDGER.json: {missing} — "
+        "run `python tools/update_ledger.py`"
+    )
+
+
+def test_ledger_has_no_duplicates_or_strays():
+    names = _ledger()
+    assert len(names) == len(set(names)), "duplicate ledger entries"
+    registered = set(entry_mod.queries())
+    strays = [n for n in names if n not in registered]
+    assert not strays, f"ledger names no longer registered: {strays}"
+
+
+def test_rotation_unchecked_lead_in_ledger_order_then_green_tail():
+    green = entry_mod._driver_green()
+    order = {n: i for i, n in enumerate(_ledger())}
+    keys = list(entry_mod.queries())
+    unchecked = [k for k in keys if k not in green]
+    tail = keys[len(unchecked):]
+    # unchecked precede all green entries
+    assert keys[: len(unchecked)] == unchecked
+    assert all(k in green for k in tail)
+    # among unchecked: registration order (newest last)
+    positions = [order[k] for k in unchecked]
+    assert positions == sorted(positions), (
+        "unchecked queries not in ledger (registration) order"
+    )
+
+
+def test_queries_and_oracles_share_rotation():
+    q = list(entry_mod.queries())
+    o = list(entry_mod.oracle_sql())
+    assert q == o

@@ -432,6 +432,39 @@ def test_incremental_newbatch_is_equijoin_probe(spark, sf_dir):
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
 
 
+def test_incremental_newbatch_index_side_joins_with_no_exchange(
+    spark, sf_dir
+):
+    """The probe must read the persisted band index bucket-co-located:
+    the index side contributes a bucketed scan with NO Exchange above
+    it — cost of an incremental dedup stays ∝ batch, never ∝ corpus."""
+    from tableau_dashboard_performance_etl_automation_spark.operators import (
+        dedup,
+    )
+
+    df = dedup.dedup_incremental_newbatch(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "Bucketed: true" in plan, "probe is not reading the bucketed index"
+    # walk the formatted-plan operator tree: the index scan's
+    # ancestors up to the probe join must contain no Exchange
+    idx_scan = next(
+        line
+        for line in plan.splitlines()
+        if "Scan" in line and dedup.BAND_INDEX_TABLE in line
+    )
+    scan_id = idx_scan.split("(")[1].split(")")[0]
+    # formatted plans list each operator with "Input [n]: ..." blocks;
+    # simpler and robust: no ShuffleExchange may reference the index
+    # scan's output attributes. The index columns are existing_id /
+    # band sides only — assert no Exchange hashpartitioning on
+    # existing_id at all (the only index-exclusive attribute).
+    for line in plan.splitlines():
+        if "Exchange" in line and "existing_id" in line:
+            raise AssertionError(
+                f"index-side exchange found: {line.strip()} (scan {scan_id})"
+            )
+
+
 def test_banding_precision_no_cartesian_no_python(spark, sf_dir):
     from tableau_dashboard_performance_etl_automation_spark.operators import (
         dedup,

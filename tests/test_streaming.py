@@ -158,15 +158,16 @@ def test_stateful_running_profile_matches_batch(spark, sf_dir, tmp_path):
         r.event_type: (r.n_events, r.total_value)
         for r in spark.table("profile_sink").collect()
     }
+    # the registered (driver-verified) batch twin IS the target state
+    from tableau_dashboard_performance_etl_automation_spark.operators import (
+        streaming_twins,
+    )
+
     batch = {
         r.event_type: (r.n_events, r.total_value)
-        for r in load_table(spark, sf_dir, "events")
-        .groupBy("event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 4).alias("total_value"),
-        )
-        .collect()
+        for r in streaming_twins.running_profile_final(
+            spark, sf_dir
+        ).collect()
     }
     for k, (n, total) in batch.items():
         assert final[k][0] == n
@@ -312,13 +313,16 @@ def test_first_purchase_stream_matches_batch_cohorts(spark, sf_dir, tmp_path):
         r.user_id: r.first_date
         for r in spark.table("first_purchase_sink").collect()
     }
+    # the registered (driver-verified) batch twin IS the target state
+    from tableau_dashboard_performance_etl_automation_spark.operators import (
+        streaming_twins,
+    )
+
     batch = {
         r.user_id: r.first_date
-        for r in load_table(spark, sf_dir, "events")
-        .filter(F.col("event_type") == "purchase")
-        .groupBy("user_id")
-        .agg(F.min(F.to_date("ts")).alias("first_date"))
-        .collect()
+        for r in streaming_twins.user_first_purchase(
+            spark, sf_dir
+        ).collect()
     }
     assert final == batch
     # daily counts derived from the converged state == new_users_daily

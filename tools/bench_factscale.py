@@ -68,6 +68,9 @@ PROBE_QUERIES = [
 
 
 def build_scaled(spark, base_dir: str, factor: int) -> str:
+    # symlinks below land in /tmp; a relative base_dir would make them
+    # resolve relative to /tmp and dangle — normalize first
+    base_dir = os.path.abspath(base_dir)
     out = f"{SCALE_ROOT}/{factor}x"
     if factor == 1:
         return base_dir

@@ -47,6 +47,7 @@ FACTORS = [1, 4, 16]
 
 def build_scaled(spark, base_dir: str, factor: int) -> str:
     """Materialize a factor× corpus under SCALE_ROOT/{factor}x."""
+    base_dir = os.path.abspath(base_dir)
     out = f"{SCALE_ROOT}/{factor}x"
     if factor == 1:
         return base_dir
@@ -103,6 +104,7 @@ def build_scaled(spark, base_dir: str, factor: int) -> str:
 
 def main() -> None:
     base = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    factors = [int(a) for a in sys.argv[2:]] or FACTORS
     spark = get_spark("tdpe-scaleup")
     spark.sparkContext.setLogLevel("ERROR")
     ops = {
@@ -114,7 +116,7 @@ def main() -> None:
         "dedup_incremental_newbatch": dedup.dedup_incremental_newbatch,
     }
     report: dict = {"base": base, "scales": {}}
-    for factor in FACTORS:
+    for factor in factors:
         sf_dir = build_scaled(spark, base, factor)
         n_docs = load_table(spark, sf_dir, "documents").count()
         n_vec = load_table(spark, sf_dir, "embeddings").count()
@@ -131,6 +133,13 @@ def main() -> None:
                 "sec": round(time.time() - t0, 2),
                 "rows": n_rows,
             }
+            if name == "dedup_incremental_newbatch":
+                # first call pays the one-time bucketed index write
+                # (∝ corpus, amortized forever); steady-state probes
+                # are the recurring cost and must stay ∝ batch
+                t1 = time.time()
+                fn(spark, sf_dir).count()
+                row[name]["steady_sec"] = round(time.time() - t1, 2)
         report["scales"][f"{factor}x"] = row
         print(json.dumps({f"{factor}x": row}), flush=True)
     print(json.dumps(report), flush=True)
