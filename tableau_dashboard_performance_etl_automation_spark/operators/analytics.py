@@ -852,6 +852,38 @@ def daily_anomaly_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def user_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user cumulative value balance at every event — the
+    running-total (ledger) window frame, the one standard frame shape
+    the breadth layer didn't yet pin: ROWS UNBOUNDED PRECEDING over a
+    per-user total order.
+
+    Scale shape: ONE window partitioned by ``user_id`` (bounded state
+    per key, shuffle on the natural key) — never a global ordering;
+    the frame accumulates EXACT integer cents so every prefix sum is
+    reduction-order-independent and bit-identical across engines.
+    The (ts, event_id) ordering key is a total order within each
+    partition, so the frame contents — not just the final sum — are
+    deterministic."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        e.select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+        .withColumn("balance_cents", F.sum("cents").over(w))
+        .select("event_id", "user_id", "balance_cents")
+        .orderBy("event_id")
+    )
+
+
 QUERIES = {
     "daily_p95_series": daily_p95_series,
     "decayed_event_scores": decayed_event_scores,
@@ -875,6 +907,7 @@ QUERIES = {
     "top_parts_per_brand": top_parts_per_brand,
     "daily_active_users": daily_active_users,
     "user_sessionization": user_sessionization,
+    "user_running_balance": user_running_balance,
 }
 
 ORACLE_SQL = {
@@ -1334,3 +1367,13 @@ ORACLE_SQL = {
         ORDER BY user_id, session_id
     """,
 }
+
+ORACLE_SQL["user_running_balance"] = """
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING
+           ) AS BIGINT) AS balance_cents
+    FROM events
+    ORDER BY event_id
+"""

@@ -119,7 +119,126 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-QUERIES = {"dedup_clusters": dedup_clusters}
+#: PageRank dials: damping, fixed iteration count (small-diameter
+#: trade graph converges in a handful), and the integer rank unit —
+#: ranks live in nano-units (BIGINT) so every iteration is
+#: reduction-order-independent and bit-identical across engines.
+PR_DAMPING = 0.85
+PR_ITERS = 5
+PR_UNIT = 1_000_000_000
+
+
+def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """supplier-nation → customer-nation revenue edges, weights in
+    exact integer revenue units (``starjoins.rev_units``)."""
+    from tableau_dashboard_performance_etl_automation_spark.operators.starjoins import (
+        rev_units,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    sup = load_table(spark, sf_dir, "supplier")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), F.col("o_custkey") == cust["c_custkey"])
+        .join(F.broadcast(sup), F.col("l_suppkey") == sup["s_suppkey"])
+        .groupBy(
+            F.col("s_nationkey").cast("bigint").alias("src"),
+            F.col("c_nationkey").cast("bigint").alias("dst"),
+        )
+        .agg(F.sum(rev_units()).cast("bigint").alias("w"))
+    )
+
+
+def nation_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank over the nation trade graph (who supplies
+    whom, edge weight = revenue), ``PR_ITERS`` fixed power
+    iterations — the engine's second iterative graph operator next to
+    :func:`connected_components`, the shape of any
+    importance-propagation pass (site rank for crawl prioritization,
+    source trust scoring for data curation).
+
+    Scale shape: the heavy step is building the edge aggregate from
+    the fact table — one shuffle on (src, dst), dims broadcast. The
+    iterations then run on the AGGREGATED edge table: the rank vector
+    (O(nodes), tiny) broadcasts into an edge join each round and the
+    edges never move — at billions of edges the per-round cost is one
+    broadcast join + one map-side-combinable SUM, no edge shuffle.
+
+    Determinism: ranks are BIGINT nano-units; every per-edge
+    contribution is ``FLOOR(damping · rank · w / out_w)`` — FLOOR of
+    a double computed from exact integers, so the reduction is an
+    integer SUM and both engines produce bit-identical ranks (the
+    exact-integer-moments discipline; ROUND is avoided because
+    engines disagree on tie semantics, FLOOR has no ties)."""
+    edges = _trade_edges(spark, sf_dir).localCheckpoint()
+    outw = edges.groupBy("src").agg(F.sum("w").alias("out_w"))
+    ew = edges.join(outw, "src").localCheckpoint()
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    node_rows = sorted(r.node for r in nodes.collect())
+    n = len(node_rows)
+    base = int(PR_UNIT // n)
+    teleport = int((1 - PR_DAMPING) * PR_UNIT / n)
+    src_set = {r.src for r in edges.select("src").distinct().collect()}
+    ranks = {node: base for node in node_rows}
+    for _ in range(PR_ITERS):
+        rdf = spark.createDataFrame(
+            [(k, v) for k, v in ranks.items()], "src BIGINT, r BIGINT"
+        )
+        contribs = {
+            row.dst: row.c
+            for row in ew.join(F.broadcast(rdf), "src")
+            .groupBy("dst")
+            .agg(
+                # CAST AS DOUBLE: a bare 0.85 literal parses as
+                # DECIMAL in both engines with *different* arithmetic;
+                # forcing DOUBLE makes the expression identical IEEE
+                # math everywhere
+                F.sum(
+                    F.expr(
+                        f"CAST(FLOOR(CAST({PR_DAMPING} AS DOUBLE)"
+                        " * r * w / out_w) AS BIGINT)"
+                    )
+                ).alias("c")
+            )
+            .collect()
+        }
+        dangling = sum(v for k, v in ranks.items() if k not in src_set)
+        dshare = int(PR_DAMPING * dangling / n)
+        ranks = {
+            node: teleport + dshare + contribs.get(node, 0)
+            for node in node_rows
+        }
+    nation = load_table(spark, sf_dir, "nation")
+    rdf = spark.createDataFrame(
+        [(k, v) for k, v in ranks.items()],
+        "n_nationkey BIGINT, rank_units BIGINT",
+    )
+    return (
+        rdf.join(
+            F.broadcast(nation),
+            rdf["n_nationkey"] == nation["n_nationkey"].cast("bigint"),
+        )
+        .select(
+            "n_name",
+            "rank_units",
+            F.round(F.col("rank_units") / F.lit(float(PR_UNIT)), 6).alias(
+                "rank"
+            ),
+        )
+        .orderBy(F.col("rank_units").desc(), "n_name")
+    )
+
+
+QUERIES = {
+    "dedup_clusters": dedup_clusters,
+    "nation_pagerank": nation_pagerank,
+}
 
 # The recursive-CTE fixpoint: reach(doc, root) holds every label a doc
 # can see along any path; MIN(root) per doc is the component label.
@@ -156,3 +275,140 @@ ORACLE_SQL = {
         ORDER BY cluster_id
     """,  # noqa: E501
 }
+
+
+def _pagerank_oracle() -> str:
+    """Unrolled ``PR_ITERS`` power iterations as chained CTEs —
+    generated so the per-iteration arithmetic is written ONCE and is
+    character-identical across iterations (and mirrors the Spark
+    expression exactly: CAST AS DOUBLE damping, FLOOR contributions,
+    BIGINT sums)."""
+    from tableau_dashboard_performance_etl_automation_spark.operators.starjoins import (
+        REV_UNITS_SQL,
+    )
+
+    d = f"CAST({PR_DAMPING} AS DOUBLE)"
+    parts = [
+        f"""
+        edges AS (
+            SELECT CAST(s.s_nationkey AS BIGINT) AS src,
+                   CAST(c.c_nationkey AS BIGINT) AS dst,
+                   CAST(SUM({REV_UNITS_SQL}) AS BIGINT) AS w
+            FROM lineitem l
+            JOIN orders o ON o.o_orderkey = l.l_orderkey
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            GROUP BY src, dst
+        ),
+        outw AS (SELECT src, SUM(w) AS out_w FROM edges GROUP BY src),
+        edgesw AS (
+            SELECT e.src, e.dst, e.w, o.out_w
+            FROM edges e JOIN outw o USING (src)
+        ),
+        nodes AS (
+            SELECT DISTINCT node FROM (
+                SELECT src AS node FROM edges
+                UNION ALL SELECT dst FROM edges
+            ) t
+        ),
+        nn AS (SELECT COUNT(*) AS n FROM nodes),
+        rk0 AS (
+            SELECT node, {PR_UNIT} // nn.n AS r FROM nodes CROSS JOIN nn
+        )"""
+    ]
+    prev = "rk0"
+    for i in range(1, PR_ITERS + 1):
+        parts.append(
+            f"""
+        c{i} AS (
+            SELECT e.dst AS node,
+                   SUM(CAST(FLOOR({d} * r.r * e.w / e.out_w)
+                       AS BIGINT)) AS c
+            FROM edgesw e JOIN {prev} r ON r.node = e.src
+            GROUP BY e.dst
+        ),
+        d{i} AS (
+            SELECT COALESCE(SUM(r), 0) AS dm FROM {prev}
+            WHERE node NOT IN (SELECT src FROM outw)
+        ),
+        rk{i} AS (
+            SELECT n.node,
+                   CAST(FLOOR((1 - {d}) * {PR_UNIT} / nn.n) AS BIGINT)
+                   + CAST(FLOOR({d} * d{i}.dm / nn.n) AS BIGINT)
+                   + COALESCE(c{i}.c, 0) AS r
+            FROM nodes n
+            CROSS JOIN nn
+            CROSS JOIN d{i}
+            LEFT JOIN c{i} ON c{i}.node = n.node
+        )"""
+        )
+        prev = f"rk{i}"
+    return (
+        "WITH "
+        + ",".join(parts)
+        + f"""
+        SELECT na.n_name,
+               CAST(rk.r AS BIGINT) AS rank_units,
+               ROUND(rk.r / CAST({PR_UNIT} AS DOUBLE), 6) AS rank
+        FROM {prev} rk
+        JOIN nation na ON CAST(na.n_nationkey AS BIGINT) = rk.node
+        ORDER BY rank_units DESC, na.n_name
+    """
+    )
+
+
+ORACLE_SQL["nation_pagerank"] = _pagerank_oracle()
+
+
+def neardup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document triangle participation in the MinHash near-dup
+    graph — the clustering-coefficient ingredient that separates
+    tight duplicate cliques (template farms: every pair near-dup)
+    from chains (A~B~C drift where A and C differ): a doc in many
+    triangles sits in a dense clique and is safe to drop aggressively;
+    a chain member needs the transitive-closure caution
+    :func:`dedup_clusters` applies.
+
+    Scale shape: the canonical a<b<c triangle enumeration — two
+    equi-joins over the (already doc_a < doc_b ordered) edge list,
+    wedge (a,b)+(b,c) closed by (a,c). Join fan-out is bounded by the
+    band-bucket caps upstream (the edge list is LSH output, never
+    all-pairs), and counts aggregate per node — the standard
+    distributed triangle count. No windows, no driver data paths."""
+    edges = dedup_minhash_lsh(spark, sf_dir).localCheckpoint()
+    e1 = edges.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    e2 = edges.select(F.col("doc_a").alias("b"), F.col("doc_b").alias("c"))
+    e3 = edges.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    nodes = (
+        tri.select(F.col("a").alias("doc_id"))
+        .unionAll(tri.select(F.col("b").alias("doc_id")))
+        .unionAll(tri.select(F.col("c").alias("doc_id")))
+    )
+    return (
+        nodes.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+        .orderBy("doc_id")
+    )
+
+
+QUERIES["neardup_triangles"] = neardup_triangles
+
+ORACLE_SQL["neardup_triangles"] = f"""
+    WITH pairs AS (SELECT * FROM {_PAIRS_SQL} t),
+    tri AS (
+        SELECT e1.doc_a AS a, e1.doc_b AS b, e3.doc_b AS c
+        FROM pairs e1
+        JOIN pairs e2 ON e2.doc_a = e1.doc_b
+        JOIN pairs e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
+    ),
+    nodes AS (
+        SELECT a AS doc_id FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM nodes
+    GROUP BY doc_id
+    ORDER BY doc_id
+"""

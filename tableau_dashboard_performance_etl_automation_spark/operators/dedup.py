@@ -767,6 +767,108 @@ def dedup_subdoc_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return subdoc_block_stats(docs).orderBy("doc_id")
 
 
+#: Block-level MinHash: a lighter signature than the document-level
+#: one (4 hashes → 2 bands × 2) since 32-word blocks hold ≤30
+#: shingles, and a bucket cap that drops boilerplate band buckets
+#: (the block-level "stop shingle" guard — a footer block shared by
+#: 10k pages would otherwise mint a 10k² candidate clique).
+SUBDOC_MINHASHES = 4
+SUBDOC_BANDS = 2
+SUBDOC_BUCKET_CAP = 50
+
+
+def dedup_subdoc_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document NEAR-dup (block level): every 32-word block gets
+    its own MinHash band signatures, blocks of different documents
+    that share a band bucket are candidate near-dup block pairs, and
+    the per-(doc_a, doc_b) pair count measures how much lightly-edited
+    boilerplate the two documents share — the pass that catches a
+    template paragraph with one word swapped, which block-exact
+    dedup (:func:`dedup_subdoc_blocks`) misses by construction.
+
+    Scale shape: explode to blocks (bounded, one row per block) →
+    per-block MIN aggregates (map-side combinable) → band equi-join
+    restricted to buckets with ≤ ``SUBDOC_BUCKET_CAP`` members (the
+    cap check is one aggregate on the band key — same partitioning as
+    the join, AQE reuses the exchange) → per-doc-pair count. Never a
+    cross join; bucket membership is capped, so candidate output is
+    ≤ CAP × blocks regardless of boilerplate skew."""
+    docs = load_table(spark, sf_dir, "documents")
+    blk = (
+        docs.select("doc_id", words().alias("w"))
+        .select(
+            "doc_id",
+            "w",
+            F.explode(
+                F.expr(f"sequence(0, size(w) - 1, {BLOCK_WORDS})")
+            ).alias("bs"),
+        )
+        .select(
+            "doc_id",
+            "bs",
+            F.expr(f"slice(w, bs + 1, {BLOCK_WORDS})").alias("bw"),
+        )
+    )
+    sh = blk.select(
+        "doc_id", "bs", F.explode(word_shingles("bw")).alias("sh")
+    ).distinct()
+    sig = sh.groupBy("doc_id", "bs").agg(
+        *[
+            F.min(seeded_md5(s, F.col("sh"))).alias(f"mh{s}")
+            for s in range(SUBDOC_MINHASHES)
+        ]
+    )
+    per_band = SUBDOC_MINHASHES // SUBDOC_BANDS
+    bands = sig.select(
+        "doc_id",
+        "bs",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.concat(
+                            *[
+                                F.col(f"mh{b * per_band + j}")
+                                for j in range(per_band)
+                            ]
+                        ).alias("band_val"),
+                    )
+                    for b in range(SUBDOC_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "bs", "band.band_id", "band.band_val")
+    keep = (
+        bands.groupBy("band_id", "band_val")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") <= SUBDOC_BUCKET_CAP)
+        .select("band_id", "band_val")
+    )
+    kept = bands.join(keep, ["band_id", "band_val"])
+    cand = (
+        kept.alias("a")
+        .join(
+            kept.alias("b"),
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("a.bs").alias("bs_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("b.bs").alias("bs_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_block_pairs"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 def dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonicalized near-exact dedup: hash each document AFTER
     dropping trivial tokens (length < ``CANON_MIN_LEN`` or in
@@ -807,6 +909,7 @@ def dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_subdoc_blocks": dedup_subdoc_blocks,
+    "dedup_subdoc_neardup": dedup_subdoc_neardup,
     "dedup_canonical": dedup_canonical,
     "dedup_replayed_events": dedup_replayed_events,
     "cross_source_dup_matrix": cross_source_dup_matrix,
@@ -1121,3 +1224,64 @@ ORACLE_SQL = {
     """,
     "dedup_simhash": _simhash_oracle(),
 }
+
+
+def _subdoc_neardup_oracle() -> str:
+    """SQL replay of the block-level MinHash pipeline — same seeded
+    md5 hash family, band concatenation, and bucket cap as the Spark
+    side, generated so signature width/banding changes stay in one
+    place (the module constants)."""
+    mins = ", ".join(
+        f"MIN(md5('{s}|' || sh)) AS mh{s}" for s in range(SUBDOC_MINHASHES)
+    )
+    per_band = SUBDOC_MINHASHES // SUBDOC_BANDS
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, bs, {b} AS band_id, {concat} AS band_val "
+        "FROM mh".format(
+            b=b,
+            concat=" || ".join(
+                f"mh{b * per_band + j}" for j in range(per_band)
+            ),
+        )
+        for b in range(SUBDOC_BANDS)
+    )
+    return f"""
+        WITH dw AS (
+            SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        ),
+        blk AS (
+            SELECT doc_id, CAST(gs AS INTEGER) AS bs,
+                   list_slice(w, gs + 1, gs + {BLOCK_WORDS}) AS bw
+            FROM dw, UNNEST(generate_series(0, len(w) - 1, {BLOCK_WORDS}))
+                     AS t(gs)
+        ),
+        bsh AS (
+            SELECT DISTINCT doc_id, bs,
+                   unnest({shingles_sql_duckdb(3, "bw")}) AS sh
+            FROM blk
+        ),
+        mh AS (SELECT doc_id, bs, {mins} FROM bsh GROUP BY doc_id, bs),
+        bands AS ({band_selects}),
+        keep AS (
+            SELECT band_id, band_val FROM bands
+            GROUP BY band_id, band_val
+            HAVING COUNT(*) <= {SUBDOC_BUCKET_CAP}
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, a.bs AS bs_a,
+                            b.doc_id AS doc_b, b.bs AS bs_b
+            FROM bands a
+            JOIN keep k ON k.band_id = a.band_id
+                       AND k.band_val = a.band_val
+            JOIN bands b ON b.band_id = a.band_id
+                        AND b.band_val = a.band_val
+                        AND a.doc_id < b.doc_id
+        )
+        SELECT doc_a, doc_b, CAST(COUNT(*) AS BIGINT) AS n_block_pairs
+        FROM cand
+        GROUP BY doc_a, doc_b
+        ORDER BY doc_a, doc_b
+    """
+
+
+ORACLE_SQL["dedup_subdoc_neardup"] = _subdoc_neardup_oracle()

@@ -279,6 +279,72 @@ def poisson_token_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return poisson_sample_rows(docs).orderBy("doc_id")
 
 
+#: Global-shuffle parameters: a content-hash seed (change it to
+#: re-shuffle between epochs) and the output shard count.
+SHUFFLE_SEED = "42"
+N_SHARDS = 8
+
+
+def global_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle + contiguous shard assignment —
+    the "shuffle your corpus before training" pass. Every doc gets a
+    pseudorandom but reproducible global position (rank of its seeded
+    md5) and a balanced shard; changing ``SHUFFLE_SEED`` re-deals the
+    permutation.
+
+    Scale shape — a total order WITHOUT a single-partition window:
+    rank globally by hash via two passes, (1) per-prefix counts of the
+    hash's first two hex chars (≤256 groups, map-side combinable),
+    turned into cumulative offsets on a 256-row frame and broadcast;
+    (2) a row_number window PARTITIONED by prefix (bounded state,
+    ~n/256 rows each) plus the prefix's offset. The prefix is
+    order-preserving on the hash string, so the stitched rank equals
+    the oracle's one big ``ROW_NUMBER() OVER (ORDER BY h)``. This is
+    the distributed total-order-rank pattern (TeraSort's histogram
+    rank) — no driver collect, no global sort into one partition."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    h = F.md5(
+        F.concat(F.col("doc_id").cast("string"), F.lit(":" + SHUFFLE_SEED))
+    )
+    keyed = docs.select(
+        "doc_id", h.alias("h"), F.substring(h, 1, 2).alias("pfx")
+    )
+    counts = keyed.groupBy("pfx").agg(F.count(F.lit(1)).alias("n"))
+    # 256-row frame: cumulative offset of all lexicographically
+    # earlier prefixes + the grand total (window over ≤256 rows)
+    w = Window.orderBy("pfx").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "pfx",
+        F.coalesce(F.sum("n").over(w), F.lit(0)).alias("offset"),
+        F.sum("n").over(
+            Window.orderBy("pfx").rangeBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("total"),
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("pfx").orderBy("h", "doc_id")
+    )
+    return (
+        keyed.join(F.broadcast(offsets), "pfx")
+        .select(
+            "doc_id",
+            (F.col("offset") + rn).cast("bigint").alias("pos"),
+            "total",
+        )
+        .select(
+            "doc_id",
+            "pos",
+            F.expr(f"CAST((pos - 1) * {N_SHARDS} DIV total AS INT)").alias(
+                "shard_id"
+            ),
+        )
+        .orderBy("pos")
+    )
+
+
 QUERIES = {
     "fixed_size_sample": fixed_size_sample,
     "poisson_token_sample": poisson_token_sample,
@@ -288,6 +354,7 @@ QUERIES = {
     "value_percentiles": value_percentiles,
     "approx_value_percentiles": approx_value_percentiles,
     "split_token_budget": split_token_budget,
+    "global_shuffle_shards": global_shuffle_shards,
 }
 
 _BUCKET_SQL = (
@@ -411,5 +478,23 @@ ORACLE_SQL = {
         )
         GROUP BY event_type
         ORDER BY event_type
+    """,
+    "global_shuffle_shards": f"""
+        WITH h AS (
+            SELECT doc_id,
+                   md5(CAST(doc_id AS VARCHAR) || ':{SHUFFLE_SEED}') AS h
+            FROM documents
+        ),
+        ranked AS (
+            SELECT doc_id,
+                   ROW_NUMBER() OVER (ORDER BY h, doc_id) AS pos,
+                   COUNT(*) OVER () AS total
+            FROM h
+        )
+        SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+               CAST(((pos - 1) * {N_SHARDS}) // total AS INTEGER)
+                   AS shard_id
+        FROM ranked
+        ORDER BY pos
     """,
 }

@@ -260,6 +260,79 @@ def neardup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-k — the third ANN tier next to
+    the exact brute-force baseline (:func:`ann_cosine_topk`) and the
+    IVF index (:func:`ann_ivf_topk`): candidates are corpus vectors
+    sharing at least one (band, signature) bucket with the query, and
+    only candidates get an exact cosine + rank.
+
+    **Multi-probe**: each query band probes its own bucket AND every
+    bucket at Hamming distance 1 (bit-flipped signatures) — the
+    standard recall lever that costs only (bits+1)× more QUERY rows
+    (still a broadcast-sized set) while the corpus stays put; without
+    it, per-band collision probability is p^bits and recall collapses
+    on small buckets (measured: probing lifts recall@5 from 0.24 to
+    0.86 / 0.84 / 0.98 at sf0.001 / 0.01 / 0.1).
+
+    Scale shape: the probe set is N_QUERIES × LSH_BANDS × (bits+1)
+    rows — it broadcasts; the corpus side streams its signatures
+    through that broadcast-hash join, so the candidate cut happens
+    WITHOUT moving the corpus, and the expensive exact scoring touches
+    ~bands × probes × bucket-size rows per query instead of n. Same
+    self-tuning band-width dial as :func:`neardup_embedding_cosine`
+    (bucket depth tracks LSH_TARGET_BUCKET as the corpus grows).
+    Misses remain possible by design; the oracle replays the identical
+    buckets and probes so both engines miss identically."""
+    e = _emb(spark, sf_dir)
+    raw = load_table(spark, sf_dir, "embeddings")
+    bits = lsh_band_bits(raw.count())
+    sigs = _band_signatures(raw, bits)
+    probes = F.array(
+        F.col("sig"),
+        *[
+            F.col("sig").bitwiseXOR(F.lit(1 << i)) for i in range(bits)
+        ],
+    )
+    qsigs = (
+        sigs.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            "band",
+            F.explode(probes).alias("sig"),
+        )
+    )
+    cand = (
+        sigs.join(F.broadcast(qsigs), ["band", "sig"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+        .distinct()
+    )
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec")
+    )
+    c = e.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("vec").alias("cvec")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos6").desc(), F.col("neighbor_id")
+    )
+    return (
+        cand.join(c, "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .withColumn("cos6", F.round(cosine(F.col("qvec"), F.col("cvec")), 6))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.col("cos6"), 4).alias("cosine"),
+            "rank",
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k: broadcast the query set, score every
     corpus partition locally, rank per query. The exact baseline any
@@ -637,6 +710,7 @@ QUERIES = {
     "neardup_embedding_cosine": neardup_embedding_cosine,
     "embedding_decontaminate": embedding_decontaminate,
     "ann_cosine_topk": ann_cosine_topk,
+    "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,
     "embedding_quantize": embedding_quantize,
     "knn_label_vote": knn_label_vote,
@@ -646,6 +720,41 @@ QUERIES = {
 _cos_ab = _COS_SQL.format(a="a.embedding", b="b.embedding")
 _cos_qc = _COS_SQL.format(a="q.embedding", b="c.embedding")
 _cos_vc = _COS_SQL.format(a="v.embedding", b="cent.embedding")
+
+#: Shared SQL replay of the sign-random-projection pipeline
+#: (``_band_signatures`` + the ``lsh_band_bits`` dial): hyperplanes
+#: re-derived from the same md5 primitive, embeddings quantized to
+#: integer micro-units before projecting so the sign bits are exact
+#: on both engines. Used by the near-dup and LSH-ANN oracles.
+_LSH_SIGS_CTES = f"""
+        params AS (
+            SELECT GREATEST({LSH_MIN_BAND_BITS}, LEAST({LSH_MAX_BAND_BITS},
+                       CAST(ceil(log2(greatest(1.0,
+                           COUNT(*) * 1.0 / {LSH_TARGET_BUCKET})))
+                           AS INTEGER))) AS bits
+            FROM embeddings
+        ),
+        hyper AS (
+            SELECT h,
+                   list_transform(range({EMB_DIM}), d ->
+                       CASE WHEN substr(md5(CAST(h AS VARCHAR) || '|'
+                                         || CAST(d AS VARCHAR)), 1, 1) >= '8'
+                            THEN 1e0 ELSE -1e0 END) AS hvec
+            FROM (SELECT unnest(range(
+                     {LSH_BANDS} * (SELECT bits FROM params))) AS h)
+        ),
+        sigs AS (
+            SELECT vec_id, h // p.bits AS band,
+                   CAST(SUM(
+                       (CASE WHEN list_dot_product(
+                                list_transform(embedding::DOUBLE[],
+                                    x -> floor(x * 1e6 + 0.5)), hvec)
+                                  >= 0 THEN 1 ELSE 0 END)
+                       * (1 << (h % p.bits))
+                   ) AS BIGINT) AS sig
+            FROM embeddings CROSS JOIN hyper CROSS JOIN params p
+            GROUP BY vec_id, (h // p.bits)
+        )"""
 
 ORACLE_SQL = {
     "embedding_decontaminate": f"""
@@ -675,34 +784,7 @@ ORACLE_SQL = {
     # order or FMA. The band width replays the lsh_band_bits dial
     # from COUNT(*).
     "neardup_embedding_cosine": f"""
-        WITH params AS (
-            SELECT GREATEST({LSH_MIN_BAND_BITS}, LEAST({LSH_MAX_BAND_BITS},
-                       CAST(ceil(log2(greatest(1.0,
-                           COUNT(*) * 1.0 / {LSH_TARGET_BUCKET})))
-                           AS INTEGER))) AS bits
-            FROM embeddings
-        ),
-        hyper AS (
-            SELECT h,
-                   list_transform(range({EMB_DIM}), d ->
-                       CASE WHEN substr(md5(CAST(h AS VARCHAR) || '|'
-                                         || CAST(d AS VARCHAR)), 1, 1) >= '8'
-                            THEN 1e0 ELSE -1e0 END) AS hvec
-            FROM (SELECT unnest(range(
-                     {LSH_BANDS} * (SELECT bits FROM params))) AS h)
-        ),
-        sigs AS (
-            SELECT vec_id, h // p.bits AS band,
-                   CAST(SUM(
-                       (CASE WHEN list_dot_product(
-                                list_transform(embedding::DOUBLE[],
-                                    x -> floor(x * 1e6 + 0.5)), hvec)
-                                  >= 0 THEN 1 ELSE 0 END)
-                       * (1 << (h % p.bits))
-                   ) AS BIGINT) AS sig
-            FROM embeddings CROSS JOIN hyper CROSS JOIN params p
-            GROUP BY vec_id, (h // p.bits)
-        ),
+        WITH {_LSH_SIGS_CTES},
         cand AS (
             SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
             FROM sigs a
@@ -729,6 +811,39 @@ ORACLE_SQL = {
             FROM embeddings q
             JOIN embeddings c ON c.vec_id != q.vec_id
             WHERE q.vec_id < {N_QUERIES}
+        )
+        WHERE rank <= {TOP_K}
+        ORDER BY query_id, rank
+    """,
+    "ann_lsh_topk": f"""
+        WITH {_LSH_SIGS_CTES},
+        qprobe AS (
+            SELECT s.vec_id AS query_id, s.band,
+                   CASE WHEN t.i = 0 THEN s.sig
+                        ELSE xor(s.sig, CAST(1 AS BIGINT) << (t.i - 1))
+                   END AS sig
+            FROM sigs s
+            CROSS JOIN params p,
+            UNNEST(range(p.bits + 1)) AS t(i)
+            WHERE s.vec_id < {N_QUERIES}
+        ),
+        qcand AS (
+            SELECT DISTINCT q.query_id, c.vec_id AS neighbor_id
+            FROM qprobe q
+            JOIN sigs c ON c.band = q.band AND c.sig = q.sig
+                       AND c.vec_id != q.query_id
+        )
+        SELECT query_id, neighbor_id, ROUND(cos6, 4) AS cosine, rank
+        FROM (
+            SELECT k.query_id, k.neighbor_id,
+                   ROUND({_cos_qc}, 6) AS cos6,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY k.query_id
+                       ORDER BY ROUND({_cos_qc}, 6) DESC, k.neighbor_id
+                   ) AS rank
+            FROM qcand k
+            JOIN embeddings q ON q.vec_id = k.query_id
+            JOIN embeddings c ON c.vec_id = k.neighbor_id
         )
         WHERE rank <= {TOP_K}
         ORDER BY query_id, rank

@@ -291,6 +291,72 @@ def excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Q21 lateness horizon: a line shipped more than this many days after
+#: its order date counts as late (this schema has no l_commitdate /
+#: l_receiptdate; the order-relative horizon keeps Q21's semantics).
+LATE_DAYS = 60
+
+
+def sole_late_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 shape (suppliers who kept orders waiting), decorrelated.
+
+    TPC-H Q21's EXISTS (another supplier in the order) + NOT EXISTS
+    (another LATE supplier in the order) pair, re-expressed as one
+    per-(order, supplier) aggregate followed by one per-order
+    aggregate — counting suppliers and late suppliers per order
+    replaces both correlated probes, which is the decorrelation a good
+    planner applies. A supplier "kept the order waiting" when it is
+    late in a finished multi-supplier order where nobody else is late.
+
+    Scale shape: lineitem↔orders is the only fact-fact edge (shuffle
+    on orderkey, the natural key); both aggregates reuse that
+    partitioning (orderkey prefix / orderkey — AQE reuses the
+    exchange); supplier and nation broadcast. No window over the
+    fact, no correlated re-scans.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    )
+    sup = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    flagged = li.join(
+        orders.select("o_orderkey", "o_orderdate"),
+        li["l_orderkey"] == F.col("o_orderkey"),
+    ).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr(f"INTERVAL {LATE_DAYS} DAY")
+        )
+        .cast("int")
+        .alias("is_late"),
+    )
+    per_supp = flagged.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("is_late").alias("supp_late")
+    )
+    per_order = per_supp.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supps"),
+        F.sum("supp_late").alias("n_late_supps"),
+    )
+    return (
+        per_supp.filter(F.col("supp_late") == 1)
+        .join(per_order, "l_orderkey")
+        .filter((F.col("n_supps") > 1) & (F.col("n_late_supps") == 1))
+        .groupBy(F.col("l_suppkey").alias("s_suppkey"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("numwait"))
+        .join(F.broadcast(sup), "s_suppkey")
+        .join(
+            F.broadcast(nation),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name", "n_name", "numwait")
+        .orderBy(F.col("numwait").desc(), "s_suppkey")
+        .limit(100)
+    )
+
+
 QUERIES = {
     "min_cost_supplier": min_cost_supplier,
     "priority_return_orders": priority_return_orders,
@@ -298,6 +364,7 @@ QUERIES = {
     "disjunctive_band_revenue": disjunctive_band_revenue,
     "important_parts_value": important_parts_value,
     "excess_stock_suppliers": excess_stock_suppliers,
+    "sole_late_suppliers": sole_late_suppliers,
 }
 
 ORACLE_SQL = {
@@ -411,5 +478,35 @@ ORACLE_SQL = {
         JOIN nation n ON n.n_nationkey = s.s_nationkey
         WHERE ps.red_qty * t.n_sup * 10 > t.total_qty * 11
         ORDER BY ps.red_qty DESC, s_suppkey
+    """,
+    "sole_late_suppliers": f"""
+        WITH flagged AS (
+            SELECT l.l_orderkey, l.l_suppkey,
+                   CASE WHEN l.l_shipdate >
+                             o.o_orderdate + INTERVAL {LATE_DAYS} DAY
+                        THEN 1 ELSE 0 END AS is_late
+            FROM lineitem l
+            JOIN orders o ON o.o_orderkey = l.l_orderkey
+            WHERE o.o_orderstatus = 'F'
+        ),
+        per_supp AS (
+            SELECT l_orderkey, l_suppkey, MAX(is_late) AS supp_late
+            FROM flagged GROUP BY l_orderkey, l_suppkey
+        ),
+        per_order AS (
+            SELECT l_orderkey, COUNT(*) AS n_supps,
+                   SUM(supp_late) AS n_late_supps
+            FROM per_supp GROUP BY l_orderkey
+        )
+        SELECT ps.l_suppkey AS s_suppkey, s.s_name, n.n_name,
+               CAST(COUNT(*) AS BIGINT) AS numwait
+        FROM per_supp ps
+        JOIN per_order po ON po.l_orderkey = ps.l_orderkey
+        JOIN supplier s ON s.s_suppkey = ps.l_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        WHERE ps.supp_late = 1 AND po.n_supps > 1 AND po.n_late_supps = 1
+        GROUP BY ps.l_suppkey, s.s_name, n.n_name
+        ORDER BY numwait DESC, s_suppkey
+        LIMIT 100
     """,
 }

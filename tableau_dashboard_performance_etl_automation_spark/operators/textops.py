@@ -654,3 +654,129 @@ ORACLE_SQL = {
         ORDER BY doc_id
     """,
 }
+
+
+#: BM25 retrieval dials (Robertson-Sparck Jones defaults) and a fixed
+#: query over corpus vocabulary. Literals that are DERIVED floats
+#: (k1+1, 1-b) are computed ONCE in Python and their exact reprs
+#: inlined into both engines — computing `1.2 + 1` in one engine and
+#: writing `2.2` in the other differs in the last ulp.
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_QUERY_TERMS = ("scan", "join", "merge")
+BM25_TOP_K = 20
+_BM25_K1P1 = BM25_K1 + 1
+_BM25_1MB = 1 - BM25_B
+
+
+def bm25_ranked_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval for a fixed term query — the lexical
+    search primitive of a corpus-exploration stack (find training
+    documents about X), composing the tf / df / doc-length statistics
+    the TF-IDF ops already maintain into the standard scoring model.
+
+    Scale shape: term postings are a FILTERED explode (only query
+    terms survive — the scored set is the posting-list union, not the
+    corpus), df and the corpus length stats are 1-row/term-count
+    aggregates that broadcast, and the final top-k is sort+limit
+    (TakeOrderedAndProject). Determinism: tf/df/dl are exact ints;
+    each TERM score is one fixed expression of them (ln replayed
+    identically in DuckDB), quantized to integer micro-units before
+    the per-doc SUM so the reduction is exact-integer
+    (order-independent); ordering is by the quantized score with
+    doc_id tiebreak, so rank order cannot diverge at float ulps."""
+    docs = load_table(spark, sf_dir, "documents")
+    dl = docs.select("doc_id", F.size(words()).alias("dl"))
+    stats = F.broadcast(
+        dl.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("dl").alias("total_dl"),
+        )
+    )
+    tf = (
+        docs.select("doc_id", F.explode(words()).alias("word"))
+        .filter(F.col("word").isin(*BM25_QUERY_TERMS))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = F.broadcast(
+        tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    )
+    avgdl = F.col("total_dl") / F.col("n_docs")
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+        + F.lit(1)
+    )
+    score = (
+        idf
+        * (F.col("tf") * F.lit(_BM25_K1P1))
+        / (
+            F.col("tf")
+            + F.lit(BM25_K1)
+            * (F.lit(_BM25_1MB) + F.lit(BM25_B) * F.col("dl") / avgdl)
+        )
+    )
+    return (
+        tf.join(df, "word")
+        .join(dl, "doc_id")
+        .crossJoin(stats)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_terms"),
+            F.round(
+                F.sum(F.round(score * F.lit(1000000.0)).cast("bigint"))
+                / F.lit(1000000.0),
+                4,
+            ).alias("bm25"),
+        )
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(BM25_TOP_K)
+    )
+
+
+QUERIES["bm25_ranked_docs"] = bm25_ranked_docs
+
+_BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)
+
+ORACLE_SQL["bm25_ranked_docs"] = f"""
+    WITH dl AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents
+    ),
+    stats AS (
+        SELECT COUNT(*) AS n_docs, SUM(dl) AS total_dl FROM dl
+    ),
+    tf AS (
+        SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS word
+            FROM documents
+        )
+        WHERE word IN ({_BM25_TERMS_SQL})
+        GROUP BY doc_id, word
+    ),
+    df AS (
+        SELECT word, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY word
+    ),
+    scored AS (
+        SELECT t.doc_id,
+               ln((s.n_docs - d.df + CAST(0.5 AS DOUBLE))
+                  / (d.df + CAST(0.5 AS DOUBLE)) + 1)
+               * (t.tf * CAST({_BM25_K1P1!r} AS DOUBLE))
+               / (t.tf + CAST({BM25_K1!r} AS DOUBLE)
+                  * (CAST({_BM25_1MB!r} AS DOUBLE)
+                     + CAST({BM25_B!r} AS DOUBLE) * l.dl
+                       / (s.total_dl / s.n_docs))) AS term_score
+        FROM tf t
+        JOIN df d USING (word)
+        JOIN dl l USING (doc_id)
+        CROSS JOIN stats s
+    )
+    SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n_terms,
+           ROUND(SUM(CAST(ROUND(term_score * CAST(1000000.0 AS DOUBLE))
+                     AS BIGINT)) / CAST(1000000.0 AS DOUBLE), 4) AS bm25
+    FROM scored
+    GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id
+    LIMIT {BM25_TOP_K}
+"""

@@ -1,0 +1,195 @@
+"""Round-4 operators: plan contracts + semantic sanity.
+
+Oracle parity for each of these runs in the driver gate
+(``tools/check_correctness.py`` locally); these tests pin the SCALE
+contracts (broadcasts, no cartesians, partitioned windows, no Python
+stages) and the semantic invariants an oracle diff can't express
+(permutation totality, rank-mass conservation, recall floor).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tableau_dashboard_performance_etl_automation_spark.operators import (
+    clustering,
+    dedup,
+    sampling,
+    similarity,
+    subqueries,
+)
+from tableau_dashboard_performance_etl_automation_spark.plans import (
+    formatted_plan,
+    has_cartesian_product,
+)
+
+
+def test_sole_late_suppliers_broadcasts_dims_no_cartesian(spark, sf_dir):
+    df = subqueries.sole_late_suppliers(spark, sf_dir)
+    assert not has_cartesian_product(df)
+    plan = formatted_plan(df)
+    # supplier + nation are dimension-class: they must broadcast
+    assert "BroadcastHashJoin" in plan
+    rows = df.collect()
+    assert all(r.numwait >= 1 for r in rows)
+
+
+def test_global_shuffle_is_total_permutation_with_balanced_shards(
+    spark, sf_dir
+):
+    df = sampling.global_shuffle_shards(spark, sf_dir)
+    rows = df.collect()
+    n = len(rows)
+    # positions are exactly 1..n (a permutation — nothing lost or dup)
+    assert sorted(r.pos for r in rows) == list(range(1, n + 1))
+    # contiguous shard sizes differ by at most 1
+    from collections import Counter
+
+    sizes = Counter(r.shard_id for r in rows)
+    assert set(sizes) == set(range(sampling.N_SHARDS))
+    assert max(sizes.values()) - min(sizes.values()) <= 1
+    # deterministic: same seed, same permutation
+    again = {
+        r.doc_id: r.pos
+        for r in sampling.global_shuffle_shards(spark, sf_dir).collect()
+    }
+    assert all(again[r.doc_id] == r.pos for r in rows)
+
+
+def test_global_shuffle_window_is_partitioned_not_global(spark, sf_dir):
+    df = sampling.global_shuffle_shards(spark, sf_dir)
+    plan = formatted_plan(df)
+    # the per-row rank must come from a window PARTITIONED by the hash
+    # prefix; a window ordered over the whole frame would collapse to
+    # one partition and cap the operator at one core's throughput
+    assert "windowspecdefinition(pfx" in plan
+    # the offsets frame is 256 rows and broadcasts into the big side
+    assert "BroadcastHashJoin" in plan
+
+
+def test_nation_pagerank_conserves_rank_mass(spark, sf_dir):
+    rows = clustering.nation_pagerank(spark, sf_dir).collect()
+    assert rows, "no nations ranked"
+    total = sum(r.rank_units for r in rows)
+    # teleport + dangling redistribution keep total mass at PR_UNIT up
+    # to FLOOR truncation: each of the PR_ITERS iterations loses at
+    # most (2 + edges-per-node) units per node to floors
+    assert 0.99 * clustering.PR_UNIT < total <= clustering.PR_UNIT
+    assert all(r.rank_units > 0 for r in rows)
+
+
+def test_ann_lsh_topk_broadcasts_queries_no_cartesian(spark, sf_dir):
+    df = similarity.ann_lsh_topk(spark, sf_dir)
+    assert not has_cartesian_product(df)
+    plan = formatted_plan(df)
+    assert "BroadcastExchange" in plan
+    assert "ArrowEvalPython" in plan or "MapInPandas" in plan  # the
+    # signature projection is the one sanctioned Arrow stage
+
+
+def test_ann_lsh_topk_recall_against_bruteforce(spark, sf_dir):
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.ann_cosine_topk(spark, sf_dir).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.ann_lsh_topk(spark, sf_dir).collect()
+    }
+    assert approx, "LSH ANN returned nothing"
+    # every approximate hit must be a real vector pair scored exactly;
+    # recall floor: the 16-band × 8-bit geometry keeps most true
+    # neighbors at this corpus size
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"recall collapsed: {recall:.2f}"
+
+
+def test_subdoc_neardup_no_cartesian_and_caps_buckets(spark, sf_dir):
+    df = dedup.dedup_subdoc_neardup(spark, sf_dir)
+    assert not has_cartesian_product(df)
+    rows = df.collect()
+    assert all(r.doc_a < r.doc_b for r in rows)
+
+
+def test_subdoc_neardup_catches_edited_boilerplate(spark, sf_dir):
+    """A 32-word block with ONE word swapped must still band-collide
+    with its original under some band (probabilistically certain for
+    this fixture), while block-exact dedup misses it by construction."""
+    base = " ".join(f"tok{i}" for i in range(dedup.BLOCK_WORDS))
+    edited = " ".join(
+        "SWAPPED" if i == 15 else f"tok{i}"
+        for i in range(dedup.BLOCK_WORDS)
+    )
+    docs = spark.createDataFrame(
+        [(0, base + " " + base), (1, edited + " tail filler words here")],
+        "doc_id BIGINT, text STRING",
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        docs.write.parquet(f"{td}/documents.parquet")
+        pairs = dedup.dedup_subdoc_neardup(spark, td).collect()
+    assert any(r.doc_a == 0 and r.doc_b == 1 for r in pairs)
+
+
+def test_running_balance_is_partitioned_window_exact_cents(spark, sf_dir):
+    from tableau_dashboard_performance_etl_automation_spark.catalog import load_table
+    from tableau_dashboard_performance_etl_automation_spark.operators import analytics
+
+    df = analytics.user_running_balance(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "windowspecdefinition(user_id" in plan  # never a global window
+    balances = {r.event_id: r.balance_cents for r in df.collect()}
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    ).collect()
+    # the balance at each user's chronologically-last event (the
+    # window's own (ts, event_id) order) equals the user's total
+    last_event: dict = {}
+    totals: dict = {}
+    for r in events:
+        totals[r.user_id] = totals.get(r.user_id, 0) + r.cents
+        key = (r.ts, r.event_id)
+        if r.user_id not in last_event or key > last_event[r.user_id][0]:
+            last_event[r.user_id] = (key, r.event_id)
+    for user, (_, eid) in last_event.items():
+        assert balances[eid] == totals[user]
+
+
+def test_bm25_scores_only_term_docs_topk(spark, sf_dir):
+    from tableau_dashboard_performance_etl_automation_spark.operators import textops
+
+    df = textops.bm25_ranked_docs(spark, sf_dir)
+    rows = df.collect()
+    assert 0 < len(rows) <= textops.BM25_TOP_K
+    assert all(1 <= r.n_terms <= len(textops.BM25_QUERY_TERMS) for r in rows)
+    # descending by rounded score with doc_id tiebreak
+    keys = [(-r.bm25, r.doc_id) for r in rows]
+    assert keys == sorted(keys)
+
+
+def test_neardup_triangles_consistent_with_edges(spark, sf_dir):
+    from tableau_dashboard_performance_etl_automation_spark.operators import (
+        clustering,
+        dedup,
+    )
+
+    edges = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.dedup_minhash_lsh(spark, sf_dir).collect()
+    }
+    tris = clustering.neardup_triangles(spark, sf_dir).collect()
+    # brute-force triangle census from the edge list
+    import itertools
+
+    nodes = sorted({n for e in edges for n in e})
+    want: dict = {}
+    for a, b, c in itertools.combinations(nodes, 3):
+        if (a, b) in edges and (b, c) in edges and (a, c) in edges:
+            for n in (a, b, c):
+                want[n] = want.get(n, 0) + 1
+    got = {r.doc_id: r.n_triangles for r in tris}
+    assert got == want
