@@ -22,6 +22,7 @@ from tableau_dashboard_performance_etl_automation_spark.operators import (
     dedup,
     history,
     multimodal,
+    profiling,
     relational_ext,
     sampling,
     scrubbing,
@@ -136,6 +137,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(asof.QUERIES)
     out.update(sampling.QUERIES)
     out.update(streaming_twins.QUERIES)
+    out.update(profiling.QUERIES)
     return _rotated(out)
 
 
@@ -160,4 +162,5 @@ def oracle_sql() -> dict[str, str]:
     out.update(asof.ORACLE_SQL)
     out.update(sampling.ORACLE_SQL)
     out.update(streaming_twins.ORACLE_SQL)
+    out.update(profiling.ORACLE_SQL)
     return _rotated(out)

@@ -616,6 +616,88 @@ def ann_ivf_topk(
     )
 
 
+def ann_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantized brute-force top-k: rank by the cosine of the INT8
+    codes (:func:`embedding_quantize`'s representation) instead of the
+    float vectors — the SQ8 search mode of a vector store (4× less
+    memory traffic, integer SIMD dot products), completing the search
+    spectrum next to exact (:func:`ann_cosine_topk`), LSH-bucketed and
+    IVF-pruned.
+
+    The per-vector scales CANCEL in the cosine, so the score is
+    ``idot / sqrt(ssq_q · ssq_c)`` where all three terms are EXACT
+    integer sums of code products (|code| ≤ 127, 64 dims → every sum
+    and product sits far inside 2^53): the only float ops are one
+    multiply, one sqrt, one divide on exact integers — bit-identical
+    across engines, no reduction-order sensitivity anywhere. Zero
+    vectors (ssq = 0) are excluded by an identical guard.
+
+    Scale shape: identical to the exact brute force — queries
+    broadcast, the corpus streams — but the scan reads int8 codes,
+    which is the point at 100 TB of embeddings."""
+    e = _emb(spark, sf_dir)
+    coded = (
+        e.withColumn(
+            "scale",
+            F.expr("array_max(transform(vec, x -> abs(x)))") / F.lit(127.0),
+        )
+        .withColumn(
+            "code",
+            F.expr(
+                "transform(vec, x -> CASE WHEN scale = 0 THEN 0"
+                " ELSE CAST(floor(x / scale + 0.5) AS INT) END)"
+            ),
+        )
+        .withColumn(
+            "ssq",
+            F.expr(
+                "aggregate(code, 0L,"
+                " (a, c) -> a + CAST(c AS BIGINT) * c)"
+            ),
+        )
+        .filter(F.col("ssq") > 0)
+        .select("vec_id", "code", "ssq")
+    )
+    q = coded.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("code").alias("qcode"),
+        F.col("ssq").alias("qssq"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("qcos6").desc(), F.col("neighbor_id")
+    )
+    idot = F.expr(
+        "aggregate(zip_with(qcode, code, (x, y) -> CAST(x AS BIGINT) * y),"
+        " 0L, (a, v) -> a + v)"
+    )
+    return (
+        coded.select(
+            F.col("vec_id").alias("neighbor_id"), "code", "ssq"
+        )
+        .crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "qcos6",
+            F.round(
+                idot
+                / F.sqrt(
+                    (F.col("qssq") * F.col("ssq")).cast("double")
+                ),
+                6,
+            ),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.col("qcos6"), 4).alias("qcosine"),
+            "rank",
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
 def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric int8 scalar quantization of the embedding column —
     the 4× storage-compression pass an embedding store runs before
@@ -712,6 +794,7 @@ QUERIES = {
     "ann_cosine_topk": ann_cosine_topk,
     "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,
+    "ann_int8_topk": ann_int8_topk,
     "embedding_quantize": embedding_quantize,
     "knn_label_vote": knn_label_vote,
     "embedding_centroid_by_label": embedding_centroid_by_label,
@@ -1001,4 +1084,52 @@ ORACLE_SQL["embedding_quantize"] = """
                AS mean_abs_err
     FROM coded
     ORDER BY vec_id
+"""
+
+ORACLE_SQL["ann_int8_topk"] = f"""
+    WITH base AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    scaled AS (
+        SELECT vec_id, v,
+               list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+        FROM base
+    ),
+    coded AS (
+        SELECT vec_id,
+               list_transform(v,
+                   x -> CASE WHEN scale = 0 THEN 0
+                        ELSE CAST(floor(x / scale + 0.5) AS INTEGER)
+                        END) AS code
+        FROM scaled
+    ),
+    ssqd AS (
+        SELECT vec_id, code,
+               CAST(list_sum(list_transform(code,
+                   c -> CAST(c AS BIGINT) * c)) AS BIGINT) AS ssq
+        FROM coded
+    ),
+    ok AS (SELECT * FROM ssqd WHERE ssq > 0),
+    scoredq AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ROUND(CAST(list_sum(list_transform(
+                         range(1, len(q.code) + 1),
+                         i -> CAST(q.code[i] AS BIGINT) * c.code[i]))
+                     AS DOUBLE)
+                     / sqrt(CAST(q.ssq * c.ssq AS DOUBLE)), 6) AS qcos6
+        FROM ok q
+        JOIN ok c ON c.vec_id != q.vec_id
+        WHERE q.vec_id < {N_QUERIES}
+    )
+    SELECT query_id, neighbor_id, ROUND(qcos6, 4) AS qcosine, rank
+    FROM (
+        SELECT query_id, neighbor_id, qcos6,
+               ROW_NUMBER() OVER (
+                   PARTITION BY query_id
+                   ORDER BY qcos6 DESC, neighbor_id
+               ) AS rank
+        FROM scoredq
+    )
+    WHERE rank <= {TOP_K}
+    ORDER BY query_id, rank
 """

@@ -193,3 +193,21 @@ def test_neardup_triangles_consistent_with_edges(spark, sf_dir):
                 want[n] = want.get(n, 0) + 1
     got = {r.doc_id: r.n_triangles for r in tris}
     assert got == want
+
+
+def test_ann_int8_topk_tracks_exact_ranking(spark, sf_dir):
+    df = similarity.ann_int8_topk(spark, sf_dir)
+    # (a broadcast nested-loop join IS the sanctioned brute-force
+    # shape here, same as ann_cosine_topk — no cartesian check)
+    rows = df.collect()
+    assert rows
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.ann_cosine_topk(spark, sf_dir).collect()
+    }
+    approx = {(r.query_id, r.neighbor_id) for r in rows}
+    # int8 quantization perturbs cosines by ~1e-3; top-5 overlap stays
+    # high (identical at this corpus unless two neighbors are closer
+    # than the quantization error)
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, f"int8 ranking diverged: recall {recall:.2f}"
