@@ -1377,3 +1377,174 @@ ORACLE_SQL["user_running_balance"] = """
     FROM events
     ORDER BY event_id
 """
+
+
+def daily_value_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day time-weighted average value (TWAP) — the time-series
+    aggregate where each observation counts for as long as it was the
+    latest one, not once per row (the right daily summary when
+    sampling is irregular, e.g. perf metrics reported on activity).
+
+    Scale shape: one lead() window partitioned by day (bounded state)
+    to get each observation's holding time, then a per-day aggregate.
+    Weights are exact integer MICROseconds × integer cents (a day is
+    8.6e10 µs; cents·µs products summed over a day stay well inside
+    2^63), so the weighted sums are reduction-order independent; the
+    final ratio is one double divide rounded to 4."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy(F.col("d")).orderBy("ts", "event_id")
+    held = (
+        e.select(
+            F.to_date("ts").alias("d"),
+            "ts",
+            "event_id",
+            F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+        .withColumn(
+            "dt",
+            # unix_MICROS, not unix_timestamp: second-truncating each
+            # endpoint before subtracting rounds differently than
+            # truncating the exact difference (DuckDB's epoch());
+            # micros are exact in both engines
+            (
+                F.unix_micros(F.lead("ts").over(w))
+                - F.unix_micros(F.col("ts"))
+            ).cast("bigint"),
+        )
+        .filter(F.col("dt").isNotNull() & (F.col("dt") > 0))
+    )
+    return (
+        held.groupBy("d")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_holds"),
+            F.sum(F.col("cents") * F.col("dt")).alias("wsum"),
+            F.sum("dt").alias("tsum"),
+        )
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("event_date"),
+            "n_holds",
+            F.round(F.col("wsum") / F.col("tsum") / F.lit(100.0), 4).alias(
+                "twap_value"
+            ),
+        )
+        .orderBy("event_date")
+    )
+
+
+def user_activity_span(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user activity span accounting: first/last active day,
+    distinct active days, and the dead days inside the span — the
+    engagement-continuity table behind churn screens. One aggregate
+    over (user, day) distincts; gap arithmetic is exact integer date
+    math, no calendar spine materialization needed for counting."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.select("user_id", F.to_date("ts").alias("d"))
+        .groupBy("user_id")
+        .agg(
+            F.min("d").alias("first_d"),
+            F.max("d").alias("last_d"),
+            F.countDistinct("d").cast("bigint").alias("active_days"),
+        )
+        .select(
+            "user_id",
+            F.date_format("first_d", "yyyy-MM-dd").alias("first_date"),
+            F.date_format("last_d", "yyyy-MM-dd").alias("last_date"),
+            "active_days",
+            (F.datediff("last_d", "first_d") + 1)
+            .cast("bigint")
+            .alias("span_days"),
+            (F.datediff("last_d", "first_d") + 1 - F.col("active_days"))
+            .cast("bigint")
+            .alias("gap_days"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def key_skew_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew census for ``events.user_id``: key count,
+    top-key share, and the Gini coefficient of the per-key event
+    distribution — the diagnostic you run BEFORE picking a partition
+    key at 100 TB (a Gini near 1 says salt this key; near 0 says
+    hash-partitioning will balance).
+
+    Scale shape: one per-key count aggregate (map-side combinable),
+    then windows over the per-key COUNTS frame — whose size is the
+    key cardinality, not the event count. The Gini uses the sample
+    formula 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n over counts ranked ascending
+    with a key tiebreak, all in exact integers until two final double
+    divides."""
+    e = load_table(spark, sf_dir, "events")
+    counts = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    w = Window.orderBy("c", "user_id")
+    ranked = counts.withColumn("i", F.row_number().over(w).cast("bigint"))
+    return ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.sum("c").cast("bigint").alias("total_events"),
+        F.round(F.max("c") / F.sum("c"), 4).alias("top1_share"),
+        F.round(
+            F.lit(2.0) * F.sum(F.col("i") * F.col("c"))
+            / (F.count(F.lit(1)) * F.sum("c"))
+            - (F.count(F.lit(1)) + F.lit(1.0)) / F.count(F.lit(1)),
+            4,
+        ).alias("gini"),
+    )
+
+
+QUERIES["daily_value_twap"] = daily_value_twap
+QUERIES["user_activity_span"] = user_activity_span
+QUERIES["key_skew_stats"] = key_skew_stats
+
+ORACLE_SQL["daily_value_twap"] = """
+    WITH held AS (
+        SELECT CAST(ts AS DATE) AS d,
+               CAST(ROUND(value * 100) AS BIGINT) AS cents,
+               CAST(epoch_us(LEAD(ts) OVER (
+                   PARTITION BY CAST(ts AS DATE)
+                   ORDER BY ts, event_id
+               )) - epoch_us(ts) AS BIGINT) AS dt
+        FROM events
+    )
+    SELECT strftime(d, '%Y-%m-%d') AS event_date,
+           CAST(COUNT(*) AS BIGINT) AS n_holds,
+           ROUND(SUM(cents * dt) / SUM(dt) / 100.0, 4) AS twap_value
+    FROM held
+    WHERE dt IS NOT NULL AND dt > 0
+    GROUP BY d
+    ORDER BY event_date
+"""
+
+ORACLE_SQL["user_activity_span"] = """
+    SELECT user_id,
+           strftime(MIN(d), '%Y-%m-%d') AS first_date,
+           strftime(MAX(d), '%Y-%m-%d') AS last_date,
+           CAST(COUNT(DISTINCT d) AS BIGINT) AS active_days,
+           CAST(date_diff('day', MIN(d), MAX(d)) + 1 AS BIGINT)
+               AS span_days,
+           CAST(date_diff('day', MIN(d), MAX(d)) + 1
+                - COUNT(DISTINCT d) AS BIGINT) AS gap_days
+    FROM (SELECT user_id, CAST(ts AS DATE) AS d FROM events)
+    GROUP BY user_id
+    ORDER BY user_id
+"""
+
+ORACLE_SQL["key_skew_stats"] = """
+    WITH counts AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY user_id
+    ),
+    ranked AS (
+        SELECT c,
+               CAST(ROW_NUMBER() OVER (ORDER BY c, user_id) AS BIGINT) AS i
+        FROM counts
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(c) AS BIGINT) AS total_events,
+           ROUND(MAX(c) * 1.0 / SUM(c), 4) AS top1_share,
+           ROUND(2.0 * SUM(i * c) / (COUNT(*) * SUM(c))
+                 - (COUNT(*) + 1.0) / COUNT(*), 4) AS gini
+    FROM ranked
+"""

@@ -1078,3 +1078,102 @@ ORACLE_SQL = {
         ORDER BY event_date
     """,
 }
+
+
+def market_basket_brand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: brand pairs ordered together, with
+    lift against independence — the association-mining primitive
+    (recommendations, bundle detection) at warehouse scale.
+
+    Scale shape: the pair join is a SELF-JOIN ON THE ORDER KEY of the
+    per-order DISTINCT brand set — fan-out is bounded by (brands per
+    order choose 2), i.e. lines-per-order², never corpus²; brand
+    totals and the order count are broadcast-sized aggregates. Lift is
+    a ratio of exact integer counts (pair_orders · n_orders /
+    (orders_a · orders_b)), so the ranking is cross-engine exact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    ob = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    totals = ob.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders_brand")
+    )
+    n_orders = F.broadcast(
+        ob.select("l_orderkey")
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
+    )
+    a, b = ob.alias("a"), ob.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.p_brand") < F.col("b.p_brand")),
+        )
+        .groupBy(
+            F.col("a.p_brand").alias("brand_a"),
+            F.col("b.p_brand").alias("brand_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("pair_orders"))
+    )
+    ta = totals.select(
+        F.col("p_brand").alias("brand_a"),
+        F.col("n_orders_brand").alias("na"),
+    )
+    tb = totals.select(
+        F.col("p_brand").alias("brand_b"),
+        F.col("n_orders_brand").alias("nb"),
+    )
+    return (
+        pairs.join(F.broadcast(ta), "brand_a")
+        .join(F.broadcast(tb), "brand_b")
+        .crossJoin(n_orders)
+        .select(
+            "brand_a",
+            "brand_b",
+            "pair_orders",
+            F.round(
+                (F.col("pair_orders") * F.col("n_orders"))
+                / (F.col("na") * F.col("nb")),
+                4,
+            ).alias("lift"),
+        )
+        .orderBy(F.col("pair_orders").desc(), "brand_a", "brand_b")
+        .limit(50)
+    )
+
+
+QUERIES["market_basket_brand_pairs"] = market_basket_brand_pairs
+
+ORACLE_SQL["market_basket_brand_pairs"] = """
+    WITH ob AS (
+        SELECT DISTINCT l.l_orderkey, p.p_brand
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    ),
+    totals AS (
+        SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_orders_brand
+        FROM ob GROUP BY p_brand
+    ),
+    n AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+          FROM ob),
+    pairs AS (
+        SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+               CAST(COUNT(*) AS BIGINT) AS pair_orders
+        FROM ob a
+        JOIN ob b ON b.l_orderkey = a.l_orderkey
+                 AND a.p_brand < b.p_brand
+        GROUP BY a.p_brand, b.p_brand
+    )
+    SELECT p.brand_a, p.brand_b, p.pair_orders,
+           ROUND((p.pair_orders * n.n_orders) * 1.0
+                 / (ta.n_orders_brand * tb.n_orders_brand), 4) AS lift
+    FROM pairs p
+    JOIN totals ta ON ta.p_brand = p.brand_a
+    JOIN totals tb ON tb.p_brand = p.brand_b
+    CROSS JOIN n
+    ORDER BY pair_orders DESC, brand_a, brand_b
+    LIMIT 50
+"""

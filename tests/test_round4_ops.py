@@ -211,3 +211,26 @@ def test_ann_int8_topk_tracks_exact_ranking(spark, sf_dir):
     # than the quantization error)
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.8, f"int8 ranking diverged: recall {recall:.2f}"
+
+
+def test_ann_pq_topk_shortlist_rerank_recall(spark, sf_dir):
+    """PQ = ADC integer sieve + exact re-rank: results must be real
+    cosine-ranked rows, and the shortlist must keep a usable fraction
+    of the true top-k (floor 0.5 on the near-uniform synthetic
+    corpus; see PQ_RERANK_DIV docstring)."""
+    rows = similarity.ann_pq_topk(spark, sf_dir).collect()
+    assert rows
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r.query_id, []).append((r.rank, r.cosine))
+    for q, lst in per_q.items():
+        lst.sort()
+        cosines = [c for _, c in lst]
+        assert cosines == sorted(cosines, reverse=True)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.ann_cosine_topk(spark, sf_dir).collect()
+    }
+    approx = {(r.query_id, r.neighbor_id) for r in rows}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"PQ shortlist collapsed: recall {recall:.2f}"
