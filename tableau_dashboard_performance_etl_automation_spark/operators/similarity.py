@@ -1165,9 +1165,12 @@ PQ_RERANK_DIV = 20
 def pq_rerank_size(n_vectors: int) -> int:
     return max(PQ_RERANK_MIN, n_vectors // PQ_RERANK_DIV)
 
-#: Session memo of the trained PQ codebook rows (m, cent_id, cvec) —
-#: same persist-the-artifact rationale as the IVF codebook cache.
-_PQ_CACHE: dict[tuple[str, str], list] = {}
+#: Session memo of the whole PQ index — (codebook rows, encoded-corpus
+#: codes frame, corpus count): a deployed PQ index persists BOTH
+#: halves (codebook + codes); re-encoding the corpus per query is the
+#: cost that never amortizes. Same single-entry cap and
+#: (applicationId, sf_dir) keying as the IVF caches.
+_PQ_CACHE: dict[tuple[str, str], tuple] = {}
 
 
 def _subvectors(e: DataFrame) -> DataFrame:
@@ -1300,18 +1303,28 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape every deployed PQ index uses (8-byte codes for the sieve,
     256-byte vectors for ≤R rows per query)."""
     e = _emb(spark, sf_dir)
-    sub = _subvectors(e).localCheckpoint()
     key = (spark.sparkContext.applicationId, sf_dir)
-    cb_rows = _PQ_CACHE.get(key)
-    if cb_rows is None:
+    cached = _PQ_CACHE.get(key)
+    if cached is None:
+        # index build (once per session): full-corpus subvector pass
+        # feeds training AND encoding; steady-state queries never
+        # rescan the corpus at full vector width again
+        sub = _subvectors(e).localCheckpoint()
         cb_rows = _train_pq(spark, sub)
+        cb = spark.createDataFrame(
+            cb_rows, "m INT, cent_id BIGINT, cvec ARRAY<DOUBLE>"
+        )
+        codes = (
+            _pq_assign(sub, cb)
+            .select("vec_id", "m", F.col("cent_id").alias("code"))
+            .localCheckpoint()
+        )
         _PQ_CACHE.clear()  # single-entry cap
-        _PQ_CACHE[key] = cb_rows
+        cached = (cb_rows, codes, e.count())
+        _PQ_CACHE[key] = cached
+    cb_rows, codes, n_vectors = cached
     cb = spark.createDataFrame(
         cb_rows, "m INT, cent_id BIGINT, cvec ARRAY<DOUBLE>"
-    )
-    codes = _pq_assign(sub, cb).select(
-        "vec_id", "m", F.col("cent_id").alias("code")
     )
     qlut = (
         _subvectors(e.filter(F.col("vec_id") < N_QUERIES))
@@ -1336,7 +1349,7 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
         .agg(F.sum("du").cast("bigint").alias("pq_du"))
         .withColumn("adc_rank", F.row_number().over(w))
-        .filter(F.col("adc_rank") <= pq_rerank_size(e.count()))
+        .filter(F.col("adc_rank") <= pq_rerank_size(n_vectors))
         .select("query_id", "neighbor_id")
     )
     q = e.filter(F.col("vec_id") < N_QUERIES).select(

@@ -64,6 +64,11 @@ PROBE_QUERIES = [
     "user_sessionization",
     "rolling_value_7d",
     "order_quartiles",
+    # round-4 fact-table shapes
+    "sole_late_suppliers",
+    "market_basket_brand_pairs",
+    "user_running_balance",
+    "daily_value_twap",
 ]
 
 
@@ -123,11 +128,12 @@ def build_scaled(spark, base_dir: str, factor: int) -> str:
 
 def main() -> None:
     base = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    factors = [int(a) for a in sys.argv[2:]] or FACTORS
     spark = get_spark("tdpe-factscale")
     spark.sparkContext.setLogLevel("ERROR")
     queries = entry_mod.queries()
     report: dict = {"base": base, "scales": {}}
-    for factor in FACTORS:
+    for factor in factors:
         sf_dir = build_scaled(spark, base, factor)
         row: dict = {
             "lineitem_rows": load_table(spark, sf_dir, "lineitem").count(),
