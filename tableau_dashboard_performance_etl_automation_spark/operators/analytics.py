@@ -1548,3 +1548,170 @@ ORACLE_SQL["key_skew_stats"] = """
                  - (COUNT(*) + 1.0) / COUNT(*), 4) AS gini
     FROM ranked
 """
+
+
+#: Winsorization tail probabilities (clip below p05 / above p95).
+WINSOR_LO = 0.05
+WINSOR_HI = 0.95
+
+
+def winsorized_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized per-type value statistics: clip each event's value
+    at the type's exact p05/p95 and report the clipped mean next to
+    the raw mean — the outlier-robust feature normalization a
+    training pipeline applies before numeric features enter a model.
+
+    Determinism: thresholds are DISCRETE percentiles (the value at
+    1-based rank ceil(p*n) in cents order) — actual int64 data
+    values, not interpolated floats — so the clip comparisons and the
+    clipped SUM are exact integer arithmetic in both engines; the
+    two divisions happen once per output row. Plan: one window
+    (partitioned by event_type — per-key state only, no global sort)
+    ranks the cents; the two threshold rows per type survive as a
+    4-column broadcast joined back onto the integer aggregate. At
+    100 TB you'd swap the exact rank window for percentile_approx
+    (mergeable sketch, no per-key sort) and keep the clip/sum shape.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    w = Window.partitionBy("event_type").orderBy("cents")
+    ranked = e.select(
+        "event_type",
+        "cents",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("event_type")).alias("n"),
+    )
+    thresholds = F.broadcast(
+        ranked.filter(
+            (F.col("rn") == F.ceil(F.lit(WINSOR_LO) * F.col("n")))
+            | (F.col("rn") == F.ceil(F.lit(WINSOR_HI) * F.col("n")))
+        )
+        .groupBy("event_type")
+        .agg(
+            F.min("cents").alias("lo"),
+            F.max("cents").alias("hi"),
+        )
+    )
+    return (
+        e.join(thresholds, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.round(F.sum("cents") / F.lit(100.0) / F.count(F.lit(1)), 4)
+            .alias("raw_mean"),
+            F.round(
+                F.sum(F.greatest(F.least(F.col("cents"), F.col("hi")), F.col("lo")))
+                / F.lit(100.0)
+                / F.count(F.lit(1)),
+                4,
+            ).alias("winsor_mean"),
+            F.min(F.round(F.col("lo") / F.lit(100.0), 2)).alias("p_lo"),
+            F.min(F.round(F.col("hi") / F.lit(100.0), 2)).alias("p_hi"),
+        )
+        .orderBy("event_type")
+    )
+
+
+QUERIES["winsorized_event_stats"] = winsorized_event_stats
+
+ORACLE_SQL["winsorized_event_stats"] = f"""
+    WITH cents AS (
+        SELECT event_type,
+               CAST(ROUND(value * 100) AS BIGINT) AS cents
+        FROM events
+    ),
+    ranked AS (
+        SELECT event_type, cents,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY cents) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM cents
+    ),
+    thresholds AS (
+        SELECT event_type, MIN(cents) AS lo, MAX(cents) AS hi
+        FROM ranked
+        WHERE rn = CAST(ceil({WINSOR_LO!r} * n) AS BIGINT)
+           OR rn = CAST(ceil({WINSOR_HI!r} * n) AS BIGINT)
+        GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(cents) / 100.0 / COUNT(*), 4) AS raw_mean,
+           ROUND(SUM(GREATEST(LEAST(cents, hi), lo)) / 100.0
+                 / COUNT(*), 4) AS winsor_mean,
+           MIN(ROUND(lo / 100.0, 2)) AS p_lo,
+           MIN(ROUND(hi / 100.0, 2)) AS p_hi
+    FROM cents JOIN thresholds USING (event_type)
+    GROUP BY event_type
+    ORDER BY event_type
+"""
+
+
+def event_lateness_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-orderness audit of the event stream: for each user's
+    arrival sequence (event_id is ingestion order), how far behind
+    the high-watermark does each event's event-time land? This is THE
+    measurement that sizes a streaming watermark delay — pick it too
+    small and the p-max late events here get dropped; too large and
+    state lingers.
+
+    lateness = running MAX(ts) over arrival order minus ts, per user
+    (per-key window — no global sort; mirrors per-partition kafka
+    ordering). All lateness values are exact integer microseconds;
+    output is a per-type summary of count / late-count / max / mean
+    lateness in seconds."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    lat = e.select(
+        "event_type",
+        (
+            F.max(F.unix_micros(F.col("ts"))).over(w)
+            - F.unix_micros(F.col("ts"))
+        ).alias("late_us"),
+    )
+    return (
+        lat.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum((F.col("late_us") > 0).cast("int"))
+            .cast("bigint")
+            .alias("n_late"),
+            F.round(F.max("late_us") / F.lit(1000000.0), 3).alias(
+                "max_late_s"
+            ),
+            F.round(
+                F.sum("late_us") / F.lit(1000000.0) / F.count(F.lit(1)), 3
+            ).alias("mean_late_s"),
+        )
+        .orderBy("event_type")
+    )
+
+
+QUERIES["event_lateness_stats"] = event_lateness_stats
+
+ORACLE_SQL["event_lateness_stats"] = """
+    WITH lat AS (
+        SELECT event_type,
+               MAX(epoch_us(ts)) OVER (PARTITION BY user_id
+                                       ORDER BY event_id
+                                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW)
+               - epoch_us(ts) AS late_us
+        FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_late,
+           ROUND(MAX(late_us) / 1000000.0, 3) AS max_late_s,
+           ROUND(SUM(late_us) / 1000000.0 / COUNT(*), 3) AS mean_late_s
+    FROM lat
+    GROUP BY event_type
+    ORDER BY event_type
+"""

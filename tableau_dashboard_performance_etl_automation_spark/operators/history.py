@@ -195,3 +195,82 @@ ORACLE_SQL = {
         ORDER BY fk_edge
     """,
 }
+
+
+def cdc_upsert_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE/upsert semantics (the nightly CDC apply): fold the latest
+    order per customer into the customer dimension — WHEN MATCHED →
+    'update' rows carrying the new last-order attributes, WHEN NOT
+    MATCHED BY SOURCE → 'unchanged' snapshot rows, WHEN NOT MATCHED
+    BY TARGET → 'insert' rows for changelog keys absent from the
+    snapshot (0 on this corpus — the FK audit proves orders ⊆
+    customer — but the branch is real and unit-tested on synthetic
+    orphans).
+
+    Plan: the changelog collapses to one row per key with an argmax
+    (MAX of a (date, key, …) struct — map-side combinable, no window
+    sort), then ONE full-outer equi-join on the dimension key decides
+    all three MERGE branches. Both sides shuffle on the same key, so
+    at 100 TB this is a single co-partitioned exchange; no branch
+    materializes more than its own rows.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    latest = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.max(
+                F.struct("o_orderdate", "o_orderkey", "o_orderstatus", "o_totalprice")
+            ).alias("m")
+        )
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("m.o_orderkey").alias("last_orderkey"),
+            F.col("m.o_orderstatus").alias("last_status"),
+            F.round(F.col("m.o_totalprice"), 2).alias("last_price"),
+        )
+    )
+    merged = cust.join(
+        latest, cust["c_custkey"] == latest["custkey"], "full_outer"
+    )
+    action = (
+        F.when(F.col("c_custkey").isNull(), "insert")
+        .when(F.col("custkey").isNull(), "unchanged")
+        .otherwise("update")
+    )
+    return merged.select(
+        F.coalesce(F.col("c_custkey"), F.col("custkey")).alias("custkey"),
+        action.alias("action"),
+        "last_orderkey",
+        "last_status",
+        "last_price",
+    ).orderBy("custkey")
+
+
+QUERIES["cdc_upsert_customers"] = cdc_upsert_customers
+
+ORACLE_SQL["cdc_upsert_customers"] = """
+    WITH latest AS (
+        SELECT o_custkey AS custkey,
+               o_orderkey AS last_orderkey,
+               o_orderstatus AS last_status,
+               ROUND(o_totalprice, 2) AS last_price
+        FROM (
+            SELECT *,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_orderdate DESC, o_orderkey DESC
+                   ) AS rn
+            FROM orders
+        )
+        WHERE rn = 1
+    )
+    SELECT COALESCE(c.c_custkey, l.custkey) AS custkey,
+           CASE WHEN c.c_custkey IS NULL THEN 'insert'
+                WHEN l.custkey IS NULL THEN 'unchanged'
+                ELSE 'update' END AS action,
+           l.last_orderkey, l.last_status, l.last_price
+    FROM customer c FULL OUTER JOIN latest l
+      ON c.c_custkey = l.custkey
+    ORDER BY custkey
+"""

@@ -1525,3 +1525,74 @@ def _pq_oracle() -> str:
 
 
 ORACLE_SQL["ann_pq_topk"] = _pq_oracle()
+
+
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension health profile of the embedding space: mean,
+    population variance, zero fraction, and range for each of the 64
+    dims — the audit that catches dead dimensions (zero variance ⇒
+    the encoder never uses them), collapsed scales, and clipped
+    outputs before anyone trains on or indexes these vectors.
+
+    posexplode flattens (vec_id, dim, x) and ONE hash aggregate on
+    the 64 dim keys does everything — map-side combinable, output
+    bounded by the dimensionality, never by the corpus. Determinism:
+    coordinates are quantized to integer micro-units first, so the
+    sums and sum-of-squares are exact BIGINT reductions (max |x|≲1 →
+    squares ≲1e12 — 9e18/1e12 ≈ 9M vectors per partial before
+    overflow could matter; at larger scale the squares move to
+    DECIMAL(38,0) with the same shape); each engine then applies the
+    identical mean/variance expression once per output row."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    flat = emb.select(
+        F.posexplode("embedding").alias("dim", "x")
+    ).select(
+        "dim",
+        F.round(F.col("x").cast("double") * 1e6).cast("bigint").alias("u"),
+    )
+    n = F.count(F.lit(1))
+    s = F.sum("u")
+    s2 = F.sum(F.col("u") * F.col("u"))
+    mean_u = s / n
+    return (
+        flat.groupBy("dim")
+        .agg(
+            n.cast("bigint").alias("n_vecs"),
+            F.round(mean_u / F.lit(1e6), 6).alias("mean_val"),
+            F.round(
+                (s2 / n - mean_u * mean_u) / F.lit(1e12), 8
+            ).alias("var_pop"),
+            F.round(
+                F.sum((F.col("u") == 0).cast("int")) / n, 4
+            ).alias("zero_frac"),
+            F.round(F.min("u") / F.lit(1e6), 6).alias("min_val"),
+            F.round(F.max("u") / F.lit(1e6), 6).alias("max_val"),
+        )
+        .orderBy("dim")
+    )
+
+
+QUERIES["embedding_dim_stats"] = embedding_dim_stats
+
+ORACLE_SQL["embedding_dim_stats"] = """
+    WITH flat AS (
+        SELECT CAST(i - 1 AS INTEGER) AS dim,
+               CAST(ROUND(embedding[CAST(i AS INTEGER)]::DOUBLE * 1e6)
+                    AS BIGINT) AS u
+        FROM embeddings,
+             UNNEST(generate_series(1, len(embedding))) AS t(i)
+    )
+    SELECT dim,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           ROUND(SUM(u) / COUNT(*) / 1e6, 6) AS mean_val,
+           ROUND((SUM(u * u) / COUNT(*)
+                  - (SUM(u) / COUNT(*)) * (SUM(u) / COUNT(*))) / 1e12,
+                 8) AS var_pop,
+           ROUND(SUM(CASE WHEN u = 0 THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE), 4) AS zero_frac,
+           ROUND(MIN(u) / 1e6, 6) AS min_val,
+           ROUND(MAX(u) / 1e6, 6) AS max_val
+    FROM flat
+    GROUP BY dim
+    ORDER BY dim
+"""

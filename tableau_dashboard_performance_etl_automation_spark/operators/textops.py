@@ -16,6 +16,7 @@ from pyspark.sql.window import Window
 
 from tableau_dashboard_performance_etl_automation_spark.catalog import load_table
 from tableau_dashboard_performance_etl_automation_spark.functions.text import (
+    shingles_sql_duckdb,
     word_shingles,
     words,
 )
@@ -779,4 +780,195 @@ ORACLE_SQL["bm25_ranked_docs"] = f"""
     GROUP BY doc_id
     ORDER BY bm25 DESC, doc_id
     LIMIT {BM25_TOP_K}
+"""
+
+
+#: Boilerplate shingle threshold: a 3-gram is "boilerplate" when it
+#: appears in at least BP_DF_PCT percent of all documents (relative,
+#: so the dial survives corpus growth; at sf0.01's 500 docs this is
+#: df >= 5). A doc is "heavy" when boilerplate covers more than
+#: 1/BP_HEAVY_DIV of its shingle positions (integer compare — no
+#: floats anywhere in the flag).
+BP_DF_PCT = 1
+BP_HEAVY_DIV = 5
+
+
+def boilerplate_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate contamination per source: the fraction of 3-gram
+    positions covered by corpus-frequent shingles (headers, footers,
+    templated navigation in a real crawl — the C4/RefinedWeb
+    frequent-line removal pass, phrased over shingles because this
+    corpus has no line structure).
+
+    Plan: one shingle explode feeds BOTH sides — a distinct-doc DF
+    aggregate (bounded by vocabulary, broadcastable after the >=
+    threshold filter prunes it to the frequent tail) and a per-doc
+    position count; the boilerplate-position count is a broadcast
+    semi-join back onto the exploded positions. All reductions are
+    exact integer counts; the only division happens once per source
+    group on two BIGINT sums, so cross-engine hashes cannot drift.
+    At 100 TB the DF table is the classic stop-phrase skew point —
+    groups carry one row per document (inverted-index bound), and
+    only the tiny frequent tail is ever joined back."""
+    docs = load_table(spark, sf_dir, "documents")
+    pos = docs.withColumn("w", words()).select(
+        "doc_id", "source", F.explode(word_shingles(k=3)).alias("sh")
+    )
+    # threshold as a broadcast 1-row aggregate, not a driver count():
+    # the plan stays lazy and the scalar travels with the job
+    bounds = F.broadcast(
+        docs.agg(
+            F.ceil(F.count(F.lit(1)) * BP_DF_PCT / F.lit(100.0))
+            .cast("bigint")
+            .alias("bp_df_min")
+        )
+    )
+    bp = F.broadcast(
+        pos.select("doc_id", "sh")
+        .distinct()
+        .groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(bounds)
+        .filter(F.col("df") >= F.col("bp_df_min"))
+        .select("sh")
+    )
+    per_doc = (
+        pos.join(bp.withColumn("is_bp", F.lit(1)), "sh", "left")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_sh"),
+            F.sum(F.coalesce(F.col("is_bp"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_bp"),
+        )
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_sh").cast("bigint").alias("n_shingles"),
+            F.sum("n_bp").cast("bigint").alias("n_boilerplate"),
+            F.sum(
+                (F.col("n_bp") * BP_HEAVY_DIV >= F.col("n_sh")).cast("int")
+            )
+            .cast("bigint")
+            .alias("n_heavy_docs"),
+        )
+        .withColumn(
+            "bp_frac",
+            F.round(F.col("n_boilerplate") / F.col("n_shingles"), 4),
+        )
+        .orderBy("source")
+    )
+
+
+QUERIES["boilerplate_ngram_stats"] = boilerplate_ngram_stats
+
+ORACLE_SQL["boilerplate_ngram_stats"] = f"""
+    WITH pos AS (
+        SELECT doc_id, source,
+               unnest({shingles_sql_duckdb(3, "string_split(text, ' ')")})
+                   AS sh
+        FROM documents
+    ),
+    bounds AS (
+        SELECT CAST(ceil(COUNT(*) * {BP_DF_PCT} / 100.0) AS BIGINT)
+               AS bp_df_min
+        FROM documents
+    ),
+    bp AS (
+        SELECT sh FROM (
+            SELECT sh, COUNT(DISTINCT doc_id) AS df FROM pos GROUP BY sh
+        ), bounds WHERE df >= bp_df_min
+    ),
+    per_doc AS (
+        SELECT doc_id, source,
+               CAST(COUNT(*) AS BIGINT) AS n_sh,
+               CAST(SUM(CASE WHEN b.sh IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_bp
+        FROM pos p LEFT JOIN bp b USING (sh)
+        GROUP BY doc_id, source
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_sh) AS BIGINT) AS n_shingles,
+           CAST(SUM(n_bp) AS BIGINT) AS n_boilerplate,
+           CAST(SUM(CASE WHEN n_bp * {BP_HEAVY_DIV} >= n_sh
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_heavy_docs,
+           ROUND(SUM(n_bp) / CAST(SUM(n_sh) AS DOUBLE), 4) AS bp_frac
+    FROM per_doc
+    GROUP BY source
+    ORDER BY source
+"""
+
+
+#: Tokenizer-vocabulary size for the OOV probe. The corpus vocabulary
+#: is ~31 word types, so a 20-type vocab leaves a real OOV tail; on a
+#: real corpus this would be the 32k/50k learned vocab.
+OOV_VOCAB_SIZE = 20
+
+
+def oov_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary token rate per source against a top-K
+    frequency vocabulary — the tokenizer-coverage audit run before
+    committing a vocab: sources with high OOV rates will fragment
+    into byte-fallback tokens and blow up their effective sequence
+    lengths.
+
+    The vocabulary is the top-``OOV_VOCAB_SIZE`` word types by corpus
+    frequency with (count DESC, word ASC) deterministic tie order —
+    a word-keyed count (map-side combined) then a driver-free
+    sort+limit that broadcasts back as the membership filter. Token
+    accounting is exact integers; one division per source row."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("source", F.explode(words()).alias("word"))
+    vocab = F.broadcast(
+        toks.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "word")
+        .limit(OOV_VOCAB_SIZE)
+        .select("word")
+        .withColumn("in_vocab", F.lit(1))
+    )
+    return (
+        toks.join(vocab, "word", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum(
+                F.when(F.col("in_vocab").isNull(), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_oov"),
+        )
+        .withColumn(
+            "oov_rate", F.round(F.col("n_oov") / F.col("n_tokens"), 4)
+        )
+        .orderBy("source")
+    )
+
+
+QUERIES["oov_rate_by_source"] = oov_rate_by_source
+
+ORACLE_SQL["oov_rate_by_source"] = f"""
+    WITH toks AS (
+        SELECT source, unnest(string_split(text, ' ')) AS word
+        FROM documents
+    ),
+    vocab AS (
+        SELECT word FROM (
+            SELECT word, COUNT(*) AS cnt FROM toks GROUP BY word
+            ORDER BY cnt DESC, word
+            LIMIT {OOV_VOCAB_SIZE}
+        )
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_oov,
+           ROUND(SUM(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE), 4) AS oov_rate
+    FROM toks t LEFT JOIN vocab v USING (word)
+    GROUP BY source
+    ORDER BY source
 """
