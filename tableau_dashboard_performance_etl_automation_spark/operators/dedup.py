@@ -1285,3 +1285,182 @@ def _subdoc_neardup_oracle() -> str:
 
 
 ORACLE_SQL["dedup_subdoc_neardup"] = _subdoc_neardup_oracle()
+
+
+#: Bloom-filter geometry for the decontamination variant: m = 16^3 =
+#: 4096 bits addressed directly by 3 md5 hex digits (no modulo bias),
+#: k = 3 independent seeded hashes. At the benchmark's ~1.4k distinct
+#: shingles this loads the filter to ~m/2 set bits — a realistic
+#: false-positive regime (the diagnostic the op reports).
+BLOOM_BITS_HEX = 3
+BLOOM_HASHES = 3
+
+
+def bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination through a Bloom filter instead of the
+    exact shingle join (``benchmark_decontaminate``): the benchmark's
+    shingle set is folded into a fixed 4096-bit array and the corpus
+    probes membership — the shape you ship when the eval suite is too
+    large to broadcast as raw shingles (the filter is a few KB no
+    matter how big the suite) or must be exchanged without revealing
+    eval text. One-sided: no false negatives, only false positives —
+    the op reports the FP count per doc by carrying the exact join
+    alongside, which is the calibration run you do once before
+    trusting the filter.
+
+    Plan: the filter is a ≤4096-row distinct of set-bit positions —
+    broadcast to every probe task; the corpus side explodes each
+    shingle into its k probe positions (narrow), joins the broadcast
+    bits, and a shingle "hits" iff ALL its DISTINCT positions are
+    set (duplicate positions inside one shingle's k probes are
+    deduped so the all-set test stays exact). Everything is integer
+    md5 arithmetic shared verbatim with the DuckDB oracle."""
+    from tableau_dashboard_performance_etl_automation_spark.functions.hashing import (
+        md5_hex_int,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = (
+        docs.withColumn("w", words())
+        .select("doc_id", F.explode(word_shingles(k=DECON_K)).alias("sh"))
+        .distinct()
+    )
+    bench = sh.filter(F.col("doc_id") < DECON_BENCH_DOCS).select("sh").distinct()
+
+    def positions(side):
+        pos_cols = [
+            md5_hex_int(
+                F.md5(F.concat(F.lit(f"{s}|"), F.col("sh"))),
+                1,
+                BLOOM_BITS_HEX,
+            ).alias(f"p{s}")
+            for s in range(BLOOM_HASHES)
+        ]
+        return side.select("*", *pos_cols)
+
+    bits = F.broadcast(
+        positions(bench)
+        .select(
+            F.explode(
+                F.array(*[F.col(f"p{s}") for s in range(BLOOM_HASHES)])
+            ).alias("pos")
+        )
+        .distinct()
+        .withColumn("set_bit", F.lit(1))
+    )
+    probe_pos = (
+        positions(sh.filter(F.col("doc_id") >= DECON_BENCH_DOCS))
+        .select(
+            "doc_id",
+            "sh",
+            F.explode(
+                F.array_distinct(
+                    F.array(*[F.col(f"p{s}") for s in range(BLOOM_HASHES)])
+                )
+            ).alias("pos"),
+        )
+    )
+    per_shingle = (
+        probe_pos.join(bits, "pos", "left")
+        .groupBy("doc_id", "sh")
+        .agg(
+            (
+                F.count(F.lit(1))
+                == F.sum(F.coalesce(F.col("set_bit"), F.lit(0)))
+            )
+            .cast("int")
+            .alias("bloom_hit")
+        )
+    )
+    exact = bench.withColumn("exact_hit", F.lit(1))
+    return (
+        per_shingle.join(exact, "sh", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sh"),
+            F.sum("bloom_hit").cast("bigint").alias("n_bloom_hits"),
+            F.sum(F.coalesce(F.col("exact_hit"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_exact_hits"),
+            F.sum(
+                (
+                    (F.col("bloom_hit") == 1)
+                    & F.col("exact_hit").isNull()
+                ).cast("int")
+            )
+            .cast("bigint")
+            .alias("n_false_pos"),
+        )
+        .withColumn(
+            "bloom_contaminated",
+            (F.col("n_bloom_hits") > 0).cast("int"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+QUERIES["bloom_decontaminate"] = bloom_decontaminate
+
+
+def _bloom_oracle() -> str:
+    from tableau_dashboard_performance_etl_automation_spark.functions.hashing import (
+        md5_hex_int_sql,
+    )
+    from tableau_dashboard_performance_etl_automation_spark.functions.text import (
+        shingles_sql_duckdb,
+    )
+
+    pos_exprs = ", ".join(
+        md5_hex_int_sql(f"md5('{s}|' || sh)", 1, BLOOM_BITS_HEX)
+        + f" AS p{s}"
+        for s in range(BLOOM_HASHES)
+    )
+    pos_list = ", ".join(f"p{s}" for s in range(BLOOM_HASHES))
+    return f"""
+        WITH sh AS (
+            SELECT DISTINCT doc_id,
+                   unnest({shingles_sql_duckdb(DECON_K, "string_split(text, ' ')")})
+                       AS sh
+            FROM documents
+        ),
+        bench AS (
+            SELECT DISTINCT sh FROM sh WHERE doc_id < {DECON_BENCH_DOCS}
+        ),
+        bits AS (
+            SELECT DISTINCT pos FROM (
+                SELECT unnest([{pos_list}]) AS pos
+                FROM (SELECT sh, {pos_exprs} FROM bench)
+            )
+        ),
+        probe_pos AS (
+            SELECT doc_id, sh,
+                   unnest(list_distinct([{pos_list}])) AS pos
+            FROM (
+                SELECT doc_id, sh, {pos_exprs}
+                FROM sh WHERE doc_id >= {DECON_BENCH_DOCS}
+            )
+        ),
+        per_shingle AS (
+            SELECT doc_id, sh,
+                   CAST(COUNT(*) = SUM(CASE WHEN b.pos IS NOT NULL
+                                            THEN 1 ELSE 0 END)
+                        AS INTEGER) AS bloom_hit
+            FROM probe_pos p LEFT JOIN bits b USING (pos)
+            GROUP BY doc_id, sh
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_sh,
+               CAST(SUM(bloom_hit) AS BIGINT) AS n_bloom_hits,
+               CAST(SUM(CASE WHEN e.sh IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_exact_hits,
+               CAST(SUM(CASE WHEN bloom_hit = 1 AND e.sh IS NULL
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_false_pos,
+               CAST(SUM(bloom_hit) > 0 AS INTEGER) AS bloom_contaminated
+        FROM per_shingle s LEFT JOIN bench e USING (sh)
+        GROUP BY doc_id
+        ORDER BY doc_id
+    """
+
+
+ORACLE_SQL["bloom_decontaminate"] = _bloom_oracle()

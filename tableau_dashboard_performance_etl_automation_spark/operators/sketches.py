@@ -157,3 +157,126 @@ QUERIES = {
 ORACLE_SQL = {
     "heavy_hitter_users_cms": _cms_oracle(),
 }
+
+
+#: KMV sketch size: keep the K smallest hash values per group. 64
+#: estimates the ~150-user per-type cardinalities with real sketch
+#: error (the point of the demo); at scale K is the accuracy dial
+#: (relative error ≈ 1/sqrt(K-2)) and the state stays K values.
+KMV_K = 64
+#: Hash-to-uniform width: 12 hex digits = 48 bits → integers in
+#: [0, 2^48); exactly representable in BIGINT and DOUBLE. Built from
+#: two 24-bit digit-group extracts combined in BIGINT, because the
+#: per-digit Horner accumulation in ``md5_hex_int`` runs in INT32 on
+#: both engines and would overflow past 7 hex digits.
+_KMV_HALF_DIGITS = 6
+_KMV_HALF_SPACE = 16**_KMV_HALF_DIGITS
+_KMV_SPACE = _KMV_HALF_SPACE * _KMV_HALF_SPACE
+
+
+def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type distinct-user estimate from a K-minimum-values
+    sketch (Bar-Yossef et al. 2002), with the exact count alongside
+    to expose the sketch error — the OTHER classic bounded-memory
+    cardinality sketch next to HLL (``approx_distinct_users``), and
+    unlike HLL its estimate is replayable in ANSI SQL, so this one
+    is oracle-checked end to end.
+
+    Estimator: hash keys to 48-bit uniforms; if a group holds fewer
+    than K distinct hashes the sketch is exact (count them), else
+    est = (K-1) / u_(K) with u_(K) = the K-th smallest hash
+    normalized to (0,1]. State per group is K values — mergeable by
+    keeping the K smallest of any union, the shape a streaming state
+    store or map-side partial carries. The rank window here runs on
+    DISTINCT (type, hash) rows — per-group state already collapsed
+    to distinct keys; a production aggregate keeps only K."""
+    events = load_table(spark, sf_dir, "events")
+    h = F.md5(F.col("user_id").cast("string"))
+    h48 = (
+        md5_hex_int(h, 1, _KMV_HALF_DIGITS).cast("bigint")
+        * F.lit(_KMV_HALF_SPACE)
+        + md5_hex_int(h, 1 + _KMV_HALF_DIGITS, _KMV_HALF_DIGITS).cast(
+            "bigint"
+        )
+    )
+    hashed = events.select("event_type", h48.alias("h")).distinct()
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("event_type").orderBy("h")
+    ranked = hashed.select(
+        "event_type",
+        "h",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("event_type"))
+        .alias("n_exact"),
+    )
+    est = (
+        F.when(
+            F.col("n_exact") < KMV_K, F.col("n_exact").cast("double")
+        ).otherwise(
+            F.lit(float(KMV_K - 1)) * F.lit(float(_KMV_SPACE)) / F.col("h")
+        )
+    )
+    return (
+        ranked.filter(
+            (F.col("rn") == KMV_K) | (F.col("n_exact") < KMV_K)
+        )
+        .filter(
+            (F.col("n_exact") >= KMV_K) | (F.col("rn") == F.col("n_exact"))
+        )
+        .select(
+            "event_type",
+            F.col("n_exact").cast("bigint").alias("n_exact"),
+            F.round(est, 2).alias("kmv_estimate"),
+            F.round(
+                (est - F.col("n_exact")) / F.col("n_exact"), 4
+            ).alias("rel_err"),
+        )
+        .orderBy("event_type")
+    )
+
+
+QUERIES["kmv_distinct_users"] = kmv_distinct_users
+
+_KMV_HI_SQL = md5_hex_int_sql(
+    "md5(CAST(user_id AS VARCHAR))", 1, _KMV_HALF_DIGITS
+)
+_KMV_LO_SQL = md5_hex_int_sql(
+    "md5(CAST(user_id AS VARCHAR))", 1 + _KMV_HALF_DIGITS, _KMV_HALF_DIGITS
+)
+
+ORACLE_SQL["kmv_distinct_users"] = f"""
+    WITH hashed AS (
+        SELECT DISTINCT event_type,
+               CAST({_KMV_HI_SQL} AS BIGINT) * {_KMV_HALF_SPACE}
+               + CAST({_KMV_LO_SQL} AS BIGINT) AS h
+        FROM events
+    ),
+    ranked AS (
+        SELECT event_type, h,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h)
+                   AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n_exact
+        FROM hashed
+    ),
+    kth AS (
+        SELECT * FROM ranked
+        WHERE (rn = {KMV_K} OR n_exact < {KMV_K})
+          AND (n_exact >= {KMV_K} OR rn = n_exact)
+    )
+    SELECT event_type,
+           CAST(n_exact AS BIGINT) AS n_exact,
+           ROUND(CASE WHEN n_exact < {KMV_K}
+                      THEN CAST(n_exact AS DOUBLE)
+                      ELSE CAST({float(KMV_K - 1)!r} AS DOUBLE)
+                           * CAST({float(_KMV_SPACE)!r} AS DOUBLE) / h
+                 END, 2) AS kmv_estimate,
+           ROUND((CASE WHEN n_exact < {KMV_K}
+                       THEN CAST(n_exact AS DOUBLE)
+                       ELSE CAST({float(KMV_K - 1)!r} AS DOUBLE)
+                            * CAST({float(_KMV_SPACE)!r} AS DOUBLE) / h
+                  END - n_exact) / n_exact, 4) AS rel_err
+    FROM kth
+    ORDER BY event_type
+"""

@@ -160,3 +160,52 @@ def test_embedding_dim_stats_shape_and_moments(spark, sf_dir):
         assert r.var_pop >= 0.0
         assert 0.0 <= r.zero_frac <= 1.0
         assert r.min_val <= r.mean_val <= r.max_val
+
+
+def test_kmv_estimate_tracks_exact_and_small_groups_exact(spark, sf_dir):
+    from tableau_dashboard_performance_etl_automation_spark.operators import sketches
+
+    rows = sketches.kmv_distinct_users(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        if r.n_exact < sketches.KMV_K:
+            assert r.kmv_estimate == float(r.n_exact)  # sketch is exact
+        else:
+            # K=64 → stderr ~1/sqrt(62) ≈ 13%; 2x is a generous gate
+            assert r.n_exact / 2 <= r.kmv_estimate <= r.n_exact * 2
+
+
+def test_kmv_small_group_synthetic_exact(spark):
+    """A group with fewer than K distinct keys must report exactly."""
+    from tableau_dashboard_performance_etl_automation_spark.operators import sketches
+
+    e = spark.createDataFrame(
+        [(i, "2024-01-01 00:00:00", i % 7, "tiny", 1.0, "{}") for i in range(100)],
+        "event_id BIGINT, ts STRING, user_id BIGINT, event_type STRING,"
+        " value DOUBLE, props STRING",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    with tempfile.TemporaryDirectory() as td:
+        e.write.parquet(f"{td}/events.parquet")
+        rows = sketches.kmv_distinct_users(spark, td).collect()
+    assert len(rows) == 1
+    assert rows[0].n_exact == 7
+    assert rows[0].kmv_estimate == 7.0
+    assert rows[0].rel_err == 0.0
+
+
+def test_bloom_decontaminate_one_sided_vs_exact(spark, sf_dir):
+    """Bloom membership can only OVERcount: per doc, bloom hits =
+    exact hits + false positives, and every exactly-contaminated doc
+    is bloom-flagged (no false negatives)."""
+    from tableau_dashboard_performance_etl_automation_spark.operators import dedup
+
+    bloom = {r.doc_id: r for r in dedup.bloom_decontaminate(spark, sf_dir).collect()}
+    exact = {
+        r.doc_id: r
+        for r in dedup.benchmark_decontaminate(spark, sf_dir).collect()
+    }
+    assert set(bloom) == set(exact)
+    for doc_id, b in bloom.items():
+        assert b.n_bloom_hits == b.n_exact_hits + b.n_false_pos
+        if exact[doc_id].contaminated:
+            assert b.bloom_contaminated == 1
