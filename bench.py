@@ -64,6 +64,14 @@ def main() -> None:
         # ContextCleaner can unpin their localCheckpoint blocks
         # before the next query runs (outside the timed window)
         gc.collect()
+        # ...and force the JVM collection NOW rather than letting the
+        # old gen grow until a multi-second stop-the-world lands
+        # inside some later query's timed window (observed: a 0.5 s
+        # aggregate reported at 10.5 s min-of-2 in a full run, solo
+        # timing normal). An explicit System.gc() per query moves
+        # that pause outside every timed window; harness hygiene
+        # only, identical plans.
+        spark._jvm.System.gc()
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf

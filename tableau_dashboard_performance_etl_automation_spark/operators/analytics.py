@@ -1715,3 +1715,135 @@ ORACLE_SQL["event_lateness_stats"] = """
     GROUP BY event_type
     ORDER BY event_type
 """
+
+
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of event types: for each
+    user's chronological event sequence, count a→b transitions and
+    normalize per from-state — the behavioral-sequence summary that
+    feeds session modeling, funnel anomaly detection, and synthetic
+    user simulation.
+
+    One per-user LAG window (per-key ordering state only — the
+    kafka-partition shape, no global sort) emits transition pairs;
+    a |types|² hash aggregate (map-side combinable, output bounded by
+    the type alphabet, never the corpus) counts them. Counts are
+    exact integers; the row-probability division happens once per
+    output cell against a window SUM over the tiny from-state
+    groups."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        e.select(
+            F.lag("event_type").over(w).alias("from_type"),
+            F.col("event_type").alias("to_type"),
+        )
+        .filter(F.col("from_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_transitions"))
+    )
+    row_total = Window.partitionBy("from_type")
+    return (
+        pairs.withColumn(
+            "p",
+            F.round(
+                F.col("n_transitions")
+                / F.sum("n_transitions").over(row_total),
+                4,
+            ),
+        )
+        .orderBy("from_type", "to_type")
+    )
+
+
+QUERIES["event_transition_matrix"] = event_transition_matrix
+
+ORACLE_SQL["event_transition_matrix"] = """
+    WITH pairs AS (
+        SELECT from_type, event_type AS to_type
+        FROM (
+            SELECT event_type,
+                   LAG(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS from_type
+            FROM events
+        )
+        WHERE from_type IS NOT NULL
+    ),
+    counts AS (
+        SELECT from_type, to_type,
+               CAST(COUNT(*) AS BIGINT) AS n_transitions
+        FROM pairs GROUP BY from_type, to_type
+    )
+    SELECT from_type, to_type, n_transitions,
+           ROUND(n_transitions / CAST(SUM(n_transitions) OVER (
+                     PARTITION BY from_type) AS DOUBLE), 4) AS p
+    FROM counts
+    ORDER BY from_type, to_type
+"""
+
+
+#: Equi-depth bin count for the per-type feature binning.
+N_VALUE_BINS = 10
+
+
+def equidepth_value_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type equi-depth (equal-count) binning of the value
+    column: NTILE assigns each event to one of ``N_VALUE_BINS``
+    depth-balanced buckets; the output is the bin-boundary table
+    (lo/hi/count/mean per bin) a feature pipeline uses to bucketize
+    a skewed numeric feature — equal-WIDTH histograms put 90% of a
+    long-tailed feature in one bin; equal-DEPTH bins carry equal
+    evidence.
+
+    Determinism: NTILE runs over exact integer cents with an
+    event_id tiebreak, so the bin assignment is identical in both
+    engines even at value ties; per-bin reductions are exact-integer
+    sums. Scale: the window is per-type (per-key sort state); on a
+    100 TB stream you'd swap NTILE for percentile_approx boundaries
+    (mergeable sketch) and keep the aggregation shape."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    w = Window.partitionBy("event_type").orderBy("cents", "event_id")
+    return (
+        e.withColumn("bin", F.ntile(N_VALUE_BINS).over(w))
+        .groupBy("event_type", "bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.round(F.min("cents") / F.lit(100.0), 2).alias("lo"),
+            F.round(F.max("cents") / F.lit(100.0), 2).alias("hi"),
+            F.round(
+                F.sum("cents") / F.lit(100.0) / F.count(F.lit(1)), 4
+            ).alias("mean_val"),
+        )
+        .orderBy("event_type", "bin")
+    )
+
+
+QUERIES["equidepth_value_bins"] = equidepth_value_bins
+
+ORACLE_SQL["equidepth_value_bins"] = f"""
+    WITH cents AS (
+        SELECT event_type, event_id,
+               CAST(ROUND(value * 100) AS BIGINT) AS cents
+        FROM events
+    ),
+    binned AS (
+        SELECT event_type, cents,
+               NTILE({N_VALUE_BINS}) OVER (
+                   PARTITION BY event_type ORDER BY cents, event_id
+               ) AS bin
+        FROM cents
+    )
+    SELECT event_type, bin,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(MIN(cents) / 100.0, 2) AS lo,
+           ROUND(MAX(cents) / 100.0, 2) AS hi,
+           ROUND(SUM(cents) / 100.0 / COUNT(*), 4) AS mean_val
+    FROM binned
+    GROUP BY event_type, bin
+    ORDER BY event_type, bin
+"""

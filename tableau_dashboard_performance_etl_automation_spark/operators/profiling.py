@@ -112,3 +112,142 @@ def _profile_oracle() -> str:
 
 
 ORACLE_SQL = {"profile_orders": _profile_oracle()}
+
+
+#: Numeric lineitem columns for the pairwise-correlation profile and
+#: their integer quantization scales (cents / basis points): exact
+#: integer moments make the correlation replayable across engines.
+CORR_COLS = (
+    ("l_quantity", 100),
+    ("l_extendedprice", 100),
+    ("l_discount", 10000),
+    ("l_tax", 10000),
+)
+
+
+def lineitem_price_correlations(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Pairwise Pearson correlation between lineitem's numeric
+    columns — the column-affinity half of a data profile (next to
+    ``profile_orders``'s per-column half): detects derived/redundant
+    features (price ≈ quantity × unit price) and dead relationships
+    before features enter a model.
+
+    ONE full-pass aggregate computes every moment (n, Σx, Σx²,
+    Σxy per pair) map-side-combined; the 6 output rows are unpacked
+    from that single aggregate row, so the corpus is scanned once no
+    matter how many pairs. Moments are sums of exact integer
+    quantities in DECIMAL(38,0) — BIGINT would overflow at Σx² ≈
+    6.6e19 by sf0.1 (DuckDB's SUM(BIGINT)→HUGEINT matches exactly) —
+    and each correlation is one fixed double expression over those
+    exact moments, so cross-engine values agree to the rounding."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q = {
+        name: F.round(F.col(name) * scale).cast("bigint").alias(name)
+        for name, scale in CORR_COLS
+    }
+    ints = li.select(*q.values())
+    names = [name for name, _ in CORR_COLS]
+    aggs = [F.count(F.lit(1)).cast("decimal(38,0)").alias("n")]
+    for name in names:
+        aggs.append(
+            F.sum(F.col(name).cast("decimal(38,0)")).alias(f"s_{name}")
+        )
+        aggs.append(
+            F.sum((F.col(name) * F.col(name)).cast("decimal(38,0)")).alias(
+                f"ss_{name}"
+            )
+        )
+    pairs = [
+        (names[i], names[j])
+        for i in range(len(names))
+        for j in range(i + 1, len(names))
+    ]
+    for x, y in pairs:
+        aggs.append(
+            F.sum((F.col(x) * F.col(y)).cast("decimal(38,0)")).alias(
+                f"sp_{x}_{y}"
+            )
+        )
+    m = ints.agg(*aggs)
+
+    def corr_expr(x: str, y: str):
+        n = F.col("n").cast("double")
+        sx, sy = (
+            F.col(f"s_{x}").cast("double"),
+            F.col(f"s_{y}").cast("double"),
+        )
+        sxx, syy = (
+            F.col(f"ss_{x}").cast("double"),
+            F.col(f"ss_{y}").cast("double"),
+        )
+        sxy = F.col(f"sp_{x}_{y}").cast("double")
+        return (n * sxy - sx * sy) / (
+            F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+        )
+
+    out_rows = F.array(
+        *[
+            F.struct(
+                F.lit(x).alias("col_x"),
+                F.lit(y).alias("col_y"),
+                F.round(corr_expr(x, y), 4).alias("pearson_r"),
+            )
+            for x, y in pairs
+        ]
+    )
+    return (
+        m.select(F.explode(out_rows).alias("c"), F.col("n"))
+        .select(
+            "c.col_x",
+            "c.col_y",
+            F.col("n").cast("bigint").alias("n_rows"),
+            "c.pearson_r",
+        )
+        .orderBy("col_x", "col_y")
+    )
+
+
+QUERIES["lineitem_price_correlations"] = lineitem_price_correlations
+
+
+def _corr_oracle() -> str:
+    names = [name for name, _ in CORR_COLS]
+    pairs = [
+        (names[i], names[j])
+        for i in range(len(names))
+        for j in range(i + 1, len(names))
+    ]
+    qcols = ", ".join(
+        f"CAST(ROUND({name} * {scale}) AS BIGINT) AS {name}"
+        for name, scale in CORR_COLS
+    )
+    mom = ["CAST(COUNT(*) AS DOUBLE) AS n"]
+    for name in names:
+        mom.append(f"CAST(SUM({name}) AS DOUBLE) AS s_{name}")
+        mom.append(f"CAST(SUM({name} * {name}) AS DOUBLE) AS ss_{name}")
+    for x, y in pairs:
+        mom.append(f"CAST(SUM({x} * {y}) AS DOUBLE) AS sp_{x}_{y}")
+    selects = []
+    for x, y in pairs:
+        r = (
+            f"(n * sp_{x}_{y} - s_{x} * s_{y}) / "
+            f"(sqrt(n * ss_{x} - s_{x} * s_{x})"
+            f" * sqrt(n * ss_{y} - s_{y} * s_{y}))"
+        )
+        selects.append(
+            f"SELECT '{x}' AS col_x, '{y}' AS col_y,"
+            f" CAST(n AS BIGINT) AS n_rows,"
+            f" ROUND({r}, 4) AS pearson_r FROM m"
+        )
+    union = " UNION ALL ".join(selects)
+    return f"""
+        WITH ints AS (SELECT {qcols} FROM lineitem),
+        m AS (SELECT {', '.join(mom)} FROM ints)
+        SELECT * FROM ({union})
+        ORDER BY col_x, col_y
+    """
+
+
+ORACLE_SQL["lineitem_price_correlations"] = _corr_oracle()

@@ -209,3 +209,76 @@ def test_bloom_decontaminate_one_sided_vs_exact(spark, sf_dir):
         assert b.n_bloom_hits == b.n_exact_hits + b.n_false_pos
         if exact[doc_id].contaminated:
             assert b.bloom_contaminated == 1
+
+
+def test_transition_matrix_rows_normalize_and_conserve(spark, sf_dir):
+    from tableau_dashboard_performance_etl_automation_spark.operators import analytics as an
+
+    df = an.event_transition_matrix(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "windowspecdefinition(user_id" in plan  # per-user sequence only
+    rows = df.collect()
+    by_from: dict = {}
+    for r in rows:
+        by_from.setdefault(r.from_type, []).append(r)
+    for from_type, cells in by_from.items():
+        assert abs(sum(c.p for c in cells) - 1.0) < 0.01  # row-stochastic
+    e = load_table(spark, sf_dir, "events")
+    n_events = e.count()
+    n_users = e.select("user_id").distinct().count()
+    # each user's sequence of length L contributes L-1 transitions
+    assert sum(r.n_transitions for r in rows) == n_events - n_users
+
+
+def test_equidepth_bins_balanced_and_ordered(spark, sf_dir):
+    from tableau_dashboard_performance_etl_automation_spark.operators import analytics as an
+
+    rows = an.equidepth_value_bins(spark, sf_dir).collect()
+    by_type: dict = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r)
+    e = load_table(spark, sf_dir, "events")
+    type_counts = {
+        r.event_type: r.n
+        for r in e.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    for etype, bins in by_type.items():
+        bins.sort(key=lambda r: r.bin)
+        assert [b.bin for b in bins] == list(range(1, an.N_VALUE_BINS + 1))
+        sizes = [b.n_events for b in bins]
+        assert max(sizes) - min(sizes) <= 1  # equal depth
+        assert sum(sizes) == type_counts[etype]  # partition of the type
+        for b in bins:
+            assert b.lo <= b.mean_val + 0.01 and b.mean_val <= b.hi + 0.01
+        for prev, nxt in zip(bins, bins[1:]):
+            assert prev.hi <= nxt.lo + 0.011  # boundaries non-decreasing
+
+
+def test_correlations_bounded_and_perfect_on_synthetic(spark, sf_dir):
+    from tableau_dashboard_performance_etl_automation_spark.operators import profiling as pf
+
+    rows = pf.lineitem_price_correlations(spark, sf_dir).collect()
+    assert len(rows) == 6  # C(4,2) pairs
+    for r in rows:
+        assert -1.0 <= r.pearson_r <= 1.0
+    # synthetic: price = 1000*quantity exactly → r(quantity, price) = 1
+    li = spark.createDataFrame(
+        [(i, i, i, 1, float(i % 50 + 1), float((i % 50 + 1) * 1000),
+          0.01 * (i % 10), 0.01 * ((i * 7) % 8),
+          "N", "O", "2024-01-01 00:00:00")
+         for i in range(200)],
+        "l_orderkey BIGINT, l_partkey BIGINT, l_suppkey BIGINT,"
+        " l_linenumber INT, l_quantity DOUBLE, l_extendedprice DOUBLE,"
+        " l_discount DOUBLE, l_tax DOUBLE, l_returnflag STRING,"
+        " l_linestatus STRING, l_shipdate STRING",
+    ).withColumn("l_shipdate", F.to_timestamp("l_shipdate"))
+    with tempfile.TemporaryDirectory() as td:
+        li.write.parquet(f"{td}/lineitem.parquet")
+        out = {
+            (r.col_x, r.col_y): r.pearson_r
+            for r in pf.lineitem_price_correlations(spark, td).collect()
+        }
+    r_qty_price = out.get(("l_extendedprice", "l_quantity")) or out.get(
+        ("l_quantity", "l_extendedprice")
+    )
+    assert r_qty_price == 1.0
