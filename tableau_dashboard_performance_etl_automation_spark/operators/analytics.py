@@ -1847,3 +1847,104 @@ ORACLE_SQL["equidepth_value_bins"] = f"""
     GROUP BY event_type, bin
     ORDER BY event_type, bin
 """
+
+
+#: An event is "late" for restatement purposes when its event-time
+#: lags the per-user arrival high-watermark by more than this many
+#: seconds — the same watermark-delay dial a streaming deployment
+#: sets (see :func:`event_lateness_stats` for how it is sized).
+RESTATE_LATE_S = 3600
+
+
+def late_data_restatement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backfill impact report: for each event date, the daily total a
+    stream with a ``RESTATE_LATE_S`` watermark would have PUBLISHED
+    (late events dropped) versus the FINAL batch total, and the
+    restatement delta — the audit that tells you which published
+    partitions a nightly backfill must rewrite and by how much.
+
+    The lateness flag is the per-user arrival-order window from the
+    lateness audit (per-key state, no global sort); both daily
+    aggregates come out of ONE pass over the flagged rows (the prompt
+    total is a conditional sum, not a second scan). Cents are exact
+    integers; deltas are integer differences."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flagged = e.select(
+        F.to_date("ts").alias("event_date"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        (
+            F.max(F.unix_micros(F.col("ts"))).over(w)
+            - F.unix_micros(F.col("ts"))
+            > RESTATE_LATE_S * 1000000
+        )
+        .cast("int")
+        .alias("is_late"),
+    )
+    return (
+        flagged.groupBy("event_date")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum("is_late").cast("bigint").alias("n_late"),
+            F.round(F.sum("cents") / F.lit(100.0), 2).alias("final_total"),
+            F.round(
+                F.sum(
+                    F.when(F.col("is_late") == 0, F.col("cents")).otherwise(0)
+                )
+                / F.lit(100.0),
+                2,
+            ).alias("prompt_total"),
+            F.round(
+                F.sum(
+                    F.when(F.col("is_late") == 1, F.col("cents")).otherwise(0)
+                )
+                / F.lit(100.0),
+                2,
+            ).alias("restated_delta"),
+        )
+        .withColumn(
+            "needs_restatement", (F.col("n_late") > 0).cast("int")
+        )
+        .select(
+            F.date_format("event_date", "yyyy-MM-dd").alias("event_date"),
+            "n_events",
+            "n_late",
+            "final_total",
+            "prompt_total",
+            "restated_delta",
+            "needs_restatement",
+        )
+        .orderBy("event_date")
+    )
+
+
+QUERIES["late_data_restatement"] = late_data_restatement
+
+ORACLE_SQL["late_data_restatement"] = f"""
+    WITH flagged AS (
+        SELECT CAST(ts AS DATE) AS event_date,
+               CAST(ROUND(value * 100) AS BIGINT) AS cents,
+               CASE WHEN MAX(epoch_us(ts)) OVER (
+                        PARTITION BY user_id ORDER BY event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                    ) - epoch_us(ts) > {RESTATE_LATE_S * 1000000}
+                    THEN 1 ELSE 0 END AS is_late
+        FROM events
+    )
+    SELECT strftime(event_date, '%Y-%m-%d') AS event_date,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(is_late) AS BIGINT) AS n_late,
+           ROUND(SUM(cents) / 100.0, 2) AS final_total,
+           ROUND(SUM(CASE WHEN is_late = 0 THEN cents ELSE 0 END)
+                 / 100.0, 2) AS prompt_total,
+           ROUND(SUM(CASE WHEN is_late = 1 THEN cents ELSE 0 END)
+                 / 100.0, 2) AS restated_delta,
+           CAST(SUM(is_late) > 0 AS INTEGER) AS needs_restatement
+    FROM flagged
+    GROUP BY event_date
+    ORDER BY event_date
+"""

@@ -1464,3 +1464,53 @@ def _bloom_oracle() -> str:
 
 
 ORACLE_SQL["bloom_decontaminate"] = _bloom_oracle()
+
+
+def dedup_survivorship_conflicts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Survivorship audit for exact-duplicate groups: when byte-equal
+    texts carry DIFFERENT metadata (lang, source), a dedup pass that
+    keeps one survivor silently discards the others' attributes —
+    this op reports, per duplicate group, the copy count and the
+    distinct metadata values, flagging the groups where survivor
+    choice actually loses information (the MDM merge-conflict list a
+    curation pipeline reviews before collapsing).
+
+    Same single hash-shuffle as :func:`dedup_exact` — the metadata
+    cardinalities ride along as extra aggregates on the same
+    ``md5(text)`` grouping, so the audit costs nothing beyond the
+    dedup pass it guards."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5(F.col("text")).alias("text_hash"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_copies"),
+            F.min("doc_id").alias("keep_id"),
+            F.countDistinct("lang").cast("bigint").alias("n_langs"),
+            F.countDistinct("source").cast("bigint").alias("n_sources"),
+        )
+        .filter(F.col("n_copies") > 1)
+        .withColumn(
+            "has_conflict",
+            ((F.col("n_langs") > 1) | (F.col("n_sources") > 1)).cast("int"),
+        )
+        .orderBy("text_hash")
+    )
+
+
+QUERIES["dedup_survivorship_conflicts"] = dedup_survivorship_conflicts
+
+ORACLE_SQL["dedup_survivorship_conflicts"] = """
+    SELECT md5(text) AS text_hash,
+           CAST(COUNT(*) AS BIGINT) AS n_copies,
+           MIN(doc_id) AS keep_id,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(COUNT(DISTINCT lang) > 1 OR COUNT(DISTINCT source) > 1
+                AS INTEGER) AS has_conflict
+    FROM documents
+    GROUP BY md5(text)
+    HAVING COUNT(*) > 1
+    ORDER BY text_hash
+"""

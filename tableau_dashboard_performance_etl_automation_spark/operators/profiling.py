@@ -251,3 +251,187 @@ def _corr_oracle() -> str:
 
 
 ORACLE_SQL["lineitem_price_correlations"] = _corr_oracle()
+
+
+def table_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality expectation suite over ``orders`` —
+    the contract a pipeline asserts before publishing a table
+    (Great-Expectations/dbt-test shape): nullability, key
+    uniqueness, accepted values, numeric range, and referential
+    containment, each reported as (expectation, n_checked, n_failed,
+    passed).
+
+    Every expectation is a column-pruned aggregate over one scan
+    shape; the FK containment is a broadcast LEFT ANTI against the
+    customer dimension. The union result is rows = |expectations|,
+    so the report never scales with the table. At 100 TB these run
+    as ONE multi-aggregate pass per table (Catalyst collapses the
+    shared scan) gated before any downstream job sees the load."""
+    o = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+
+    def row(name, n_checked, n_failed):
+        return (
+            F.lit(name).alias("expectation"),
+            n_checked.cast("bigint").alias("n_checked"),
+            n_failed.cast("bigint").alias("n_failed"),
+            (n_failed == 0).cast("int").alias("passed"),
+        )
+
+    n = F.count(F.lit(1))
+    not_null = o.agg(
+        *row("o_custkey_not_null", n, F.sum(F.col("o_custkey").isNull().cast("int")))
+    )
+    unique = (
+        o.groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(
+            *row(
+                "o_orderkey_unique",
+                n,
+                F.sum((F.col("c") > 1).cast("int")),
+            )
+        )
+    )
+    accepted = o.agg(
+        *row(
+            "o_orderstatus_accepted_values",
+            n,
+            F.sum((~F.col("o_orderstatus").isin("O", "F", "P")).cast("int")),
+        )
+    )
+    rng = o.agg(
+        *row(
+            "o_totalprice_positive",
+            n,
+            F.sum((F.col("o_totalprice") <= 0).cast("int")),
+        )
+    )
+    # NULL keys are the not-null expectation's finding, not an FK
+    # orphan (mirrors SQL NOT IN, where a NULL never matches)
+    fk_orphans = (
+        o.filter(F.col("o_custkey").isNotNull())
+        .join(
+            F.broadcast(cust.select("c_custkey")),
+            o["o_custkey"] == cust["c_custkey"],
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).alias("orph"))
+    )
+    fk = o.agg(n.alias("nn")).crossJoin(F.broadcast(fk_orphans)).select(
+        *row("o_custkey_in_customer", F.col("nn"), F.col("orph"))
+    )
+    out = not_null
+    for part in (unique, accepted, rng, fk):
+        out = out.unionAll(part)
+    return out.orderBy("expectation")
+
+
+QUERIES["table_expectations"] = table_expectations
+
+ORACLE_SQL["table_expectations"] = """
+    SELECT * FROM (
+        SELECT 'o_custkey_not_null' AS expectation,
+               CAST(COUNT(*) AS BIGINT) AS n_checked,
+               CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_failed,
+               CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) = 0
+                    AS INTEGER) AS passed
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderkey_unique',
+               CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) = 0 AS INTEGER)
+        FROM (SELECT o_orderkey, COUNT(*) AS c FROM orders
+              GROUP BY o_orderkey)
+        UNION ALL
+        SELECT 'o_orderstatus_accepted_values',
+               CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(CASE WHEN o_orderstatus NOT IN ('O','F','P')
+                             THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(SUM(CASE WHEN o_orderstatus NOT IN ('O','F','P')
+                             THEN 1 ELSE 0 END) = 0 AS INTEGER)
+        FROM orders
+        UNION ALL
+        SELECT 'o_totalprice_positive',
+               CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END)
+                    AS BIGINT),
+               CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) = 0
+                    AS INTEGER)
+        FROM orders
+        UNION ALL
+        SELECT 'o_custkey_in_customer',
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM orders),
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+                WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)),
+               CAST((SELECT COUNT(*) FROM orders
+                     WHERE o_custkey NOT IN
+                           (SELECT c_custkey FROM customer)) = 0
+                    AS INTEGER)
+    )
+    ORDER BY expectation
+"""
+
+
+def props_json_key_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema census of the semi-structured ``events.props`` JSON
+    payload: which keys exist, how much of the stream carries each,
+    and the value cardinality — the drift detector that catches a
+    producer adding/renaming payload fields before a declared
+    ``from_json`` schema (``events_json_extract``) silently starts
+    returning nulls. (This corpus emits a single key ``k``; the
+    census mechanism is the operator.)
+
+    The payload parses once to ``map<string,string>`` (``from_json``
+    — JVM-side, no UDF, no declared field list) and explodes to
+    (key, value) rows; the census is a |keys| hash aggregate plus a
+    broadcast 1-row total for coverage — output bounded by the
+    payload vocabulary, never the stream."""
+    e = load_table(spark, sf_dir, "events")
+    total = F.broadcast(e.agg(F.count(F.lit(1)).alias("n_total")))
+    keys = e.select(
+        F.explode(
+            F.from_json(F.col("props"), "map<string,string>")
+        ).alias("key", "val")
+    )
+    return (
+        keys.groupBy("key")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.countDistinct("val").cast("bigint").alias("n_distinct_vals"),
+            F.min("val").alias("min_val"),
+            F.max("val").alias("max_val"),
+        )
+        .crossJoin(total)
+        .withColumn(
+            "coverage", F.round(F.col("n_rows") / F.col("n_total"), 4)
+        )
+        .drop("n_total")
+        .orderBy("key")
+    )
+
+
+QUERIES["props_json_key_census"] = props_json_key_census
+
+ORACLE_SQL["props_json_key_census"] = """
+    WITH keys AS (
+        SELECT unnest(json_keys(props)) AS key, props FROM events
+    ),
+    vals AS (
+        SELECT key,
+               json_extract_string(props, '$.' || key) AS val
+        FROM keys
+    ),
+    total AS (SELECT COUNT(*) AS n_total FROM events)
+    SELECT key,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT val) AS BIGINT) AS n_distinct_vals,
+           MIN(val) AS min_val,
+           MAX(val) AS max_val,
+           ROUND(COUNT(*) / CAST(n_total AS DOUBLE), 4) AS coverage
+    FROM vals, total
+    GROUP BY key, n_total
+    ORDER BY key
+"""

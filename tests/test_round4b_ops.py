@@ -282,3 +282,94 @@ def test_correlations_bounded_and_perfect_on_synthetic(spark, sf_dir):
         ("l_quantity", "l_extendedprice")
     )
     assert r_qty_price == 1.0
+
+
+def test_expectations_pass_on_corpus_and_catch_synthetic_violations(spark, sf_dir):
+    from tableau_dashboard_performance_etl_automation_spark.operators import profiling as pf
+
+    rows = {r.expectation: r for r in pf.table_expectations(spark, sf_dir).collect()}
+    assert len(rows) == 5
+    for r in rows.values():
+        assert r.passed == 1 and r.n_failed == 0  # clean corpus
+    # synthetic violations: dup orderkey, NULL custkey, bad status,
+    # non-positive price, and a custkey absent from customer
+    orders = spark.createDataFrame(
+        [
+            (1, 10, "O", 5.0, "2024-01-01 00:00:00", "1-URGENT"),
+            (1, 10, "F", 5.0, "2024-01-01 00:00:00", "1-URGENT"),
+            (2, None, "X", -1.0, "2024-01-01 00:00:00", "1-URGENT"),
+            (3, 99, "P", 5.0, "2024-01-01 00:00:00", "1-URGENT"),
+        ],
+        "o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING,"
+        " o_totalprice DOUBLE, o_orderdate STRING, o_orderpriority STRING",
+    ).withColumn("o_orderdate", F.to_timestamp("o_orderdate"))
+    cust = spark.createDataFrame(
+        [(10, "c", 0, 0.0, "SEG")],
+        "c_custkey BIGINT, c_name STRING, c_nationkey INT,"
+        " c_acctbal DOUBLE, c_mktsegment STRING",
+    )
+    with tempfile.TemporaryDirectory() as td:
+        orders.write.parquet(f"{td}/orders.parquet")
+        cust.write.parquet(f"{td}/customer.parquet")
+        bad = {r.expectation: r for r in pf.table_expectations(spark, td).collect()}
+    assert bad["o_orderkey_unique"].passed == 0
+    assert bad["o_custkey_not_null"].n_failed == 1
+    assert bad["o_orderstatus_accepted_values"].n_failed == 1
+    assert bad["o_totalprice_positive"].n_failed == 1
+    assert bad["o_custkey_in_customer"].n_failed == 1  # custkey 99 orphan
+
+
+def test_json_key_census_detects_drifted_keys(spark, sf_dir):
+    from tableau_dashboard_performance_etl_automation_spark.operators import profiling as pf
+
+    rows = pf.props_json_key_census(spark, sf_dir).collect()
+    assert [r.key for r in rows] == ["k"]  # corpus emits one key
+    assert rows[0].coverage == 1.0
+    # drifted payloads: a second key on half the stream
+    e = spark.createDataFrame(
+        [(i, "2024-01-01 00:00:00", i, "t", 1.0,
+          '{"k": 1, "new_field": "x"}' if i % 2 else '{"k": 1}')
+         for i in range(10)],
+        "event_id BIGINT, ts STRING, user_id BIGINT, event_type STRING,"
+        " value DOUBLE, props STRING",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    with tempfile.TemporaryDirectory() as td:
+        e.write.parquet(f"{td}/events.parquet")
+        drift = {r.key: r for r in pf.props_json_key_census(spark, td).collect()}
+    assert drift["k"].coverage == 1.0
+    assert drift["new_field"].coverage == 0.5
+
+
+def test_restatement_totals_decompose(spark, sf_dir):
+    from tableau_dashboard_performance_etl_automation_spark.operators import analytics as an
+
+    for r in an.late_data_restatement(spark, sf_dir).collect():
+        assert abs(r.final_total - (r.prompt_total + r.restated_delta)) < 0.011
+        assert (r.needs_restatement == 1) == (r.n_late > 0)
+        assert r.n_late <= r.n_events
+
+
+def test_survivorship_flags_synthetic_conflicts(spark, sf_dir):
+    from tableau_dashboard_performance_etl_automation_spark.operators import dedup
+
+    # corpus rows (sf0.001/0.01 have no exact dups → empty audit is
+    # the legitimate outcome; sf0.1 carries 8 conflicted groups)
+    for r in dedup.dedup_survivorship_conflicts(spark, sf_dir).collect():
+        assert r.n_copies > 1
+    docs = spark.createDataFrame(
+        [
+            (0, "same text here", "en", "web", 0),
+            (1, "same text here", "de", "web", 0),   # lang conflict
+            (2, "other text here", "en", "web", 0),
+            (3, "other text here", "en", "web", 0),  # clean dup
+            (4, "unique text here", "en", "web", 0),
+        ],
+        "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT",
+    )
+    with tempfile.TemporaryDirectory() as td:
+        docs.write.parquet(f"{td}/documents.parquet")
+        rows = dedup.dedup_survivorship_conflicts(spark, td).collect()
+    by_keep = {r.keep_id: r for r in rows}
+    assert set(by_keep) == {0, 2}  # the two dup groups, keyed by survivor
+    assert by_keep[0].has_conflict == 1 and by_keep[0].n_langs == 2
+    assert by_keep[2].has_conflict == 0
