@@ -21,6 +21,7 @@ from tableau_dashboard_performance_etl_automation_spark.operators import (
     curation,
     dedup,
     history,
+    linkage,
     multimodal,
     profiling,
     relational_ext,
@@ -132,6 +133,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(scrubbing.QUERIES)
     out.update(chunking.QUERIES)
     out.update(history.QUERIES)
+    out.update(linkage.QUERIES)
     out.update(clustering.QUERIES)
     out.update(curation.QUERIES)
     out.update(asof.QUERIES)
@@ -157,6 +159,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(scrubbing.ORACLE_SQL)
     out.update(chunking.ORACLE_SQL)
     out.update(history.ORACLE_SQL)
+    out.update(linkage.ORACLE_SQL)
     out.update(clustering.ORACLE_SQL)
     out.update(curation.ORACLE_SQL)
     out.update(asof.ORACLE_SQL)

@@ -884,8 +884,153 @@ def user_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def monthly_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth: monthly ``SUM(o_totalprice)``
+    rollup plus a ``LAG`` window for the percentage change (guarded
+    division, NULL for the first month — P10's CASE pattern,
+    tabjolt_email.py:385, applied to a time series).
+
+    Scale shape: the fact scan collapses to one partial-agg rollup
+    (map-side combined, shuffle carries |months| partial sums); the
+    LAG window then runs over the ~tens-of-rows monthly aggregate —
+    an unpartitioned window is fine *after* aggregation, never on the
+    fact table. Revenue is rounded to cents before the growth ratio
+    so both engines difference identical values.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month")
+    ).agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    w = Window.orderBy("month")
+    prev = F.lag("revenue").over(w)
+    return (
+        monthly.withColumn("prev_revenue", prev)
+        .withColumn(
+            "growth_pct",
+            F.when(
+                F.col("prev_revenue").isNull()
+                | (F.col("prev_revenue") == 0),
+                F.lit(None).cast("double"),
+            ).otherwise(
+                F.round(
+                    (F.col("revenue") - F.col("prev_revenue"))
+                    / F.col("prev_revenue")
+                    * 100.0,
+                    4,
+                )
+            ),
+        )
+        .orderBy("month")
+    )
+
+
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per-customer recency / frequency / monetary
+    from the orders fact, each scored into quintiles with ``NTILE(5)``
+    (5 = most recent / most frequent / highest spend), then rolled up
+    to segment cells — the standard marketing-warehouse cohort cube.
+
+    Scale shape: one hash aggregate by ``o_custkey`` (map-side
+    combinable) reduces the fact table to one row per customer; the
+    three NTILE windows then rank the *customer* table, not the fact
+    table — a global sort per metric, but over n_customers rows with
+    AQE right-sizing the range exchange. Orderings carry a
+    ``c_custkey`` tiebreak so bucket boundaries are deterministic;
+    monetary is rounded to cents before ranking so both engines
+    order identical doubles.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    anchor = orders.agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("anchor_d")
+    )
+    per_cust = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.max(F.col("o_orderdate").cast("date")).alias("last_d"),
+            F.count(F.lit(1)).cast("bigint").alias("frequency"),
+            F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+        )
+        .crossJoin(F.broadcast(anchor))
+        .withColumn(
+            "recency_days",
+            F.datediff(F.col("anchor_d"), F.col("last_d")).cast("bigint"),
+        )
+    )
+    r_w = Window.orderBy(F.col("recency_days").desc(), F.col("o_custkey"))
+    f_w = Window.orderBy(F.col("frequency").asc(), F.col("o_custkey"))
+    m_w = Window.orderBy(F.col("monetary").asc(), F.col("o_custkey"))
+    scored = per_cust.select(
+        "o_custkey",
+        "monetary",
+        F.ntile(5).over(r_w).alias("r_score"),
+        F.ntile(5).over(f_w).alias("f_score"),
+        F.ntile(5).over(m_w).alias("m_score"),
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.round(F.sum("monetary"), 2).alias("segment_revenue"),
+        )
+        .orderBy("r_score", "f_score", "m_score")
+    )
+
+
+def order_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival gaps between consecutive orders per customer
+    (LAG over the per-customer order timeline), summarized per market
+    segment: purchase-cadence statistics, the feature a churn model
+    starts from.
+
+    Scale shape: the LAG window shuffles once on the natural
+    ``o_custkey`` key with bounded per-key state; the segment rollup
+    is a map-side-combinable hash aggregate over the small customer
+    dimension join (broadcast). Gap values are exact integer day
+    counts, so the averages are sums of ints — bit-identical across
+    engines after the final rounding.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.lag(F.col("o_orderdate")).over(w).alias("prev_dt"),
+        )
+        .filter(F.col("prev_dt").isNotNull())
+        .select(
+            "o_custkey",
+            F.datediff(
+                F.col("o_orderdate").cast("date"),
+                F.col("prev_dt").cast("date"),
+            )
+            .cast("bigint")
+            .alias("gap_days"),
+        )
+    )
+    return (
+        gaps.join(
+            F.broadcast(cust.select("c_custkey", "c_mktsegment")),
+            gaps.o_custkey == F.col("c_custkey"),
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+            F.round(F.avg("gap_days"), 4).alias("avg_gap_days"),
+            F.min("gap_days").alias("min_gap_days"),
+            F.max("gap_days").alias("max_gap_days"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
 QUERIES = {
     "daily_p95_series": daily_p95_series,
+    "monthly_revenue_growth": monthly_revenue_growth,
+    "customer_rfm_segments": customer_rfm_segments,
+    "order_interarrival_stats": order_interarrival_stats,
     "decayed_event_scores": decayed_event_scores,
     "daily_anomaly_scores": daily_anomaly_scores,
     "pricing_summary": pricing_summary,
@@ -911,6 +1056,88 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "monthly_revenue_growth": """
+        WITH m AS (
+            SELECT strftime(o_orderdate, '%Y-%m') AS month,
+                   ROUND(SUM(o_totalprice), 2) AS revenue
+            FROM orders
+            GROUP BY 1
+        )
+        SELECT month, revenue,
+               LAG(revenue) OVER (ORDER BY month) AS prev_revenue,
+               CASE
+                   WHEN LAG(revenue) OVER (ORDER BY month) IS NULL
+                        OR LAG(revenue) OVER (ORDER BY month) = 0
+                   THEN NULL
+                   ELSE ROUND(
+                       (revenue - LAG(revenue) OVER (ORDER BY month))
+                       / LAG(revenue) OVER (ORDER BY month) * 100.0, 4)
+               END AS growth_pct
+        FROM m
+        ORDER BY month
+    """,
+    "customer_rfm_segments": """
+        WITH anchor AS (
+            SELECT MAX(CAST(o_orderdate AS DATE)) AS anchor_d FROM orders
+        ),
+        per_cust AS (
+            SELECT o_custkey,
+                   MAX(CAST(o_orderdate AS DATE)) AS last_d,
+                   CAST(COUNT(*) AS BIGINT) AS frequency,
+                   ROUND(SUM(o_totalprice), 2) AS monetary
+            FROM orders
+            GROUP BY o_custkey
+        ),
+        scored AS (
+            SELECT o_custkey, monetary,
+                   NTILE(5) OVER (
+                       ORDER BY date_diff('day', last_d, anchor_d) DESC,
+                                o_custkey
+                   ) AS r_score,
+                   NTILE(5) OVER (
+                       ORDER BY frequency ASC, o_custkey
+                   ) AS f_score,
+                   NTILE(5) OVER (
+                       ORDER BY monetary ASC, o_custkey
+                   ) AS m_score
+            FROM per_cust CROSS JOIN anchor
+        )
+        SELECT CAST(r_score AS INTEGER) AS r_score,
+               CAST(f_score AS INTEGER) AS f_score,
+               CAST(m_score AS INTEGER) AS m_score,
+               CAST(COUNT(*) AS BIGINT) AS n_customers,
+               ROUND(SUM(monetary), 2) AS segment_revenue
+        FROM scored
+        GROUP BY r_score, f_score, m_score
+        ORDER BY r_score, f_score, m_score
+    """,
+    "order_interarrival_stats": """
+        WITH seq AS (
+            SELECT o_custkey, o_orderdate,
+                   LAG(o_orderdate) OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey
+                   ) AS prev_dt
+            FROM orders
+        ),
+        gaps AS (
+            SELECT o_custkey,
+                   CAST(date_diff('day', CAST(prev_dt AS DATE),
+                                  CAST(o_orderdate AS DATE)) AS BIGINT)
+                       AS gap_days
+            FROM seq
+            WHERE prev_dt IS NOT NULL
+        )
+        SELECT c_mktsegment,
+               CAST(COUNT(*) AS BIGINT) AS n_gaps,
+               ROUND(AVG(gap_days), 4) AS avg_gap_days,
+               CAST(MIN(gap_days) AS BIGINT) AS min_gap_days,
+               CAST(MAX(gap_days) AS BIGINT) AS max_gap_days
+        FROM gaps
+        JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment
+    """,
     "daily_anomaly_scores": f"""
         WITH daily AS (
             SELECT CAST(ts AS DATE) AS d,

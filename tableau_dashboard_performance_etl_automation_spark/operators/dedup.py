@@ -906,8 +906,72 @@ def dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: containment threshold: |A∩B| / min(|A|,|B|) at or above this flags
+#: a subset-duplication pair even when Jaccard stays low.
+CONTAINMENT_MIN = 0.8
+
+
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment-based near-dup pairs: ``|A∩B| / min(|A|,|B|)`` over
+    3-gram shingle sets. Containment catches the case symmetric
+    Jaccard structurally misses — a short document embedded verbatim
+    inside a long one (quote, excerpt, concatenated crawl page) has
+    containment ≈ 1 but Jaccard ≈ |A|/|B| → 0.
+
+    Scale shape: identical to the Jaccard pipeline (dedup.py's
+    inverted-index equi-join with the stop-shingle DF cap bounding
+    bucket sizes); only the scoring ratio differs, so the quadratic
+    guards carry over unchanged. Both metrics are ratios of exact
+    integers — bit-identical across engines — and the threshold
+    compares the *rounded* value so the boundary is unambiguous.
+    """
+    sh = _doc_shingles(spark, sf_dir).localCheckpoint()
+    keep = (
+        sh.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= JACCARD_MAX_DF)
+        .select("sh")
+    )
+    sh = sh.join(keep, "sh")
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "inter",
+            F.round(
+                F.col("inter") / F.least(F.col("sz_a"), F.col("sz_b")), 4
+            ).alias("containment"),
+            F.round(
+                F.col("inter")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+                4,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("containment") >= F.lit(CONTAINMENT_MIN))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
+    "dedup_containment": dedup_containment,
     "dedup_subdoc_blocks": dedup_subdoc_blocks,
     "dedup_subdoc_neardup": dedup_subdoc_neardup,
     "dedup_canonical": dedup_canonical,
@@ -1182,6 +1246,34 @@ ORACLE_SQL = {
         JOIN documents db ON db.doc_id = p.doc_b
         GROUP BY 1, 2
         ORDER BY source_a, source_b
+    """,
+    "dedup_containment": f"""
+        WITH {_SHINGLES_CTE},
+        keep AS (
+            SELECT sh FROM doc_shingles GROUP BY sh
+            HAVING COUNT(*) <= {JACCARD_MAX_DF}
+        ),
+        sh2 AS (
+            SELECT ds.doc_id, ds.sh FROM doc_shingles ds JOIN keep USING (sh)
+        ),
+        sizes AS (
+            SELECT doc_id, COUNT(*) AS sz FROM sh2 GROUP BY doc_id
+        ),
+        inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(COUNT(*) AS BIGINT) AS inter
+            FROM sh2 a JOIN sh2 b ON a.sh = b.sh AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT doc_a, doc_b, inter,
+               ROUND(inter * 1.0 / LEAST(sa.sz, sb.sz), 4) AS containment,
+               ROUND(inter * 1.0 / (sa.sz + sb.sz - inter), 4) AS jaccard
+        FROM inter
+        JOIN sizes sa ON inter.doc_a = sa.doc_id
+        JOIN sizes sb ON inter.doc_b = sb.doc_id
+        WHERE ROUND(inter * 1.0 / LEAST(sa.sz, sb.sz), 4)
+              >= {CONTAINMENT_MIN}
+        ORDER BY doc_a, doc_b
     """,
     "dedup_ngram_jaccard": f"""
         WITH {_SHINGLES_CTE},

@@ -435,3 +435,64 @@ ORACLE_SQL["props_json_key_census"] = """
     GROUP BY key, n_total
     ORDER BY key
 """
+
+
+#: Zone-map shard width in orderkeys — stands in for a parquet
+#: row-group / file boundary in the skipping accounting below.
+ZONE_STRIDE = 2048
+#: The probe predicate whose skippability the zone maps measure.
+ZONE_PRUNE_TS = "1997-06-01"
+
+
+def zonemap_pruning_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map (data-skipping) accounting for lineitem: shard the
+    table on ``l_orderkey DIV ZONE_STRIDE`` (a stand-in for the
+    physical file/row-group boundary a writer would produce), record
+    each shard's min/max ``l_shipdate``, and flag the shards a scan
+    with ``l_shipdate >= ZONE_PRUNE_TS`` could skip entirely — the
+    min/max-statistics pruning parquet readers and warehouse zone
+    maps do, surfaced as a measurable table.
+
+    Scale shape: one map-side-combinable hash aggregate keyed on the
+    shard id (arithmetic on the natural key — no shuffle beyond the
+    aggregate's own); output is |table|/STRIDE rows. The interesting
+    number at 100 TB is the prunable fraction: data clustered on the
+    predicate column (here: shipdate correlates with orderkey)
+    skips most shards, random layout skips none — this query is the
+    evidence for choosing a sort/cluster key.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    bound = F.to_timestamp(F.lit(ZONE_PRUNE_TS))
+    return (
+        li.groupBy(
+            F.expr(f"l_orderkey DIV {ZONE_STRIDE}")
+            .cast("bigint")
+            .alias("shard_id")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.date_format(F.min("l_shipdate"), "yyyy-MM-dd").alias(
+                "min_ship"
+            ),
+            F.date_format(F.max("l_shipdate"), "yyyy-MM-dd").alias(
+                "max_ship"
+            ),
+            (F.max("l_shipdate") < bound).cast("int").alias("prunable"),
+        )
+        .orderBy("shard_id")
+    )
+
+
+QUERIES["zonemap_pruning_stats"] = zonemap_pruning_stats
+
+ORACLE_SQL["zonemap_pruning_stats"] = f"""
+    SELECT CAST(l_orderkey // {ZONE_STRIDE} AS BIGINT) AS shard_id,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           strftime(MIN(l_shipdate), '%Y-%m-%d') AS min_ship,
+           strftime(MAX(l_shipdate), '%Y-%m-%d') AS max_ship,
+           CAST(MAX(l_shipdate) < TIMESTAMP '{ZONE_PRUNE_TS}'
+                AS INTEGER) AS prunable
+    FROM lineitem
+    GROUP BY shard_id
+    ORDER BY shard_id
+"""

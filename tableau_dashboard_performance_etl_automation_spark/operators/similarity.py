@@ -788,8 +788,67 @@ def embedding_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def label_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cosine similarity between per-label centroid vectors —
+    the class-confusability matrix of a labeled embedding set (two
+    labels whose centroids sit at cosine ≈ 1 are candidates for
+    merging; a near-zero pair separates cleanly).
+
+    Scale shape: the corpus collapses to |labels|·dim centroid rows
+    in ONE map-side-combinable hash aggregate (posexplode → sum), and
+    everything after runs on that tiny aggregate — the dim-keyed
+    self-join produces |labels|²·dim rows of *centroid* data, never
+    touching the corpus again. Component sums use the exact integer
+    micro-unit trick (round(x·1e6) as BIGINT, same as the centroid
+    table and the IVF trainer) so both engines build bit-identical
+    centroids; the final cosine is rounded to 4.
+    """
+    e = _emb(spark, sf_dir)
+    cent = (
+        e.select("label", F.posexplode("vec").alias("dim", "x"))
+        .groupBy("label", "dim")
+        .agg(
+            (
+                F.sum(F.round(F.col("x") * 1e6).cast("bigint"))
+                / (F.count(F.lit(1)) * F.lit(1e6))
+            ).alias("mean")
+        )
+    )
+    norms = cent.groupBy("label").agg(
+        F.sum(F.col("mean") * F.col("mean")).alias("sq")
+    )
+    a, b = cent.alias("a"), cent.alias("b")
+    dots = (
+        a.join(
+            b,
+            (F.col("a.dim") == F.col("b.dim"))
+            & (F.col("a.label") < F.col("b.label")),
+        )
+        .groupBy(
+            F.col("a.label").alias("label_a"),
+            F.col("b.label").alias("label_b"),
+        )
+        .agg(F.sum(F.col("a.mean") * F.col("b.mean")).alias("dot"))
+    )
+    na = norms.select(F.col("label").alias("label_a"), F.col("sq").alias("sq_a"))
+    nb = norms.select(F.col("label").alias("label_b"), F.col("sq").alias("sq_b"))
+    return (
+        dots.join(na, "label_a")
+        .join(nb, "label_b")
+        .select(
+            F.col("label_a").cast("int").alias("label_a"),
+            F.col("label_b").cast("int").alias("label_b"),
+            F.round(
+                F.col("dot") / F.sqrt(F.col("sq_a") * F.col("sq_b")), 4
+            ).alias("cosine"),
+        )
+        .orderBy("label_a", "label_b")
+    )
+
+
 QUERIES = {
     "neardup_embedding_cosine": neardup_embedding_cosine,
+    "label_centroid_similarity": label_centroid_similarity,
     "embedding_decontaminate": embedding_decontaminate,
     "ann_cosine_topk": ann_cosine_topk,
     "ann_lsh_topk": ann_lsh_topk,
@@ -840,6 +899,34 @@ _LSH_SIGS_CTES = f"""
         )"""
 
 ORACLE_SQL = {
+    "label_centroid_similarity": """
+        WITH cent AS (
+            SELECT label, CAST(i - 1 AS INTEGER) AS dim,
+                   SUM(CAST(ROUND(embedding[CAST(i AS INTEGER)]::DOUBLE
+                                  * 1e6) AS BIGINT))
+                       / (COUNT(*) * 1e6) AS mean
+            FROM embeddings,
+                 UNNEST(generate_series(1, len(embedding))) AS t(i)
+            GROUP BY label, i
+        ),
+        norms AS (
+            SELECT label, SUM(mean * mean) AS sq FROM cent GROUP BY label
+        ),
+        dots AS (
+            SELECT a.label AS label_a, b.label AS label_b,
+                   SUM(a.mean * b.mean) AS dot
+            FROM cent a
+            JOIN cent b ON a.dim = b.dim AND a.label < b.label
+            GROUP BY a.label, b.label
+        )
+        SELECT CAST(label_a AS INTEGER) AS label_a,
+               CAST(label_b AS INTEGER) AS label_b,
+               ROUND(dot / sqrt(na.sq * nb.sq), 4) AS cosine
+        FROM dots
+        JOIN norms na ON na.label = dots.label_a
+        JOIN norms nb ON nb.label = dots.label_b
+        ORDER BY label_a, label_b
+    """,
     "embedding_decontaminate": f"""
         WITH s AS (
             SELECT c.vec_id,

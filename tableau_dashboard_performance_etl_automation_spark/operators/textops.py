@@ -389,8 +389,58 @@ def vocab_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def char_bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document surprisal under a corpus-trained character-bigram
+    language model — the classic cheap perplexity proxy for quality
+    filtering (documents whose character statistics diverge from the
+    corpus score high and get reviewed/dropped).
+
+    The "model" is the corpus itself: ``p(bg) = count(bg)/N`` over
+    all bigram tokens, ``avg_nll_bits = -avg(log2 p)`` over each
+    document's bigrams. Scale shape: the bigram census is a hash
+    aggregate bounded by |charset|² distinct keys, so the trained
+    model BROADCASTS back into the per-document scoring pass — train
+    on the corpus, score the corpus, two narrow passes and one tiny
+    broadcast, no quadratic anything. Exact-integer counts feed the
+    logs; the per-doc average is rounded to 4 so reduction order
+    cannot surface.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    bg = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "CASE WHEN length(text) >= 2 THEN "
+                "transform(sequence(1, length(text) - 1), "
+                "i -> substring(lower(text), i, 2)) "
+                "ELSE array() END"
+            )
+        ).alias("bg"),
+    )
+    counts = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("cnt"))
+    total = bg.agg(F.count(F.lit(1)).alias("total"))
+    return (
+        bg.join(F.broadcast(counts), "bg")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.round(
+                F.avg(
+                    F.log2(
+                        F.col("total").cast("double") / F.col("cnt")
+                    )
+                ),
+                4,
+            ).alias("avg_nll_bits"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 QUERIES = {
     "doc_rarity": doc_rarity,
+    "char_bigram_lm_scores": char_bigram_lm_scores,
     "vocab_novelty": vocab_novelty,
     "doc_length_histogram": doc_length_histogram,
     "source_quality_matrix": source_quality_matrix,
@@ -429,6 +479,28 @@ def _lang_oracle() -> str:
 _STOPLIST_SQL = ", ".join(f"'{s}'" for s in STOPWORDS)
 
 ORACLE_SQL = {
+    "char_bigram_lm_scores": """
+        WITH b AS (
+            SELECT doc_id,
+                   substr(lower(text), CAST(i AS INTEGER), 2) AS bg
+            FROM documents,
+                 UNNEST(generate_series(1, length(text) - 1)) AS t(i)
+            WHERE length(text) >= 2
+        ),
+        c AS (
+            SELECT bg, CAST(COUNT(*) AS BIGINT) AS cnt FROM b GROUP BY bg
+        ),
+        n AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS total FROM b
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               ROUND(AVG(log2(CAST(total AS DOUBLE) / cnt)), 4)
+                   AS avg_nll_bits
+        FROM b JOIN c USING (bg) CROSS JOIN n
+        GROUP BY doc_id
+        ORDER BY doc_id
+    """,
     "doc_rarity": """
         WITH pairs AS (
             SELECT DISTINCT doc_id,
