@@ -1026,8 +1026,89 @@ def order_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def order_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-volume seasonality matrix: order counts and revenue by
+    (month-of-year, day-of-week) — the calendar heat signature demand
+    planning reads (reference analogue: the day-wise trend series of
+    tabjolt_email.py:86, generalized to a two-axis calendar rollup).
+
+    One map-side-combinable hash aggregate on two derived calendar
+    keys — output bounded at 12×7 rows regardless of fact size.
+    Day-of-week is normalized to 0=Sunday in BOTH engines (Spark's
+    ``dayofweek`` is 1-based, DuckDB's ``dow`` 0-based) so the keys
+    agree.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.month("o_orderdate").cast("int").alias("month_of_year"),
+            (F.dayofweek("o_orderdate") - 1).cast("int").alias("day_of_week"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .orderBy("month_of_year", "day_of_week")
+    )
+
+
+def supplier_lead_time_percentiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-supplier order→ship lead-time distribution (p50/p90 over
+    exact integer day counts, plus mean) — the SLA scorecard a
+    procurement dashboard ranks suppliers by.
+
+    Scale shape: orders⋈lineitem is the one genuine fact-fact
+    shuffle (both sides hash on orderkey — at warehouse scale this
+    is the join you bucket both tables on, sources/warehouse.py);
+    the supplier dimension broadcasts; the percentile aggregate
+    groups on s_suppkey with integer day values, so interpolation
+    is cross-engine deterministic. At 100 TB the exact percentile
+    becomes ``percentile_approx`` (mergeable sketch) — the exact
+    form is the oracle-checkable baseline.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    lead = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            "l_suppkey",
+            F.datediff(
+                F.col("l_shipdate").cast("date"),
+                F.col("o_orderdate").cast("date"),
+            ).alias("lead_days"),
+        )
+    )
+    return (
+        lead.groupBy("l_suppkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shipments"),
+            F.round(F.expr("percentile(lead_days, 0.5)"), 4).alias(
+                "lead_p50"
+            ),
+            F.round(F.expr("percentile(lead_days, 0.9)"), 4).alias(
+                "lead_p90"
+            ),
+            F.round(F.avg("lead_days"), 4).alias("lead_mean"),
+        )
+        .join(
+            F.broadcast(supp.select("s_suppkey", "s_name")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .select(
+            "s_suppkey", "s_name", "n_shipments",
+            "lead_p50", "lead_p90", "lead_mean",
+        )
+        .orderBy("s_suppkey")
+    )
+
+
 QUERIES = {
     "daily_p95_series": daily_p95_series,
+    "order_seasonality": order_seasonality,
+    "supplier_lead_time_percentiles": supplier_lead_time_percentiles,
     "monthly_revenue_growth": monthly_revenue_growth,
     "customer_rfm_segments": customer_rfm_segments,
     "order_interarrival_stats": order_interarrival_stats,
@@ -1056,6 +1137,35 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "order_seasonality": """
+        SELECT CAST(EXTRACT(month FROM o_orderdate) AS INTEGER)
+                   AS month_of_year,
+               CAST(EXTRACT(dow FROM o_orderdate) AS INTEGER)
+                   AS day_of_week,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               ROUND(SUM(o_totalprice), 2) AS revenue
+        FROM orders
+        GROUP BY month_of_year, day_of_week
+        ORDER BY month_of_year, day_of_week
+    """,
+    "supplier_lead_time_percentiles": """
+        WITH lead AS (
+            SELECT l_suppkey,
+                   date_diff('day', CAST(o_orderdate AS DATE),
+                             CAST(l_shipdate AS DATE)) AS lead_days
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+        )
+        SELECT s_suppkey, s_name,
+               CAST(COUNT(*) AS BIGINT) AS n_shipments,
+               ROUND(quantile_cont(lead_days, 0.5), 4) AS lead_p50,
+               ROUND(quantile_cont(lead_days, 0.9), 4) AS lead_p90,
+               ROUND(AVG(lead_days), 4) AS lead_mean
+        FROM lead
+        JOIN supplier ON l_suppkey = s_suppkey
+        GROUP BY s_suppkey, s_name
+        ORDER BY s_suppkey
+    """,
     "monthly_revenue_growth": """
         WITH m AS (
             SELECT strftime(o_orderdate, '%Y-%m') AS month,

@@ -258,8 +258,40 @@ def _pr_output(
     )
 
 
+def dup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Size distribution of the near-dup clusters: how much of the
+    duplicated corpus sits in pairs vs. giant template families. The
+    shape drives dedup policy — a heavy tail of huge clusters means
+    boilerplate/template text (drop all but one), many small clusters
+    mean organic near-dups (keep per-cluster survivors); it's also
+    the number that says what fraction of storage dedup will recover.
+
+    Composition of two already-scalable stages: the MinHash-LSH pair
+    join and pointer-jumping connected components; the histogram
+    itself is two tiny hash aggregates over the label table (cluster
+    sizes, then size frequencies) — map-side combinable, output
+    bounded by the largest cluster size.
+    """
+    edges = dedup_minhash_lsh(spark, sf_dir)
+    labels = connected_components(edges)
+    sizes = labels.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cluster_size")
+    )
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+            (F.count(F.lit(1)) * F.col("cluster_size"))
+            .cast("bigint")
+            .alias("n_docs"),
+        )
+        .orderBy("cluster_size")
+    )
+
+
 QUERIES = {
     "dedup_clusters": dedup_clusters,
+    "dup_cluster_size_histogram": dup_cluster_size_histogram,
     "nation_pagerank": nation_pagerank,
 }
 
@@ -271,6 +303,35 @@ QUERIES = {
 _PAIRS_SQL = f"({_DEDUP_ORACLE_SQL['dedup_minhash_lsh']})"
 
 ORACLE_SQL = {
+    "dup_cluster_size_histogram": f"""
+        WITH RECURSIVE
+        pairs AS (SELECT * FROM {_PAIRS_SQL} t),
+        sym AS (
+            SELECT doc_a AS src, doc_b AS dst FROM pairs
+            UNION
+            SELECT doc_b AS src, doc_a AS dst FROM pairs
+        ),
+        reach(doc_id, root) AS (
+            SELECT src, src FROM sym
+            UNION
+            SELECT s.src, r.root
+            FROM sym s JOIN reach r ON s.dst = r.doc_id
+        ),
+        labels AS (
+            SELECT doc_id, MIN(root) AS cluster_id
+            FROM reach GROUP BY doc_id
+        ),
+        sizes AS (
+            SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+            FROM labels GROUP BY cluster_id
+        )
+        SELECT cluster_size,
+               CAST(COUNT(*) AS BIGINT) AS n_clusters,
+               CAST(COUNT(*) * cluster_size AS BIGINT) AS n_docs
+        FROM sizes
+        GROUP BY cluster_size
+        ORDER BY cluster_size
+    """,  # noqa: E501
     "dedup_clusters": f"""
         WITH RECURSIVE
         pairs AS (SELECT * FROM {_PAIRS_SQL} t),

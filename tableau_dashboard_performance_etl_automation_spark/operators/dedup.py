@@ -435,6 +435,91 @@ def minhash_banding_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimator-calibration diagnostic for the MinHash sketch: per
+    matching-signature count k (the sketch's Jaccard estimate k/H),
+    the average EXACT Jaccard of the candidate pairs and the mean
+    absolute estimation error. Together with
+    ``minhash_banding_precision`` this is the full quality card for
+    the sketch: banding precision grades candidate GENERATION, this
+    grades the ESTIMATE a dedup policy would threshold on.
+
+    Scale shape: same equi-join candidate set and inverted-index
+    exact intersection as the precision diagnostic (LEFT +
+    COALESCE(0) keeps the partition-of-candidates property
+    unconditional); the signature comparison is a broadcast-friendly
+    join against the H-column signature table. Output is ≤ H+1 rows.
+    """
+    sh = _doc_shingles(spark, sf_dir)
+    sig = sh.groupBy("doc_id").agg(
+        *[
+            F.min(seeded_md5(s, F.col("sh"))).alias(f"mh{s}")
+            for s in range(MINHASH_HASHES)
+        ]
+    )
+    bands = _minhash_bands(spark, sf_dir)
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    matching = sum(
+        (F.col(f"sa.mh{s}") == F.col(f"sb.mh{s}")).cast("int")
+        for s in range(MINHASH_HASHES)
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    inter = (
+        sh.alias("x")
+        .join(
+            sh.alias("y"),
+            (F.col("x.sh") == F.col("y.sh"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .groupBy(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sza"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("szb"))
+    inter0 = F.coalesce(F.col("inter"), F.lit(0))
+    exact = inter0 / (F.col("sza") + F.col("szb") - inter0)
+    est = F.col("matching") / F.lit(float(MINHASH_HASHES))
+    return (
+        cand.join(sig.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sig.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
+        .select("doc_a", "doc_b", matching.alias("matching"))
+        .join(inter, ["doc_a", "doc_b"], "left")
+        .join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .groupBy("matching")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.round(F.avg(exact), 6).alias("avg_exact_jaccard"),
+            F.round(F.avg(F.abs(est - exact)), 6).alias("mean_abs_err"),
+        )
+        .withColumn(
+            "est_jaccard",
+            F.round(F.col("matching") / F.lit(float(MINHASH_HASHES)), 6),
+        )
+        .select(
+            "matching", "n_pairs", "est_jaccard",
+            "avg_exact_jaccard", "mean_abs_err",
+        )
+        .orderBy("matching")
+    )
+
+
 #: Incremental-dedup batch split: docs with ``doc_id % NEWBATCH_MOD
 #: == NEWBATCH_REM`` play the role of today's freshly-crawled batch;
 #: the rest is the already-indexed corpus.
@@ -980,6 +1065,7 @@ QUERIES = {
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_incremental_newbatch": dedup_incremental_newbatch,
     "minhash_banding_precision": minhash_banding_precision,
+    "minhash_estimate_error": minhash_estimate_error,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_simhash": dedup_simhash,
     "benchmark_decontaminate": benchmark_decontaminate,
@@ -1175,6 +1261,49 @@ ORACLE_SQL = {
         ORDER BY event_id
     """,
     "dedup_minhash_lsh": _minhash_oracle(),
+    "minhash_estimate_error": f"""
+        WITH {_minhash_bands_cte()},
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a
+            JOIN bands b ON a.band_id = b.band_id
+                        AND a.band_val = b.band_val
+                        AND a.doc_id < b.doc_id
+        ),
+        sizes AS (
+            SELECT doc_id, COUNT(*) AS sz FROM doc_shingles GROUP BY doc_id
+        ),
+        inter AS (
+            SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+                   COUNT(*) AS inter
+            FROM doc_shingles x
+            JOIN doc_shingles y ON x.sh = y.sh AND x.doc_id < y.doc_id
+            GROUP BY x.doc_id, y.doc_id
+        ),
+        scored AS (
+            SELECT ({" + ".join(
+                f"CASE WHEN ma.mh{s} = mb.mh{s} THEN 1 ELSE 0 END"
+                for s in range(MINHASH_HASHES)
+            )}) AS matching,
+                   COALESCE(i.inter, 0) * 1.0
+                   / (sa.sz + sb.sz - COALESCE(i.inter, 0)) AS exact_j
+            FROM cand c
+            JOIN mh ma ON ma.doc_id = c.doc_a
+            JOIN mh mb ON mb.doc_id = c.doc_b
+            LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+            JOIN sizes sa ON sa.doc_id = c.doc_a
+            JOIN sizes sb ON sb.doc_id = c.doc_b
+        )
+        SELECT matching,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               ROUND(matching * 1.0 / {MINHASH_HASHES}, 6) AS est_jaccard,
+               ROUND(AVG(exact_j), 6) AS avg_exact_jaccard,
+               ROUND(AVG(ABS(matching * 1.0 / {MINHASH_HASHES} - exact_j)),
+                     6) AS mean_abs_err
+        FROM scored
+        GROUP BY matching
+        ORDER BY matching
+    """,  # noqa: E501
     "minhash_banding_precision": f"""
         WITH {_minhash_bands_cte()},
         cand AS (

@@ -3,14 +3,24 @@ catalog names, the classic warehouse dedup that content hashing
 cannot do (reference analogue: the reject-path's tolerance for dirty
 rows, tabjolt_email.py:33-56, generalized to fuzzy key matching).
 
-Scale shape: the all-pairs edit-distance matrix is O(n²) and never
-materialized — candidates come from an equi-join on a blocking key
-(first name token), so pair production is bounded by block sizes,
-exactly like the LSH band joins in dedup.py. Edit distance runs only
-inside blocks, JVM-side (``levenshtein`` is a codegen'd built-in,
-no Python). At 100 TB you widen to multi-key blocking (first token,
-soundex, length band) and union the candidate sets; the per-block
-shape is unchanged.
+Scale shape — two guards stacked, each killing one quadratic:
+
+1. **Link the distinct-key projection, not the rows.** Edit distance
+   depends only on the name string, so the linkage runs on
+   ``SELECT DISTINCT p_name`` (bounded by the name vocabulary — 64
+   here, maybe millions at 100 TB, never the row count); row-level
+   dup impact comes back from a count join. Scoring raw rows was
+   measured at 75 s on sf0.1 (312-row buckets of *identical* names
+   re-scored 312× each); the projection form is constant-cost in
+   corpus size.
+2. **Block the distinct names.** The all-pairs matrix over distinct
+   names is still O(V²); an equi-join on a cheap blocking key (first
+   name token; at scale you union several — leading tokens, soundex,
+   length band) bounds pair production by block sizes, exactly like
+   the LSH band joins in dedup.py.
+
+Levenshtein runs JVM-side (codegen'd built-in, no Python) only on
+the blocked distinct-name pairs.
 """
 
 from __future__ import annotations
@@ -22,45 +32,57 @@ from tableau_dashboard_performance_etl_automation_spark.catalog import load_tabl
 
 
 def part_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Best fuzzy match for every part name within its blocking
-    bucket: block on the first name token, score candidates by
-    normalized Levenshtein similarity ``1 - lev/max(len)``, keep the
-    top match per part (ties broken by the smaller candidate key).
+    """Best fuzzy match for every DISTINCT part name within its
+    blocking bucket (first name token), scored by normalized
+    Levenshtein similarity ``1 - lev/max(len)``, with the row-level
+    footprint (``n_parts``) each linked name carries.
 
     Similarity is a ratio of exact integers (edit distance / string
     length), so cross-engine values are bit-identical and the
-    ``ROW_NUMBER`` tie order is deterministic.
+    ``ROW_NUMBER`` tie order (sim DESC, match name ASC) is
+    deterministic.
     """
-    parts = load_table(spark, sf_dir, "part").select(
-        "p_partkey",
-        "p_name",
-        F.split(F.col("p_name"), " ")[0].alias("blk"),
+    parts = load_table(spark, sf_dir, "part")
+    names = (
+        parts.groupBy("p_name")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_parts"))
+        .withColumn("blk", F.split(F.col("p_name"), " ")[0])
     )
-    a, b = parts.alias("a"), parts.alias("b")
+    a = names.select(
+        F.col("p_name").alias("name_a"),
+        F.col("n_parts"),
+        F.col("blk"),
+    )
+    b = names.select(F.col("p_name").alias("name_b"), F.col("blk"))
     cand = a.join(
         b,
-        (F.col("a.blk") == F.col("b.blk"))
-        & (F.col("a.p_partkey") != F.col("b.p_partkey")),
+        (a.blk == b.blk) & (F.col("name_a") != F.col("name_b")),
     ).select(
-        F.col("a.p_partkey").alias("p_partkey"),
-        F.col("b.p_partkey").alias("match_key"),
-        F.levenshtein(F.col("a.p_name"), F.col("b.p_name")).alias("lev_dist"),
+        "name_a",
+        "n_parts",
+        "name_b",
+        F.levenshtein(F.col("name_a"), F.col("name_b")).alias("lev_dist"),
         F.greatest(
-            F.length(F.col("a.p_name")), F.length(F.col("b.p_name"))
+            F.length(F.col("name_a")), F.length(F.col("name_b"))
         ).alias("max_len"),
     )
     scored = cand.withColumn(
-        "sim",
-        F.round(1.0 - F.col("lev_dist") / F.col("max_len"), 4),
+        "sim", F.round(1.0 - F.col("lev_dist") / F.col("max_len"), 4)
     )
-    w = Window.partitionBy("p_partkey").orderBy(
-        F.col("sim").desc(), F.col("match_key").asc()
+    w = Window.partitionBy("name_a").orderBy(
+        F.col("sim").desc(), F.col("name_b").asc()
     )
     return (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
-        .select("p_partkey", "match_key", "lev_dist", "sim")
-        .orderBy("p_partkey")
+        .select(
+            F.col("name_a").alias("p_name"),
+            "n_parts",
+            F.col("name_b").alias("match_name"),
+            "lev_dist",
+            "sim",
+        )
+        .orderBy("p_name")
     )
 
 
@@ -68,34 +90,35 @@ QUERIES = {"part_record_linkage": part_record_linkage}
 
 ORACLE_SQL = {
     "part_record_linkage": """
-        WITH p AS (
-            SELECT p_partkey, p_name,
+        WITH names AS (
+            SELECT p_name, CAST(COUNT(*) AS BIGINT) AS n_parts,
                    split_part(p_name, ' ', 1) AS blk
             FROM part
+            GROUP BY p_name
         ),
         cand AS (
-            SELECT a.p_partkey,
-                   b.p_partkey AS match_key,
+            SELECT a.p_name AS name_a, a.n_parts,
+                   b.p_name AS name_b,
                    levenshtein(a.p_name, b.p_name) AS lev_dist,
                    GREATEST(length(a.p_name), length(b.p_name)) AS max_len
-            FROM p a JOIN p b
-              ON a.blk = b.blk AND a.p_partkey <> b.p_partkey
+            FROM names a JOIN names b
+              ON a.blk = b.blk AND a.p_name <> b.p_name
         ),
         scored AS (
-            SELECT p_partkey, match_key, lev_dist,
+            SELECT name_a, n_parts, name_b, lev_dist,
                    ROUND(1.0 - lev_dist * 1.0 / max_len, 4) AS sim,
                    ROW_NUMBER() OVER (
-                       PARTITION BY p_partkey
+                       PARTITION BY name_a
                        ORDER BY ROUND(1.0 - lev_dist * 1.0 / max_len, 4)
                                 DESC,
-                                match_key ASC
+                                name_b ASC
                    ) AS rn
             FROM cand
         )
-        SELECT p_partkey, match_key,
+        SELECT name_a AS p_name, n_parts, name_b AS match_name,
                CAST(lev_dist AS INTEGER) AS lev_dist, sim
         FROM scored
         WHERE rn = 1
-        ORDER BY p_partkey
+        ORDER BY p_name
     """,
 }

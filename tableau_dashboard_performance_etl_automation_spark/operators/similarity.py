@@ -846,9 +846,64 @@ def label_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upper-triangle covariance matrix of the embedding dimensions —
+    the moment matrix PCA/whitening starts from (``cov(i,j) =
+    E[x_i·x_j] − E[x_i]·E[x_j]``), computed as one pass of exact
+    integer micro-unit moments.
+
+    Scale shape: posexplode → co-partitioned self-equi-join on
+    ``vec_id`` (both sides are the same exploded projection, so AQE
+    plans one shuffle) → hash aggregate onto dim·(dim+1)/2 cells with
+    map-side partial combine — the shuffle output is the tiny moment
+    matrix, never the corpus. Products of micro-units stay within
+    BIGINT headroom (|x|≈1 → 1e12 per term, ~9e18 capacity ≈ 9M
+    vectors per partial; at larger corpora drop to 1e4 units). The
+    final covariance divides exact integer sums, rounded to 8.
+    """
+    e = _emb(spark, sf_dir)
+    flat = e.select(
+        "vec_id", F.posexplode("vec").alias("dim", "x")
+    ).select(
+        "vec_id",
+        "dim",
+        F.round(F.col("x") * 1e6).cast("bigint").alias("xm"),
+    )
+    a, b = flat.alias("a"), flat.alias("b")
+    moments = (
+        a.join(
+            b,
+            (F.col("a.vec_id") == F.col("b.vec_id"))
+            & (F.col("a.dim") <= F.col("b.dim")),
+        )
+        .groupBy(
+            F.col("a.dim").alias("dim_i"), F.col("b.dim").alias("dim_j")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.col("a.xm") * F.col("b.xm")).alias("s_ij"),
+            F.sum(F.col("a.xm")).alias("s_i"),
+            F.sum(F.col("b.xm")).alias("s_j"),
+        )
+    )
+    return moments.select(
+        "dim_i",
+        "dim_j",
+        F.round(
+            (
+                F.col("s_ij") / F.col("n")
+                - (F.col("s_i") / F.col("n")) * (F.col("s_j") / F.col("n"))
+            )
+            / F.lit(1e12),
+            8,
+        ).alias("cov"),
+    ).orderBy("dim_i", "dim_j")
+
+
 QUERIES = {
     "neardup_embedding_cosine": neardup_embedding_cosine,
     "label_centroid_similarity": label_centroid_similarity,
+    "embedding_covariance": embedding_covariance,
     "embedding_decontaminate": embedding_decontaminate,
     "ann_cosine_topk": ann_cosine_topk,
     "ann_lsh_topk": ann_lsh_topk,
@@ -899,6 +954,31 @@ _LSH_SIGS_CTES = f"""
         )"""
 
 ORACLE_SQL = {
+    "embedding_covariance": """
+        WITH flat AS (
+            SELECT vec_id, CAST(i - 1 AS INTEGER) AS dim,
+                   CAST(ROUND(embedding[CAST(i AS INTEGER)]::DOUBLE
+                              * 1e6) AS BIGINT) AS xm
+            FROM embeddings,
+                 UNNEST(generate_series(1, len(embedding))) AS t(i)
+        ),
+        moments AS (
+            SELECT a.dim AS dim_i, b.dim AS dim_j,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   SUM(a.xm * b.xm) AS s_ij,
+                   SUM(a.xm) AS s_i,
+                   SUM(b.xm) AS s_j
+            FROM flat a
+            JOIN flat b ON a.vec_id = b.vec_id AND a.dim <= b.dim
+            GROUP BY a.dim, b.dim
+        )
+        SELECT dim_i, dim_j,
+               ROUND((CAST(s_ij AS DOUBLE) / n
+                      - (CAST(s_i AS DOUBLE) / n)
+                        * (CAST(s_j AS DOUBLE) / n)) / 1e12, 8) AS cov
+        FROM moments
+        ORDER BY dim_i, dim_j
+    """,
     "label_centroid_similarity": """
         WITH cent AS (
             SELECT label, CAST(i - 1 AS INTEGER) AS dim,

@@ -406,33 +406,124 @@ def char_bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     cannot surface.
     """
     docs = load_table(spark, sf_dir, "documents")
-    bg = docs.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "CASE WHEN length(text) >= 2 THEN "
-                "transform(sequence(1, length(text) - 1), "
-                "i -> substring(lower(text), i, 2)) "
-                "ELSE array() END"
-            )
-        ).alias("bg"),
+    # ONE explode pass: (doc_id, bg) token counts; the corpus model
+    # (per-bigram counts, grand total) and the per-doc scores all
+    # derive from this compaction, so the expensive explode is not
+    # recomputed per consumer and the scoring join carries distinct
+    # (doc, bigram) pairs, not raw tokens
+    dbg = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "CASE WHEN length(text) >= 2 THEN "
+                    "transform(sequence(1, length(text) - 1), "
+                    "i -> substring(lower(text), i, 2)) "
+                    "ELSE array() END"
+                )
+            ).alias("bg"),
+        )
+        .groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint()
     )
-    counts = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("cnt"))
-    total = bg.agg(F.count(F.lit(1)).alias("total"))
+    counts = dbg.groupBy("bg").agg(F.sum("n").alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("total"))
+    # avg over bigram TOKENS = Σ n·log2(N/cnt) / Σ n
     return (
-        bg.join(F.broadcast(counts), "bg")
+        dbg.join(F.broadcast(counts), "bg")
         .crossJoin(F.broadcast(total))
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.sum("n").cast("bigint").alias("n_bigrams"),
             F.round(
-                F.avg(
-                    F.log2(
-                        F.col("total").cast("double") / F.col("cnt")
-                    )
-                ),
+                F.sum(
+                    F.col("n")
+                    * F.log2(F.col("total").cast("double") / F.col("cnt"))
+                )
+                / F.sum("n"),
                 4,
             ).alias("avg_nll_bits"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def doc_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document character entropy (bits/char) — the other half
+    of the statistical quality pair next to ``char_bigram_lm_scores``:
+    the LM score measures divergence FROM the corpus, entropy measures
+    degeneracy WITHIN the document (near-zero → repeated filler or
+    padding; far above the corpus norm → random/binary junk). Both
+    ends are drop candidates in a pretraining curation pass.
+
+    ``H = log2(N) − Σ n_c·log2(n_c)/N`` over per-char counts — all
+    integer counts, one explode + two hash aggregates keyed by
+    (doc_id[, char]); shuffles carry at most |doc|·|charset| rows and
+    the aggregates are map-side combinable. Rounded to 4 so libm's
+    last bit cannot surface.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    ch = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(text)), "
+                "i -> substring(lower(text), i, 1))"
+            )
+        ).alias("ch"),
+    )
+    per_char = ch.groupBy("doc_id", "ch").agg(
+        F.count(F.lit(1)).alias("n_c")
+    )
+    return (
+        per_char.groupBy("doc_id")
+        .agg(
+            F.sum("n_c").cast("bigint").alias("n_chars"),
+            F.countDistinct("ch").cast("bigint").alias("n_distinct_chars"),
+            F.sum(F.col("n_c") * F.log2("n_c")).alias("_nlogn"),
+        )
+        .select(
+            "doc_id",
+            "n_chars",
+            "n_distinct_chars",
+            F.round(
+                F.log2("n_chars") - F.col("_nlogn") / F.col("n_chars"), 4
+            ).alias("entropy_bits"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def quantile_normalized_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quantile normalization of a quality signal: each
+    document's stopword-ratio score is replaced by its percent-rank
+    *within its source*, making quality thresholds comparable across
+    sources with different score distributions (a raw 0.15 from a
+    clean source and a raw 0.15 from a boilerplate-heavy one mean
+    different things; the 0.37-quantile means the same).
+
+    One window per source partition (shuffle on the natural source
+    key, bounded per-key state); ranks order on the ROUNDED score
+    with a doc_id tiebreak, so bucket boundaries are deterministic
+    and both engines rank identical doubles.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    stoplist = ", ".join(f"'{s}'" for s in STOPWORDS)
+    stop_hits = F.expr(
+        f"size(filter(split(text, ' '), x -> x IN ({stoplist})))"
+    )
+    scored = docs.select(
+        "doc_id",
+        "source",
+        F.round(stop_hits / F.size(words()), 4).alias("quality"),
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("quality").asc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn(
+            "q_rank", F.round(F.percent_rank().over(w), 6)
         )
         .orderBy("doc_id")
     )
@@ -441,6 +532,8 @@ def char_bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "doc_rarity": doc_rarity,
     "char_bigram_lm_scores": char_bigram_lm_scores,
+    "doc_char_entropy": doc_char_entropy,
+    "quantile_normalized_quality": quantile_normalized_quality,
     "vocab_novelty": vocab_novelty,
     "doc_length_histogram": doc_length_histogram,
     "source_quality_matrix": source_quality_matrix,
@@ -479,6 +572,44 @@ def _lang_oracle() -> str:
 _STOPLIST_SQL = ", ".join(f"'{s}'" for s in STOPWORDS)
 
 ORACLE_SQL = {
+    "doc_char_entropy": """
+        WITH ch AS (
+            SELECT doc_id,
+                   substr(lower(text), CAST(i AS INTEGER), 1) AS ch
+            FROM documents,
+                 UNNEST(generate_series(1, length(text))) AS t(i)
+        ),
+        per_char AS (
+            SELECT doc_id, ch, CAST(COUNT(*) AS BIGINT) AS n_c
+            FROM ch GROUP BY doc_id, ch
+        )
+        SELECT doc_id,
+               CAST(SUM(n_c) AS BIGINT) AS n_chars,
+               CAST(COUNT(*) AS BIGINT) AS n_distinct_chars,
+               ROUND(log2(CAST(SUM(n_c) AS DOUBLE))
+                     - SUM(n_c * log2(CAST(n_c AS DOUBLE)))
+                       / SUM(n_c), 4) AS entropy_bits
+        FROM per_char
+        GROUP BY doc_id
+        ORDER BY doc_id
+    """,
+    "quantile_normalized_quality": f"""
+        WITH scored AS (
+            SELECT doc_id, source,
+                   ROUND(len(list_filter(string_split(text, ' '),
+                                         x -> x IN ({_STOPLIST_SQL})))
+                         * 1.0 / len(string_split(text, ' ')), 4)
+                       AS quality
+            FROM documents
+        )
+        SELECT doc_id, source, quality,
+               ROUND(PERCENT_RANK() OVER (
+                   PARTITION BY source
+                   ORDER BY quality ASC, doc_id ASC
+               ), 6) AS q_rank
+        FROM scored
+        ORDER BY doc_id
+    """,
     "char_bigram_lm_scores": """
         WITH b AS (
             SELECT doc_id,

@@ -104,33 +104,30 @@ def test_zonemap_conserves_rows_and_orders_shards(spark, sf_dir):
         assert r.prunable == int(r.max_ship < profiling.ZONE_PRUNE_TS)
 
 
-def test_linkage_one_best_match_per_blocked_part(spark, sf_dir):
+def test_linkage_one_best_match_per_blocked_name(spark, sf_dir):
     out = linkage.part_record_linkage(spark, sf_dir)
     rows = out.collect()
-    # one row per part that has at least one block-mate
-    assert out.select("p_partkey").distinct().count() == len(rows)
+    parts = load_table(spark, sf_dir, "part")
+    n_names = parts.select("p_name").distinct().count()
+    # one row per DISTINCT name that has a block-mate; never more
+    assert 0 < len(rows) <= n_names
+    assert len({r.p_name for r in rows}) == len(rows)
     for r in rows:
         assert 0.0 <= r.sim <= 1.0
-        assert r.p_partkey != r.match_key
-    # an identical-name pair must link with sim 1.0 — check via a
-    # self-match of the most-similar pair's names
+        assert r.p_name != r.match_name
+        # blocking invariant: best match shares the first name token
+        assert r.p_name.split(" ")[0] == r.match_name.split(" ")[0]
     assert not has_cartesian_product(out)
 
 
-def test_linkage_blocks_actually_block(spark, sf_dir):
-    # every best match shares the part's first name token (the block)
-    parts = load_table(spark, sf_dir, "part").select(
-        "p_partkey", F.split("p_name", " ")[0].alias("blk")
-    )
+def test_linkage_counts_row_footprint(spark, sf_dir):
     out = linkage.part_record_linkage(spark, sf_dir)
-    a = parts.withColumnRenamed("blk", "blk_a")
-    b = parts.select(
-        F.col("p_partkey").alias("match_key"), F.col("blk").alias("blk_b")
-    )
-    bad = (
-        out.join(a, "p_partkey")
-        .join(b, "match_key")
-        .filter(F.col("blk_a") != F.col("blk_b"))
-        .count()
-    )
-    assert bad == 0
+    parts = load_table(spark, sf_dir, "part")
+    per_name = {
+        r.p_name: r.cnt
+        for r in parts.groupBy("p_name")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    for r in out.collect():
+        assert r.n_parts == per_name[r.p_name]
