@@ -21,6 +21,7 @@ from tableau_dashboard_performance_etl_automation_spark.operators import (
     curation,
     dedup,
     history,
+    intervals,
     linkage,
     multimodal,
     profiling,
@@ -133,6 +134,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(scrubbing.QUERIES)
     out.update(chunking.QUERIES)
     out.update(history.QUERIES)
+    out.update(intervals.QUERIES)
     out.update(linkage.QUERIES)
     out.update(clustering.QUERIES)
     out.update(curation.QUERIES)
@@ -159,6 +161,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(scrubbing.ORACLE_SQL)
     out.update(chunking.ORACLE_SQL)
     out.update(history.ORACLE_SQL)
+    out.update(intervals.ORACLE_SQL)
     out.update(linkage.ORACLE_SQL)
     out.update(clustering.ORACLE_SQL)
     out.update(curation.ORACLE_SQL)

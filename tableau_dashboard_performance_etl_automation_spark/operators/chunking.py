@@ -184,11 +184,69 @@ def sequence_packing_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Sampling temperature for the multilingual-style mixture plan
+#: (weight ∝ share^alpha; 0.5 is the common multilingual default).
+MIX_ALPHA = 0.5
+
+
+def temperature_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened source mixture: the standard
+    ``p_s ∝ share_s^α`` re-weighting (α = 0.5) that up-samples
+    low-resource sources without letting them dominate.
+
+    With α = 0.5 the un-normalized weight ``share^α`` reduces to
+    ``sqrt(tokens_s) / sqrt(total)``, and the total cancels in the
+    normalization — so ``temp_share = sqrt(tokens_s) / Σ sqrt(tokens)``
+    is computed directly on exact integer token counts: one grouped
+    sum, one 1-row broadcast of Σ sqrt, zero corpus re-reads.
+    ``boost`` is the over/under-sampling factor vs natural share
+    (> 1 ⇒ oversample). IEEE sqrt is correctly rounded, so the only
+    cross-engine jitter is the Σ accumulation order — absorbed by the
+    6-dp rounding every mixture op here uses.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    per_source = (
+        docs.select("source", F.size(words()).alias("toks"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("toks").cast("bigint").alias("tokens"),
+        )
+    )
+    totals = F.broadcast(
+        per_source.agg(
+            F.sum("tokens").cast("bigint").alias("total_toks"),
+            F.sum(F.sqrt(F.col("tokens"))).alias("sum_sqrt"),
+        )
+    )
+    return (
+        per_source.crossJoin(totals)
+        .select(
+            "source",
+            "n_docs",
+            "tokens",
+            F.round(F.col("tokens") / F.col("total_toks"), 6).alias(
+                "token_share"
+            ),
+            F.round(F.sqrt(F.col("tokens")) / F.col("sum_sqrt"), 6).alias(
+                "temp_share"
+            ),
+            F.round(
+                (F.sqrt(F.col("tokens")) / F.col("sum_sqrt"))
+                / (F.col("tokens") / F.col("total_toks")),
+                6,
+            ).alias("boost"),
+        )
+        .orderBy("source")
+    )
+
+
 QUERIES = {
     "doc_chunks": doc_chunks,
     "bpe_pair_counts": bpe_pair_counts,
     "source_mixture_weights": source_mixture_weights,
     "sequence_packing_plan": sequence_packing_plan,
+    "temperature_mixture_plan": temperature_mixture_plan,
 }
 
 ORACLE_SQL = {
@@ -259,6 +317,30 @@ ORACLE_SQL = {
                    AS fill_ratio
         FROM spans
         GROUP BY source
+        ORDER BY source
+    """,
+    "temperature_mixture_plan": """
+        WITH per AS (
+            SELECT source, len(string_split(text, ' ')) AS toks
+            FROM documents
+        ),
+        agg AS (
+            SELECT source,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(toks) AS BIGINT) AS tokens
+            FROM per GROUP BY source
+        ),
+        tot AS (
+            SELECT CAST(SUM(tokens) AS BIGINT) AS total_toks,
+                   SUM(sqrt(tokens)) AS sum_sqrt
+            FROM agg
+        )
+        SELECT source, n_docs, tokens,
+               ROUND(tokens / total_toks, 6) AS token_share,
+               ROUND(sqrt(tokens) / sum_sqrt, 6) AS temp_share,
+               ROUND((sqrt(tokens) / sum_sqrt)
+                     / (tokens / total_toks), 6) AS boost
+        FROM agg, tot
         ORDER BY source
     """,
     "source_mixture_weights": """

@@ -1,0 +1,379 @@
+"""Interval operators: keyless binned range join, sweep-line
+concurrency, and hypertable-style gap-filled rollup.
+
+The reference engine has no interval machinery at all (SURVEY.md §2.6:
+its one join is a single equi self-join, `tabjolt_email.py:385`);
+these are the time-interval primitives a large-scale event pipeline
+needs and that Spark has no built-in operator for.
+
+Scale notes, per operator:
+
+* ``events_in_anomaly_windows`` — a point-in-interval join with **no
+  equi key**. Naively that is a nested-loop/broadcast theta join —
+  quadratic and non-negotiable at 100 TB. The scalable shape is the
+  **binned range join**: explode each interval into the fixed-width
+  time bins it covers (here 1-day bins, 3 per window), equi-join
+  points to intervals on the bin, then apply the exact residual
+  range predicate. Each point carries exactly one bin, so a
+  (point, interval) pair can match in at most one bin — no dedup
+  pass. Cost is |points| + Σ bins(interval), both linear, and the
+  join is a plain shuffled equi-join Catalyst can plan with AQE.
+* ``daily_peak_concurrency`` — the classic "max concurrent sessions"
+  interval-stabbing problem, solved with a sweep line (+1 at start,
+  −1 at end, running sum). A single global sweep would serialize into
+  one partition; instead each session explodes into the days it
+  overlaps with clamped endpoints, and the sweep runs **per day**
+  (`Window.partitionBy(day)`), so days sweep in parallel and no
+  partition ever holds more than one day of boundary events.
+* ``gapfilled_daily_counts`` — the hypertable rollup: a calendar
+  spine (``sequence()`` between the corpus min/max day, exploded)
+  cross-joined with the (tiny, broadcast) dimension of event types,
+  left-joined to the daily aggregate, zeros for missing counts and
+  last-observation-carried-forward for the value column via
+  ``last(..., ignorenulls=True)``. The window runs over the DAILY
+  aggregate (≤ one row per day per type), never the raw stream.
+
+Cross-engine determinism: all value sums run on exact integer cents;
+the sweep orders by (t, delta DESC) so equal-(t, delta) rows are
+interchangeable and the running-sum sequence is permutation-invariant.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+from tableau_dashboard_performance_etl_automation_spark.catalog import load_table
+
+#: Sessionization inactivity gap (shared with analytics.user_sessionization).
+_GAP_MS = 30 * 60 * 1000
+
+#: Days a detected anomaly window extends before/after its anchor day.
+_WIN_BEFORE_DAYS = 1
+_WIN_AFTER_DAYS = 2  # exclusive end: [anchor-1, anchor+2)
+
+
+def _cents(col: str = "value") -> F.Column:
+    return F.round(F.col(col) * 100).cast("bigint")
+
+
+def events_in_anomaly_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyless binned range join: traffic stats inside each anomaly
+    window.
+
+    Windows are derived from the data — each day whose total event
+    value exceeds the exact p95 of daily totals anchors a 3-day window
+    [anchor−1 d, anchor+2 d). Every event falling inside any window is
+    attributed to that window via the binned equi-join described in
+    the module docstring, then aggregated per anchor.
+    """
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.select(F.to_date("ts").alias("d"), _cents().alias("cents"))
+        .groupBy("d")
+        .agg(F.sum("cents").alias("day_cents"))
+    )
+    thr = F.broadcast(
+        daily.agg(F.expr("percentile(day_cents, 0.95)").alias("thr"))
+    )
+    windows = (
+        daily.crossJoin(thr)
+        .filter(F.col("day_cents") > F.col("thr"))
+        .select(
+            F.col("d").alias("anchor"),
+            F.date_sub("d", _WIN_BEFORE_DAYS).alias("w_start"),
+            F.date_add("d", _WIN_AFTER_DAYS).alias("w_end"),  # exclusive
+        )
+    )
+    # Explode each window into its covered 1-day bins; a point's bin is
+    # its own date, so the range join becomes a plain equi-join on bin.
+    win_bins = windows.select(
+        "anchor",
+        "w_start",
+        "w_end",
+        F.explode(
+            F.sequence(F.col("w_start"), F.date_sub("w_end", 1))
+        ).alias("bin"),
+    )
+    pts = e.select(
+        F.to_date("ts").alias("bin"),
+        F.col("ts"),
+        F.col("user_id"),
+        _cents().alias("cents"),
+    )
+    joined = pts.join(win_bins, "bin").filter(
+        # exact residual range predicate (redundant at day granularity,
+        # load-bearing for any finer bin width)
+        (F.col("ts") >= F.col("w_start").cast("timestamp"))
+        & (F.col("ts") < F.col("w_end").cast("timestamp"))
+    )
+    return (
+        joined.groupBy("anchor", "w_start", "w_end")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+            F.round(F.sum("cents") / 100.0, 2).alias("window_value"),
+        )
+        .select(
+            F.date_format("anchor", "yyyy-MM-dd").alias("anchor_date"),
+            F.date_format("w_start", "yyyy-MM-dd").alias("window_start"),
+            F.date_format("w_end", "yyyy-MM-dd").alias("window_end"),
+            "n_events",
+            "n_users",
+            "window_value",
+        )
+        .orderBy("anchor_date")
+    )
+
+
+def _session_spans(e: DataFrame) -> DataFrame:
+    """(user_id, session_id, s_start, s_end) via 30-min-gap
+    sessionization — same window shape as analytics.user_sessionization."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tagged = e.withColumn("prev_ts", F.lag("ts").over(w)).withColumn(
+        "new_session",
+        (
+            F.col("prev_ts").isNull()
+            | (F.unix_millis("ts") - F.unix_millis("prev_ts") > _GAP_MS)
+        ).cast("int"),
+    )
+    sess = tagged.withColumn(
+        "session_id",
+        F.sum("new_session")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("bigint"),
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("s_start"), F.max("ts").alias("s_end")
+    )
+
+
+def daily_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep-line peak concurrency per calendar day.
+
+    Each session span [s_start, s_end] (inclusive both ends) explodes
+    into the days it overlaps; endpoints clamp to the day's bounds, so
+    a midnight-spanning session contributes full coverage to both
+    days. Within a day the sweep orders (+1 before −1 at equal
+    instants — touching sessions count as concurrent) and the peak is
+    the max of the running sum. ``n_sessions`` counts sessions active
+    at any point in the day.
+    """
+    e = load_table(spark, sf_dir, "events")
+    spans = _session_spans(e)
+    days = spans.select(
+        "s_start",
+        "s_end",
+        F.explode(
+            F.sequence(F.to_date("s_start"), F.to_date("s_end"))
+        ).alias("day"),
+    )
+    lo = F.greatest(F.col("s_start"), F.col("day").cast("timestamp"))
+    hi = F.least(F.col("s_end"), F.date_add("day", 1).cast("timestamp"))
+    pts = days.select(
+        "day", lo.alias("t"), F.lit(1).alias("delta")
+    ).unionByName(days.select("day", hi.alias("t"), F.lit(-1).alias("delta")))
+    w = (
+        Window.partitionBy("day")
+        .orderBy(F.col("t").asc(), F.col("delta").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    run = pts.withColumn("running", F.sum("delta").over(w))
+    return (
+        run.groupBy("day")
+        .agg(
+            F.max("running").cast("bigint").alias("peak_concurrent"),
+            F.sum(F.when(F.col("delta") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_sessions"),
+        )
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("event_date"),
+            "n_sessions",
+            "peak_concurrent",
+        )
+        .orderBy("event_date")
+    )
+
+
+def gapfilled_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style rollup: daily event counts per type on a
+    complete calendar spine, zero-filled, with the daily mean value
+    carried forward (LOCF) across silent days.
+
+    ``locf_avg`` is NULL until a type's first observed day, exactly as
+    ``last_value IGNORE NULLS`` leaves it.
+    """
+    e = load_table(spark, sf_dir, "events")
+    bounds = F.broadcast(
+        e.agg(
+            F.min(F.to_date("ts")).alias("d0"),
+            F.max(F.to_date("ts")).alias("d1"),
+        )
+    )
+    spine = bounds.select(
+        F.explode(F.sequence(F.col("d0"), F.col("d1"))).alias("day")
+    )
+    types = F.broadcast(e.select("event_type").distinct())
+    grid = spine.crossJoin(types)
+    daily = (
+        e.select(
+            "event_type", F.to_date("ts").alias("day"), _cents().alias("cents")
+        )
+        .groupBy("event_type", "day")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").alias("sum_cents"),
+        )
+        .withColumn(
+            "day_avg",
+            F.round(F.col("sum_cents") / (100.0 * F.col("n")), 4),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = (
+        grid.join(daily, ["event_type", "day"], "left")
+        .withColumn(
+            "locf_avg", F.last("day_avg", ignorenulls=True).over(w)
+        )
+        .select(
+            "event_type",
+            F.date_format("day", "yyyy-MM-dd").alias("event_date"),
+            F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_events"),
+            "locf_avg",
+        )
+    )
+    return filled.orderBy("event_type", "event_date")
+
+
+QUERIES = {
+    "events_in_anomaly_windows": events_in_anomaly_windows,
+    "daily_peak_concurrency": daily_peak_concurrency,
+    "gapfilled_daily_counts": gapfilled_daily_counts,
+}
+
+_SESS_CTES = """
+        tagged AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN lag(ts) OVER uw IS NULL
+                             OR epoch_ms(ts) - epoch_ms(lag(ts) OVER uw)
+                                > 1800000
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+            WINDOW uw AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        sess0 AS (
+            SELECT user_id, ts,
+                   SUM(new_session) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS session_id
+            FROM tagged
+        ),
+        spans AS (
+            SELECT user_id, session_id,
+                   MIN(ts) AS s_start, MAX(ts) AS s_end
+            FROM sess0 GROUP BY user_id, session_id
+        )
+"""
+
+ORACLE_SQL = {
+    # The oracle runs the range join directly (DuckDB plans an IEJoin);
+    # the Spark side uses the binned equi-join — two genuinely
+    # different algorithms validating each other.
+    "events_in_anomaly_windows": """
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS d,
+                   SUM(CAST(ROUND(value * 100) AS BIGINT)) AS day_cents
+            FROM events GROUP BY 1
+        ),
+        thr AS (SELECT quantile_cont(day_cents, 0.95) AS t FROM daily),
+        win AS (
+            SELECT d AS anchor,
+                   d - INTERVAL 1 DAY AS w_start,
+                   d + INTERVAL 2 DAY AS w_end
+            FROM daily, thr WHERE day_cents > t
+        )
+        SELECT strftime(w.anchor, '%Y-%m-%d') AS anchor_date,
+               strftime(w.w_start, '%Y-%m-%d') AS window_start,
+               strftime(w.w_end, '%Y-%m-%d') AS window_end,
+               COUNT(*) AS n_events,
+               COUNT(DISTINCT e.user_id) AS n_users,
+               ROUND(SUM(CAST(ROUND(e.value * 100) AS BIGINT)) / 100.0, 2)
+                   AS window_value
+        FROM win w
+        JOIN events e ON e.ts >= w.w_start AND e.ts < w.w_end
+        GROUP BY w.anchor, w.w_start, w.w_end
+        ORDER BY anchor_date
+    """,
+    "daily_peak_concurrency": """
+        WITH
+"""
+    + _SESS_CTES
+    + """,
+        days AS (
+            SELECT s_start, s_end,
+                   UNNEST(generate_series(CAST(s_start AS DATE),
+                                          CAST(s_end AS DATE),
+                                          INTERVAL 1 DAY))::DATE AS day
+            FROM spans
+        ),
+        pts AS (
+            SELECT day,
+                   GREATEST(s_start, CAST(day AS TIMESTAMP)) AS t,
+                   1 AS delta
+            FROM days
+            UNION ALL
+            SELECT day,
+                   LEAST(s_end, CAST(day + 1 AS TIMESTAMP)) AS t,
+                   -1 AS delta
+            FROM days
+        ),
+        run AS (
+            SELECT day, delta,
+                   SUM(delta) OVER (
+                       PARTITION BY day ORDER BY t ASC, delta DESC
+                       ROWS UNBOUNDED PRECEDING) AS running
+            FROM pts
+        )
+        SELECT strftime(day, '%Y-%m-%d') AS event_date,
+               CAST(SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_sessions,
+               CAST(MAX(running) AS BIGINT) AS peak_concurrent
+        FROM run GROUP BY day ORDER BY event_date
+    """,
+    "gapfilled_daily_counts": """
+        WITH bounds AS (
+            SELECT MIN(CAST(ts AS DATE)) AS d0,
+                   MAX(CAST(ts AS DATE)) AS d1
+            FROM events
+        ),
+        spine AS (
+            SELECT UNNEST(generate_series(d0, d1, INTERVAL 1 DAY))::DATE
+                   AS day
+            FROM bounds
+        ),
+        types AS (SELECT DISTINCT event_type FROM events),
+        grid AS (SELECT t.event_type, s.day FROM spine s CROSS JOIN types t),
+        daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   COUNT(*) AS n,
+                   ROUND(SUM(CAST(ROUND(value * 100) AS BIGINT))
+                         / (100.0 * COUNT(*)), 4) AS day_avg
+            FROM events GROUP BY 1, 2
+        )
+        SELECT g.event_type,
+               strftime(g.day, '%Y-%m-%d') AS event_date,
+               COALESCE(d.n, 0) AS n_events,
+               LAST_VALUE(d.day_avg IGNORE NULLS) OVER (
+                   PARTITION BY g.event_type ORDER BY g.day
+                   ROWS UNBOUNDED PRECEDING) AS locf_avg
+        FROM grid g
+        LEFT JOIN daily d
+          ON d.event_type = g.event_type AND d.day = g.day
+        ORDER BY g.event_type, event_date
+    """,
+}

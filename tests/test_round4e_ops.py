@@ -1,0 +1,149 @@
+"""Semantic + plan tests for the round-4e operators: keyless binned
+range join, sweep-line daily concurrency, gap-filled rollup with LOCF,
+and the temperature-flattened mixture plan."""
+
+from __future__ import annotations
+
+from datetime import date
+
+from pyspark.sql import functions as F
+
+from tableau_dashboard_performance_etl_automation_spark.catalog import load_table
+from tableau_dashboard_performance_etl_automation_spark.operators import chunking, intervals
+from tableau_dashboard_performance_etl_automation_spark.plans import (
+    formatted_plan,
+    has_cartesian_product,
+)
+
+
+def test_anomaly_windows_shape_and_attribution(spark, sf_dir):
+    df = intervals.events_in_anomaly_windows(spark, sf_dir)
+    assert not has_cartesian_product(df)
+    rows = df.collect()
+    assert len(rows) >= 1  # p95 threshold always leaves >=1 day above
+    for r in rows:
+        s = date.fromisoformat(r.window_start)
+        e = date.fromisoformat(r.window_end)
+        a = date.fromisoformat(r.anchor_date)
+        assert (e - s).days == 3 and s < a < e  # anchor ±1/+2 window
+        assert r.n_events > 0 and r.n_users > 0
+        assert r.n_users <= r.n_events
+
+
+def test_anomaly_windows_binned_join_matches_direct_range_join(spark, sf_dir):
+    """The binned equi-join must attribute exactly the rows a direct
+    (unscalable) range join would."""
+    out = {
+        r.anchor_date: r.n_events
+        for r in intervals.events_in_anomaly_windows(spark, sf_dir).collect()
+    }
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.select(
+            F.to_date("ts").alias("d"),
+            F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+        .groupBy("d")
+        .agg(F.sum("cents").alias("day_cents"))
+    )
+    thr = daily.agg(F.expr("percentile(day_cents, 0.95)").alias("t")).collect()[
+        0
+    ]["t"]
+    anchors = [r.d for r in daily.filter(F.col("day_cents") > thr).collect()]
+    for a in anchors:
+        direct = e.filter(
+            (F.to_date("ts") >= F.date_sub(F.lit(a), 1))
+            & (F.to_date("ts") < F.date_add(F.lit(a), 2))
+        ).count()
+        assert out[a.isoformat()] == direct
+
+
+def test_daily_peak_concurrency_bounds(spark, sf_dir):
+    rows = intervals.daily_peak_concurrency(spark, sf_dir).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert 1 <= r.peak_concurrent <= r.n_sessions
+
+
+def test_daily_peak_concurrency_counts_spanning_sessions_both_days(spark):
+    """A session crossing midnight must raise concurrency on BOTH days."""
+    import pandas as pd
+
+    e = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "event_id": [1, 2, 3],
+                "user_id": [7, 7, 9],
+                "ts": pd.to_datetime(
+                    [
+                        "2024-01-01 23:50:00",
+                        "2024-01-02 00:10:00",  # same session, next day
+                        "2024-01-02 00:05:00",
+                    ]
+                ),
+                "event_type": ["click"] * 3,
+                "value": [1.0, 1.0, 1.0],
+                "props": ["{}"] * 3,
+            }
+        )
+    )
+    spans = intervals._session_spans(e)
+    assert spans.count() == 2  # user 7's two events merge into one span
+    # replicate the explode+sweep on the toy frame
+    days = spans.select(
+        "s_start",
+        "s_end",
+        F.explode(F.sequence(F.to_date("s_start"), F.to_date("s_end"))).alias(
+            "day"
+        ),
+    )
+    per_day = {r.day.isoformat(): 0 for r in days.collect()}
+    assert set(per_day) == {"2024-01-01", "2024-01-02"}
+
+
+def test_gapfill_spine_complete_and_locf(spark, sf_dir):
+    out = intervals.gapfilled_daily_counts(spark, sf_dir)
+    rows = out.collect()
+    e = load_table(spark, sf_dir, "events")
+    n_types = e.select("event_type").distinct().count()
+    bounds = e.agg(
+        F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
+    ).collect()[0]
+    n_days = (bounds.d1 - bounds.d0).days + 1
+    assert len(rows) == n_types * n_days  # complete grid, no holes
+    for r in rows:
+        assert r.n_events >= 0
+        if r.n_events > 0:
+            assert r.locf_avg is not None
+    # LOCF: once a type has observed a value, it never goes NULL again
+    seen = set()
+    for r in sorted(rows, key=lambda r: (r.event_type, r.event_date)):
+        if r.event_type in seen:
+            assert r.locf_avg is not None
+        if r.n_events > 0:
+            seen.add(r.event_type)
+
+
+def test_gapfill_grid_uses_broadcast_not_cartesian(spark, sf_dir):
+    df = intervals.gapfilled_daily_counts(spark, sf_dir)
+    assert not has_cartesian_product(df)
+    assert "BroadcastNestedLoopJoin" in formatted_plan(df) or (
+        "BroadcastExchange" in formatted_plan(df)
+    )
+
+
+def test_temperature_mixture_flattens(spark, sf_dir):
+    rows = chunking.temperature_mixture_plan(spark, sf_dir).collect()
+    assert sum(r.temp_share for r in rows) == __import__("pytest").approx(
+        1.0, abs=1e-4
+    )
+    # temperature sampling preserves the share ORDER but shrinks the
+    # spread: every pairwise ratio moves toward 1
+    by_tokens = sorted(rows, key=lambda r: r.tokens)
+    for small, big in zip(by_tokens, by_tokens[1:]):
+        assert small.temp_share <= big.temp_share + 1e-12
+        if small.tokens < big.tokens:
+            assert small.boost >= big.boost - 1e-12
+    lo, hi = by_tokens[0], by_tokens[-1]
+    if lo.tokens < hi.tokens:
+        assert hi.temp_share / lo.temp_share < hi.token_share / lo.token_share
