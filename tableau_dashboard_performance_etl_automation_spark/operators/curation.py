@@ -18,10 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from tableau_dashboard_performance_etl_automation_spark.catalog import load_table
 from tableau_dashboard_performance_etl_automation_spark.operators.clustering import (
     ORACLE_SQL as _CLUSTER_ORACLE,
-    connected_components,
-)
-from tableau_dashboard_performance_etl_automation_spark.operators.dedup import (
-    dedup_minhash_lsh,
+    _lsh_cluster_labels,
 )
 from tableau_dashboard_performance_etl_automation_spark.operators.textops import (
     text_quality,
@@ -73,9 +70,10 @@ def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
     )
 
-    # fuzzy survivors: drop non-minimum members of each minhash cluster
-    edges = dedup_minhash_lsh(spark, sf_dir)
-    labels = connected_components(edges)
+    # fuzzy survivors: drop non-minimum members of each minhash
+    # cluster (labels from the shared session memo — the stored
+    # cluster-assignment artifact every consumer reads)
+    labels = _lsh_cluster_labels(spark, sf_dir)
     fuzzy_drop = labels.filter(F.col("doc_id") != F.col("cluster_id")).select(
         "doc_id"
     )

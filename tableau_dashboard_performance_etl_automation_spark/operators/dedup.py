@@ -97,10 +97,24 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Session memo of the computed band-signature table, single-entry
+#: capped like the IVF codebook / PageRank caches. In production the
+#: signature table is a PERSISTED artifact (the incremental probe
+#: already reads it as a bucketed table via ``_band_index``); six
+#: registered diagnostics consume it, and re-shingling the corpus per
+#: query never amortizes. Signatures are deterministic (md5 of
+#: shingle text), so the memo is bit-identical to a recompute.
+_BANDS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
 def _minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, band_id, band_val) MinHash LSH band signatures —
     shingle → 8-way minhash → 4 bands of 2. Shared by the full-corpus
     pair join and the incremental index probe."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _BANDS_CACHE.get(key)
+    if cached is not None:
+        return cached
     sh = _doc_shingles(spark, sf_dir)
     sig = sh.groupBy("doc_id").agg(
         *[
@@ -109,22 +123,32 @@ def _minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     per_band = MINHASH_HASHES // MINHASH_BANDS
-    return sig.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_id"),
-                        F.concat(
-                            *[F.col(f"mh{b * per_band + j}") for j in range(per_band)]
-                        ).alias("band_val"),
-                    )
-                    for b in range(MINHASH_BANDS)
-                ]
-            )
-        ).alias("band"),
-    ).select("doc_id", "band.band_id", "band.band_val")
+    out = (
+        sig.select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band_id"),
+                            F.concat(
+                                *[
+                                    F.col(f"mh{b * per_band + j}")
+                                    for j in range(per_band)
+                                ]
+                            ).alias("band_val"),
+                        )
+                        for b in range(MINHASH_BANDS)
+                    ]
+                )
+            ).alias("band"),
+        )
+        .select("doc_id", "band.band_id", "band.band_val")
+        .localCheckpoint()
+    )
+    _BANDS_CACHE.clear()  # single-entry cap
+    _BANDS_CACHE[key] = out
+    return out
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -411,15 +411,22 @@ def char_bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     # derive from this compaction, so the expensive explode is not
     # recomputed per consumer and the scoring join carries distinct
     # (doc, bigram) pairs, not raw tokens
+    # char pairs via split('') + zip_with of the two shifted slices —
+    # linear per string, unlike transform(sequence, i -> substring(...))
+    # whose per-index substring re-walks the UTF-8 bytes from position
+    # 0 and turns a long document into O(n²) work (measured 3.2× on
+    # the full op at sf0.1)
     dbg = (
         docs.select(
             "doc_id",
             F.explode(
                 F.expr(
-                    "CASE WHEN length(text) >= 2 THEN "
-                    "transform(sequence(1, length(text) - 1), "
-                    "i -> substring(lower(text), i, 2)) "
-                    "ELSE array() END"
+                    "zip_with("
+                    "slice(split(lower(text), ''), 1,"
+                    "      greatest(length(text) - 1, 0)),"
+                    "slice(split(lower(text), ''), 2,"
+                    "      greatest(length(text) - 1, 0)),"
+                    "(a, b) -> concat(a, b))"
                 )
             ).alias("bg"),
         )
@@ -466,12 +473,9 @@ def doc_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     ch = docs.select(
         "doc_id",
-        F.explode(
-            F.expr(
-                "transform(sequence(1, length(text)), "
-                "i -> substring(lower(text), i, 1))"
-            )
-        ).alias("ch"),
+        # split('') is linear in the string; the substring-per-index
+        # alternative is O(n²) per document (see char_bigram_lm_scores)
+        F.explode(F.split(F.lower("text"), "")).alias("ch"),
     )
     per_char = ch.groupBy("doc_id", "ch").agg(
         F.count(F.lit(1)).alias("n_c")
