@@ -2285,3 +2285,92 @@ ORACLE_SQL["late_data_restatement"] = f"""
     GROUP BY event_date
     ORDER BY event_date
 """
+
+
+def event_run_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consecutive-duplicate run statistics per event type — the
+    gaps-and-islands collapse behind "drop repeated identical events"
+    compaction (bot bursts, double-fires, sensor chatter): within each
+    user's (ts, event_id)-ordered stream, a run is a maximal streak of
+    the same event_type; report per type how many runs exist, the
+    events they cover, the longest streak, and the fraction a
+    keep-first compaction would drop.
+
+    Scale shape: one LAG + one running-SUM window partitioned by user
+    (shuffle on user_id, bounded per-key state), then two map-side
+    combinable aggregates; nothing global, no self-join. The streaming
+    twin of this collapse is flatMapGroupsWithState carrying one
+    (last_type, run_len) tuple per user.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    runs = (
+        e.withColumn("prev_type", F.lag("event_type").over(w))
+        .withColumn(
+            "new_run",
+            (
+                F.col("prev_type").isNull()
+                | (F.col("prev_type") != F.col("event_type"))
+            ).cast("int"),
+        )
+        .withColumn(
+            "run_id",
+            F.sum("new_run")
+            .over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .cast("bigint"),
+        )
+        .groupBy("user_id", "run_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("run_len"))
+    )
+    return (
+        runs.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_runs"),
+            F.sum("run_len").cast("bigint").alias("n_events"),
+            F.max("run_len").cast("bigint").alias("max_run_len"),
+        )
+        .select(
+            "event_type",
+            "n_runs",
+            "n_events",
+            "max_run_len",
+            F.round(
+                (F.col("n_events") - F.col("n_runs"))
+                / F.col("n_events").cast("double"),
+                6,
+            ).alias("collapse_pct"),
+        )
+        .orderBy("event_type")
+    )
+
+
+QUERIES["event_run_lengths"] = event_run_lengths
+
+ORACLE_SQL["event_run_lengths"] = """
+    WITH tagged AS (
+        SELECT user_id, event_type, ts, event_id,
+               CASE WHEN lag(event_type) OVER uw IS NULL
+                         OR lag(event_type) OVER uw <> event_type
+                    THEN 1 ELSE 0 END AS new_run
+        FROM events
+        WINDOW uw AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+        SELECT user_id, event_type,
+               SUM(new_run) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS run_id
+        FROM tagged
+    ),
+    runs AS (
+        SELECT user_id, run_id, event_type, COUNT(*) AS run_len
+        FROM numbered GROUP BY 1, 2, 3
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_runs,
+           CAST(SUM(run_len) AS BIGINT) AS n_events,
+           CAST(MAX(run_len) AS BIGINT) AS max_run_len,
+           ROUND((SUM(run_len) - COUNT(*))
+                 / CAST(SUM(run_len) AS DOUBLE), 6) AS collapse_pct
+    FROM runs GROUP BY event_type ORDER BY event_type
+"""

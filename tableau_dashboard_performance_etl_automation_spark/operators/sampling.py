@@ -345,8 +345,41 @@ def global_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Per-group reservoir size for the grouped sample.
+GROUP_K = 25
+
+
+def grouped_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-K-per-group deterministic sample: the K documents with
+    the smallest content-hash rank WITHIN each source — the balanced
+    eval-set / eyeball-set operator (`fixed_size_sample` is its
+    global cousin). Hash-ordered, so the reservoir is stable across
+    runs, partitionings, and engines — the reproducibility property
+    `TABLESAMPLE`/`rand()` reservoirs lack.
+
+    Scale shape: one ``row_number`` window partitioned by the group
+    key — shuffle on source, per-key state is a counter; no global
+    sort, no driver collection. (A true streaming reservoir would be
+    `applyInPandasWithState`; for batch the rank window IS the
+    scalable form.)
+    """
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.concat(F.lit("gres|"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("source").orderBy("hk")
+    return (
+        docs.select("doc_id", "source", "lang", h.alias("hk"))
+        .withColumn("k_rank", F.row_number().over(w))
+        .filter(F.col("k_rank") <= GROUP_K)
+        .select("source", "k_rank", "doc_id", "lang")
+        .orderBy("source", "k_rank")
+    )
+
+
 QUERIES = {
     "fixed_size_sample": fixed_size_sample,
+    "grouped_reservoir_sample": grouped_reservoir_sample,
     "poisson_token_sample": poisson_token_sample,
     "dataset_split": dataset_split,
     "stratified_sample": stratified_sample,
@@ -397,6 +430,19 @@ ORACLE_SQL = {
         FROM d
         WHERE u * {POISSON_CAP} < tokens * {1 << _U_BITS}
         ORDER BY doc_id
+    """,
+    "grouped_reservoir_sample": f"""
+        SELECT source, k_rank, doc_id, lang
+        FROM (
+            SELECT source, doc_id, lang,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY source
+                       ORDER BY md5('gres|' || CAST(doc_id AS VARCHAR))
+                   ) AS INTEGER) AS k_rank
+            FROM documents
+        )
+        WHERE k_rank <= {GROUP_K}
+        ORDER BY source, k_rank
     """,
     "fixed_size_sample": f"""
         SELECT doc_id, lang,

@@ -147,3 +147,40 @@ def test_temperature_mixture_flattens(spark, sf_dir):
     lo, hi = by_tokens[0], by_tokens[-1]
     if lo.tokens < hi.tokens:
         assert hi.temp_share / lo.temp_share < hi.token_share / lo.token_share
+
+
+def test_grouped_reservoir_exactly_k_per_source(spark, sf_dir):
+    from tableau_dashboard_performance_etl_automation_spark.operators import sampling
+
+    rows = sampling.grouped_reservoir_sample(spark, sf_dir).collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r.source, []).append(r.k_rank)
+    docs = load_table(spark, sf_dir, "documents")
+    group_n = {
+        r.source: r.n
+        for r in docs.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    for src, ranks in per.items():
+        expect = min(sampling.GROUP_K, group_n[src])
+        assert sorted(ranks) == list(range(1, expect + 1))
+    # deterministic: a second evaluation yields the identical sample
+    again = sampling.grouped_reservoir_sample(spark, sf_dir).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_event_run_lengths_conservation(spark, sf_dir):
+    from tableau_dashboard_performance_etl_automation_spark.operators import analytics
+
+    rows = analytics.event_run_lengths(spark, sf_dir).collect()
+    e = load_table(spark, sf_dir, "events")
+    per_type = {
+        r.event_type: r.n
+        for r in e.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert {r.event_type for r in rows} == set(per_type)
+    for r in rows:
+        assert r.n_events == per_type[r.event_type]  # runs cover every event
+        assert 1 <= r.n_runs <= r.n_events
+        assert 1 <= r.max_run_len <= r.n_events
+        assert 0.0 <= r.collapse_pct < 1.0
