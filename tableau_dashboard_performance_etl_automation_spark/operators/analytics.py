@@ -2374,3 +2374,93 @@ ORACLE_SQL["event_run_lengths"] = """
                  / CAST(SUM(run_len) AS DOUBLE), 6) AS collapse_pct
     FROM runs GROUP BY event_type ORDER BY event_type
 """
+
+
+def event_type_dow_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """χ² independence cells for event_type × ISO day-of-week — the
+    seasonality-vs-type screen ("are purchases weekday-shaped?"): per
+    cell the observed count, the independence-expected count, and the
+    cell's χ² contribution (their sum is the statistic; dof =
+    (types−1)·(dows−1)).
+
+    Scale shape: one (type, dow) hash aggregate over the stream, two
+    tiny marginal aggregates broadcast back onto the |types|×|dows|
+    grid (zero-observation cells INCLUDED via the grid left join —
+    dropping them understates χ²). Expected counts are ratios of
+    exact integers; χ² terms round to 6 so engine libm order can't
+    surface. Weekday convention: ISO 1=Monday…7=Sunday in both
+    engines (Spark ``weekday()+1``, DuckDB ``isodow``).
+    """
+    e = load_table(spark, sf_dir, "events")
+    base = e.select(
+        "event_type", (F.weekday("ts") + 1).cast("int").alias("dow")
+    )
+    obs = base.groupBy("event_type", "dow").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_obs")
+    )
+    row_m = base.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("row_tot")
+    )
+    col_m = base.groupBy("dow").agg(
+        F.count(F.lit(1)).cast("bigint").alias("col_tot")
+    )
+    tot = F.broadcast(
+        base.agg(F.count(F.lit(1)).cast("bigint").alias("n_tot"))
+    )
+    grid = row_m.crossJoin(F.broadcast(col_m)).crossJoin(tot)
+    exp = F.col("row_tot") * F.col("col_tot") / F.col("n_tot").cast("double")
+    return (
+        grid.join(obs, ["event_type", "dow"], "left")
+        .select(
+            "event_type",
+            "dow",
+            F.coalesce(F.col("n_obs"), F.lit(0)).cast("bigint").alias(
+                "n_obs"
+            ),
+            F.round(exp, 6).alias("n_exp"),
+            F.round(
+                F.pow(
+                    F.coalesce(F.col("n_obs"), F.lit(0)).cast("double")
+                    - exp,
+                    2,
+                )
+                / exp,
+                6,
+            ).alias("chi2_term"),
+        )
+        .orderBy("event_type", "dow")
+    )
+
+
+QUERIES["event_type_dow_chisq"] = event_type_dow_chisq
+
+ORACLE_SQL["event_type_dow_chisq"] = """
+    WITH base AS (
+        SELECT event_type, CAST(isodow(ts) AS INTEGER) AS dow FROM events
+    ),
+    obs AS (
+        SELECT event_type, dow, CAST(COUNT(*) AS BIGINT) AS n_obs
+        FROM base GROUP BY 1, 2
+    ),
+    row_m AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS row_tot
+        FROM base GROUP BY 1
+    ),
+    col_m AS (
+        SELECT dow, CAST(COUNT(*) AS BIGINT) AS col_tot
+        FROM base GROUP BY 1
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_tot FROM base)
+    SELECT r.event_type,
+           c.dow,
+           COALESCE(o.n_obs, 0) AS n_obs,
+           ROUND(r.row_tot * c.col_tot / CAST(t.n_tot AS DOUBLE), 6)
+               AS n_exp,
+           ROUND(POW(COALESCE(o.n_obs, 0)
+                     - r.row_tot * c.col_tot / CAST(t.n_tot AS DOUBLE), 2)
+                 / (r.row_tot * c.col_tot / CAST(t.n_tot AS DOUBLE)), 6)
+               AS chi2_term
+    FROM row_m r CROSS JOIN col_m c CROSS JOIN tot t
+    LEFT JOIN obs o ON o.event_type = r.event_type AND o.dow = c.dow
+    ORDER BY r.event_type, c.dow
+"""

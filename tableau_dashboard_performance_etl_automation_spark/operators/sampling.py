@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from tableau_dashboard_performance_etl_automation_spark.catalog import load_table
+from tableau_dashboard_performance_etl_automation_spark.functions.text import words
 
 #: train/val/test percentages (bucket thresholds over 0..99).
 SPLITS = (("train", 0, 90), ("val", 90, 95), ("test", 95, 100))
@@ -377,9 +378,65 @@ def grouped_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Target tick count per source for the PPS systematic sampler.
+PPS_TICKS = 40
+
+
+def pps_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probability-proportional-to-size systematic sampling: lay
+    ~``PPS_TICKS`` equally-spaced token "ticks" along each source's
+    doc_id-ordered token axis and keep every document a tick lands in
+    — inclusion probability ∝ document tokens, with the even spread
+    (no two adjacent tiny docs both sampled) that independent Poisson
+    draws don't give. ``n_ticks`` > 1 marks a doc heavy enough to be
+    sampled multiple times (its replication weight in the drawn set).
+
+    Unlike the Efraimidis–Spirakis exponential-key scheme this needs
+    NO transcendental math — membership is pure integer division on
+    exact token prefix sums, so both engines agree bit-for-bit on
+    exactly which documents are drawn.
+
+    Scale shape: one prefix-sum window partitioned by source (the
+    same per-source sort a packer needs anyway; sources parallelize)
+    + a broadcast of per-source stride. No global sort, no rand().
+    """
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.select("source", "doc_id", F.size(words()).alias("toks"))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    stride = F.greatest(
+        F.expr(f"total div {PPS_TICKS}"), F.lit(1)
+    ).alias("stride")
+    totals = F.broadcast(
+        per.groupBy("source")
+        .agg(F.sum("toks").cast("bigint").alias("total"))
+        .select("source", stride)
+    )
+    cum = per.withColumn("cum", F.sum("toks").over(w).cast("bigint"))
+    return (
+        cum.join(totals, "source")
+        .withColumn(
+            "n_ticks",
+            (
+                F.expr("cum div stride")
+                - F.expr("(cum - toks) div stride")
+            ).cast("bigint"),
+        )
+        .filter(F.col("n_ticks") > 0)
+        .select("source", "doc_id", F.col("toks").alias("tokens"), "n_ticks")
+        .orderBy("source", "doc_id")
+    )
+
+
 QUERIES = {
     "fixed_size_sample": fixed_size_sample,
     "grouped_reservoir_sample": grouped_reservoir_sample,
+    "pps_systematic_sample": pps_systematic_sample,
     "poisson_token_sample": poisson_token_sample,
     "dataset_split": dataset_split,
     "stratified_sample": stratified_sample,
@@ -430,6 +487,31 @@ ORACLE_SQL = {
         FROM d
         WHERE u * {POISSON_CAP} < tokens * {1 << _U_BITS}
         ORDER BY doc_id
+    """,
+    "pps_systematic_sample": f"""
+        WITH per AS (
+            SELECT source, doc_id,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+            FROM documents
+        ),
+        cums AS (
+            SELECT source, doc_id, toks,
+                   CAST(SUM(toks) OVER (
+                       PARTITION BY source ORDER BY doc_id
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+            FROM per
+        ),
+        strides AS (
+            SELECT source,
+                   GREATEST(SUM(toks) // {PPS_TICKS}, 1) AS stride
+            FROM per GROUP BY source
+        )
+        SELECT c.source, c.doc_id, c.toks AS tokens,
+               CAST(c.cum // s.stride
+                    - (c.cum - c.toks) // s.stride AS BIGINT) AS n_ticks
+        FROM cums c JOIN strides s ON c.source = s.source
+        WHERE c.cum // s.stride - (c.cum - c.toks) // s.stride > 0
+        ORDER BY c.source, c.doc_id
     """,
     "grouped_reservoir_sample": f"""
         SELECT source, k_rank, doc_id, lang

@@ -1179,3 +1179,78 @@ ORACLE_SQL["oov_rate_by_source"] = f"""
     GROUP BY source
     ORDER BY source
 """
+
+
+#: Curve depth for the vocabulary coverage table.
+COVERAGE_TOP = 100
+
+
+def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve: for the top-``COVERAGE_TOP`` words
+    by corpus frequency, the cumulative share of all token
+    occurrences covered by ranks 1..r — the table behind "how big a
+    vocab covers 95% of tokens" tokenizer sizing (Zipf in table
+    form; the 3-gram twin is ``vocab_novelty``'s Heaps curve).
+
+    Scale shape: one explode + word hash-aggregate (map-side
+    combinable), a top-K selection that compiles to
+    ``TakeOrderedAndProject`` (per-partition heaps, never a global
+    sort), and the rank/cumsum window runs over the K survivors
+    only. The grand total is a 1-row broadcast. Shares are ratios of
+    exact integer counts, rounded to 6.
+
+    Determinism: ranks order by (count DESC, word) so equal-count
+    words cannot reorder across engines.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    wc = (
+        docs.select(F.explode(words()).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_occ"))
+    )
+    total = F.broadcast(
+        wc.agg(F.sum("n_occ").cast("bigint").alias("n_total"))
+    )
+    top = wc.orderBy(F.col("n_occ").desc(), "w").limit(COVERAGE_TOP)
+    rank_w = Window.orderBy(F.col("n_occ").desc(), "w")
+    cum_w = rank_w.rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        top.crossJoin(total)
+        .withColumn("vocab_rank", F.row_number().over(rank_w))
+        .withColumn("cum_occ", F.sum("n_occ").over(cum_w).cast("bigint"))
+        .select(
+            "vocab_rank",
+            F.col("w").alias("word"),
+            "n_occ",
+            F.round(F.col("cum_occ") / F.col("n_total"), 6).alias(
+                "cum_share"
+            ),
+        )
+        .orderBy("vocab_rank")
+    )
+
+
+QUERIES["vocab_coverage_curve"] = vocab_coverage_curve
+
+ORACLE_SQL["vocab_coverage_curve"] = f"""
+    WITH wc AS (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS n_occ
+        FROM (SELECT UNNEST(string_split(text, ' ')) AS w FROM documents)
+        GROUP BY w
+    ),
+    tot AS (SELECT CAST(SUM(n_occ) AS BIGINT) AS n_total FROM wc),
+    top AS (
+        SELECT w, n_occ FROM wc
+        ORDER BY n_occ DESC, w LIMIT {COVERAGE_TOP}
+    )
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY n_occ DESC, w) AS INTEGER)
+               AS vocab_rank,
+           w AS word,
+           n_occ,
+           ROUND(CAST(SUM(n_occ) OVER (
+                     ORDER BY n_occ DESC, w
+                     ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                 / CAST(t.n_total AS DOUBLE), 6) AS cum_share
+    FROM top, tot t
+    ORDER BY vocab_rank
+"""

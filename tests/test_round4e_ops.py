@@ -184,3 +184,49 @@ def test_event_run_lengths_conservation(spark, sf_dir):
         assert 1 <= r.n_runs <= r.n_events
         assert 1 <= r.max_run_len <= r.n_events
         assert 0.0 <= r.collapse_pct < 1.0
+
+
+def test_chisq_cells_reconstruct_marginals(spark, sf_dir):
+    from tableau_dashboard_performance_etl_automation_spark.operators import analytics
+
+    rows = analytics.event_type_dow_chisq(spark, sf_dir).collect()
+    e = load_table(spark, sf_dir, "events")
+    n = e.count()
+    assert abs(sum(r.n_obs for r in rows) - n) == 0
+    # expected counts reconstruct N as well (within rounding)
+    assert abs(sum(r.n_exp for r in rows) - n) < 1e-2
+    for r in rows:
+        assert r.chi2_term >= 0.0
+        assert r.n_exp > 0.0  # grid excludes impossible cells only
+
+
+def test_pps_sample_tokens_proportional(spark, sf_dir):
+    from tableau_dashboard_performance_etl_automation_spark.operators import sampling
+
+    rows = sampling.pps_systematic_sample(spark, sf_dir).collect()
+    assert len(rows) > 0
+    per_source = {}
+    for r in rows:
+        assert r.n_ticks >= 1
+        per_source[r.source] = per_source.get(r.source, 0) + r.n_ticks
+    # each source draws ~PPS_TICKS ticks (exactly total//stride)
+    for src, ticks in per_source.items():
+        assert sampling.PPS_TICKS <= ticks <= sampling.PPS_TICKS + 1
+    # deterministic replay
+    again = sampling.pps_systematic_sample(spark, sf_dir).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_vocab_coverage_monotone(spark, sf_dir):
+    from tableau_dashboard_performance_etl_automation_spark.operators import textops
+
+    rows = textops.vocab_coverage_curve(spark, sf_dir).collect()
+    assert 1 <= len(rows) <= textops.COVERAGE_TOP
+    assert [r.vocab_rank for r in rows] == list(range(1, len(rows) + 1))
+    prev_share, prev_occ = 0.0, None
+    for r in rows:
+        assert r.cum_share >= prev_share - 1e-12  # monotone coverage
+        if prev_occ is not None:
+            assert r.n_occ <= prev_occ  # frequency-ordered
+        prev_share, prev_occ = r.cum_share, r.n_occ
+    assert rows[-1].cum_share <= 1.0 + 1e-9

@@ -69,6 +69,12 @@ PROBE_QUERIES = [
     "market_basket_brand_pairs",
     "user_running_balance",
     "daily_value_twap",
+    # round-4e interval machinery (binned range join, sweep line,
+    # gap-filled spine, run-length collapse)
+    "events_in_anomaly_windows",
+    "daily_peak_concurrency",
+    "gapfilled_daily_counts",
+    "event_run_lengths",
 ]
 
 
