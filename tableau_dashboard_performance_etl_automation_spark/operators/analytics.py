@@ -2464,3 +2464,154 @@ ORACLE_SQL["event_type_dow_chisq"] = """
     LEFT JOIN obs o ON o.event_type = r.event_type AND o.dow = c.dow
     ORDER BY r.event_type, c.dow
 """
+
+
+#: Bin count for the PSI drift screen (baseline deciles).
+PSI_BINS = 10
+
+
+def value_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index cells for the event value
+    distribution, second half of the stream vs the first (split at
+    the median timestamp) — the standard drift screen a feature
+    pipeline runs before retraining (PSI < 0.1 stable, > 0.25 act).
+
+    Bins are the BASELINE period's deciles (exact interpolated
+    percentiles on integer cents, the cross-engine-exact form used
+    throughout); both periods then bucket against the same broadcast
+    cut array, Laplace-smoothed shares keep empty bins finite, and
+    each cell reports ``(p_cur − p_base)·ln(p_cur/p_base)`` whose sum
+    is the PSI.
+
+    Scale shape: two full-stream hash aggregates (period × bin, 20
+    groups) against a 1-row broadcast of cuts + split point; the
+    exact decile pass is the same sort-based percentile
+    ``value_percentiles`` already pays. Nothing is per-key; rounded
+    to 6 so libm's ln can't surface reduction order.
+    """
+    e = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    ev = e.select(F.unix_millis("ts").alias("ms"), cents.alias("cents"))
+    qs = ", ".join(
+        str((i + 1) / PSI_BINS) for i in range(PSI_BINS - 1)
+    )
+    anchors = F.broadcast(
+        ev.agg(F.expr("percentile(ms, 0.5D)").alias("split_ms")).crossJoin(
+            ev.alias("b")
+        )
+        .filter(F.col("ms") <= F.col("split_ms"))
+        .agg(
+            F.first(F.col("split_ms")).alias("split_ms"),
+            F.expr(f"percentile(cents, array({qs}))").alias("cuts"),
+        )
+    )
+    binned = (
+        ev.crossJoin(anchors)
+        .select(
+            F.when(F.col("ms") <= F.col("split_ms"), F.lit("base"))
+            .otherwise(F.lit("cur"))
+            .alias("period"),
+            F.expr("size(filter(cuts, c -> c < cents))").alias("bin_id"),
+        )
+        .groupBy("period", "bin_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    grid = (
+        spark.range(PSI_BINS)
+        .select(F.col("id").cast("int").alias("bin_id"))
+        .crossJoin(
+            F.broadcast(
+                binned.groupBy("period").agg(
+                    F.sum("n").cast("bigint").alias("n_tot")
+                )
+            )
+        )
+    )
+    smoothed = (
+        grid.join(binned, ["period", "bin_id"], "left")
+        .select(
+            "bin_id",
+            "period",
+            F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n"),
+            (
+                (F.coalesce(F.col("n"), F.lit(0)) + 1)
+                / (F.col("n_tot") + PSI_BINS).cast("double")
+            ).alias("p"),
+        )
+    )
+    b = smoothed.filter(F.col("period") == "base").select(
+        "bin_id",
+        F.col("n").alias("n_base"),
+        F.col("p").alias("p_base"),
+    )
+    c = smoothed.filter(F.col("period") == "cur").select(
+        "bin_id",
+        F.col("n").alias("n_cur"),
+        F.col("p").alias("p_cur"),
+    )
+    return (
+        b.join(c, "bin_id")
+        .select(
+            "bin_id",
+            "n_base",
+            "n_cur",
+            F.round(
+                (F.col("p_cur") - F.col("p_base"))
+                * F.log(F.col("p_cur") / F.col("p_base")),
+                6,
+            ).alias("psi_term"),
+        )
+        .orderBy("bin_id")
+    )
+
+
+QUERIES["value_drift_psi"] = value_drift_psi
+
+ORACLE_SQL["value_drift_psi"] = f"""
+    WITH ev AS (
+        SELECT epoch_ms(ts) AS ms,
+               CAST(ROUND(value * 100) AS BIGINT) AS cents
+        FROM events
+    ),
+    split AS (SELECT quantile_cont(ms, 0.5) AS split_ms FROM ev),
+    cuts AS (
+        SELECT quantile_cont(cents,
+                   [{', '.join(str((i + 1) / 10) for i in range(9))}])
+               AS cuts
+        FROM ev, split WHERE ms <= split_ms
+    ),
+    binned AS (
+        SELECT CASE WHEN ms <= split_ms THEN 'base' ELSE 'cur' END
+                   AS period,
+               CAST(len(list_filter(cuts, c -> c < cents)) AS INTEGER)
+                   AS bin_id,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM ev, split, cuts
+        GROUP BY 1, 2
+    ),
+    tots AS (
+        SELECT period, CAST(SUM(n) AS BIGINT) AS n_tot
+        FROM binned GROUP BY period
+    ),
+    grid AS (
+        SELECT CAST(gs AS INTEGER) AS bin_id, t.period, t.n_tot
+        FROM UNNEST(generate_series(0, {PSI_BINS - 1})) AS g(gs)
+        CROSS JOIN tots t
+    ),
+    sm AS (
+        SELECT g.bin_id, g.period,
+               COALESCE(b.n, 0) AS n,
+               (COALESCE(b.n, 0) + 1)
+                   / CAST(g.n_tot + {PSI_BINS} AS DOUBLE) AS p
+        FROM grid g
+        LEFT JOIN binned b
+          ON b.period = g.period AND b.bin_id = g.bin_id
+    )
+    SELECT b.bin_id,
+           b.n AS n_base,
+           c.n AS n_cur,
+           ROUND((c.p - b.p) * ln(c.p / b.p), 6) AS psi_term
+    FROM (SELECT * FROM sm WHERE period = 'base') b
+    JOIN (SELECT * FROM sm WHERE period = 'cur') c ON b.bin_id = c.bin_id
+    ORDER BY b.bin_id
+"""

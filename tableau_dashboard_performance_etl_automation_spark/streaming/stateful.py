@@ -70,3 +70,63 @@ def running_key_profile(stream: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+RUN_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("run_len", LongType()),
+    ]
+)
+
+RUN_STATE_SCHEMA = StructType(
+    [
+        StructField("last_type", StringType()),
+        StructField("run_len", LongType()),
+    ]
+)
+
+
+def _collapse_runs(
+    key: tuple, batches: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    """Emit each COMPLETED run (maximal streak of one event_type) for
+    this user; the open tail run stays in state across micro-batches.
+    Rows are sorted by (ts, event_id) inside the batch — the same
+    total order the batch twin (`analytics.event_run_lengths`) uses."""
+    last, run_len = state.get if state.exists else (None, 0)
+    done_types: list = []
+    done_lens: list = []
+    pdf = pd.concat(list(batches))
+    pdf = pdf.sort_values(["ts", "event_id"])
+    for et in pdf["event_type"]:
+        if et == last:
+            run_len += 1
+        else:
+            if last is not None:
+                done_types.append(last)
+                done_lens.append(run_len)
+            last, run_len = et, 1
+    state.update((last, run_len))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]] * len(done_types),
+            "event_type": done_types,
+            "run_len": done_lens,
+        }
+    )
+
+
+def run_length_collapse(stream: DataFrame) -> DataFrame:
+    """Streaming twin of the consecutive-duplicate collapse
+    (`analytics.event_run_lengths`): per-user state is one
+    (last_type, run_len) tuple — O(keys) state, no timeline buffered —
+    and a run is emitted exactly once, when the streak breaks."""
+    return stream.groupBy("user_id").applyInPandasWithState(
+        _collapse_runs,
+        outputStructType=RUN_OUTPUT_SCHEMA,
+        stateStructType=RUN_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

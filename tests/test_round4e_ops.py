@@ -230,3 +230,15 @@ def test_vocab_coverage_monotone(spark, sf_dir):
             assert r.n_occ <= prev_occ  # frequency-ordered
         prev_share, prev_occ = r.cum_share, r.n_occ
     assert rows[-1].cum_share <= 1.0 + 1e-9
+
+
+def test_psi_terms_nonnegative_and_counts_conserve(spark, sf_dir):
+    from tableau_dashboard_performance_etl_automation_spark.operators import analytics
+
+    rows = analytics.value_drift_psi(spark, sf_dir).collect()
+    assert len(rows) == analytics.PSI_BINS
+    e = load_table(spark, sf_dir, "events")
+    assert sum(r.n_base + r.n_cur for r in rows) == e.count()
+    for r in rows:
+        # (p-q)*ln(p/q) is sign-definite: every PSI cell is >= 0
+        assert r.psi_term >= -1e-12

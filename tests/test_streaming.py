@@ -370,3 +370,68 @@ def test_idempotent_sink_exactly_once(spark, sf_dir, tmp_path):
     assert sinks.write_batch_idempotent(replay, new_bid, target) is True
     assert new_bid in sinks.committed_batch_ids(target)
     assert spark.read.parquet(target).count() == n_src + 5
+
+
+def test_run_length_collapse_matches_batch_runs(spark, sf_dir, tmp_path):
+    """Drain the stream in two chronological micro-batches; the
+    completed runs must equal the batch gaps-and-islands runs minus
+    each user's final (still-open) run."""
+    from pyspark.sql.window import Window
+
+    events = load_table(spark, sf_dir, "events")
+    split_ts = events.agg(
+        F.expr("percentile(unix_millis(ts), 0.5)")
+    ).collect()[0][0]
+    inp = str(tmp_path / "runs_inp")
+    # two files in event-time order => two ordered micro-batches
+    events.filter(F.unix_millis("ts") <= split_ts).coalesce(1).write.mode(
+        "append"
+    ).parquet(inp)
+    events.filter(F.unix_millis("ts") > split_ts).coalesce(1).write.mode(
+        "append"
+    ).parquet(inp)
+
+    stream = (
+        spark.readStream.option("maxFilesPerTrigger", 1)
+        .schema(events.schema)
+        .parquet(inp)
+    )
+    (
+        stateful.run_length_collapse(stream)
+        .writeStream.format("memory")
+        .queryName("runs_sink")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    got = sorted(
+        (r.user_id, r.event_type, r.run_len)
+        for r in spark.table("runs_sink").collect()
+    )
+
+    # batch twin: all runs except each user's last
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    runs = (
+        events.withColumn("prev_type", F.lag("event_type").over(w))
+        .withColumn(
+            "new_run",
+            (
+                F.col("prev_type").isNull()
+                | (F.col("prev_type") != F.col("event_type"))
+            ).cast("int"),
+        )
+        .withColumn(
+            "run_id",
+            F.sum("new_run").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy("user_id", "run_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("run_len"))
+    )
+    last_run = runs.groupBy("user_id").agg(F.max("run_id").alias("run_id"))
+    want = sorted(
+        (r.user_id, r.event_type, r.run_len)
+        for r in runs.join(last_run, ["user_id", "run_id"], "left_anti")
+        .collect()
+    )
+    assert got == want
