@@ -324,3 +324,65 @@ def test_poisson_keep_set_matches_md5_replay(spark, docs_words):
     for k, (toks, w) in expect.items():
         assert got[k][0] == toks
         assert abs(got[k][1] - w) < 1e-9
+
+
+class _FakeState:
+    """Minimal GroupState stand-in for driving _collapse_runs directly."""
+
+    def __init__(self):
+        self.exists = False
+        self._v = None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = tuple(v)
+        self.exists = True
+
+
+@given(
+    st.lists(
+        st.sampled_from(["click", "view", "purchase"]),
+        min_size=1,
+        max_size=40,
+    ),
+    st.integers(min_value=1, max_value=5),
+)
+@_SETTINGS
+def test_collapse_runs_state_machine_matches_reference(seq, n_batches):
+    """Feeding a type sequence in ANY batch split must emit exactly the
+    reference run-length encoding minus the final open run — and state
+    must carry the open run across batch boundaries."""
+    import pandas as pd
+
+    from tableau_dashboard_performance_etl_automation_spark.streaming.stateful import (
+        _collapse_runs,
+    )
+
+    # reference RLE of the whole sequence
+    rle = []
+    for et in seq:
+        if rle and rle[-1][0] == et:
+            rle[-1][1] += 1
+        else:
+            rle.append([et, 1])
+
+    state = _FakeState()
+    emitted = []
+    size = max(1, len(seq) // n_batches)
+    chunks = [seq[i : i + size] for i in range(0, len(seq), size)]
+    for pos, chunk in enumerate(chunks):
+        base = sum(len(c) for c in chunks[:pos])
+        pdf = pd.DataFrame(
+            {
+                "ts": range(base, base + len(chunk)),
+                "event_id": range(base, base + len(chunk)),
+                "event_type": chunk,
+            }
+        )
+        for out in _collapse_runs((7,), [pdf], state):
+            emitted.extend(zip(out["event_type"], out["run_len"]))
+    assert emitted == [tuple(r) for r in rle[:-1]]
+    assert state.get == tuple(rle[-1])

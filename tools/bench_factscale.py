@@ -135,6 +135,7 @@ def build_scaled(spark, base_dir: str, factor: int) -> str:
 def main() -> None:
     base = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     factors = [int(a) for a in sys.argv[2:]] or FACTORS
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")
     spark = get_spark("tdpe-factscale")
     spark.sparkContext.setLogLevel("ERROR")
     queries = entry_mod.queries()

@@ -105,8 +105,14 @@ def build_scaled(spark, base_dir: str, factor: int) -> str:
 def main() -> None:
     base = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     factors = [int(a) for a in sys.argv[2:]] or FACTORS
+    # same harness hygiene as bench.py: one JVM runs every probe
+    # back-to-back with localCheckpoint blocks accumulating — the
+    # default heap OOMs the 64× char-level aggregates
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")
     spark = get_spark("tdpe-scaleup")
     spark.sparkContext.setLogLevel("ERROR")
+    from tableau_dashboard_performance_etl_automation_spark.operators import textops
+
     ops = {
         "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
         "dedup_simhash": dedup.dedup_simhash,
@@ -114,6 +120,13 @@ def main() -> None:
         "neardup_embedding_cosine": similarity.neardup_embedding_cosine,
         "dedup_subdoc_blocks": dedup.dedup_subdoc_blocks,
         "dedup_incremental_newbatch": dedup.dedup_incremental_newbatch,
+        # round-4e: the char-level stats after the linear split()
+        # rewrite — the probe that would have caught the O(n²)
+        # substring walk (per-doc cost grows with doc length, so a
+        # corpus replicate holds it fixed; still worth the trend line)
+        "doc_char_entropy": textops.doc_char_entropy,
+        "char_bigram_lm_scores": textops.char_bigram_lm_scores,
+        "vocab_coverage_curve": textops.vocab_coverage_curve,
     }
     report: dict = {"base": base, "scales": {}}
     for factor in factors:
