@@ -1177,3 +1177,63 @@ ORACLE_SQL["market_basket_brand_pairs"] = """
     ORDER BY pair_orders DESC, brand_a, brand_b
     LIMIT 50
 """
+
+
+def daily_metric_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt): the wide per-day × per-type matrix of
+    :func:`daily_metric_pivot` back to long (event_date, event_type,
+    avg_value) rows — the other half of the reshaping pair (wide for
+    reports, long for joins/ML featurization). Null cells (days where
+    a type never fired) are dropped, matching ``UNPIVOT``'s
+    exclude-nulls default in both engines.
+
+    Scale shape: ``melt`` is a narrow projection (each input row emits
+    ≤ |types| rows, no shuffle beyond the pivot's own aggregate);
+    the declared-values pivot it inverts is the same single
+    hash-aggregate `daily_metric_pivot` documents.
+    """
+    wide = daily_metric_pivot(spark, sf_dir)
+    types = ["click", "error", "purchase", "signup", "view"]
+    return (
+        wide.melt(
+            ids=["event_date"],
+            values=[f"avg_{t}" for t in types],
+            variableColumnName="metric",
+            valueColumnName="avg_value",
+        )
+        .filter(F.col("avg_value").isNotNull())
+        .select(
+            "event_date",
+            F.expr("substring(metric, 5)").alias("event_type"),
+            "avg_value",
+        )
+        .orderBy("event_date", "event_type")
+    )
+
+
+QUERIES["daily_metric_unpivot"] = daily_metric_unpivot
+
+# The oracle melts the SAME wide matrix via UNPIVOT, so the pair
+# pivot→melt is validated end-to-end (not just re-aggregated).
+ORACLE_SQL["daily_metric_unpivot"] = """
+    WITH wide AS (
+        SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS event_date,
+               event_type,
+               ((200 * SUM(CAST(ROUND(value * 100) AS BIGINT))
+                 + COUNT(value)) // (2 * COUNT(value))) / 1e4 AS avg_v
+        FROM events
+        GROUP BY 1, 2
+    ),
+    pivoted AS (
+        PIVOT wide ON event_type
+            IN ('click', 'error', 'purchase', 'signup', 'view')
+        USING FIRST(avg_v)
+    )
+    SELECT event_date, event_type, avg_value
+    FROM (
+        UNPIVOT pivoted
+        ON click, error, purchase, signup, view
+        INTO NAME event_type VALUE avg_value
+    )
+    ORDER BY event_date, event_type
+"""

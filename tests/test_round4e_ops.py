@@ -242,3 +242,23 @@ def test_psi_terms_nonnegative_and_counts_conserve(spark, sf_dir):
     for r in rows:
         # (p-q)*ln(p/q) is sign-definite: every PSI cell is >= 0
         assert r.psi_term >= -1e-12
+
+
+def test_unpivot_inverts_pivot(spark, sf_dir):
+    from tableau_dashboard_performance_etl_automation_spark.operators import relational_ext
+
+    long = relational_ext.daily_metric_unpivot(spark, sf_dir)
+    rows = {(r.event_date, r.event_type): r.avg_value for r in long.collect()}
+    # melt(pivot(x)) reproduces the direct long aggregation exactly
+    e = load_table(spark, sf_dir, "events")
+    direct = e.groupBy(
+        F.date_format(F.col("ts").cast("date"), "yyyy-MM-dd").alias("d"),
+        "event_type",
+    ).agg(
+        F.expr(
+            "((200 * sum(CAST(ROUND(value * 100) AS BIGINT)) + count(value))"
+            " div (2 * count(value))) / 1e4"
+        ).alias("v")
+    )
+    want = {(r.d, r.event_type): r.v for r in direct.collect()}
+    assert rows == want
