@@ -2615,3 +2615,103 @@ ORACLE_SQL["value_drift_psi"] = f"""
     JOIN (SELECT * FROM sm WHERE period = 'cur') c ON b.bin_id = c.bin_id
     ORDER BY b.bin_id
 """
+
+
+#: Path length and report size for the session path miner.
+PATH_TOP = 20
+
+
+def session_path_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top 3-step event-type paths within sessions — the clickstream
+    sequence-mining table ("view>click>purchase dominates converting
+    sessions") behind funnel design. A path is three CONSECUTIVE
+    events inside one 30-minute-gap session.
+
+    Scale shape: one sessionization window + two LEADs over the same
+    (user, ts, event_id) order — a single shuffle on user_id serves
+    all three; the path aggregate is map-side combinable and the
+    top-K compiles to ``TakeOrderedAndProject``. Ordering ties break
+    on (count DESC, path) so both engines cut the same top set;
+    ``n_users`` counts distinct users whose sessions contain the
+    path.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sess = (
+        e.withColumn("prev_ts", F.lag("ts").over(w))
+        .withColumn(
+            "new_session",
+            (
+                F.col("prev_ts").isNull()
+                | (
+                    F.unix_millis("ts") - F.unix_millis("prev_ts")
+                    > 30 * 60 * 1000
+                )
+            ).cast("int"),
+        )
+        .withColumn(
+            "session_id",
+            F.sum("new_session")
+            .over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .cast("bigint"),
+        )
+    )
+    sw = Window.partitionBy("user_id", "session_id").orderBy(
+        "ts", "event_id"
+    )
+    paths = (
+        sess.withColumn("t1", F.lead("event_type", 1).over(sw))
+        .withColumn("t2", F.lead("event_type", 2).over(sw))
+        .filter(F.col("t1").isNotNull() & F.col("t2").isNotNull())
+        .select(
+            "user_id",
+            F.concat_ws(">", "event_type", "t1", "t2").alias("path"),
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        )
+        .orderBy(F.col("n_occurrences").desc(), "path")
+        .limit(PATH_TOP)
+    )
+
+
+QUERIES["session_path_mining"] = session_path_mining
+
+ORACLE_SQL["session_path_mining"] = f"""
+    WITH tagged AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN lag(ts) OVER uw IS NULL
+                         OR epoch_ms(ts) - epoch_ms(lag(ts) OVER uw)
+                            > 1800000
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW uw AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+        SELECT user_id, ts, event_id, event_type,
+               SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM tagged
+    ),
+    paths AS (
+        SELECT user_id,
+               event_type || '>' || lead(event_type, 1) OVER sw
+                          || '>' || lead(event_type, 2) OVER sw AS path
+        FROM sess
+        WINDOW sw AS (PARTITION BY user_id, session_id
+                      ORDER BY ts, event_id)
+    )
+    SELECT path,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM paths
+    WHERE path IS NOT NULL
+    GROUP BY path
+    ORDER BY n_occurrences DESC, path
+    LIMIT {PATH_TOP}
+"""

@@ -262,3 +262,20 @@ def test_unpivot_inverts_pivot(spark, sf_dir):
     )
     want = {(r.d, r.event_type): r.v for r in direct.collect()}
     assert rows == want
+
+
+def test_session_path_counts_bounded_by_events(spark, sf_dir):
+    from tableau_dashboard_performance_etl_automation_spark.operators import analytics
+
+    rows = analytics.session_path_mining(spark, sf_dir).collect()
+    assert 0 < len(rows) <= analytics.PATH_TOP
+    e = load_table(spark, sf_dir, "events")
+    n = e.count()
+    prev = None
+    for r in rows:
+        assert r.path.count(">") == 2  # exactly 3 steps
+        assert 1 <= r.n_users <= r.n_occurrences
+        assert r.n_occurrences < n  # a path needs 3 events
+        if prev is not None:
+            assert r.n_occurrences <= prev  # ranked output
+        prev = r.n_occurrences
