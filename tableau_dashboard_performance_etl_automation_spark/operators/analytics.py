@@ -169,6 +169,44 @@ def daily_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: 30-minute sessionization inactivity gap — THE session definition,
+#: shared by every sessionizing operator (user_sessionization,
+#: session_path_mining, intervals.daily_peak_concurrency) and
+#: mirrored by the streaming layer.
+SESSION_GAP_MS = 30 * 60 * 1000
+
+
+def with_session_ids(e: DataFrame) -> DataFrame:
+    """Tag an events-shaped frame with a per-user ``session_id``
+    (gap-based, ``SESSION_GAP_MS`` inactivity; 1-based within user).
+    One lag + one running-sum window partitioned by user — shuffle on
+    user_id, bounded per-key state. Windows order by (ts, event_id)
+    so equal timestamps cannot reorder across engines. The single
+    sessionizer implementation behind every session-scoped operator —
+    a gap change here changes them all together."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.withColumn("prev_ts", F.lag("ts").over(w))
+        .withColumn(
+            "new_session",
+            (
+                F.col("prev_ts").isNull()
+                | (
+                    F.unix_millis("ts") - F.unix_millis("prev_ts")
+                    > SESSION_GAP_MS
+                )
+            ).cast("int"),
+        )
+        .withColumn(
+            "session_id",
+            F.sum("new_session")
+            .over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .cast("bigint"),
+        )
+        .drop("prev_ts", "new_session")
+    )
+
+
 def user_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30-min inactivity) via lag window —
     the standard streaming-adjacent stateful shape expressed as a
@@ -179,23 +217,8 @@ def user_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     is accumulated as exact integer cents — summing raw doubles is
     accumulation-order dependent and flips the last cent."""
     e = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    sessions = (
-        e.withColumn("prev_ts", F.lag("ts").over(w))
-        .withColumn(
-            "new_session",
-            (
-                F.col("prev_ts").isNull()
-                | (F.unix_millis("ts") - F.unix_millis("prev_ts") > 30 * 60 * 1000)
-            ).cast("int"),
-        )
-        .withColumn(
-            "session_id",
-            F.sum("new_session")
-            .over(w.rowsBetween(Window.unboundedPreceding, 0))
-            .cast("bigint"),
-        )
-        .withColumn("cents", F.round(F.col("value") * 100).cast("bigint"))
+    sessions = with_session_ids(e).withColumn(
+        "cents", F.round(F.col("value") * 100).cast("bigint")
     )
     return (
         sessions.groupBy("user_id", "session_id")
@@ -2395,17 +2418,21 @@ def event_type_dow_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = e.select(
         "event_type", (F.weekday("ts") + 1).cast("int").alias("dow")
     )
+    # ONE stream scan: the (type, dow) cell counts. All three
+    # marginals fold from this |types|×7 frame — re-aggregating the
+    # raw stream per marginal would cost 3 more full scans for
+    # numbers the cells already contain.
     obs = base.groupBy("event_type", "dow").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_obs")
+    ).localCheckpoint()
+    row_m = obs.groupBy("event_type").agg(
+        F.sum("n_obs").cast("bigint").alias("row_tot")
     )
-    row_m = base.groupBy("event_type").agg(
-        F.count(F.lit(1)).cast("bigint").alias("row_tot")
-    )
-    col_m = base.groupBy("dow").agg(
-        F.count(F.lit(1)).cast("bigint").alias("col_tot")
+    col_m = obs.groupBy("dow").agg(
+        F.sum("n_obs").cast("bigint").alias("col_tot")
     )
     tot = F.broadcast(
-        base.agg(F.count(F.lit(1)).cast("bigint").alias("n_tot"))
+        obs.agg(F.sum("n_obs").cast("bigint").alias("n_tot"))
     )
     grid = row_m.crossJoin(F.broadcast(col_m)).crossJoin(tot)
     exp = F.col("row_tot") * F.col("col_tot") / F.col("n_tot").cast("double")
@@ -2505,6 +2532,11 @@ def value_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"percentile(cents, array({qs}))").alias("cuts"),
         )
     )
+    # ONE binning scan of the stream; the ≤20-row (period, bin)
+    # aggregate is checkpointed and everything downstream — totals,
+    # the base/cur pivot, smoothing — folds from it. (The previous
+    # filter/filter/self-join form re-derived the whole lineage per
+    # branch: 17 parquet scans for a 10-row result.)
     binned = (
         ev.crossJoin(anchors)
         .select(
@@ -2515,50 +2547,34 @@ def value_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("period", "bin_id")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .localCheckpoint()
     )
-    grid = (
+    is_base = F.col("period") == "base"
+    cells = binned.groupBy("bin_id").agg(
+        F.sum(F.when(is_base, F.col("n"))).cast("bigint").alias("nb"),
+        F.sum(F.when(~is_base, F.col("n"))).cast("bigint").alias("nc"),
+    )
+    tots = F.broadcast(
+        binned.groupBy().agg(
+            F.sum(F.when(is_base, F.col("n"))).cast("bigint").alias("tb"),
+            F.sum(F.when(~is_base, F.col("n"))).cast("bigint").alias("tc"),
+        )
+    )
+    nb0 = F.coalesce(F.col("nb"), F.lit(0))
+    nc0 = F.coalesce(F.col("nc"), F.lit(0))
+    p_base = (nb0 + 1) / (F.col("tb") + PSI_BINS).cast("double")
+    p_cur = (nc0 + 1) / (F.col("tc") + PSI_BINS).cast("double")
+    return (
         spark.range(PSI_BINS)
         .select(F.col("id").cast("int").alias("bin_id"))
-        .crossJoin(
-            F.broadcast(
-                binned.groupBy("period").agg(
-                    F.sum("n").cast("bigint").alias("n_tot")
-                )
-            )
-        )
-    )
-    smoothed = (
-        grid.join(binned, ["period", "bin_id"], "left")
+        .join(F.broadcast(cells), "bin_id", "left")
+        .crossJoin(tots)
         .select(
             "bin_id",
-            "period",
-            F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n"),
-            (
-                (F.coalesce(F.col("n"), F.lit(0)) + 1)
-                / (F.col("n_tot") + PSI_BINS).cast("double")
-            ).alias("p"),
-        )
-    )
-    b = smoothed.filter(F.col("period") == "base").select(
-        "bin_id",
-        F.col("n").alias("n_base"),
-        F.col("p").alias("p_base"),
-    )
-    c = smoothed.filter(F.col("period") == "cur").select(
-        "bin_id",
-        F.col("n").alias("n_cur"),
-        F.col("p").alias("p_cur"),
-    )
-    return (
-        b.join(c, "bin_id")
-        .select(
-            "bin_id",
-            "n_base",
-            "n_cur",
+            nb0.cast("bigint").alias("n_base"),
+            nc0.cast("bigint").alias("n_cur"),
             F.round(
-                (F.col("p_cur") - F.col("p_base"))
-                * F.log(F.col("p_cur") / F.col("p_base")),
-                6,
+                (p_cur - p_base) * F.log(p_cur / p_base), 6
             ).alias("psi_term"),
         )
         .orderBy("bin_id")
@@ -2636,33 +2652,21 @@ def session_path_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     path.
     """
     e = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    sess = (
-        e.withColumn("prev_ts", F.lag("ts").over(w))
-        .withColumn(
-            "new_session",
-            (
-                F.col("prev_ts").isNull()
-                | (
-                    F.unix_millis("ts") - F.unix_millis("prev_ts")
-                    > 30 * 60 * 1000
-                )
-            ).cast("int"),
-        )
-        .withColumn(
-            "session_id",
-            F.sum("new_session")
-            .over(w.rowsBetween(Window.unboundedPreceding, 0))
-            .cast("bigint"),
-        )
-    )
+    sess = with_session_ids(e)
     sw = Window.partitionBy("user_id", "session_id").orderBy(
         "ts", "event_id"
     )
     paths = (
         sess.withColumn("t1", F.lead("event_type", 1).over(sw))
         .withColumn("t2", F.lead("event_type", 2).over(sw))
-        .filter(F.col("t1").isNotNull() & F.col("t2").isNotNull())
+        # all three steps must be non-null: the oracle's `||` concat
+        # propagates NULL (row dropped); concat_ws would silently SKIP
+        # a null leading type and emit a phantom 2-step path
+        .filter(
+            F.col("event_type").isNotNull()
+            & F.col("t1").isNotNull()
+            & F.col("t2").isNotNull()
+        )
         .select(
             "user_id",
             F.concat_ws(">", "event_type", "t1", "t2").alias("path"),

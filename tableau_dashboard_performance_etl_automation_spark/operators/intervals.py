@@ -44,9 +44,9 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 
 from tableau_dashboard_performance_etl_automation_spark.catalog import load_table
-
-#: Sessionization inactivity gap (shared with analytics.user_sessionization).
-_GAP_MS = 30 * 60 * 1000
+from tableau_dashboard_performance_etl_automation_spark.operators.analytics import (
+    with_session_ids,
+)
 
 #: Days a detected anomaly window extends before/after its anchor day.
 _WIN_BEFORE_DAYS = 1
@@ -127,23 +127,9 @@ def events_in_anomaly_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _session_spans(e: DataFrame) -> DataFrame:
-    """(user_id, session_id, s_start, s_end) via 30-min-gap
-    sessionization — same window shape as analytics.user_sessionization."""
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    tagged = e.withColumn("prev_ts", F.lag("ts").over(w)).withColumn(
-        "new_session",
-        (
-            F.col("prev_ts").isNull()
-            | (F.unix_millis("ts") - F.unix_millis("prev_ts") > _GAP_MS)
-        ).cast("int"),
-    )
-    sess = tagged.withColumn(
-        "session_id",
-        F.sum("new_session")
-        .over(w.rowsBetween(Window.unboundedPreceding, 0))
-        .cast("bigint"),
-    )
-    return sess.groupBy("user_id", "session_id").agg(
+    """(user_id, session_id, s_start, s_end) — the one shared
+    sessionizer (`analytics.with_session_ids`) reduced to spans."""
+    return with_session_ids(e).groupBy("user_id", "session_id").agg(
         F.min("ts").alias("s_start"), F.max("ts").alias("s_end")
     )
 

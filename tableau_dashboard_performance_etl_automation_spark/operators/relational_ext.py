@@ -184,13 +184,18 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Declared pivot column set — shared by the PIVOT and its UNPIVOT
+#: inverse (and their oracles) so the two lists cannot drift apart.
+PIVOT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
 def daily_metric_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PIVOT: per-day average value per event type, types as columns
     (the summary_line wide-format shape). Pivot values are declared
     explicitly — at scale an undeclared pivot needs an extra pass to
     discover the column set."""
     e = load_table(spark, sf_dir, "events")
-    types = ["click", "error", "purchase", "signup", "view"]
+    types = PIVOT_TYPES
     # Fully exact aggregation: value has 2 decimals, so sum cents as
     # bigint (order-independent), and perform the 4-decimal half-up
     # rounding ITSELF in integer arithmetic —
@@ -1193,11 +1198,10 @@ def daily_metric_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-aggregate `daily_metric_pivot` documents.
     """
     wide = daily_metric_pivot(spark, sf_dir)
-    types = ["click", "error", "purchase", "signup", "view"]
     return (
         wide.melt(
             ids=["event_date"],
-            values=[f"avg_{t}" for t in types],
+            values=[f"avg_{t}" for t in PIVOT_TYPES],
             variableColumnName="metric",
             valueColumnName="avg_value",
         )
@@ -1215,7 +1219,9 @@ QUERIES["daily_metric_unpivot"] = daily_metric_unpivot
 
 # The oracle melts the SAME wide matrix via UNPIVOT, so the pair
 # pivot→melt is validated end-to-end (not just re-aggregated).
-ORACLE_SQL["daily_metric_unpivot"] = """
+_PT = ", ".join(f"'{t}'" for t in PIVOT_TYPES)
+
+ORACLE_SQL["daily_metric_unpivot"] = f"""
     WITH wide AS (
         SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS event_date,
                event_type,
@@ -1226,13 +1232,13 @@ ORACLE_SQL["daily_metric_unpivot"] = """
     ),
     pivoted AS (
         PIVOT wide ON event_type
-            IN ('click', 'error', 'purchase', 'signup', 'view')
+            IN ({_PT})
         USING FIRST(avg_v)
     )
     SELECT event_date, event_type, avg_value
     FROM (
         UNPIVOT pivoted
-        ON click, error, purchase, signup, view
+        ON {", ".join(PIVOT_TYPES)}
         INTO NAME event_type VALUE avg_value
     )
     ORDER BY event_date, event_type

@@ -471,10 +471,12 @@ def doc_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     last bit cannot surface.
     """
     docs = load_table(spark, sf_dir, "documents")
-    ch = docs.select(
+    ch = docs.filter(F.length("text") > 0).select(
         "doc_id",
         # split('') is linear in the string; the substring-per-index
-        # alternative is O(n²) per document (see char_bigram_lm_scores)
+        # alternative is O(n²) per document (see char_bigram_lm_scores).
+        # Empty docs are excluded below: split('','') yields [''] (one
+        # phantom char) where the oracle emits no rows at all.
         F.explode(F.split(F.lower("text"), "")).alias("ch"),
     )
     per_char = ch.groupBy("doc_id", "ch").agg(

@@ -209,9 +209,24 @@ def test_pps_sample_tokens_proportional(spark, sf_dir):
     for r in rows:
         assert r.n_ticks >= 1
         per_source[r.source] = per_source.get(r.source, 0) + r.n_ticks
-    # each source draws ~PPS_TICKS ticks (exactly total//stride)
+    # ticks drawn = total // stride with stride = max(total//K, 1):
+    # exactly `total` for tiny sources (stride 1), otherwise within
+    # [K, 2K) — total//(total//K) can reach 2K-1 when total < K²
+    docs = load_table(spark, sf_dir, "documents")
+    totals = {
+        r.source: r.t
+        for r in docs.groupBy("source")
+        .agg(F.expr("CAST(SUM(size(split(text, ' '))) AS BIGINT)").alias("t"))
+        .collect()
+    }
     for src, ticks in per_source.items():
-        assert sampling.PPS_TICKS <= ticks <= sampling.PPS_TICKS + 1
+        total = totals[src]
+        stride = max(total // sampling.PPS_TICKS, 1)
+        assert ticks == total // stride
+        if total >= sampling.PPS_TICKS:
+            assert sampling.PPS_TICKS <= ticks < 2 * sampling.PPS_TICKS
+        else:
+            assert ticks == total
     # deterministic replay
     again = sampling.pps_systematic_sample(spark, sf_dir).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
