@@ -2719,3 +2719,280 @@ ORACLE_SQL["session_path_mining"] = f"""
     ORDER BY n_occurrences DESC, path
     LIMIT {PATH_TOP}
 """
+
+
+def signup_purchase_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier-style time-to-conversion curve: for each whole-day
+    offset k since a user's first signup, the number still
+    unconverted ("at risk"), the conversions AT that offset, and the
+    product-limit survival estimate S(k) = Π_{j≤k} (1 − d_j / n_j).
+    Users with no purchase are right-censored at the last observed
+    corpus day — the survival table a growth team reads conversion
+    half-life from.
+
+    Scale shape: two per-user aggregates (first signup, first
+    purchase after it) co-partitioned on user_id, then a ≤|days|-row
+    offset table; the cumulative product runs as exp(Σ ln(·)) over
+    the DAILY aggregate via a window, never the raw stream. Ratios
+    are exact integers; the 6-dp round absorbs libm exp/ln jitter.
+    """
+    e = load_table(spark, sf_dir, "events")
+    signups = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(F.to_date("ts")).alias("d0"))
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.to_date("ts").alias("pd")
+    )
+    first_conv = (
+        signups.join(purchases, "user_id")
+        .filter(F.col("pd") >= F.col("d0"))
+        .groupBy("user_id")
+        .agg(F.min(F.datediff("pd", "d0")).cast("int").alias("k"))
+    )
+    horizon = F.broadcast(
+        e.agg(F.max(F.to_date("ts")).alias("dmax"))
+    )
+    cohort = signups.crossJoin(horizon).select(
+        "user_id",
+        F.datediff("dmax", "d0").cast("int").alias("censor_k"),
+    )
+    per_user = cohort.join(first_conv, "user_id", "left").select(
+        "user_id",
+        F.coalesce(F.col("k"), F.col("censor_k")).alias("t"),
+        F.col("k").isNotNull().cast("int").alias("converted"),
+    )
+    daily = per_user.groupBy(F.col("t").alias("k_day")).agg(
+        F.sum("converted").cast("bigint").alias("n_converted"),
+        F.count(F.lit(1)).cast("bigint").alias("n_ending"),
+    )
+    w = Window.orderBy("k_day").rowsBetween(Window.unboundedPreceding, 0)
+    wprev = Window.orderBy("k_day").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    total = F.broadcast(
+        per_user.agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+    )
+    return (
+        daily.crossJoin(total)
+        .withColumn(
+            "n_at_risk",
+            (
+                F.col("n_users")
+                - F.coalesce(F.sum("n_ending").over(wprev), F.lit(0))
+            ).cast("bigint"),
+        )
+        .withColumn(
+            "_ratio",
+            (F.col("n_at_risk") - F.col("n_converted"))
+            / F.col("n_at_risk").cast("double"),
+        )
+        # a day where everyone remaining converts drives S to exactly 0;
+        # ln(0) must never evaluate (DuckDB raises), so the zero ratio
+        # is CASE-skipped inside the sum and flagged outside it
+        .withColumn(
+            "_zero_seen",
+            F.max((F.col("_ratio") == 0).cast("int")).over(w),
+        )
+        .withColumn(
+            "survival",
+            F.when(F.col("_zero_seen") == 1, F.lit(0.0)).otherwise(
+                F.round(
+                    F.exp(
+                        F.sum(
+                            F.when(
+                                F.col("_ratio") > 0, F.log("_ratio")
+                            )
+                        ).over(w)
+                    ),
+                    6,
+                )
+            ),
+        )
+        .select("k_day", "n_at_risk", "n_converted", "survival")
+        .orderBy("k_day")
+    )
+
+
+QUERIES["signup_purchase_survival"] = signup_purchase_survival
+
+ORACLE_SQL["signup_purchase_survival"] = """
+    WITH signups AS (
+        SELECT user_id, MIN(CAST(ts AS DATE)) AS d0
+        FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    first_conv AS (
+        SELECT s.user_id,
+               CAST(MIN(datediff('day', s.d0, CAST(e.ts AS DATE)))
+                    AS INTEGER) AS k
+        FROM signups s
+        JOIN events e
+          ON e.user_id = s.user_id AND e.event_type = 'purchase'
+         AND CAST(e.ts AS DATE) >= s.d0
+        GROUP BY s.user_id
+    ),
+    horizon AS (SELECT MAX(CAST(ts AS DATE)) AS dmax FROM events),
+    per_user AS (
+        SELECT s.user_id,
+               COALESCE(f.k, CAST(datediff('day', s.d0, h.dmax)
+                                  AS INTEGER)) AS t,
+               CASE WHEN f.k IS NOT NULL THEN 1 ELSE 0 END AS converted
+        FROM signups s CROSS JOIN horizon h
+        LEFT JOIN first_conv f ON f.user_id = s.user_id
+    ),
+    daily AS (
+        SELECT t AS k_day,
+               CAST(SUM(converted) AS BIGINT) AS n_converted,
+               CAST(COUNT(*) AS BIGINT) AS n_ending
+        FROM per_user GROUP BY t
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_users FROM per_user),
+    risk AS (
+        SELECT k_day, n_converted,
+               CAST(n_users - COALESCE(SUM(n_ending) OVER (
+                        ORDER BY k_day
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING), 0)
+                    AS BIGINT) AS n_at_risk
+        FROM daily, tot
+    ),
+    ratio AS (
+        SELECT k_day, n_at_risk, n_converted,
+               (n_at_risk - n_converted) / CAST(n_at_risk AS DOUBLE) AS r
+        FROM risk
+    )
+    SELECT k_day, n_at_risk, n_converted,
+           CASE WHEN MAX(CASE WHEN r = 0 THEN 1 ELSE 0 END)
+                     OVER kw = 1
+                THEN 0.0
+                ELSE ROUND(EXP(SUM(CASE WHEN r > 0 THEN LN(r) END)
+                               OVER kw), 6) END AS survival
+    FROM ratio
+    WINDOW kw AS (ORDER BY k_day ROWS UNBOUNDED PRECEDING)
+    ORDER BY k_day
+"""
+
+
+def session_type_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information between event types co-occurring
+    in the SAME session — the association screen behind "clicks and
+    purchases travel together, errors repel signups": per unordered
+    type pair, the co-session count and
+    ``PMI = ln(P(a,b) / (P(a)·P(b)))`` over sessions.
+
+    Scale shape: the sessionizer's one user-shuffle, a distinct
+    (session, type) compaction (≤ |types| rows per session), and a
+    session-key self-join that is co-partitioned with the compaction
+    (AQE reuses the exchange) — pair output is bounded by
+    sessions × C(|types|,2), never events². PMI is ln of a ratio of
+    exact integer counts, rounded to 6.
+    """
+    e = load_table(spark, sf_dir, "events")
+    st = (
+        with_session_ids(e)
+        .select("user_id", "session_id", "event_type")
+        .distinct()
+    )
+    n_sessions = F.broadcast(
+        st.select("user_id", "session_id")
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_sess"))
+    )
+    per_type = st.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_type")
+    )
+    a, b = st.alias("a"), st.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.session_id") == F.col("b.session_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_both"))
+    )
+    pa = F.broadcast(
+        per_type.select(
+            F.col("event_type").alias("type_a"),
+            F.col("n_type").alias("n_a"),
+        )
+    )
+    pb = F.broadcast(
+        per_type.select(
+            F.col("event_type").alias("type_b"),
+            F.col("n_type").alias("n_b"),
+        )
+    )
+    return (
+        pairs.join(pa, "type_a")
+        .join(pb, "type_b")
+        .crossJoin(n_sessions)
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            F.round(
+                F.log(
+                    (F.col("n_both") * F.col("n_sess"))
+                    / (F.col("n_a") * F.col("n_b")).cast("double")
+                ),
+                6,
+            ).alias("pmi"),
+            F.round(F.col("n_both") / F.col("n_sess").cast("double"), 6)
+            .alias("support"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+QUERIES["session_type_pmi"] = session_type_pmi
+
+ORACLE_SQL["session_type_pmi"] = """
+    WITH tagged AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN lag(ts) OVER uw IS NULL
+                         OR epoch_ms(ts) - epoch_ms(lag(ts) OVER uw)
+                            > 1800000
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW uw AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    st AS (
+        SELECT DISTINCT user_id, event_type,
+               SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM tagged
+    ),
+    ns AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_sess
+        FROM (SELECT DISTINCT user_id, session_id FROM st)
+    ),
+    per_type AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_type
+        FROM st GROUP BY event_type
+    ),
+    pairs AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               CAST(COUNT(*) AS BIGINT) AS n_both
+        FROM st a
+        JOIN st b
+          ON a.user_id = b.user_id AND a.session_id = b.session_id
+         AND a.event_type < b.event_type
+        GROUP BY 1, 2
+    )
+    SELECT p.type_a, p.type_b, p.n_both,
+           ROUND(LN((p.n_both * n.n_sess)
+                    / CAST(ta.n_type * tb.n_type AS DOUBLE)), 6) AS pmi,
+           ROUND(p.n_both / CAST(n.n_sess AS DOUBLE), 6) AS support
+    FROM pairs p
+    JOIN per_type ta ON ta.event_type = p.type_a
+    JOIN per_type tb ON tb.event_type = p.type_b
+    CROSS JOIN ns n
+    ORDER BY p.type_a, p.type_b
+"""

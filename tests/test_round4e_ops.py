@@ -294,3 +294,31 @@ def test_session_path_counts_bounded_by_events(spark, sf_dir):
         if prev is not None:
             assert r.n_occurrences <= prev  # ranked output
         prev = r.n_occurrences
+
+
+def test_survival_monotone_nonincreasing(spark, sf_dir):
+    from tableau_dashboard_performance_etl_automation_spark.operators import analytics
+
+    rows = analytics.signup_purchase_survival(spark, sf_dir).collect()
+    assert len(rows) > 0
+    prev_s, prev_risk = 1.0 + 1e-9, None
+    for r in rows:
+        assert 0.0 <= r.survival <= prev_s + 1e-9  # S(k) non-increasing
+        assert 0 <= r.n_converted <= r.n_at_risk
+        if prev_risk is not None:
+            assert r.n_at_risk <= prev_risk  # risk set only shrinks
+        prev_s, prev_risk = r.survival, r.n_at_risk
+
+
+def test_pmi_symmetric_bounds(spark, sf_dir):
+    import math
+
+    from tableau_dashboard_performance_etl_automation_spark.operators import analytics
+
+    rows = analytics.session_type_pmi(spark, sf_dir).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r.type_a < r.type_b  # unordered pairs, canonical order
+        assert 0.0 < r.support <= 1.0
+        # PMI <= -ln(support is bounded): pmi <= ln(1/max(pa,pb)) <= ln(n_sess)
+        assert r.pmi <= -math.log(r.support) + 1e-6
