@@ -2996,3 +2996,105 @@ ORACLE_SQL["session_type_pmi"] = """
     CROSS JOIN ns n
     ORDER BY p.type_a, p.type_b
 """
+
+
+#: Max lag (days) for the daily-series autocorrelation diagnostic.
+ACF_MAX_LAG = 7
+
+
+def daily_value_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1..7 autocorrelation of the daily total-value series — the
+    seasonality/persistence diagnostic read before forecasting
+    (lag-7 spike ⇒ weekly cycle; fast decay ⇒ noise). Pearson r per
+    lag over the (x_t, x_{t+k}) pairs of the DAILY series.
+
+    Scale shape: the stream collapses to ≤|days| rows first; each lag
+    is then a self-join of that tiny aggregate on d = d + k (k
+    broadcast from a ≤7-row lag spine) — nothing beyond the one
+    stream scan touches raw events. Moments are sums of products of
+    exact integer cents (≪ 2^53 at any realistic day count), so r is
+    bit-identical across engines; rounded to 6 anyway.
+    """
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.select(F.to_date("ts").alias("d"), _day_cents())
+        .groupBy("d")
+        .agg(F.sum("cents").cast("bigint").alias("x"))
+        .localCheckpoint()
+    )
+    lags = spark.range(1, ACF_MAX_LAG + 1).select(
+        F.col("id").cast("int").alias("lag")
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    pairs = (
+        F.broadcast(lags)
+        .crossJoin(a)
+        .join(
+            b,
+            F.col("b.d") == F.expr("date_add(a.d, lag)"),
+        )
+        .select(
+            "lag",
+            F.col("a.x").alias("x"),
+            F.col("b.x").alias("y"),
+        )
+    )
+    # products go double-first (matching the oracle's CAST(x AS
+    # DOUBLE) * y): day-cents ~1e13 at 100 TB would overflow a
+    # BIGINT product long before losing double precision
+    xd, yd = F.col("x").cast("double"), F.col("y").cast("double")
+    n = F.count(F.lit(1)).cast("double")
+    sx, sy = F.sum(xd), F.sum(yd)
+    sxx = F.sum(xd * F.col("x"))
+    syy = F.sum(yd * F.col("y"))
+    sxy = F.sum(xd * F.col("y"))
+    return (
+        pairs.groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.round(
+                (n * sxy - sx * sy)
+                / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)),
+                6,
+            ).alias("acf"),
+        )
+        .orderBy("lag")
+    )
+
+
+def _day_cents() -> F.Column:
+    return F.round(F.col("value") * 100).cast("bigint").alias("cents")
+
+
+QUERIES["daily_value_autocorrelation"] = daily_value_autocorrelation
+
+ORACLE_SQL["daily_value_autocorrelation"] = f"""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS d,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                   AS x
+        FROM events GROUP BY 1
+    ),
+    lags AS (
+        SELECT CAST(gs AS INTEGER) AS lag
+        FROM UNNEST(generate_series(1, {ACF_MAX_LAG})) AS t(gs)
+    ),
+    pairs AS (
+        SELECT l.lag, a.x AS x, b.x AS y
+        FROM lags l
+        CROSS JOIN daily a
+        JOIN daily b ON b.d = a.d + CAST(l.lag || ' days' AS INTERVAL)
+    )
+    SELECT lag,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           ROUND((COUNT(*) * SUM(CAST(x AS DOUBLE) * y)
+                  - SUM(CAST(x AS DOUBLE)) * SUM(CAST(y AS DOUBLE)))
+                 / SQRT((COUNT(*) * SUM(CAST(x AS DOUBLE) * x)
+                         - SUM(CAST(x AS DOUBLE)) * SUM(CAST(x AS DOUBLE)))
+                        * (COUNT(*) * SUM(CAST(y AS DOUBLE) * y)
+                           - SUM(CAST(y AS DOUBLE))
+                             * SUM(CAST(y AS DOUBLE)))), 6) AS acf
+    FROM pairs
+    GROUP BY lag
+    ORDER BY lag
+"""

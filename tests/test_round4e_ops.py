@@ -322,3 +322,15 @@ def test_pmi_symmetric_bounds(spark, sf_dir):
         assert 0.0 < r.support <= 1.0
         # PMI <= -ln(support is bounded): pmi <= ln(1/max(pa,pb)) <= ln(n_sess)
         assert r.pmi <= -math.log(r.support) + 1e-6
+
+
+def test_autocorrelation_bounds_and_pair_counts(spark, sf_dir):
+    from tableau_dashboard_performance_etl_automation_spark.operators import analytics
+
+    rows = analytics.daily_value_autocorrelation(spark, sf_dir).collect()
+    assert [r.lag for r in rows] == list(range(1, analytics.ACF_MAX_LAG + 1))
+    e = load_table(spark, sf_dir, "events")
+    n_days = e.select(F.to_date("ts")).distinct().count()
+    for r in rows:
+        assert -1.0 - 1e-9 <= r.acf <= 1.0 + 1e-9
+        assert r.n_pairs <= n_days - r.lag  # contiguous days cap
