@@ -2936,10 +2936,13 @@ def session_type_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             "type_a",
             "type_b",
             "n_both",
+            # double-first products: BIGINT n_a*n_b wraps past ~3e9
+            # sessions in non-ANSI Spark while the oracle errors —
+            # same overflow discipline as daily_value_autocorrelation
             F.round(
                 F.log(
-                    (F.col("n_both") * F.col("n_sess"))
-                    / (F.col("n_a") * F.col("n_b")).cast("double")
+                    (F.col("n_both").cast("double") * F.col("n_sess"))
+                    / (F.col("n_a").cast("double") * F.col("n_b"))
                 ),
                 6,
             ).alias("pmi"),
@@ -2987,8 +2990,8 @@ ORACLE_SQL["session_type_pmi"] = """
         GROUP BY 1, 2
     )
     SELECT p.type_a, p.type_b, p.n_both,
-           ROUND(LN((p.n_both * n.n_sess)
-                    / CAST(ta.n_type * tb.n_type AS DOUBLE)), 6) AS pmi,
+           ROUND(LN((CAST(p.n_both AS DOUBLE) * n.n_sess)
+                    / (CAST(ta.n_type AS DOUBLE) * tb.n_type)), 6) AS pmi,
            ROUND(p.n_both / CAST(n.n_sess AS DOUBLE), 6) AS support
     FROM pairs p
     JOIN per_type ta ON ta.event_type = p.type_a
@@ -3048,14 +3051,19 @@ def daily_value_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     sxx = F.sum(xd * F.col("x"))
     syy = F.sum(yd * F.col("y"))
     sxy = F.sum(xd * F.col("y"))
+    var_x = n * sxx - sx * sx
+    var_y = n * syy - sy * sy
     return (
         pairs.groupBy("lag")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
-            F.round(
-                (n * sxy - sx * sy)
-                / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)),
-                6,
+            # degenerate lag (one pair, or a constant series) has zero
+            # variance: Spark's non-ANSI divide would yield NULL while
+            # DuckDB yields inf/NaN — both sides CASE it to NULL
+            # explicitly so the engines agree
+            F.when(
+                (var_x > 0) & (var_y > 0),
+                F.round((n * sxy - sx * sy) / F.sqrt(var_x * var_y), 6),
             ).alias("acf"),
         )
         .orderBy("lag")
@@ -3084,17 +3092,26 @@ ORACLE_SQL["daily_value_autocorrelation"] = f"""
         FROM lags l
         CROSS JOIN daily a
         JOIN daily b ON b.d = a.d + CAST(l.lag || ' days' AS INTERVAL)
+    ),
+    moments AS (
+        SELECT lag,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               COUNT(*) * SUM(CAST(x AS DOUBLE) * y)
+                   - SUM(CAST(x AS DOUBLE)) * SUM(CAST(y AS DOUBLE))
+                   AS cov_n,
+               COUNT(*) * SUM(CAST(x AS DOUBLE) * x)
+                   - SUM(CAST(x AS DOUBLE)) * SUM(CAST(x AS DOUBLE))
+                   AS var_x,
+               COUNT(*) * SUM(CAST(y AS DOUBLE) * y)
+                   - SUM(CAST(y AS DOUBLE)) * SUM(CAST(y AS DOUBLE))
+                   AS var_y
+        FROM pairs
+        GROUP BY lag
     )
-    SELECT lag,
-           CAST(COUNT(*) AS BIGINT) AS n_pairs,
-           ROUND((COUNT(*) * SUM(CAST(x AS DOUBLE) * y)
-                  - SUM(CAST(x AS DOUBLE)) * SUM(CAST(y AS DOUBLE)))
-                 / SQRT((COUNT(*) * SUM(CAST(x AS DOUBLE) * x)
-                         - SUM(CAST(x AS DOUBLE)) * SUM(CAST(x AS DOUBLE)))
-                        * (COUNT(*) * SUM(CAST(y AS DOUBLE) * y)
-                           - SUM(CAST(y AS DOUBLE))
-                             * SUM(CAST(y AS DOUBLE)))), 6) AS acf
-    FROM pairs
-    GROUP BY lag
+    SELECT lag, n_pairs,
+           CASE WHEN var_x > 0 AND var_y > 0
+                THEN ROUND(cov_n / SQRT(var_x * var_y), 6)
+                ELSE NULL END AS acf
+    FROM moments
     ORDER BY lag
 """
