@@ -75,6 +75,13 @@ PROBE_QUERIES = [
     "daily_peak_concurrency",
     "gapfilled_daily_counts",
     "event_run_lengths",
+    # round-4e session/stat analytics
+    "session_path_mining",
+    "session_type_pmi",
+    "signup_purchase_survival",
+    "value_drift_psi",
+    "event_type_dow_chisq",
+    "daily_value_autocorrelation",
 ]
 
 
