@@ -261,15 +261,96 @@ def multimodal_content_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+#: Audio-style windowing dials: window/hop in BYTES over the payload
+#: (a real pipeline would express them in samples x bytes-per-sample;
+#: the byte arithmetic and batch shape are identical).
+AUDIO_WIN_BYTES = 128
+AUDIO_HOP_BYTES = 96
+
+WINDOW_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("win_idx", IntegerType()),
+        StructField("byte_start", LongType()),
+        StructField("byte_len", IntegerType()),
+        StructField("win_sig", StringType()),
+    ]
+)
+
+
+def _window_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows: dict[str, list] = {
+            "doc_id": [], "win_idx": [], "byte_start": [],
+            "byte_len": [], "win_sig": [],
+        }
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            raw = bytes(payload)
+            i, start = 0, 0
+            while start < len(raw):
+                window = raw[start : start + AUDIO_WIN_BYTES]
+                rows["doc_id"].append(doc_id)
+                rows["win_idx"].append(i)
+                rows["byte_start"].append(start)
+                rows["byte_len"].append(len(window))
+                rows["win_sig"].append(hashlib.md5(window).hexdigest())
+                i += 1
+                start += AUDIO_HOP_BYTES
+        yield pd.DataFrame(rows)
+
+
+def audio_chunk_windows(payloads: DataFrame) -> DataFrame:
+    """Overlapping audio-style chunk windows (1-to-N, decode-free):
+    each payload explodes into hop-strided windows with byte offsets
+    and a per-window digest — the VAD/ASR pre-chunking batch shape
+    (stride < window => consecutive chunks overlap for context),
+    over the same Arrow `mapInPandas` plumbing as frame sampling."""
+    return payloads.mapInPandas(_window_batches, schema=WINDOW_SCHEMA)
+
+
+def multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered end of the audio-window plumbing. The oracle
+    replays the byte arithmetic with substr on the (ASCII) payload
+    text, so the window plan AND per-window digests are both
+    cross-engine checked."""
+    docs = load_table(spark, sf_dir, "documents")
+    return audio_chunk_windows(with_binary_payload(docs)).orderBy(
+        "doc_id", "win_idx"
+    )
+
+
 QUERIES = {
     "multimodal_shard_packing": multimodal_shard_packing,
     "multimodal_content_dedup": multimodal_content_dedup,
     "multimodal_binary_meta": multimodal_binary_meta,
     "multimodal_frame_sample": multimodal_frame_sample,
+    "multimodal_audio_windows": multimodal_audio_windows,
     "multimodal_thumbnail": multimodal_thumbnail,
 }
 
 ORACLE_SQL = {
+    "multimodal_audio_windows": f"""
+        WITH seq AS (
+            SELECT doc_id, text,
+                   octet_length(encode(text)) AS nb,
+                   CAST(gs AS INTEGER) AS win_idx
+            FROM documents,
+                 UNNEST(generate_series(0, 4095)) AS t(gs)  -- cap: 4096*hop = 393k payload bytes, far above any fixture doc
+            WHERE gs * {AUDIO_HOP_BYTES} < octet_length(encode(text))
+        )
+        SELECT doc_id,
+               win_idx,
+               CAST(win_idx * {AUDIO_HOP_BYTES} AS BIGINT) AS byte_start,
+               CAST(LEAST({AUDIO_WIN_BYTES},
+                          nb - win_idx * {AUDIO_HOP_BYTES}) AS INTEGER)
+                   AS byte_len,
+               md5(substr(text, win_idx * {AUDIO_HOP_BYTES} + 1,
+                          {AUDIO_WIN_BYTES})) AS win_sig
+        FROM seq
+        ORDER BY doc_id, win_idx
+    """,
     "multimodal_content_dedup": """
         SELECT md5(text) AS content_sig,
                CAST(COUNT(*) AS BIGINT) AS n_copies,

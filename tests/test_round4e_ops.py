@@ -339,3 +339,31 @@ def test_autocorrelation_bounds_and_pair_counts(spark, sf_dir):
         assert 1 <= r.n_pairs <= n_days - 1
         if r.acf is not None:  # NULL marks a zero-variance lag
             assert -1.0 - 1e-9 <= r.acf <= 1.0 + 1e-9
+
+
+def test_audio_windows_cover_payload_with_overlap(spark, sf_dir):
+    from tableau_dashboard_performance_etl_automation_spark.operators import multimodal
+
+    rows = multimodal.multimodal_audio_windows(spark, sf_dir).collect()
+    assert len(rows) > 0
+    per_doc: dict = {}
+    for r in rows:
+        per_doc.setdefault(r.doc_id, []).append(r)
+    docs = {
+        r.doc_id: r.nb
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.octet_length(F.col("text")).alias("nb"))
+        .collect()
+    }
+    hop, win = multimodal.AUDIO_HOP_BYTES, multimodal.AUDIO_WIN_BYTES
+    for doc_id, wins in per_doc.items():
+        wins.sort(key=lambda r: r.win_idx)
+        nb = docs[doc_id]
+        assert [w.win_idx for w in wins] == list(range(len(wins)))
+        assert len(wins) == (nb + hop - 1) // hop  # full coverage
+        for w in wins:
+            assert w.byte_start == w.win_idx * hop
+            assert w.byte_len == min(win, nb - w.byte_start)
+        # overlap: consecutive windows share win - hop bytes
+        if len(wins) > 1 and wins[0].byte_len == win:
+            assert wins[1].byte_start < wins[0].byte_start + win
