@@ -44,7 +44,12 @@ NEARDUP_COSINE = 0.35
 #: 1e9-vector corpus lands on the 16-bit clamp (65,536 signatures ×
 #: 16 bands). The oracle recomputes the same dial from COUNT(*).
 LSH_MIN_BAND_BITS = 8
-LSH_MAX_BAND_BITS = 16
+#: 24-bit ceiling keeps expected bucket depth ≤ TARGET to ~134M
+#: vectors (the 256× probe measured the previous 16-bit ceiling being
+#: REACHED at 512k vectors — occupancy exactly on target, so the next
+#: doubling would have started deepening buckets; extra bits cost one
+#: md5-sign projection each, linear and map-side).
+LSH_MAX_BAND_BITS = 24
 LSH_TARGET_BUCKET = 8
 LSH_BANDS = 16
 
