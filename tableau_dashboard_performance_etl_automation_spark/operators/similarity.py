@@ -1768,3 +1768,93 @@ ORACLE_SQL["embedding_dim_stats"] = """
     GROUP BY dim
     ORDER BY dim
 """
+
+
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-pair mining: for each query vector, its most
+    similar SAME-label neighbor (the positive) and its most similar
+    DIFFERENT-label neighbor (the hard negative), plus the margin
+    between them — the (anchor, positive, hard-negative) triple table
+    a contrastive/embedding-finetune pipeline trains on; a small or
+    negative margin flags the anchors worth mining.
+
+    Scale shape: identical to the exact brute force (queries
+    broadcast, corpus streams) but the per-query reduction is TWO
+    ``MAX(struct)`` argmaxes in ONE hash aggregate — map-side
+    combinable, no rank window at all. Tie order (cos DESC, id ASC)
+    is encoded in the struct ((cos6, −id, id): max = highest cosine
+    then lowest id), matching the oracle's ROW_NUMBER order.
+    """
+    e = _emb(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("query_label"),
+        F.col("vec").alias("qvec"),
+    )
+    c = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("nlabel"),
+        F.col("vec").alias("cvec"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos6", F.round(cosine(F.col("qvec"), F.col("cvec")), 6))
+    )
+    same = F.col("nlabel") == F.col("query_label")
+    pick = lambda cond: F.max(  # noqa: E731 — argmax-as-struct idiom
+        F.when(
+            cond,
+            F.struct(
+                F.col("cos6").alias("s"),
+                (-F.col("neighbor_id")).alias("negid"),
+                F.col("neighbor_id").alias("nid"),
+            ),
+        )
+    )
+    return (
+        scored.groupBy("query_id", "query_label")
+        .agg(pick(same).alias("pos"), pick(~same).alias("neg"))
+        .select(
+            "query_id",
+            "query_label",
+            F.col("pos.nid").alias("pos_id"),
+            F.round(F.col("pos.s"), 4).alias("pos_cos"),
+            F.col("neg.nid").alias("neg_id"),
+            F.round(F.col("neg.s"), 4).alias("neg_cos"),
+            F.round(F.col("pos.s") - F.col("neg.s"), 4).alias("margin"),
+        )
+        .orderBy("query_id")
+    )
+
+
+QUERIES["hard_negative_mining"] = hard_negative_mining
+
+ORACLE_SQL["hard_negative_mining"] = f"""
+    WITH scored AS (
+        SELECT q.vec_id AS query_id, q.label AS query_label,
+               c.vec_id AS neighbor_id,
+               (c.label = q.label) AS same,
+               ROUND({_cos_qc}, 6) AS cos6
+        FROM embeddings q
+        JOIN embeddings c ON c.vec_id != q.vec_id
+        WHERE q.vec_id < {N_QUERIES}
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (
+                   PARTITION BY query_id, same
+                   ORDER BY cos6 DESC, neighbor_id) AS rn
+        FROM scored
+    )
+    SELECT query_id, query_label,
+           MAX(CASE WHEN same THEN neighbor_id END) AS pos_id,
+           ROUND(MAX(CASE WHEN same THEN cos6 END), 4) AS pos_cos,
+           MAX(CASE WHEN NOT same THEN neighbor_id END) AS neg_id,
+           ROUND(MAX(CASE WHEN NOT same THEN cos6 END), 4) AS neg_cos,
+           ROUND(MAX(CASE WHEN same THEN cos6 END)
+                 - MAX(CASE WHEN NOT same THEN cos6 END), 4) AS margin
+    FROM ranked
+    WHERE rn = 1
+    GROUP BY query_id, query_label
+    ORDER BY query_id
+"""

@@ -367,3 +367,24 @@ def test_audio_windows_cover_payload_with_overlap(spark, sf_dir):
         # overlap: consecutive windows share win - hop bytes
         if len(wins) > 1 and wins[0].byte_len == win:
             assert wins[1].byte_start < wins[0].byte_start + win
+
+
+def test_hard_negative_margin_consistency(spark, sf_dir):
+    from tableau_dashboard_performance_etl_automation_spark.operators import similarity
+
+    rows = similarity.hard_negative_mining(spark, sf_dir).collect()
+    assert len(rows) == similarity.N_QUERIES
+    emb_labels = {
+        r.vec_id: r.label
+        for r in load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "label")
+        .collect()
+    }
+    for r in rows:
+        if r.pos_id is not None:
+            assert emb_labels[r.pos_id] == r.query_label
+        if r.neg_id is not None:
+            assert emb_labels[r.neg_id] != r.query_label
+        if r.pos_cos is not None and r.neg_cos is not None:
+            assert abs(r.margin - round(r.pos_cos - r.neg_cos, 4)) < 2e-4
+            assert r.pos_id != r.neg_id
