@@ -311,11 +311,16 @@ def audio_chunk_windows(payloads: DataFrame) -> DataFrame:
 
 
 def multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Registered end of the audio-window plumbing. The oracle
-    replays the byte arithmetic with substr on the (ASCII) payload
-    text, so the window plan AND per-window digests are both
-    cross-engine checked."""
-    docs = load_table(spark, sf_dir, "documents")
+    """Registered end of the audio-window plumbing. DuckDB has no
+    BLOB substring, so the oracle replays the byte arithmetic with
+    character ``substr`` — byte-true only where bytes == chars. Both
+    sides therefore restrict to ASCII payloads EXPLICITLY
+    (``octet_length = char length``), so the parity holds by
+    construction on any corpus, not by fixture luck; the generic
+    :func:`audio_chunk_windows` operator itself stays byte-general."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.octet_length("text") == F.length("text")
+    )
     return audio_chunk_windows(with_binary_payload(docs)).orderBy(
         "doc_id", "win_idx"
     )
@@ -332,13 +337,25 @@ QUERIES = {
 
 ORACLE_SQL = {
     "multimodal_audio_windows": f"""
-        WITH seq AS (
-            SELECT doc_id, text,
-                   octet_length(encode(text)) AS nb,
-                   CAST(gs AS INTEGER) AS win_idx
-            FROM documents,
-                 UNNEST(generate_series(0, 4095)) AS t(gs)  -- cap: 4096*hop = 393k payload bytes, far above any fixture doc
-            WHERE gs * {AUDIO_HOP_BYTES} < octet_length(encode(text))
+        WITH ascii_docs AS (
+            -- chars == bytes: the only regime where substr replays
+            -- the byte windows; the Spark side applies the SAME gate
+            SELECT doc_id, text, octet_length(encode(text)) AS nb
+            FROM documents
+            WHERE octet_length(encode(text)) = length(text)
+        ),
+        bound AS (
+            -- series bound derived from the data, not a constant cap
+            SELECT CAST(COALESCE(MAX(nb), 0) // {AUDIO_HOP_BYTES} AS BIGINT)
+                   AS m
+            FROM ascii_docs
+        ),
+        seq AS (
+            SELECT d.doc_id, d.text, d.nb,
+                   CAST(t.gs AS INTEGER) AS win_idx
+            FROM ascii_docs d, bound b,
+                 UNNEST(generate_series(0, b.m)) AS t(gs)
+            WHERE t.gs * {AUDIO_HOP_BYTES} < d.nb
         )
         SELECT doc_id,
                win_idx,

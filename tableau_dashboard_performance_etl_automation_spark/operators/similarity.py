@@ -40,8 +40,8 @@ NEARDUP_COSINE = 0.35
 #: width is a SELF-EXECUTING scale dial — derived from the corpus
 #: count so expected bucket occupancy n / 2^bits stays at or below
 #: ``LSH_TARGET_BUCKET`` (clamped to [MIN, MAX] bits): the test
-#: corpora (500–2k vectors) land on 8 bits / 256 signatures, a
-#: 1e9-vector corpus lands on the 16-bit clamp (65,536 signatures ×
+#: corpora (500–2k vectors) land on 8 bits / 256 signatures; a
+#: 1e9-vector corpus lands on the 24-bit clamp (16.7M signatures ×
 #: 16 bands). The oracle recomputes the same dial from COUNT(*).
 LSH_MIN_BAND_BITS = 8
 #: 24-bit ceiling keeps expected bucket depth ≤ TARGET to ~134M
@@ -1785,7 +1785,14 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     is encoded in the struct ((cos6, −id, id): max = highest cosine
     then lowest id), matching the oracle's ROW_NUMBER order.
     """
-    e = _emb(spark, sf_dir)
+    # zero-norm vectors are excluded on BOTH sides in BOTH engines:
+    # Spark's cosine() yields NULL for them (sorts last in the
+    # argmax) but DuckDB's list_cosine_similarity yields NaN (sorts
+    # FIRST under DESC) — the only way the engines agree is for such
+    # vectors to never score
+    e = _emb(spark, sf_dir).filter(
+        F.expr("aggregate(vec, 0D, (a, x) -> a + x * x)") > 0
+    )
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("label").alias("query_label"),
@@ -1831,13 +1838,18 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["hard_negative_mining"] = hard_negative_mining
 
 ORACLE_SQL["hard_negative_mining"] = f"""
-    WITH scored AS (
+    WITH nz AS (
+        SELECT * FROM embeddings
+        WHERE list_inner_product(embedding::DOUBLE[],
+                                 embedding::DOUBLE[]) > 0
+    ),
+    scored AS (
         SELECT q.vec_id AS query_id, q.label AS query_label,
                c.vec_id AS neighbor_id,
                (c.label = q.label) AS same,
                ROUND({_cos_qc}, 6) AS cos6
-        FROM embeddings q
-        JOIN embeddings c ON c.vec_id != q.vec_id
+        FROM nz q
+        JOIN nz c ON c.vec_id != q.vec_id
         WHERE q.vec_id < {N_QUERIES}
     ),
     ranked AS (

@@ -356,6 +356,9 @@ def test_audio_windows_cover_payload_with_overlap(spark, sf_dir):
         .collect()
     }
     hop, win = multimodal.AUDIO_HOP_BYTES, multimodal.AUDIO_WIN_BYTES
+    # every non-empty document must produce windows — a batch/doc
+    # silently dropped by the generator would otherwise pass vacuously
+    assert set(per_doc) == {d for d, nb in docs.items() if nb > 0}
     for doc_id, wins in per_doc.items():
         wins.sort(key=lambda r: r.win_idx)
         nb = docs[doc_id]
