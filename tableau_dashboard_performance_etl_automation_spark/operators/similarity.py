@@ -1870,3 +1870,93 @@ ORACLE_SQL["hard_negative_mining"] = f"""
     GROUP BY query_id, query_label
     ORDER BY query_id
 """
+
+
+def embedding_centroid_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space drift: per label, the cosine between the
+    centroid of the FIRST half of the corpus (vec_id below the median)
+    and the centroid of the SECOND half — the vector-space analog of
+    the PSI value-drift screen (cosine near 1 ⇒ the class prototype is
+    stable across the split; a drop flags representation drift worth
+    re-embedding for).
+
+    Centroid component sums accumulate exact integer micro-units
+    (the `embedding_centroid_by_label` / IVF-trainer discipline), so
+    both engines hold bit-identical centroids; the final cosine is
+    one dot/norm over |labels|·dim tiny rows. Split point = exact
+    median vec_id (interpolated percentile on integer ids), broadcast.
+    """
+    e = _emb(spark, sf_dir)
+    med = F.broadcast(e.agg(F.expr("percentile(vec_id, 0.5D)").alias("m")))
+    halves = (
+        e.crossJoin(med)
+        .select(
+            "label",
+            F.when(F.col("vec_id") <= F.col("m"), F.lit("a"))
+            .otherwise(F.lit("b"))
+            .alias("half"),
+            F.posexplode("vec").alias("dim", "x"),
+        )
+        .groupBy("label", "half", "dim")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.round(F.col("x") * 1e6).cast("bigint")).alias("s"),
+        )
+        .withColumn("c", F.col("s") / (F.col("n") * F.lit(1e6)))
+    )
+    a = halves.filter(F.col("half") == "a").select(
+        "label", "dim", F.col("c").alias("ca"), F.col("n").alias("n_a")
+    )
+    b = halves.filter(F.col("half") == "b").select(
+        "label", "dim", F.col("c").alias("cb"), F.col("n").alias("n_b")
+    )
+    return (
+        a.join(b, ["label", "dim"])
+        .groupBy("label")
+        .agg(
+            F.first("n_a").cast("bigint").alias("n_first"),
+            F.first("n_b").cast("bigint").alias("n_second"),
+            F.round(
+                F.sum(F.col("ca") * F.col("cb"))
+                / (
+                    F.sqrt(F.sum(F.col("ca") * F.col("ca")))
+                    * F.sqrt(F.sum(F.col("cb") * F.col("cb")))
+                ),
+                6,
+            ).alias("centroid_cosine"),
+        )
+        .orderBy("label")
+    )
+
+
+QUERIES["embedding_centroid_shift"] = embedding_centroid_shift
+
+ORACLE_SQL["embedding_centroid_shift"] = """
+    WITH med AS (SELECT quantile_cont(vec_id, 0.5) AS m FROM embeddings),
+    halves AS (
+        SELECT label,
+               CASE WHEN vec_id <= m THEN 'a' ELSE 'b' END AS half,
+               CAST(t.i - 1 AS INTEGER) AS dim,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(ROUND(
+                   embedding[CAST(t.i AS INTEGER)]::DOUBLE * 1e6
+               ) AS BIGINT)) AS BIGINT) AS s
+        FROM embeddings, med,
+             UNNEST(generate_series(1, len(embedding))) AS t(i)
+        GROUP BY 1, 2, 3
+    ),
+    cents AS (
+        SELECT label, half, dim, n, s / (n * 1e6) AS c FROM halves
+    )
+    SELECT a.label,
+           CAST(MAX(a.n) AS BIGINT) AS n_first,
+           CAST(MAX(b.n) AS BIGINT) AS n_second,
+           ROUND(SUM(a.c * b.c)
+                 / (SQRT(SUM(a.c * a.c)) * SQRT(SUM(b.c * b.c))), 6)
+               AS centroid_cosine
+    FROM (SELECT * FROM cents WHERE half = 'a') a
+    JOIN (SELECT * FROM cents WHERE half = 'b') b
+      ON a.label = b.label AND a.dim = b.dim
+    GROUP BY a.label
+    ORDER BY a.label
+"""

@@ -391,3 +391,16 @@ def test_hard_negative_margin_consistency(spark, sf_dir):
         if r.pos_cos is not None and r.neg_cos is not None:
             assert abs(r.margin - round(r.pos_cos - r.neg_cos, 4)) < 2e-4
             assert r.pos_id != r.neg_id
+
+
+def test_centroid_shift_cosine_near_one_on_random_halves(spark, sf_dir):
+    from tableau_dashboard_performance_etl_automation_spark.operators import similarity
+
+    rows = similarity.embedding_centroid_shift(spark, sf_dir).collect()
+    emb = load_table(spark, sf_dir, "embeddings")
+    assert len(rows) == emb.select("label").distinct().count()
+    n_total = emb.count()
+    assert sum(r.n_first + r.n_second for r in rows) == n_total
+    for r in rows:
+        assert -1.0 - 1e-9 <= r.centroid_cosine <= 1.0 + 1e-9
+        assert r.n_first > 0 and r.n_second > 0
