@@ -1960,3 +1960,49 @@ ORACLE_SQL["embedding_centroid_shift"] = """
     GROUP BY a.label
     ORDER BY a.label
 """
+
+
+def knn_accuracy_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier eval table for the k-NN vote: per TRUE label, how
+    many query vectors exist, how many the majority vote got right,
+    and the accuracy — the embedding-space counterpart of
+    ``lang_id_confusion`` (which grades the text classifier). Pure
+    composition: :func:`knn_label_vote` joined back to the true
+    labels, two tiny aggregates."""
+    pred = knn_label_vote(spark, sf_dir)
+    truth = _emb(spark, sf_dir).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("true_label"),
+    )
+    return (
+        pred.join(truth, "query_id")
+        .groupBy("true_label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_queries"),
+            F.sum(
+                (F.col("label") == F.col("true_label")).cast("int")
+            ).cast("bigint").alias("n_correct"),
+        )
+        .withColumn(
+            "accuracy",
+            F.round(F.col("n_correct") / F.col("n_queries"), 6),
+        )
+        .orderBy("true_label")
+    )
+
+
+QUERIES["knn_accuracy_by_label"] = knn_accuracy_by_label
+
+
+ORACLE_SQL["knn_accuracy_by_label"] = f"""
+    SELECT t.label AS true_label,
+           CAST(COUNT(*) AS BIGINT) AS n_queries,
+           CAST(SUM(CASE WHEN p.label = t.label THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct,
+           ROUND(SUM(CASE WHEN p.label = t.label THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS accuracy
+    FROM ({ORACLE_SQL["knn_label_vote"]}) p
+    JOIN embeddings t ON t.vec_id = p.query_id
+    GROUP BY t.label
+    ORDER BY true_label
+"""

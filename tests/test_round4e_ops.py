@@ -404,3 +404,13 @@ def test_centroid_shift_cosine_near_one_on_random_halves(spark, sf_dir):
     for r in rows:
         assert -1.0 - 1e-9 <= r.centroid_cosine <= 1.0 + 1e-9
         assert r.n_first > 0 and r.n_second > 0
+
+
+def test_knn_accuracy_totals_match_query_count(spark, sf_dir):
+    from tableau_dashboard_performance_etl_automation_spark.operators import similarity
+
+    rows = similarity.knn_accuracy_by_label(spark, sf_dir).collect()
+    assert sum(r.n_queries for r in rows) == similarity.N_QUERIES
+    for r in rows:
+        assert 0 <= r.n_correct <= r.n_queries
+        assert abs(r.accuracy - r.n_correct / r.n_queries) < 1e-9
