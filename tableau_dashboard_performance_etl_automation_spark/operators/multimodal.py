@@ -184,8 +184,13 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     payloads are ASCII text bytes, so the oracle replays the byte
     windows with substr + md5 — proving the Python batch path emits
     exactly the declared windows (a real decoder swaps in for the
-    window digest without touching the Spark plumbing)."""
-    docs = load_table(spark, sf_dir, "documents")
+    window digest without touching the Spark plumbing). Both sides
+    gate to ASCII docs explicitly (octet_length = char length) — the
+    only regime where char `substr` replays byte windows — so the
+    parity holds on any corpus, not by fixture luck."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.octet_length("text") == F.length("text")
+    )
     return sample_frames(with_binary_payload(docs)).orderBy(
         "doc_id", "frame_idx"
     )
@@ -198,8 +203,12 @@ def multimodal_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
     substr) and the mean digest. Every intermediate is an exact
     integer in float64 (uint8 sums are exact), so numpy's pairwise
     mean and SQL's list_sum agree bit-for-bit and the printf('%.4f')
-    digests match."""
-    docs = load_table(spark, sf_dir, "documents")
+    digests match. Gated to ASCII docs on both sides (see
+    multimodal_frame_sample) so char-substr pixel selection is
+    byte-true by construction."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.octet_length("text") == F.length("text")
+    )
     return resize_thumbnails(with_binary_payload(docs)).orderBy("doc_id")
 
 
@@ -404,6 +413,7 @@ ORACLE_SQL = {
             SELECT doc_id, text,
                    CAST(FLOOR(sqrt(length(text))) AS BIGINT) AS dim
             FROM documents
+            WHERE octet_length(encode(text)) = length(text)
         ),
         sel AS (
             SELECT doc_id, text, dim,
@@ -433,6 +443,7 @@ ORACLE_SQL = {
             SELECT doc_id, text,
                    GREATEST(length(text) // 4, 1) AS step
             FROM documents
+            WHERE octet_length(encode(text)) = length(text)
         ),
         idx AS (SELECT unnest(range(0, 4)) AS i)
         SELECT doc_id,
