@@ -426,3 +426,76 @@ ORACLE_SQL = {
         ORDER BY n_orders DESC, s_name
     """,
 }
+
+
+#: Shipping SLA (days after order date) for the fill-rate KPI.
+FILL_SLA_DAYS = 7
+
+
+def order_fill_rate_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fulfillment KPI: per order priority, the share of orders whose
+    EVERY line item shipped within ``FILL_SLA_DAYS`` of the order date
+    — the completeness complement of the Q4 exists-late screen
+    (`priority_late_orders` asks "any line late?", this asks "all
+    lines on time?", and the two NEVER sum to 1 because both are
+    order-level predicates over different quantifiers).
+
+    Scale shape: one per-order MAX(l_shipdate) aggregate (shuffle on
+    orderkey, map-side combinable) joined back to orders on the same
+    key — co-partitioned, AQE reuses the exchange — then a ≤5-row
+    priority rollup. Fill rate is a ratio of exact integer counts.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    last_ship = li.groupBy("l_orderkey").agg(
+        F.max("l_shipdate").alias("last_ship")
+    )
+    return (
+        orders.join(
+            last_ship, orders.o_orderkey == last_ship.l_orderkey, "inner"
+        )
+        .select(
+            "o_orderpriority",
+            (
+                F.col("last_ship")
+                <= F.col("o_orderdate") + F.expr(
+                    f"INTERVAL {FILL_SLA_DAYS} DAYS"
+                )
+            ).cast("int").alias("filled"),
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum("filled").cast("bigint").alias("n_filled"),
+        )
+        .withColumn(
+            "fill_rate",
+            F.round(F.col("n_filled") / F.col("n_orders"), 6),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+QUERIES["order_fill_rate_sla"] = order_fill_rate_sla
+
+ORACLE_SQL["order_fill_rate_sla"] = f"""
+    WITH last_ship AS (
+        SELECT l_orderkey, MAX(l_shipdate) AS last_ship
+        FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CASE WHEN s.last_ship
+                              <= o.o_orderdate
+                                 + INTERVAL {FILL_SLA_DAYS} DAY
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_filled,
+           ROUND(SUM(CASE WHEN s.last_ship
+                               <= o.o_orderdate
+                                  + INTERVAL {FILL_SLA_DAYS} DAY
+                          THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS fill_rate
+    FROM orders o
+    JOIN last_ship s ON s.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+"""

@@ -414,3 +414,17 @@ def test_knn_accuracy_totals_match_query_count(spark, sf_dir):
     for r in rows:
         assert 0 <= r.n_correct <= r.n_queries
         assert abs(r.accuracy - r.n_correct / r.n_queries) < 1e-9
+
+
+def test_fill_rate_bounds_and_counts(spark, sf_dir):
+    from tableau_dashboard_performance_etl_automation_spark.operators import starjoins
+
+    rows = starjoins.order_fill_rate_sla(spark, sf_dir).collect()
+    assert len(rows) > 0
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    with_lines = li.select("l_orderkey").distinct().count()
+    assert sum(r.n_orders for r in rows) == with_lines  # inner join scope
+    for r in rows:
+        assert 0 <= r.n_filled <= r.n_orders
+        assert abs(r.fill_rate - round(r.n_filled / r.n_orders, 6)) < 1e-9
