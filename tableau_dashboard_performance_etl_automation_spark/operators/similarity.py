@@ -1888,34 +1888,39 @@ def embedding_centroid_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e = _emb(spark, sf_dir)
     med = F.broadcast(e.agg(F.expr("percentile(vec_id, 0.5D)").alias("m")))
-    halves = (
+    is_a = F.col("vec_id") <= F.col("m")
+    micro = F.round(F.col("x") * 1e6).cast("bigint")
+    # ONE explode + ONE conditional (label, dim) aggregate: both
+    # halves' counts and micro-sums come out side by side — no
+    # per-half filter/self-join re-executing the explode twice.
+    # A (label, dim) cell with either half empty drops (mirroring the
+    # oracle's inner join): a label wholly inside one half has no
+    # drift to measure and is absent from the output BY DESIGN.
+    per_dim = (
         e.crossJoin(med)
-        .select(
-            "label",
-            F.when(F.col("vec_id") <= F.col("m"), F.lit("a"))
-            .otherwise(F.lit("b"))
-            .alias("half"),
-            F.posexplode("vec").alias("dim", "x"),
-        )
-        .groupBy("label", "half", "dim")
+        .select("label", is_a.alias("a"), F.posexplode("vec").alias("dim", "x"))
+        .groupBy("label", "dim")
         .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n"),
-            F.sum(F.round(F.col("x") * 1e6).cast("bigint")).alias("s"),
+            F.sum(F.when(F.col("a"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_a"),
+            F.sum(F.when(~F.col("a"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_b"),
+            F.sum(F.when(F.col("a"), micro)).alias("sa"),
+            F.sum(F.when(~F.col("a"), micro)).alias("sb"),
         )
-        .withColumn("c", F.col("s") / (F.col("n") * F.lit(1e6)))
-    )
-    a = halves.filter(F.col("half") == "a").select(
-        "label", "dim", F.col("c").alias("ca"), F.col("n").alias("n_a")
-    )
-    b = halves.filter(F.col("half") == "b").select(
-        "label", "dim", F.col("c").alias("cb"), F.col("n").alias("n_b")
+        .filter((F.col("n_a") > 0) & (F.col("n_b") > 0))
+        .withColumn("ca", F.col("sa") / (F.col("n_a") * F.lit(1e6)))
+        .withColumn("cb", F.col("sb") / (F.col("n_b") * F.lit(1e6)))
     )
     return (
-        a.join(b, ["label", "dim"])
-        .groupBy("label")
+        per_dim.groupBy("label")
         .agg(
-            F.first("n_a").cast("bigint").alias("n_first"),
-            F.first("n_b").cast("bigint").alias("n_second"),
+            # MAX mirrors the oracle (first() over an unordered group
+            # is nondeterministic if per-dim counts ever differed)
+            F.max("n_a").cast("bigint").alias("n_first"),
+            F.max("n_b").cast("bigint").alias("n_second"),
             F.round(
                 F.sum(F.col("ca") * F.col("cb"))
                 / (

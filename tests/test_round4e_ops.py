@@ -398,8 +398,18 @@ def test_centroid_shift_cosine_near_one_on_random_halves(spark, sf_dir):
 
     rows = similarity.embedding_centroid_shift(spark, sf_dir).collect()
     emb = load_table(spark, sf_dir, "embeddings")
-    assert len(rows) == emb.select("label").distinct().count()
-    n_total = emb.count()
+    med = emb.agg(F.expr("percentile(vec_id, 0.5D)").alias("m")).collect()[0].m
+    both = (
+        emb.groupBy("label")
+        .agg(
+            F.sum((F.col("vec_id") <= med).cast("int")).alias("na"),
+            F.sum((F.col("vec_id") > med).cast("int")).alias("nb"),
+        )
+        .filter((F.col("na") > 0) & (F.col("nb") > 0))
+    )
+    # only labels present in BOTH halves appear (documented drop)
+    assert {r.label for r in rows} == {r.label for r in both.collect()}
+    n_total = sum(r.na + r.nb for r in both.collect())
     assert sum(r.n_first + r.n_second for r in rows) == n_total
     for r in rows:
         assert -1.0 - 1e-9 <= r.centroid_cosine <= 1.0 + 1e-9
@@ -413,7 +423,7 @@ def test_knn_accuracy_totals_match_query_count(spark, sf_dir):
     assert sum(r.n_queries for r in rows) == similarity.N_QUERIES
     for r in rows:
         assert 0 <= r.n_correct <= r.n_queries
-        assert abs(r.accuracy - r.n_correct / r.n_queries) < 1e-9
+        assert abs(r.accuracy - round(r.n_correct / r.n_queries, 6)) < 1e-9
 
 
 def test_fill_rate_bounds_and_counts(spark, sf_dir):
