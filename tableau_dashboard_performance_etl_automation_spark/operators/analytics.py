@@ -3115,3 +3115,96 @@ ORACLE_SQL["daily_value_autocorrelation"] = f"""
     FROM moments
     ORDER BY lag
 """
+
+
+def event_mix_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical mix drift: PSI cells over the EVENT-TYPE
+    composition of the stream, second half vs first (median-timestamp
+    split) — the companion of ``value_drift_psi``: that one asks "did
+    the value DISTRIBUTION move", this one asks "did the traffic MIX
+    move" (bot surges, instrumentation changes, a product launch all
+    show up here first).
+
+    One (period, type) hash aggregate over the stream (the split
+    point broadcast), Laplace-smoothed shares, per-type
+    ``(p_cur − p_base)·ln(p_cur/p_base)`` — every cell ≥ 0 and their
+    sum is the PSI. Exact integer counts inside the ln; rounded 6.
+    """
+    e = load_table(spark, sf_dir, "events")
+    med = F.broadcast(
+        e.agg(F.expr("percentile(unix_millis(ts), 0.5D)").alias("m"))
+    )
+    binned = (
+        e.crossJoin(med)
+        .select(
+            F.when(F.unix_millis("ts") <= F.col("m"), F.lit("base"))
+            .otherwise(F.lit("cur"))
+            .alias("period"),
+            "event_type",
+        )
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.when(F.col("period") == "base", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_base"),
+            F.sum(F.when(F.col("period") == "cur", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_cur"),
+        )
+        .localCheckpoint()
+    )
+    k = F.broadcast(
+        binned.agg(
+            F.sum("n_base").cast("bigint").alias("tb"),
+            F.sum("n_cur").cast("bigint").alias("tc"),
+            F.count(F.lit(1)).cast("int").alias("k"),
+        )
+    )
+    p_base = (F.col("n_base") + 1) / (F.col("tb") + F.col("k")).cast(
+        "double"
+    )
+    p_cur = (F.col("n_cur") + 1) / (F.col("tc") + F.col("k")).cast("double")
+    return (
+        binned.crossJoin(k)
+        .select(
+            "event_type",
+            "n_base",
+            "n_cur",
+            F.round((p_cur - p_base) * F.log(p_cur / p_base), 6).alias(
+                "psi_term"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+QUERIES["event_mix_drift"] = event_mix_drift
+
+ORACLE_SQL["event_mix_drift"] = """
+    WITH med AS (
+        SELECT quantile_cont(epoch_ms(ts), 0.5) AS m FROM events
+    ),
+    binned AS (
+        SELECT event_type,
+               CAST(SUM(CASE WHEN epoch_ms(ts) <= m THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_base,
+               CAST(SUM(CASE WHEN epoch_ms(ts) > m THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_cur
+        FROM events, med
+        GROUP BY event_type
+    ),
+    tot AS (
+        SELECT CAST(SUM(n_base) AS BIGINT) AS tb,
+               CAST(SUM(n_cur) AS BIGINT) AS tc,
+               CAST(COUNT(*) AS INTEGER) AS k
+        FROM binned
+    )
+    SELECT event_type, n_base, n_cur,
+           ROUND(((n_cur + 1) / CAST(tc + k AS DOUBLE)
+                  - (n_base + 1) / CAST(tb + k AS DOUBLE))
+                 * LN(((n_cur + 1) / CAST(tc + k AS DOUBLE))
+                      / ((n_base + 1) / CAST(tb + k AS DOUBLE))), 6)
+               AS psi_term
+    FROM binned, tot
+    ORDER BY event_type
+"""

@@ -1776,3 +1776,56 @@ ORACLE_SQL["dedup_survivorship_conflicts"] = """
     HAVING COUNT(*) > 1
     ORDER BY text_hash
 """
+
+
+def source_dedup_burden(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source exact-duplicate burden: how many of a source's
+    documents an exact dedup pass would DROP (non-minimum members of
+    each content-hash family) and the share of the source they
+    represent — the table that says which ingestion feeds are
+    paying the storage/compute duplicate tax.
+
+    One hash aggregate over (md5(text)) to pick survivors, one
+    broadcast-joined per-source rollup; drop share is a ratio of
+    exact integer counts. Duplicate families never materialize as
+    pairs — the count arithmetic (family size − 1 drops per family)
+    happens inside the aggregate.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    fams = (
+        docs.select("source", "doc_id", F.md5("text").alias("h"))
+        .groupBy("source", "h")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    return (
+        fams.groupBy("source")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_docs"),
+            (F.sum("n") - F.count(F.lit(1))).cast("bigint").alias(
+                "n_dropped"
+            ),
+        )
+        .withColumn(
+            "drop_share",
+            F.round(F.col("n_dropped") / F.col("n_docs"), 6),
+        )
+        .orderBy("source")
+    )
+
+
+QUERIES["source_dedup_burden"] = source_dedup_burden
+
+ORACLE_SQL["source_dedup_burden"] = """
+    WITH fams AS (
+        SELECT source, md5(text) AS h, CAST(COUNT(*) AS BIGINT) AS n
+        FROM documents GROUP BY source, md5(text)
+    )
+    SELECT source,
+           CAST(SUM(n) AS BIGINT) AS n_docs,
+           CAST(SUM(n) - COUNT(*) AS BIGINT) AS n_dropped,
+           ROUND((SUM(n) - COUNT(*)) / CAST(SUM(n) AS DOUBLE), 6)
+               AS drop_share
+    FROM fams
+    GROUP BY source
+    ORDER BY source
+"""

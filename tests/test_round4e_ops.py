@@ -438,3 +438,29 @@ def test_fill_rate_bounds_and_counts(spark, sf_dir):
     for r in rows:
         assert 0 <= r.n_filled <= r.n_orders
         assert abs(r.fill_rate - round(r.n_filled / r.n_orders, 6)) < 1e-9
+
+
+def test_source_dedup_burden_conserves_docs(spark, sf_dir):
+    from tableau_dashboard_performance_etl_automation_spark.operators import dedup
+
+    rows = dedup.source_dedup_burden(spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents")
+    per_source = {
+        r.source: r.n
+        for r in docs.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert {r.source for r in rows} == set(per_source)
+    for r in rows:
+        assert r.n_docs == per_source[r.source]
+        assert 0 <= r.n_dropped < r.n_docs
+        assert 0.0 <= r.drop_share < 1.0
+
+
+def test_event_mix_drift_cells_nonnegative(spark, sf_dir):
+    from tableau_dashboard_performance_etl_automation_spark.operators import analytics
+
+    rows = analytics.event_mix_drift(spark, sf_dir).collect()
+    e = load_table(spark, sf_dir, "events")
+    assert sum(r.n_base + r.n_cur for r in rows) == e.count()
+    for r in rows:
+        assert r.psi_term >= -1e-12  # (p-q)ln(p/q) is sign-definite
