@@ -1780,30 +1780,35 @@ ORACLE_SQL["dedup_survivorship_conflicts"] = """
 
 def source_dedup_burden(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source exact-duplicate burden: how many of a source's
-    documents an exact dedup pass would DROP (non-minimum members of
-    each content-hash family) and the share of the source they
-    represent — the table that says which ingestion feeds are
-    paying the storage/compute duplicate tax.
+    documents the GLOBAL exact dedup pass (:func:`dedup_exact`'s
+    min-doc_id-survivor rule over corpus-wide ``md5(text)`` families)
+    would drop, and the share of the source they represent — the
+    table that says which ingestion feeds are paying the duplicate
+    tax. Families are corpus-wide, NOT per source: a copy living in a
+    different source from its survivor still drops, and is charged to
+    the source that carried the copy.
 
-    One hash aggregate over (md5(text)) to pick survivors, one
-    broadcast-joined per-source rollup; drop share is a ratio of
-    exact integer counts. Duplicate families never materialize as
-    pairs — the count arithmetic (family size − 1 drops per family)
-    happens inside the aggregate.
+    One hash-shuffle on the content hash to pick each family's
+    survivor, a join-back on the same key (co-partitioned — AQE
+    reuses the exchange), then a per-source rollup; drop share is a
+    ratio of exact integer counts. Families never materialize as
+    pairs.
     """
     docs = load_table(spark, sf_dir, "documents")
-    fams = (
-        docs.select("source", "doc_id", F.md5("text").alias("h"))
-        .groupBy("source", "h")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-    )
+    hashed = docs.select("source", "doc_id", F.md5("text").alias("h"))
+    keep = hashed.groupBy("h").agg(F.min("doc_id").alias("keep_id"))
     return (
-        fams.groupBy("source")
-        .agg(
-            F.sum("n").cast("bigint").alias("n_docs"),
-            (F.sum("n") - F.count(F.lit(1))).cast("bigint").alias(
-                "n_dropped"
+        hashed.join(keep, "h")
+        .select(
+            "source",
+            (F.col("doc_id") != F.col("keep_id")).cast("int").alias(
+                "dropped"
             ),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("dropped").cast("bigint").alias("n_dropped"),
         )
         .withColumn(
             "drop_share",
@@ -1816,16 +1821,20 @@ def source_dedup_burden(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["source_dedup_burden"] = source_dedup_burden
 
 ORACLE_SQL["source_dedup_burden"] = """
-    WITH fams AS (
-        SELECT source, md5(text) AS h, CAST(COUNT(*) AS BIGINT) AS n
-        FROM documents GROUP BY source, md5(text)
+    WITH hashed AS (
+        SELECT source, doc_id, md5(text) AS h FROM documents
+    ),
+    keep AS (
+        SELECT h, MIN(doc_id) AS keep_id FROM hashed GROUP BY h
     )
-    SELECT source,
-           CAST(SUM(n) AS BIGINT) AS n_docs,
-           CAST(SUM(n) - COUNT(*) AS BIGINT) AS n_dropped,
-           ROUND((SUM(n) - COUNT(*)) / CAST(SUM(n) AS DOUBLE), 6)
-               AS drop_share
-    FROM fams
-    GROUP BY source
-    ORDER BY source
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN d.doc_id != k.keep_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dropped,
+           ROUND(SUM(CASE WHEN d.doc_id != k.keep_id THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS drop_share
+    FROM hashed d
+    JOIN keep k ON k.h = d.h
+    GROUP BY d.source
+    ORDER BY d.source
 """

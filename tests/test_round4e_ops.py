@@ -454,6 +454,49 @@ def test_source_dedup_burden_conserves_docs(spark, sf_dir):
         assert r.n_docs == per_source[r.source]
         assert 0 <= r.n_dropped < r.n_docs
         assert 0.0 <= r.drop_share < 1.0
+    # total drops must equal the GLOBAL exact-dedup drop count —
+    # cross-source families included (the sf fixtures' duplicate
+    # families all span sources, so a per-source family grouping
+    # would report zero here and fail)
+    n_global_drops = docs.count() - docs.select(F.md5("text")).distinct().count()
+    assert sum(r.n_dropped for r in rows) == n_global_drops
+
+
+def test_source_dedup_burden_charges_cross_source_copies(spark):
+    """Inline fixture: one family spanning two sources — the copy's
+    source (not the survivor's) carries the drop."""
+    import pandas as pd
+
+    from tableau_dashboard_performance_etl_automation_spark.operators.dedup import (
+        QUERIES as _q,  # noqa: F401 — import keeps module loaded
+    )
+    from tableau_dashboard_performance_etl_automation_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": ["same text", "same text", "unique"],
+                "lang": ["en"] * 3,
+                "source": ["s_a", "s_b", "s_b"],
+                "n_chars": [9, 9, 6],
+            }
+        )
+    )
+    hashed = docs.select("source", "doc_id", F.md5("text").alias("h"))
+    keep = hashed.groupBy("h").agg(F.min("doc_id").alias("keep_id"))
+    out = {
+        r.source: r.n_dropped
+        for r in hashed.join(keep, "h")
+        .select(
+            "source",
+            (F.col("doc_id") != F.col("keep_id")).cast("int").alias("dropped"),
+        )
+        .groupBy("source")
+        .agg(F.sum("dropped").alias("n_dropped"))
+        .collect()
+    }
+    assert out == {"s_a": 0, "s_b": 1}  # doc 2 (s_b) drops, doc 1 survives
 
 
 def test_event_mix_drift_cells_nonnegative(spark, sf_dir):
