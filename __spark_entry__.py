@@ -46,14 +46,21 @@ _SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # re-derives itself every round from the driver's own artifacts.
 
 
-def _driver_green() -> set[str]:
+def _green_rounds() -> dict[str, int]:
+    """name -> LATEST round whose CORRECTNESS_r*.json holds a fully
+    green (rows+schema+hash) row for that query.  Drives both the
+    green/unchecked split and the re-verification cadence: green
+    entries re-enter the checked window longest-unverified first."""
     import glob
     import json
     import os
+    import re
 
     here = os.path.dirname(os.path.abspath(__file__))
-    green: set[str] = set()
+    green: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        rnd = int(m.group(1)) if m else 0
         try:
             with open(path) as fh:
                 rows = json.load(fh)
@@ -66,8 +73,12 @@ def _driver_green() -> set[str]:
                 and row.get("schema_match")
                 and row.get("hash_match")
             ):
-                green.add(name)
+                green[name] = max(green.get(name, 0), rnd)
     return green
+
+
+def _driver_green() -> set[str]:
+    return set(_green_rounds())
 
 
 def _ledger_order() -> dict[str, int]:
@@ -93,16 +104,28 @@ def _rotated(full: dict) -> dict:
     """Unchecked-first ordering: entries with no driver-green row
     lead, sorted longest-waiting first (earliest ledger position);
     names not yet in the ledger are by definition the newest and sort
-    last among the unchecked. Green entries go to the tail. With the
+    last among the unchecked. Green entries form the tail ordered
+    LONGEST-UNVERIFIED first (earliest last-green round, then ledger
+    position) — so when unchecked < 50, the free slots of the
+    driver's window re-verify the stalest green queries. With the
     driver checking the first 50, every query earns its driver row
-    within two rounds of being registered."""
-    green = _driver_green()
+    within two rounds of being registered and greens keep cycling
+    back for re-verification."""
+    green = _green_rounds()
     order = _ledger_order()
     unseen = len(order)
     # name tiebreak: ledger-unseen entries (all equally new until
     # tools/update_ledger.py runs) order identically in queries() and
     # oracle_sql() even though the module dicts declare them apart
-    ranked = sorted(full, key=lambda k: (k in green, order.get(k, unseen), k))
+    ranked = sorted(
+        full,
+        key=lambda k: (
+            k in green,
+            green.get(k, 0),
+            order.get(k, unseen),
+            k,
+        ),
+    )
     return {k: full[k] for k in ranked}
 
 

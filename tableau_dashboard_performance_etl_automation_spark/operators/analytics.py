@@ -2569,6 +2569,13 @@ def value_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("id").cast("int").alias("bin_id"))
         .join(F.broadcast(cells), "bin_id", "left")
         .crossJoin(tots)
+        # degenerate-input parity: if a period is EMPTY (e.g. every
+        # event shares one timestamp, so nothing lands after the
+        # median split) the oracle's per-period tots/grid inner join
+        # emits zero rows; tb/tc are NULL here in exactly that case,
+        # so this filter makes both engines agree on zero rows
+        # instead of Spark emitting NULL psi_terms.
+        .filter(F.col("tb").isNotNull() & F.col("tc").isNotNull())
         .select(
             "bin_id",
             nb0.cast("bigint").alias("n_base"),
@@ -2690,7 +2697,7 @@ ORACLE_SQL["session_path_mining"] = f"""
         SELECT user_id, ts, event_id, event_type,
                CASE WHEN lag(ts) OVER uw IS NULL
                          OR epoch_ms(ts) - epoch_ms(lag(ts) OVER uw)
-                            > 1800000
+                            > {SESSION_GAP_MS}
                     THEN 1 ELSE 0 END AS new_session
         FROM events
         WINDOW uw AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -2955,12 +2962,12 @@ def session_type_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["session_type_pmi"] = session_type_pmi
 
-ORACLE_SQL["session_type_pmi"] = """
+ORACLE_SQL["session_type_pmi"] = f"""
     WITH tagged AS (
         SELECT user_id, ts, event_id, event_type,
                CASE WHEN lag(ts) OVER uw IS NULL
                          OR epoch_ms(ts) - epoch_ms(lag(ts) OVER uw)
-                            > 1800000
+                            > {SESSION_GAP_MS}
                     THEN 1 ELSE 0 END AS new_session
         FROM events
         WINDOW uw AS (PARTITION BY user_id ORDER BY ts, event_id)

@@ -26,6 +26,7 @@ from tableau_dashboard_performance_etl_automation_spark.operators.dedup import (
     ORACLE_SQL as _DEDUP_ORACLE_SQL,
     dedup_minhash_lsh,
 )
+from tableau_dashboard_performance_etl_automation_spark.memo import register as _register_memo
 
 MAX_ROUNDS = 20
 
@@ -110,7 +111,9 @@ def connected_components(edges: DataFrame, max_rounds: int = MAX_ROUNDS) -> Data
 #: histogram, curation) reads; re-running the iterative fixpoint per
 #: query never amortizes, and min-label CC is deterministic so the
 #: memo is bit-identical to a recompute.
-_CC_LABELS_CACHE: dict[tuple[str, str], DataFrame] = {}
+#: Session memo — assumes sf_dir data is immutable within the
+#: application (see memo.py); registered for global invalidation.
+_CC_LABELS_CACHE: dict[tuple[str, str], DataFrame] = _register_memo({})
 
 
 def _lsh_cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -146,6 +149,10 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 PR_DAMPING = 0.85
 PR_ITERS = 5
 PR_UNIT = 1_000_000_000
+#: Hard ceiling on driver-resident rank-vector size.  The nation
+#: graph has 25 nodes; anyone pointing this at an unbounded node
+#: domain gets a loud error instead of a silent driver OOM.
+PR_MAX_DRIVER_NODES = 100_000
 
 
 def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -212,6 +219,14 @@ def nation_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     node_rows = sorted(r.node for r in nodes.collect())
     n = len(node_rows)
+    if n > PR_MAX_DRIVER_NODES:
+        raise ValueError(
+            f"nation_pagerank holds the rank vector on the driver; "
+            f"{n} nodes exceeds the {PR_MAX_DRIVER_NODES}-node bound. "
+            "For unbounded graphs keep ranks in a DataFrame: join "
+            "edges to the rank table on src each iteration instead "
+            "of broadcasting a driver dict."
+        )
     base = int(PR_UNIT // n)
     teleport = int((1 - PR_DAMPING) * PR_UNIT / n)
     src_set = {r.src for r in edges.select("src").distinct().collect()}
@@ -251,7 +266,9 @@ def nation_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: Session memo of the converged integer rank vector (plain dict —
 #: nothing pinned on executors), single-entry capped.
-_PR_CACHE: dict[tuple[str, str], dict] = {}
+#: Session memo — assumes sf_dir data is immutable within the
+#: application (see memo.py); registered for global invalidation.
+_PR_CACHE: dict[tuple[str, str], dict] = _register_memo({})
 
 
 def _pr_output(

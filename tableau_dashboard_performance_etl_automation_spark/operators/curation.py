@@ -24,6 +24,7 @@ from tableau_dashboard_performance_etl_automation_spark.operators.textops import
     text_quality,
     text_token_count,
 )
+from tableau_dashboard_performance_etl_automation_spark.memo import register as _register_memo
 
 #: Quality gate: same rule as textops.text_quality's keep flag.
 MIN_WORDS = 20
@@ -40,7 +41,9 @@ MIN_WORDS = 20
 #: stay pinned for the application lifetime. Staleness assumption:
 #: an sf_dir's parquet is immutable within a session (true for the
 #: driver's test corpora) — mutate the data, restart the session.
-_SURVIVOR_CACHE: dict[tuple[str, str], DataFrame] = {}
+#: Session memo — assumes sf_dir data is immutable within the
+#: application (see memo.py); registered for global invalidation.
+_SURVIVOR_CACHE: dict[tuple[str, str], DataFrame] = _register_memo({})
 
 
 def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -31,6 +31,7 @@ from tableau_dashboard_performance_etl_automation_spark.functions.text import (
     word_shingles,
     words,
 )
+from tableau_dashboard_performance_etl_automation_spark.memo import register as _register_memo
 
 #: MinHash signature size and LSH banding (8 hashes → 4 bands × 2).
 MINHASH_HASHES = 8
@@ -67,7 +68,9 @@ JACCARD_MAX_DF = 100
 #: this table once; re-shingling the corpus per query never
 #: amortizes, and the decomposition is deterministic so the memo is
 #: bit-identical to a recompute. Single-entry capped.
-_SHINGLES_CACHE: dict[tuple[str, str], DataFrame] = {}
+#: Session memo — assumes sf_dir data is immutable within the
+#: application (see memo.py); registered for global invalidation.
+_SHINGLES_CACHE: dict[tuple[str, str], DataFrame] = _register_memo({})
 
 
 def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -121,7 +124,9 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: registered diagnostics consume it, and re-shingling the corpus per
 #: query never amortizes. Signatures are deterministic (md5 of
 #: shingle text), so the memo is bit-identical to a recompute.
-_BANDS_CACHE: dict[tuple[str, str], DataFrame] = {}
+#: Session memo — assumes sf_dir data is immutable within the
+#: application (see memo.py); registered for global invalidation.
+_BANDS_CACHE: dict[tuple[str, str], DataFrame] = _register_memo({})
 
 
 def _minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -574,7 +579,9 @@ NEWBATCH_REM = 9
 #: session, single-entry cap so a stale sf_dir's table isn't trusted.
 BAND_INDEX_TABLE = "minhash_band_index"
 BAND_INDEX_BUCKETS = 16
-_BAND_INDEX_CACHE: dict[tuple[str, str], str] = {}
+#: Session memo — assumes sf_dir data is immutable within the
+#: application (see memo.py); registered for global invalidation.
+_BAND_INDEX_CACHE: dict[tuple[str, str], str] = _register_memo({})
 
 
 def _band_index(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -45,6 +45,7 @@ from pyspark.sql.window import Window
 
 from tableau_dashboard_performance_etl_automation_spark.catalog import load_table
 from tableau_dashboard_performance_etl_automation_spark.operators.analytics import (
+    SESSION_GAP_MS,
     with_session_ids,
 )
 
@@ -242,12 +243,12 @@ QUERIES = {
     "gapfilled_daily_counts": gapfilled_daily_counts,
 }
 
-_SESS_CTES = """
+_SESS_CTES = f"""
         tagged AS (
             SELECT user_id, ts, event_id,
                    CASE WHEN lag(ts) OVER uw IS NULL
                              OR epoch_ms(ts) - epoch_ms(lag(ts) OVER uw)
-                                > 1800000
+                                > {SESSION_GAP_MS}
                         THEN 1 ELSE 0 END AS new_session
             FROM events
             WINDOW uw AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -270,7 +271,7 @@ ORACLE_SQL = {
     # The oracle runs the range join directly (DuckDB plans an IEJoin);
     # the Spark side uses the binned equi-join — two genuinely
     # different algorithms validating each other.
-    "events_in_anomaly_windows": """
+    "events_in_anomaly_windows": f"""
         WITH daily AS (
             SELECT CAST(ts AS DATE) AS d,
                    SUM(CAST(ROUND(value * 100) AS BIGINT)) AS day_cents
@@ -279,8 +280,8 @@ ORACLE_SQL = {
         thr AS (SELECT quantile_cont(day_cents, 0.95) AS t FROM daily),
         win AS (
             SELECT d AS anchor,
-                   d - INTERVAL 1 DAY AS w_start,
-                   d + INTERVAL 2 DAY AS w_end
+                   d - INTERVAL {_WIN_BEFORE_DAYS} DAY AS w_start,
+                   d + INTERVAL {_WIN_AFTER_DAYS} DAY AS w_end
             FROM daily, thr WHERE day_cents > t
         )
         SELECT strftime(w.anchor, '%Y-%m-%d') AS anchor_date,

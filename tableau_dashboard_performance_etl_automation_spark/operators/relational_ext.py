@@ -287,28 +287,66 @@ def part_cube_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def order_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """NTILE(4) price quartiles within each order priority, rolled up
-    to per-(priority, quartile) stats. The window partitions on
-    ``o_orderpriority`` (bounded key domain) and orders by
-    (price, key) — the full tiebreak makes tile assignment
-    deterministic in both engines. Exact ntile needs a per-key sort;
-    at corpus scale with an unbounded key domain the scale path is
-    approx-percentile boundaries + a broadcast range join, which
-    ``value_percentiles`` (sampling.py) demonstrates."""
+    """Exact NTILE(4) price quartiles within each order priority,
+    rolled up to per-(priority, quartile) stats — computed WITHOUT a
+    per-key row sort (tabjolt_email.py has no window ops; this is the
+    engine's scale-safe exact-ntile shape, same discipline as
+    ``analytics._grouped_median_parts``).
+
+    Exact-ntile-without-row-sort argument: compact to
+    (priority, price, count) — a hash aggregate with map-side combine
+    — then a per-priority cumulative-count window over DISTINCT
+    prices only. NTILE(4) over n rows puts ``base = n div 4`` rows in
+    each tile plus one extra in the first ``n mod 4`` tiles, so tile
+    t covers ranks (B(t-1), B(t)] with
+    ``B(t) = t*base + least(t, n mod 4)``.  A price-group spanning
+    ranks (lo, hi] contributes ``least(hi,B(t)) - greatest(lo,B(t-1))``
+    rows to tile t — and because every row in the group shares one
+    price, WHICH tied rows land in which tile (the o_orderkey
+    tiebreak) cannot change any per-tile count/min/max/sum.  Memory
+    is bounded by distinct prices per key (the money domain), which
+    stays fixed while the row count grows unbounded — at 100 TB the
+    window sorts the value domain, never the rows."""
     orders = load_table(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_orderpriority").orderBy(
-        "o_totalprice", "o_orderkey"
+    counts = (
+        orders.groupBy("o_orderpriority", "o_totalprice")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn(
+            "cents", F.round(F.col("o_totalprice") * 100).cast("bigint")
+        )
     )
-    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice")
+    cum = counts.withColumn("hi", F.sum("cnt").over(w)).withColumn(
+        "lo", F.col("hi") - F.col("cnt")
+    )
+    totals = orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    t = F.col("quartile").cast("bigint")
+    base = F.expr("n DIV 4")
+    rem = F.col("n") % 4
+    b_hi = t * base + F.least(t, rem)
+    b_lo = (t - 1) * base + F.least(t - 1, rem)
+    tiled = (
+        cum.join(F.broadcast(totals), "o_orderpriority")
+        .withColumn(
+            "quartile", F.explode(F.sequence(F.lit(1), F.lit(4)))
+        )
+        .withColumn(
+            "overlap",
+            F.least(F.col("hi"), b_hi) - F.greatest(F.col("lo"), b_lo),
+        )
+        .filter(F.col("overlap") > 0)
+    )
     return (
-        orders.withColumn("quartile", F.ntile(4).over(w))
-        .withColumn("cents", cents)
-        .groupBy("o_orderpriority", "quartile")
+        tiled.groupBy("o_orderpriority", "quartile")
         .agg(
-            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("overlap").alias("n_orders"),
             F.round(F.min("o_totalprice"), 2).alias("min_price"),
             F.round(F.max("o_totalprice"), 2).alias("max_price"),
-            (F.sum("cents") / F.lit(100.0)).alias("total_price"),
+            (F.sum(F.col("overlap") * F.col("cents")) / F.lit(100.0)).alias(
+                "total_price"
+            ),
         )
         .orderBy("o_orderpriority", "quartile")
     )

@@ -32,6 +32,7 @@ from tableau_dashboard_performance_etl_automation_spark.functions.vectors import
     dot,
     norm,
 )
+from tableau_dashboard_performance_etl_automation_spark.memo import register as _register_memo
 
 #: Near-dup threshold for embedding pairs (LSH-bucketed candidates).
 NEARDUP_COSINE = 0.35
@@ -101,7 +102,9 @@ TOP_K = 5
 #: other sf_dirs don't accumulate, and because the cache assumes the
 #: sf_dir's parquet is immutable within a session (as the driver's
 #: test corpora are).
-_CODEBOOK_CACHE: dict[tuple[str, str], list] = {}
+#: Session memo — assumes sf_dir data is immutable within the
+#: application (see memo.py); registered for global invalidation.
+_CODEBOOK_CACHE: dict[tuple[str, str], list] = _register_memo({})
 
 _COS_SQL = (
     "list_cosine_similarity({a}::DOUBLE[], {b}::DOUBLE[])"
@@ -544,14 +547,48 @@ def _train_centroids(e: DataFrame) -> list:
     return rows
 
 
+IVF_CODEBOOK_ARTIFACT = "ivf_codebook"
+
+
+def _artifact_name(base: str, sf_dir: str) -> str:
+    """Per-corpus artifact subdirectory (e.g. ``ivf_codebook/sf0.01``)
+    so codebooks for different sf_dirs coexist instead of overwriting
+    each other; the full-path tag check still guards collisions."""
+    import os
+
+    return f"{base}/{os.path.basename(sf_dir.rstrip('/')) or 'root'}"
+
+
 def _codebook(spark: SparkSession, sf_dir: str, e: DataFrame) -> DataFrame:
-    """Trained centroid set, memoized per (applicationId, sf_dir) —
-    train once per session, then rebuild the K-row DataFrame from the
-    cached doubles (cheap; nothing stays pinned on executors)."""
+    """Trained centroid set, memoized per (applicationId, sf_dir) AND
+    persisted as a warehouse artifact: the first session ever to need
+    it trains and saves; every later session — including a COLD one —
+    reads the K-row parquet back instead of paying the Lloyd rounds.
+    Training is deterministic (exact integer micro-unit sums), so the
+    loaded codebook is bit-identical to a retrain and oracle parity
+    is unaffected.  Tag = sf_dir (immutable-input assumption,
+    memo.py)."""
+    from tableau_dashboard_performance_etl_automation_spark.sources.warehouse import (
+        load_artifact,
+        save_artifact,
+    )
+
     key = (spark.sparkContext.applicationId, sf_dir)
     rows = _CODEBOOK_CACHE.get(key)
     if rows is None:
-        rows = _train_centroids(e)
+        art = _artifact_name(IVF_CODEBOOK_ARTIFACT, sf_dir)
+        stored = load_artifact(spark, art, sf_dir)
+        if stored is not None:
+            rows = [(r.cent_id, r.cvec) for r in stored.collect()]
+        else:
+            rows = _train_centroids(e)
+            save_artifact(
+                spark.createDataFrame(
+                    rows, "cent_id BIGINT, cvec ARRAY<DOUBLE>"
+                ),
+                art,
+                sf_dir,
+            )
         _CODEBOOK_CACHE.clear()  # single-entry cap; see docstring above
         _CODEBOOK_CACHE[key] = rows
     return spark.createDataFrame(rows, "cent_id BIGINT, cvec ARRAY<DOUBLE>")
@@ -564,7 +601,9 @@ def _codebook(spark: SparkSession, sf_dir: str, e: DataFrame) -> DataFrame:
 #: (narrow rows: id, cent_id, vec) and capped to the most recent
 #: (applicationId, sf_dir) so stale checkpoint blocks don't pin;
 #: same immutable-sf_dir assumption as the codebook cache.
-_ASSIGN_CACHE: dict[tuple[str, str], DataFrame] = {}
+#: Session memo — assumes sf_dir data is immutable within the
+#: application (see memo.py); registered for global invalidation.
+_ASSIGN_CACHE: dict[tuple[str, str], DataFrame] = _register_memo({})
 
 
 def _assignments(
@@ -1342,7 +1381,11 @@ def pq_rerank_size(n_vectors: int) -> int:
 #: halves (codebook + codes); re-encoding the corpus per query is the
 #: cost that never amortizes. Same single-entry cap and
 #: (applicationId, sf_dir) keying as the IVF caches.
-_PQ_CACHE: dict[tuple[str, str], tuple] = {}
+#: Session memo — assumes sf_dir data is immutable within the
+#: application (see memo.py); registered for global invalidation.
+_PQ_CACHE: dict[tuple[str, str], tuple] = _register_memo({})
+
+PQ_CODEBOOK_ARTIFACT = "pq_codebook"
 
 
 def _subvectors(e: DataFrame) -> DataFrame:
@@ -1480,9 +1523,30 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     if cached is None:
         # index build (once per session): full-corpus subvector pass
         # feeds training AND encoding; steady-state queries never
-        # rescan the corpus at full vector width again
+        # rescan the corpus at full vector width again.  The trained
+        # codebook itself is a persisted warehouse artifact — a cold
+        # session re-encodes (one assign pass) but never re-trains
+        # (PQ_ITERS Lloyd rounds); deterministic training keeps the
+        # loaded codebook bit-identical to a retrain.
+        from tableau_dashboard_performance_etl_automation_spark.sources.warehouse import (
+            load_artifact,
+            save_artifact,
+        )
+
         sub = _subvectors(e).localCheckpoint()
-        cb_rows = _train_pq(spark, sub)
+        art = _artifact_name(PQ_CODEBOOK_ARTIFACT, sf_dir)
+        stored = load_artifact(spark, art, sf_dir)
+        if stored is not None:
+            cb_rows = [(r.m, r.cent_id, r.cvec) for r in stored.collect()]
+        else:
+            cb_rows = _train_pq(spark, sub)
+            save_artifact(
+                spark.createDataFrame(
+                    cb_rows, "m INT, cent_id BIGINT, cvec ARRAY<DOUBLE>"
+                ),
+                art,
+                sf_dir,
+            )
         cb = spark.createDataFrame(
             cb_rows, "m INT, cent_id BIGINT, cvec ARRAY<DOUBLE>"
         )

@@ -475,8 +475,10 @@ def doc_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         # split('') is linear in the string; the substring-per-index
         # alternative is O(n²) per document (see char_bigram_lm_scores).
-        # Empty docs are excluded below: split('','') yields [''] (one
-        # phantom char) where the oracle emits no rows at all.
+        # The length>0 filter is a defensive guard only: on Spark 4
+        # split of an empty string by '' returns an EMPTY array
+        # (verified — behavior identical with and without the filter),
+        # and the oracle likewise emits no rows for empty docs.
         F.explode(F.split(F.lower("text"), "")).alias("ch"),
     )
     per_char = ch.groupBy("doc_id", "ch").agg(

@@ -68,6 +68,51 @@ def read_partitioned(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def _artifact_path(spark: SparkSession, name: str) -> str:
+    warehouse_dir = spark.conf.get("spark.sql.warehouse.dir", "")
+    if warehouse_dir.startswith("file:"):
+        warehouse_dir = warehouse_dir[len("file:") :]
+    return f"{warehouse_dir}/{name}"
+
+
+def save_artifact(df: DataFrame, name: str, tag: str) -> None:
+    """Persist a SMALL derived artifact (trained codebook, calibration
+    table — driver-collectable sizes) as parquet under the warehouse
+    dir, stamped with ``tag`` so a later session can verify it was
+    built from the same inputs.  Path-based (not ``saveAsTable``)
+    deliberately: the default in-memory catalog dies with the
+    session, but the parquet files don't — this is what makes a COLD
+    session skip the build entirely.
+
+    Tag = the source ``sf_dir`` under the immutable-input assumption
+    (see memo.py); writers that mutate inputs must overwrite the
+    artifact (this write is mode=overwrite, so re-saving after a data
+    change is the invalidation)."""
+    spark = df.sparkSession
+    (
+        df.withColumn("_artifact_tag", F.lit(tag))
+        .write.mode("overwrite")
+        .parquet(_artifact_path(spark, name))
+    )
+
+
+def load_artifact(spark: SparkSession, name: str, tag: str) -> DataFrame | None:
+    """Read back a :func:`save_artifact` table, or ``None`` if it is
+    absent or was built from different inputs (tag mismatch).  The
+    distinct-tag check collects — artifacts are driver-sized by
+    contract (codebooks, not corpora)."""
+    try:
+        df = spark.read.parquet(_artifact_path(spark, name))
+    except Exception:  # noqa: BLE001 — absent/corrupt ⇒ rebuild
+        return None
+    if "_artifact_tag" not in df.columns:
+        return None
+    tags = [r[0] for r in df.select("_artifact_tag").distinct().collect()]
+    if tags != [tag]:
+        return None
+    return df.drop("_artifact_tag")
+
+
 def compact_parquet(
     spark: SparkSession,
     src_path: str,

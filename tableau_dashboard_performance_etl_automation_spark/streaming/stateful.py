@@ -84,6 +84,8 @@ RUN_STATE_SCHEMA = StructType(
     [
         StructField("last_type", StringType()),
         StructField("run_len", LongType()),
+        StructField("last_ts_key", LongType()),
+        StructField("last_event_id", LongType()),
     ]
 )
 
@@ -94,13 +96,35 @@ def _collapse_runs(
     """Emit each COMPLETED run (maximal streak of one event_type) for
     this user; the open tail run stays in state across micro-batches.
     Rows are sorted by (ts, event_id) inside the batch — the same
-    total order the batch twin (`analytics.event_run_lengths`) uses."""
-    last, run_len = state.get if state.exists else (None, 0)
+    total order the batch twin (`analytics.event_run_lengths`) uses.
+
+    Cross-batch ordering: the state carries the (ts, event_id)
+    frontier of the last event folded into the open run.  A row
+    arriving in a LATER micro-batch with an OLDER (ts, event_id) is
+    late relative to runs already emitted — folding it in would
+    silently split/merge runs — so it is DROPPED here (detectable:
+    the batch twin counts it, so the reconciliation test diverges by
+    exactly the dropped rows).  Upstream must deliver each user's
+    events in event-time order across micro-batches for exact parity;
+    a watermark-delayed source or a per-trigger ordered replay (as in
+    the tests) satisfies this."""
+    if state.exists:
+        last, run_len, last_ts_key, last_eid = state.get
+    else:
+        last, run_len, last_ts_key, last_eid = None, 0, -(2**62), -(2**62)
     done_types: list = []
     done_lens: list = []
     pdf = pd.concat(list(batches))
     pdf = pdf.sort_values(["ts", "event_id"])
-    for et in pdf["event_type"]:
+    # order-preserving integer key for ts (ns for datetime64 input,
+    # the raw value for integer input) — units only need to be
+    # consistent across calls, which the stable column dtype gives
+    ts_key = pdf["ts"].astype("int64").to_numpy()
+    eids = pdf["event_id"].to_numpy()
+    for et, t, eid in zip(pdf["event_type"], ts_key, eids):
+        if (int(t), int(eid)) < (last_ts_key, last_eid):
+            continue  # late cross-batch arrival: drop, never corrupt
+        last_ts_key, last_eid = int(t), int(eid)
         if et == last:
             run_len += 1
         else:
@@ -108,7 +132,7 @@ def _collapse_runs(
                 done_types.append(last)
                 done_lens.append(run_len)
             last, run_len = et, 1
-    state.update((last, run_len))
+    state.update((last, run_len, last_ts_key, last_eid))
     yield pd.DataFrame(
         {
             "user_id": [key[0]] * len(done_types),

@@ -64,3 +64,29 @@ def test_queries_and_oracles_share_rotation():
     q = list(entry_mod.queries())
     o = list(entry_mod.oracle_sql())
     assert q == o
+
+
+def test_green_tail_reverifies_longest_unverified_first():
+    """Re-verification cadence: when unchecked < 50, the driver's
+    free window slots must fill with the STALEST green queries —
+    green tail ordered by (last-green round asc, ledger position
+    asc). Pins the invariant so it can't silently rot back to
+    registration-order-only (which would starve early queries of
+    re-verification once the ledger grows)."""
+    rounds = entry_mod._green_rounds()
+    order = {n: i for i, n in enumerate(_ledger())}
+    keys = list(entry_mod.queries())
+    tail = [k for k in keys if k in rounds]
+    ranks = [(rounds[k], order.get(k, len(order)), k) for k in tail]
+    assert ranks == sorted(ranks), (
+        "green tail not longest-unverified first"
+    )
+
+
+def test_green_rounds_reads_latest_round():
+    """_green_rounds must report the LATEST green round per query
+    (a query green in r1 and re-verified in r4 ranks as r4)."""
+    rounds = entry_mod._green_rounds()
+    assert rounds, "no CORRECTNESS artifacts found"
+    assert set(rounds) == entry_mod._driver_green()
+    assert max(rounds.values()) >= 4  # r4 artifact exists in-repo

@@ -385,4 +385,35 @@ def test_collapse_runs_state_machine_matches_reference(seq, n_batches):
         for out in _collapse_runs((7,), [pdf], state):
             emitted.extend(zip(out["event_type"], out["run_len"]))
     assert emitted == [tuple(r) for r in rle[:-1]]
-    assert state.get == tuple(rle[-1])
+    # state now also carries the (ts, event_id) late-data frontier
+    assert state.get[:2] == tuple(rle[-1])
+    assert state.get[2:] == (len(seq) - 1, len(seq) - 1)
+
+
+def test_collapse_runs_drops_late_cross_batch_rows():
+    """A row arriving in a later micro-batch with an older
+    (ts, event_id) than the state frontier must be DROPPED (never
+    folded into already-emitted runs)."""
+    import pandas as pd
+
+    from tableau_dashboard_performance_etl_automation_spark.streaming.stateful import (
+        _collapse_runs,
+    )
+
+    state = _FakeState()
+    b1 = pd.DataFrame(
+        {"ts": [10, 20], "event_id": [1, 2], "event_type": ["a", "b"]}
+    )
+    emitted = []
+    for out in _collapse_runs((7,), [b1], state):
+        emitted.extend(zip(out["event_type"], out["run_len"]))
+    assert emitted == [("a", 1)]  # open run: ("b", 1)
+    # late arrival (ts=15 < frontier 20) would have split the a-run
+    b2 = pd.DataFrame(
+        {"ts": [15, 30], "event_id": [3, 4], "event_type": ["a", "b"]}
+    )
+    for out in _collapse_runs((7,), [b2], state):
+        emitted.extend(zip(out["event_type"], out["run_len"]))
+    assert emitted == [("a", 1)]  # late "a" dropped; open run b extends
+    assert state.get[:2] == ("b", 2)
+    assert state.get[2:] == (30, 4)

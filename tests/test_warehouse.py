@@ -179,3 +179,54 @@ def test_dynamic_partition_overwrite_replaces_only_touched_day(
     ).collect()[0][0]
     s_old = orig_day1.agg(F.sum("value")).collect()[0][0]
     assert abs(s_new - 2 * s_old) < 1e-6
+
+
+def test_artifact_roundtrip_and_tag_guard(spark, sf_dir, tmp_path):
+    from tableau_dashboard_performance_etl_automation_spark.sources import warehouse as wh
+
+    df = spark.createDataFrame(
+        [(1, [0.5, 1.25]), (2, [2.0, -3.5])], "k BIGINT, v ARRAY<DOUBLE>"
+    )
+    wh.save_artifact(df, "test_artifact/x", tag="tagA")
+    back = wh.load_artifact(spark, "test_artifact/x", tag="tagA")
+    assert back is not None
+    assert sorted((r.k, tuple(r.v)) for r in back.collect()) == [
+        (1, (0.5, 1.25)),
+        (2, (2.0, -3.5)),
+    ]
+    # wrong tag (different inputs) must refuse, absent must refuse
+    assert wh.load_artifact(spark, "test_artifact/x", tag="tagB") is None
+    assert wh.load_artifact(spark, "test_artifact/missing", tag="tagA") is None
+
+
+def test_ivf_codebook_persists_across_cold_session(spark, sf_dir):
+    """A cold session (memos cleared) must LOAD the persisted codebook
+    rather than retrain — and the loaded codebook must be bit-identical
+    to the trained one (deterministic training)."""
+    from tableau_dashboard_performance_etl_automation_spark import memo
+    from tableau_dashboard_performance_etl_automation_spark.operators import similarity as sim
+    from tableau_dashboard_performance_etl_automation_spark.sources import warehouse as wh
+
+    warm = sorted(
+        (r.cent_id, tuple(r.cvec))
+        for r in sim._codebook(spark, sf_dir, sim._emb(spark, sf_dir)).collect()
+    )
+    art = sim._artifact_name(sim.IVF_CODEBOOK_ARTIFACT, sf_dir)
+    assert wh.load_artifact(spark, art, sf_dir) is not None
+
+    memo.invalidate_session_memos()  # simulate the cold session
+    # sabotage the trainer: a cold load must NOT call it
+    orig = sim._train_centroids
+    sim._train_centroids = lambda e: (_ for _ in ()).throw(
+        AssertionError("cold session retrained instead of loading")
+    )
+    try:
+        cold = sorted(
+            (r.cent_id, tuple(r.cvec))
+            for r in sim._codebook(
+                spark, sf_dir, sim._emb(spark, sf_dir)
+            ).collect()
+        )
+    finally:
+        sim._train_centroids = orig
+    assert cold == warm

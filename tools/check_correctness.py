@@ -106,9 +106,11 @@ def main() -> int:
     queries = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
     failures = []
+    checked = 0
     for name, fn in queries.items():
         if only and name not in only:
             continue
+        checked += 1
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
@@ -159,7 +161,7 @@ def main() -> int:
         else:
             print(f"PASS {name}: {len(srows)} rows match ({time.time()-t0:.1f}s)")
 
-    print(f"\n{len(queries) - len(failures)}/{len(queries)} pass")
+    print(f"\n{checked - len(failures)}/{checked} pass")
     spark.stop()
     return 1 if failures else 0
 
