@@ -18,6 +18,7 @@ from tableau_dashboard_performance_etl_automation_spark.operators import (
     asof,
     chunking,
     clustering,
+    cohorts,
     curation,
     dedup,
     history,
@@ -35,6 +36,7 @@ from tableau_dashboard_performance_etl_automation_spark.operators import (
     subqueries,
     tabjolt,
     textops,
+    textstats,
 )
 
 _SMOKE_SF_DIR = "/root/testdata/sf0.001"
@@ -165,6 +167,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(sampling.QUERIES)
     out.update(streaming_twins.QUERIES)
     out.update(profiling.QUERIES)
+    out.update(cohorts.QUERIES)
+    out.update(textstats.QUERIES)
     return _rotated(out)
 
 
@@ -192,4 +196,6 @@ def oracle_sql() -> dict[str, str]:
     out.update(sampling.ORACLE_SQL)
     out.update(streaming_twins.ORACLE_SQL)
     out.update(profiling.ORACLE_SQL)
+    out.update(cohorts.ORACLE_SQL)
+    out.update(textstats.ORACLE_SQL)
     return _rotated(out)

@@ -532,3 +532,125 @@ ORACLE_SQL["neardup_triangles"] = f"""
     GROUP BY doc_id
     ORDER BY doc_id
 """
+
+
+def neardup_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global shape of the near-dup graph in one row — node/edge
+    counts, wedge count, triangle count, and transitivity
+    (3·triangles / wedges) — the health dial that says whether the
+    LSH pair stage is producing tight cliques (template corpus,
+    transitivity → 1) or sprawling chains (drifting near-dups,
+    transitivity → 0) before anyone pays for clustering.
+
+    All four counts are exact-integer aggregates over the LSH edge
+    list (never all-pairs): degrees from a symmetric projection,
+    wedges = Σ d·(d−1)/2 (map-side combinable), triangles from the
+    same bounded two-join enumeration ``neardup_triangles`` uses.
+    The final ratio is one guarded division."""
+    edges = dedup_minhash_lsh(spark, sf_dir).localCheckpoint()
+    sym = edges.selectExpr("doc_a AS doc_id").unionAll(
+        edges.selectExpr("doc_b AS doc_id")
+    )
+    deg = sym.groupBy("doc_id").agg(F.count(F.lit(1)).alias("d"))
+    base = F.broadcast(
+        deg.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+            (F.sum(F.expr("d * (d - 1)")) / 2)
+            .cast("bigint")
+            .alias("n_wedges"),
+        )
+    )
+    n_edges = F.broadcast(
+        edges.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+    )
+    e1 = edges.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    e2 = edges.select(F.col("doc_a").alias("b"), F.col("doc_b").alias("c"))
+    e3 = edges.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("c"))
+    tri = F.broadcast(
+        e1.join(e2, "b")
+        .join(e3, ["a", "c"])
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    )
+    return (
+        base.crossJoin(n_edges)
+        .crossJoin(tri)
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            F.when(
+                F.col("n_wedges") > 0,
+                F.round(
+                    F.col("n_triangles") * 3.0 / F.col("n_wedges"), 6
+                ),
+            ).alias("transitivity"),
+        )
+    )
+
+
+QUERIES["neardup_graph_stats"] = neardup_graph_stats
+
+ORACLE_SQL["neardup_graph_stats"] = f"""
+    WITH pairs AS (SELECT * FROM {_PAIRS_SQL} t),
+    sym AS (
+        SELECT doc_a AS doc_id FROM pairs
+        UNION ALL SELECT doc_b FROM pairs
+    ),
+    deg AS (SELECT doc_id, COUNT(*) AS d FROM sym GROUP BY doc_id),
+    base AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+               CAST(SUM(d * (d - 1)) / 2 AS BIGINT) AS n_wedges
+        FROM deg
+    ),
+    ne AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM pairs),
+    tri AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+        FROM pairs e1
+        JOIN pairs e2 ON e2.doc_a = e1.doc_b
+        JOIN pairs e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
+    )
+    SELECT n_nodes, n_edges, n_wedges, n_triangles,
+           CASE WHEN n_wedges > 0
+                THEN ROUND(n_triangles * 3.0 / n_wedges, 6) END
+               AS transitivity
+    FROM base CROSS JOIN ne CROSS JOIN tri
+"""
+
+
+def neardup_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the near-dup graph (degree → node
+    count) — the skew dial for the pair stage: a fat head means a few
+    hub documents (boilerplate magnets) dominate the candidate pairs
+    and deserve a stop-doc cap, a thin tail means healthy organic
+    near-dups. Two bounded hash aggregates over the LSH edge list."""
+    edges = dedup_minhash_lsh(spark, sf_dir)
+    sym = edges.selectExpr("doc_a AS doc_id").unionAll(
+        edges.selectExpr("doc_b AS doc_id")
+    )
+    deg = sym.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("degree")
+    )
+    return (
+        deg.groupBy("degree")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .orderBy("degree")
+    )
+
+
+QUERIES["neardup_degree_histogram"] = neardup_degree_histogram
+
+ORACLE_SQL["neardup_degree_histogram"] = f"""
+    WITH pairs AS (SELECT * FROM {_PAIRS_SQL} t),
+    sym AS (
+        SELECT doc_a AS doc_id FROM pairs
+        UNION ALL SELECT doc_b FROM pairs
+    ),
+    deg AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS degree
+        FROM sym GROUP BY doc_id
+    )
+    SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM deg GROUP BY degree
+    ORDER BY degree
+"""

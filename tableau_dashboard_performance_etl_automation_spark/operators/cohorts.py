@@ -1,0 +1,810 @@
+"""Cohort, funnel, and order-statistics analytics — the user-facing
+retention/segmentation layer a dashboard pipeline runs downstream of
+the raw event/order marts (reference scope: tabjolt_email.py builds
+per-key trend tables; these are the same mart queries at the next
+altitude: cohorts, funnels, Pareto curves, RFM segments).
+
+Scale discipline shared by the file: aggregates are keyed on bounded
+or per-user domains (map-side combinable), order statistics run over
+VALUE-DOMAIN compactions (the ``analytics._grouped_median_parts`` /
+``relational_ext.order_quartiles`` shape — windows sort distinct
+values, never rows), and every money/ratio number stays in exact
+integer cents until a single final division so both engines produce
+bit-identical doubles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+from tableau_dashboard_performance_etl_automation_spark.catalog import load_table
+from tableau_dashboard_performance_etl_automation_spark.operators.analytics import (
+    SESSION_GAP_MS,
+    _grouped_median_parts,
+    with_session_ids,
+)
+
+#: Revenue-share thresholds (percent) for the Pareto curve.
+PARETO_THRESHOLDS = [50, 80, 90, 95]
+
+#: RFM band edges: recency (days since last order, relative to the
+#: corpus max date), frequency (order count), monetary (total cents).
+RFM_RECENCY_DAYS = (30, 90, 365)
+RFM_FREQUENCY = (2, 4, 10)
+RFM_MONETARY_CENTS = (15_000_000, 50_000_000)  # $150k / $500k
+
+
+def _cents(col: str):
+    return F.round(F.col(col) * 100).cast("bigint")
+
+
+def weekly_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic weekly cohort-retention triangle: users grouped by the
+    week of their first event; each cell counts how many were active
+    N weeks later.
+
+    Scale shape: one per-user MIN (map-side combinable), one distinct
+    (user, week) projection, an equi-join on user_id (both sides hash
+    partitioned by user — co-located), then a (cohort, offset)
+    aggregate over a bounded key domain. Week arithmetic stays in
+    whole days (both engines truncate to Monday), so the offset is an
+    exact integer."""
+    e = load_table(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_w")
+    )
+    activity = e.select(
+        "user_id", F.date_trunc("week", "ts").cast("date").alias("act_w")
+    ).distinct()
+    return (
+        activity.join(firsts, "user_id")
+        .groupBy(
+            F.date_format("cohort_w", "yyyy-MM-dd").alias("cohort_week"),
+            F.floor(F.datediff("act_w", "cohort_w") / 7)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_active"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+def session_bounce_rate_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily bounce rate: share of sessions (30-min gap definition,
+    ``analytics.SESSION_GAP_MS``) containing exactly one event, keyed
+    by the session's start date — the engagement-quality headline of
+    a web-analytics dashboard.
+
+    One sessionization window (shuffle on user_id) + one per-session
+    aggregate + one per-day aggregate; the ratio is a single division
+    of exact counts, rounded once."""
+    e = load_table(spark, sf_dir, "events")
+    sess = (
+        with_session_ids(e)
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").cast("date").alias("d"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    return (
+        sess.groupBy(F.date_format("d", "yyyy-MM-dd").alias("session_date"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+            F.sum((F.col("n_events") == 1).cast("bigint"))
+            .cast("bigint")
+            .alias("n_bounces"),
+        )
+        .withColumn(
+            "bounce_pct",
+            F.round(
+                F.col("n_bounces") * 100.0 / F.col("n_sessions"), 4
+            ),
+        )
+        .orderBy("session_date")
+    )
+
+
+def session_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered in-session funnel view → click → purchase: a session
+    converts a stage only if the stage's event happens strictly AFTER
+    the anchor event of the previous stage (first qualifying event,
+    (ts, event_id) order — the same total order every sessionized
+    operator uses).
+
+    Scale shape: three per-session aggregates chained by equi-joins
+    on (user_id, session_id) — all hash-partitioned on user_id, so
+    the joins co-locate; struct comparison keeps the strict-after
+    semantics exact under timestamp ties. Output is one global row of
+    stage counts (the funnel headline)."""
+    e = load_table(spark, sf_dir, "events")
+    sess = with_session_ids(e).select(
+        "user_id", "session_id", "event_type", "ts", "event_id"
+    )
+    sk = F.struct(F.col("ts"), F.col("event_id"))
+    anchors_v = (
+        sess.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "session_id")
+        .agg(F.min(sk).alias("mv"))
+    )
+    clicks = sess.filter(F.col("event_type") == "click").select(
+        "user_id", "session_id", sk.alias("ck")
+    )
+    anchors_c = (
+        clicks.join(anchors_v, ["user_id", "session_id"])
+        .filter(F.col("ck") > F.col("mv"))
+        .groupBy("user_id", "session_id")
+        .agg(F.min("ck").alias("mc"))
+    )
+    purchases = sess.filter(F.col("event_type") == "purchase").select(
+        "user_id", "session_id", sk.alias("pk")
+    )
+    converted = (
+        purchases.join(anchors_c, ["user_id", "session_id"])
+        .filter(F.col("pk") > F.col("mc"))
+        .select("user_id", "session_id")
+        .distinct()
+    )
+    n_sessions = (
+        sess.select("user_id", "session_id")
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_sessions"))
+    )
+    n_view = anchors_v.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_view")
+    )
+    n_click = anchors_c.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_view_click")
+    )
+    n_full = converted.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_full_funnel")
+    )
+    return (
+        n_sessions.crossJoin(F.broadcast(n_view))
+        .crossJoin(F.broadcast(n_click))
+        .crossJoin(F.broadcast(n_full))
+    )
+
+
+def customer_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration curve ("how many top customers cover X%
+    of revenue") at the ``PARETO_THRESHOLDS`` — the 80/20 slide of
+    every revenue review.
+
+    Exact, scale-safe order statistics: per-customer revenue compacts
+    to (revenue_cents, n_customers) — the cumulative window then
+    sorts DISTINCT revenue values (bounded by the money domain),
+    never customers. For each threshold the minimal prefix is found
+    by pure integer arithmetic: customers-above plus the ceil-divide
+    share of the boundary revenue group. Integer cents end-to-end;
+    the single final division produces the achieved share."""
+    orders = load_table(spark, sf_dir, "orders")
+    rev = orders.groupBy("o_custkey").agg(
+        F.sum(_cents("o_totalprice")).alias("rev")
+    )
+    comp = rev.groupBy("rev").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.orderBy(F.col("rev").desc())
+    cum = (
+        comp.withColumn("units_end", F.sum(F.col("rev") * F.col("cnt")).over(w))
+        .withColumn("units_start", F.col("units_end") - F.col("rev") * F.col("cnt"))
+        .withColumn("cnt_above", F.sum("cnt").over(w) - F.col("cnt"))
+    )
+    totals = F.broadcast(
+        comp.agg(
+            F.sum(F.col("rev") * F.col("cnt")).alias("total_units"),
+            F.sum("cnt").alias("total_customers"),
+        )
+    )
+    thr = spark.createDataFrame(
+        [(t,) for t in PARETO_THRESHOLDS], "threshold_pct INT"
+    )
+    need = F.expr("(threshold_pct * total_units + 99) DIV 100")
+    k = F.expr(
+        "(need_units - units_start + rev - 1) DIV rev"
+    )  # ceil within the boundary revenue group
+    return (
+        cum.crossJoin(totals)
+        .crossJoin(F.broadcast(thr))
+        .withColumn("need_units", need)
+        .filter(
+            (F.col("units_start") < F.col("need_units"))
+            & (F.col("need_units") <= F.col("units_end"))
+        )
+        .select(
+            "threshold_pct",
+            (F.col("cnt_above") + k).cast("bigint").alias("n_customers"),
+            F.round(
+                (F.col("units_start") + k * F.col("rev"))
+                * 100.0
+                / F.col("total_units"),
+                6,
+            ).alias("achieved_pct"),
+            F.round(
+                (F.col("cnt_above") + k) * 100.0 / F.col("total_customers"),
+                6,
+            ).alias("customer_pct"),
+        )
+        .orderBy("threshold_pct")
+    )
+
+
+def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation with fixed business bands (recency vs the
+    corpus max date, frequency, monetary) rolled up to per-segment
+    counts — fixed bands are the scale-trivial form (a pure projection
+    + one bounded-domain aggregate); quartile-based RFM would reuse
+    the ``order_quartiles`` boundary machinery.
+
+    Integer-exact: recency in whole days, monetary in cents; the
+    per-segment average is one final division."""
+    orders = load_table(spark, sf_dir, "orders")
+    anchor = F.broadcast(
+        orders.agg(F.max(F.col("o_orderdate").cast("date")).alias("maxd"))
+    )
+    per_cust = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.max(F.col("o_orderdate").cast("date")).alias("lastd"),
+            F.count(F.lit(1)).alias("freq"),
+            F.sum(_cents("o_totalprice")).alias("monetary"),
+        )
+        .crossJoin(anchor)
+        .withColumn("r_days", F.datediff("maxd", "lastd"))
+    )
+    r1, r2, r3 = RFM_RECENCY_DAYS
+    f1, f2, f3 = RFM_FREQUENCY
+    m1, m2 = RFM_MONETARY_CENTS
+    r_band = (
+        F.when(F.col("r_days") <= r1, f"0-{r1}d")
+        .when(F.col("r_days") <= r2, f"{r1 + 1}-{r2}d")
+        .when(F.col("r_days") <= r3, f"{r2 + 1}-{r3}d")
+        .otherwise(f"{r3}d+")
+    )
+    f_band = (
+        F.when(F.col("freq") >= f3, f"{f3}+")
+        .when(F.col("freq") >= f2, f"{f2}-{f3 - 1}")
+        .when(F.col("freq") >= f1, f"{f1}-{f2 - 1}")
+        .otherwise("1")
+    )
+    m_band = (
+        F.when(F.col("monetary") >= m2, "high")
+        .when(F.col("monetary") >= m1, "mid")
+        .otherwise("low")
+    )
+    return (
+        per_cust.groupBy(
+            r_band.alias("r_band"),
+            f_band.alias("f_band"),
+            m_band.alias("m_band"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.round(
+                F.sum("monetary") / (F.count(F.lit(1)) * 100.0), 4
+            ).alias("avg_monetary"),
+        )
+        .orderBy("r_band", "f_band", "m_band")
+    )
+
+
+def mode_event_type_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-user modal event type with a deterministic tiebreak
+    (max count, then lexicographically smallest type) — the
+    "dominant behavior" feature column of a user-model pipeline.
+
+    Windowless: two hash aggregates + one co-partitioned equi-join
+    (argmax via join-back-on-max), so no per-user sort exists
+    anywhere and every stage is map-side combinable."""
+    e = load_table(spark, sf_dir, "events")
+    cnts = e.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    mx = cnts.groupBy("user_id").agg(F.max("n").alias("mxn"))
+    return (
+        cnts.join(mx, "user_id")
+        .filter(F.col("n") == F.col("mxn"))
+        .groupBy("user_id")
+        .agg(
+            F.min("event_type").alias("mode_type"),
+            F.max("mxn").cast("bigint").alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def segment_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROBUST purchase-cadence order statistics per market segment:
+    exact interpolated MEDIAN and exact nearest-rank P90 of the days
+    between a customer's consecutive orders.  Complements
+    ``analytics.order_interarrival_stats`` (avg/min/max — moment
+    statistics) with the order statistics a churn model actually
+    thresholds on; both run off the same LAG-gap decomposition.
+
+    The lag window partitions per customer (bounded state); median
+    and p90 come from the value-domain compaction
+    (``_grouped_median_parts`` discipline) — windows sort distinct
+    gap values, never rows."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = (
+        orders.withColumn("prev_d", F.lag("o_orderdate").over(w))
+        .filter(F.col("prev_d").isNotNull())
+        .join(
+            F.broadcast(cust.select("c_custkey", "c_mktsegment")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select(
+            "c_mktsegment",
+            F.datediff(
+                F.col("o_orderdate").cast("date"),
+                F.col("prev_d").cast("date"),
+            )
+            .cast("bigint")
+            .alias("gap_days"),
+        )
+    )
+    med = _grouped_median_parts(gaps, "c_mktsegment", "gap_days").drop("n")
+    counts = gaps.groupBy("c_mktsegment", "gap_days").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w2 = Window.partitionBy("c_mktsegment").orderBy("gap_days")
+    cum = counts.withColumn("hi", F.sum("cnt").over(w2)).withColumn(
+        "lo", F.col("hi") - F.col("cnt")
+    )
+    totals = gaps.groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("n"))
+    # nearest-rank p90: 0-based index ceil(0.9*n) - 1
+    k90 = F.expr("(9 * n + 9) DIV 10 - 1")
+    p90 = (
+        cum.join(totals, "c_mktsegment")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.max(
+                F.when(
+                    (F.col("lo") <= k90) & (k90 < F.col("hi")),
+                    F.col("gap_days"),
+                )
+            ).alias("p90_gap_days"),
+            F.max("n").cast("bigint").alias("n_gaps"),
+        )
+    )
+    return (
+        med.join(p90, "c_mktsegment")
+        .select(
+            "c_mktsegment",
+            "n_gaps",
+            ((F.col("m1") + F.col("m2")) / 2.0).alias("median_gap_days"),
+            "p90_gap_days",
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+def skyline_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto frontier) of orders: maximize total price,
+    minimize order date — an order survives iff no other order is at
+    least as early AND at least as expensive (strictly better in one
+    dimension). The multi-objective "best tradeoff" query of the OLAP
+    skyline literature.
+
+    Scale-safe without any global row sort: compact to per-date max
+    price, run the prefix-max window over DISTINCT dates (the time
+    domain — bounded while rows grow), then one broadcast-join filter
+    decides every order locally: on the frontier iff it tops its own
+    date AND strictly beats every earlier date's max. The DuckDB
+    oracle uses the quadratic NOT EXISTS dominance definition — two
+    genuinely different algorithms validating each other."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderdate").cast("date").alias("d"),
+        _cents("o_totalprice").alias("cents"),
+    )
+    daymax = orders.groupBy("d").agg(F.max("cents").alias("dmax"))
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, -1)
+    frontier = daymax.withColumn("prev_max", F.max("dmax").over(w))
+    return (
+        orders.join(F.broadcast(frontier), "d")
+        .filter(
+            (F.col("cents") == F.col("dmax"))
+            & (
+                F.col("prev_max").isNull()
+                | (F.col("cents") > F.col("prev_max"))
+            )
+        )
+        .select(
+            "o_orderkey",
+            F.date_format("d", "yyyy-MM-dd").alias("order_date"),
+            (F.col("cents") / 100.0).alias("price"),
+        )
+        .orderBy("order_date", "o_orderkey")
+    )
+
+
+#: Winsorization rank percents (lower, upper).
+WINSOR_LO_PCT = 5
+WINSOR_HI_PCT = 95
+
+
+def winsorized_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type winsorized mean: clamp values to the [p05, p95]
+    nearest-rank bounds, then average — the outlier-robust aggregate a
+    metrics pipeline reports next to the raw mean.
+
+    Bounds come from cumulative counts over the (type, cents, count)
+    compaction — the ``_grouped_median_parts`` discipline: the window
+    sorts the value domain, never rows, and the nearest-rank index is
+    replicated arithmetically in the oracle rather than trusting a
+    built-in's quantile semantics. The clamped sum stays in integer
+    cents; one final division."""
+    e = load_table(spark, sf_dir, "events")
+    vals = e.select("event_type", _cents("value").alias("cents"))
+    counts = vals.groupBy("event_type", "cents").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy("event_type").orderBy("cents")
+    cum = counts.withColumn("hi", F.sum("cnt").over(w)).withColumn(
+        "lo", F.col("hi") - F.col("cnt")
+    )
+    totals = vals.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    # nearest-rank (1-based) k = ceil(p/100 * n); 0-based index k-1
+    k_lo = F.expr(f"({WINSOR_LO_PCT} * n + 99) DIV 100 - 1")
+    k_hi = F.expr(f"({WINSOR_HI_PCT} * n + 99) DIV 100 - 1")
+    bounds = (
+        cum.join(totals, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max(
+                F.when(
+                    (F.col("lo") <= k_lo) & (k_lo < F.col("hi")),
+                    F.col("cents"),
+                )
+            ).alias("lo_cents"),
+            F.max(
+                F.when(
+                    (F.col("lo") <= k_hi) & (k_hi < F.col("hi")),
+                    F.col("cents"),
+                )
+            ).alias("hi_cents"),
+            F.max("n").alias("n"),
+        )
+    )
+    clamped = (
+        counts.join(F.broadcast(bounds), "event_type")
+        .select(
+            "event_type",
+            "n",
+            "lo_cents",
+            "hi_cents",
+            (
+                F.col("cnt")
+                * F.greatest(
+                    F.col("lo_cents"),
+                    F.least(F.col("hi_cents"), F.col("cents")),
+                )
+            ).alias("contrib"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.max("n").cast("bigint").alias("n_events"),
+            (F.max("lo_cents") / 100.0).alias("p05"),
+            (F.max("hi_cents") / 100.0).alias("p95"),
+            F.round(
+                F.sum("contrib") / (F.max("n") * 100.0), 4
+            ).alias("winsorized_mean"),
+        )
+    )
+    return clamped.orderBy("event_type")
+
+
+QUERIES = {
+    "weekly_cohort_retention": weekly_cohort_retention,
+    "session_bounce_rate_daily": session_bounce_rate_daily,
+    "session_funnel_conversion": session_funnel_conversion,
+    "customer_revenue_pareto": customer_revenue_pareto,
+    "orders_rfm_segments": orders_rfm_segments,
+    "mode_event_type_per_user": mode_event_type_per_user,
+    "segment_interarrival_stats": segment_interarrival_stats,
+    "skyline_orders": skyline_orders,
+    "winsorized_value_stats": winsorized_value_stats,
+}
+
+_SESS_EV_CTE = f"""
+    tagged AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN lag(ts) OVER uw IS NULL
+                         OR epoch_ms(ts) - epoch_ms(lag(ts) OVER uw)
+                            > {SESSION_GAP_MS}
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW uw AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess_ev AS (
+        SELECT user_id, ts, event_id, event_type,
+               SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM tagged
+    )
+"""
+
+ORACLE_SQL = {
+    "weekly_cohort_retention": """
+        WITH firsts AS (
+            SELECT user_id,
+                   CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_w
+            FROM events GROUP BY user_id
+        ),
+        act AS (
+            SELECT DISTINCT user_id,
+                   CAST(date_trunc('week', ts) AS DATE) AS act_w
+            FROM events
+        )
+        SELECT strftime(f.cohort_w, '%Y-%m-%d') AS cohort_week,
+               CAST(FLOOR(date_diff('day', f.cohort_w, a.act_w) / 7.0)
+                    AS INTEGER) AS week_offset,
+               CAST(COUNT(*) AS BIGINT) AS n_active
+        FROM act a JOIN firsts f USING (user_id)
+        GROUP BY 1, 2
+        ORDER BY cohort_week, week_offset
+    """,
+    "session_bounce_rate_daily": f"""
+        WITH {_SESS_EV_CTE.strip()},
+        sess AS (
+            SELECT user_id, session_id,
+                   CAST(MIN(ts) AS DATE) AS d,
+                   COUNT(*) AS n_events
+            FROM sess_ev GROUP BY user_id, session_id
+        )
+        SELECT strftime(d, '%Y-%m-%d') AS session_date,
+               CAST(COUNT(*) AS BIGINT) AS n_sessions,
+               CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_bounces,
+               ROUND(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+                     * 100.0 / COUNT(*), 4) AS bounce_pct
+        FROM sess GROUP BY d
+        ORDER BY session_date
+    """,
+    "session_funnel_conversion": f"""
+        WITH {_SESS_EV_CTE.strip()},
+        v1 AS (
+            SELECT user_id, session_id, ts, event_id
+            FROM sess_ev WHERE event_type = 'view'
+            QUALIFY row_number() OVER (
+                PARTITION BY user_id, session_id ORDER BY ts, event_id) = 1
+        ),
+        c1 AS (
+            SELECT c.user_id, c.session_id, c.ts, c.event_id
+            FROM sess_ev c
+            JOIN v1 ON c.user_id = v1.user_id
+                   AND c.session_id = v1.session_id
+                   AND (c.ts, c.event_id) > (v1.ts, v1.event_id)
+            WHERE c.event_type = 'click'
+            QUALIFY row_number() OVER (
+                PARTITION BY c.user_id, c.session_id
+                ORDER BY c.ts, c.event_id) = 1
+        ),
+        p1 AS (
+            SELECT DISTINCT p.user_id, p.session_id
+            FROM sess_ev p
+            JOIN c1 ON p.user_id = c1.user_id
+                   AND p.session_id = c1.session_id
+                   AND (p.ts, p.event_id) > (c1.ts, c1.event_id)
+            WHERE p.event_type = 'purchase'
+        )
+        SELECT
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM
+                (SELECT DISTINCT user_id, session_id FROM sess_ev))
+                AS n_sessions,
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM v1) AS n_view,
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM c1) AS n_view_click,
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM p1) AS n_full_funnel
+    """,
+    "customer_revenue_pareto": f"""
+        WITH rev AS (
+            SELECT o_custkey,
+                   SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS rev
+            FROM orders GROUP BY o_custkey
+        ),
+        comp AS (SELECT rev, COUNT(*) AS cnt FROM rev GROUP BY rev),
+        cum AS (
+            SELECT rev, cnt,
+                   SUM(rev * cnt) OVER w AS units_end,
+                   SUM(rev * cnt) OVER w - rev * cnt AS units_start,
+                   SUM(cnt) OVER w - cnt AS cnt_above
+            FROM comp
+            WINDOW w AS (ORDER BY rev DESC ROWS UNBOUNDED PRECEDING)
+        ),
+        totals AS (
+            SELECT SUM(rev * cnt) AS total_units,
+                   SUM(cnt) AS total_customers
+            FROM comp
+        ),
+        thr AS (
+            SELECT UNNEST([{", ".join(str(t) for t in PARETO_THRESHOLDS)}])
+                   AS threshold_pct
+        ),
+        hit AS (
+            SELECT t.threshold_pct, c.rev, c.cnt_above, c.units_start,
+                   tt.total_units, tt.total_customers,
+                   (t.threshold_pct * tt.total_units + 99) // 100
+                       AS need_units
+            FROM cum c CROSS JOIN totals tt CROSS JOIN thr t
+            WHERE c.units_start < (t.threshold_pct * tt.total_units + 99) // 100
+              AND (t.threshold_pct * tt.total_units + 99) // 100 <= c.units_end
+        )
+        SELECT CAST(threshold_pct AS INTEGER) AS threshold_pct,
+               CAST(cnt_above + (need_units - units_start + rev - 1) // rev
+                    AS BIGINT) AS n_customers,
+               ROUND((units_start
+                      + ((need_units - units_start + rev - 1) // rev) * rev)
+                     * 100.0 / total_units, 6) AS achieved_pct,
+               ROUND((cnt_above + (need_units - units_start + rev - 1) // rev)
+                     * 100.0 / total_customers, 6) AS customer_pct
+        FROM hit
+        ORDER BY threshold_pct
+    """,
+    "orders_rfm_segments": f"""
+        WITH anchor AS (
+            SELECT MAX(CAST(o_orderdate AS DATE)) AS maxd FROM orders
+        ),
+        per_cust AS (
+            SELECT o_custkey,
+                   date_diff('day', MAX(CAST(o_orderdate AS DATE)),
+                             (SELECT maxd FROM anchor)) AS r_days,
+                   COUNT(*) AS freq,
+                   SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                       AS monetary
+            FROM orders GROUP BY o_custkey
+        ),
+        banded AS (
+            SELECT CASE WHEN r_days <= {RFM_RECENCY_DAYS[0]}
+                            THEN '0-{RFM_RECENCY_DAYS[0]}d'
+                        WHEN r_days <= {RFM_RECENCY_DAYS[1]}
+                            THEN '{RFM_RECENCY_DAYS[0] + 1}-{RFM_RECENCY_DAYS[1]}d'
+                        WHEN r_days <= {RFM_RECENCY_DAYS[2]}
+                            THEN '{RFM_RECENCY_DAYS[1] + 1}-{RFM_RECENCY_DAYS[2]}d'
+                        ELSE '{RFM_RECENCY_DAYS[2]}d+' END AS r_band,
+                   CASE WHEN freq >= {RFM_FREQUENCY[2]}
+                            THEN '{RFM_FREQUENCY[2]}+'
+                        WHEN freq >= {RFM_FREQUENCY[1]}
+                            THEN '{RFM_FREQUENCY[1]}-{RFM_FREQUENCY[2] - 1}'
+                        WHEN freq >= {RFM_FREQUENCY[0]}
+                            THEN '{RFM_FREQUENCY[0]}-{RFM_FREQUENCY[1] - 1}'
+                        ELSE '1' END AS f_band,
+                   CASE WHEN monetary >= {RFM_MONETARY_CENTS[1]} THEN 'high'
+                        WHEN monetary >= {RFM_MONETARY_CENTS[0]} THEN 'mid'
+                        ELSE 'low' END AS m_band,
+                   monetary
+            FROM per_cust
+        )
+        SELECT r_band, f_band, m_band,
+               CAST(COUNT(*) AS BIGINT) AS n_customers,
+               ROUND(SUM(monetary) / (COUNT(*) * 100.0), 4)
+                   AS avg_monetary
+        FROM banded
+        GROUP BY r_band, f_band, m_band
+        ORDER BY r_band, f_band, m_band
+    """,
+    "mode_event_type_per_user": """
+        WITH cnts AS (
+            SELECT user_id, event_type, COUNT(*) AS n
+            FROM events GROUP BY user_id, event_type
+        ),
+        mx AS (SELECT user_id, MAX(n) AS mxn FROM cnts GROUP BY user_id)
+        SELECT c.user_id,
+               MIN(c.event_type) AS mode_type,
+               CAST(MAX(c.n) AS BIGINT) AS n_events
+        FROM cnts c JOIN mx USING (user_id)
+        WHERE c.n = mx.mxn
+        GROUP BY c.user_id
+        ORDER BY c.user_id
+    """,
+    "segment_interarrival_stats": """
+        WITH gaps AS (
+            SELECT c.c_mktsegment,
+                   date_diff('day',
+                       CAST(lag(o.o_orderdate) OVER w AS DATE),
+                       CAST(o.o_orderdate AS DATE)) AS gap_days
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            WINDOW w AS (PARTITION BY o.o_custkey
+                         ORDER BY o.o_orderdate, o.o_orderkey)
+        ),
+        g AS (
+            SELECT c_mktsegment, CAST(gap_days AS BIGINT) AS gap_days
+            FROM gaps WHERE gap_days IS NOT NULL
+        ),
+        counts AS (
+            SELECT c_mktsegment, gap_days, COUNT(*) AS cnt
+            FROM g GROUP BY c_mktsegment, gap_days
+        ),
+        cum AS (
+            SELECT c_mktsegment, gap_days, cnt,
+                   SUM(cnt) OVER w2 AS hi, SUM(cnt) OVER w2 - cnt AS lo
+            FROM counts
+            WINDOW w2 AS (PARTITION BY c_mktsegment ORDER BY gap_days
+                          ROWS UNBOUNDED PRECEDING)
+        ),
+        totals AS (
+            SELECT c_mktsegment, COUNT(*) AS n FROM g GROUP BY c_mktsegment
+        ),
+        p AS (
+            SELECT c.c_mktsegment,
+                   MAX(CASE WHEN c.lo <= (9 * t.n + 9) // 10 - 1
+                             AND (9 * t.n + 9) // 10 - 1 < c.hi
+                            THEN c.gap_days END) AS p90_gap_days,
+                   MAX(t.n) AS n_gaps
+            FROM cum c JOIN totals t USING (c_mktsegment)
+            GROUP BY c.c_mktsegment
+        )
+        SELECT p.c_mktsegment,
+               CAST(p.n_gaps AS BIGINT) AS n_gaps,
+               quantile_cont(g.gap_days, 0.5) AS median_gap_days,
+               CAST(MAX(p.p90_gap_days) AS BIGINT) AS p90_gap_days
+        FROM g JOIN p USING (c_mktsegment)
+        GROUP BY p.c_mktsegment, p.n_gaps
+        ORDER BY p.c_mktsegment
+    """,
+    "skyline_orders": """
+        WITH o AS (
+            SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d,
+                   CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+            FROM orders
+        )
+        SELECT o.o_orderkey,
+               strftime(o.d, '%Y-%m-%d') AS order_date,
+               o.cents / 100.0 AS price
+        FROM o
+        WHERE NOT EXISTS (
+            SELECT 1 FROM o x
+            WHERE x.d <= o.d AND x.cents >= o.cents
+              AND (x.d < o.d OR x.cents > o.cents)
+        )
+        ORDER BY order_date, o.o_orderkey
+    """,
+    "winsorized_value_stats": f"""
+        WITH vals AS (
+            SELECT event_type,
+                   CAST(ROUND(value * 100) AS BIGINT) AS cents
+            FROM events
+        ),
+        counts AS (
+            SELECT event_type, cents, COUNT(*) AS cnt
+            FROM vals GROUP BY event_type, cents
+        ),
+        cum AS (
+            SELECT event_type, cents, cnt,
+                   SUM(cnt) OVER w AS hi,
+                   SUM(cnt) OVER w - cnt AS lo
+            FROM counts
+            WINDOW w AS (PARTITION BY event_type ORDER BY cents
+                         ROWS UNBOUNDED PRECEDING)
+        ),
+        totals AS (
+            SELECT event_type, COUNT(*) AS n FROM vals GROUP BY event_type
+        ),
+        bounds AS (
+            SELECT c.event_type,
+                   MAX(CASE WHEN c.lo <= ({WINSOR_LO_PCT} * t.n + 99) // 100 - 1
+                             AND ({WINSOR_LO_PCT} * t.n + 99) // 100 - 1 < c.hi
+                            THEN c.cents END) AS lo_cents,
+                   MAX(CASE WHEN c.lo <= ({WINSOR_HI_PCT} * t.n + 99) // 100 - 1
+                             AND ({WINSOR_HI_PCT} * t.n + 99) // 100 - 1 < c.hi
+                            THEN c.cents END) AS hi_cents,
+                   MAX(t.n) AS n
+            FROM cum c JOIN totals t USING (event_type)
+            GROUP BY c.event_type
+        )
+        SELECT c.event_type,
+               CAST(MAX(b.n) AS BIGINT) AS n_events,
+               MAX(b.lo_cents) / 100.0 AS p05,
+               MAX(b.hi_cents) / 100.0 AS p95,
+               ROUND(SUM(c.cnt * GREATEST(b.lo_cents,
+                                          LEAST(b.hi_cents, c.cents)))
+                     / (MAX(b.n) * 100.0), 4) AS winsorized_mean
+        FROM counts c JOIN bounds b USING (event_type)
+        GROUP BY c.event_type
+        ORDER BY c.event_type
+    """,
+}

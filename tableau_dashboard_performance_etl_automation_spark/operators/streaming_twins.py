@@ -18,6 +18,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from tableau_dashboard_performance_etl_automation_spark.catalog import load_table
+from tableau_dashboard_performance_etl_automation_spark.operators.analytics import (
+    SESSION_GAP_MS as _SESSION_GAP_MS,
+)
 
 
 def running_profile_final(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -83,3 +86,78 @@ ORACLE_SQL = {
         ORDER BY user_id
     """,
 }
+
+
+def closed_sessions_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch semantics of ``streaming.stateful.session_collapse``:
+    every session the gap-based sessionizer would have CLOSED once the
+    stream drains — all sessions except each user's last (still-open)
+    one, with the same per-user 1-based session ids, event counts,
+    and first→last-event duration. ``tests/test_streaming.py``
+    asserts the streamed output equals this frame row-for-row.
+
+    One sessionization window (shuffle on user_id) + one per-session
+    aggregate + an anti-join on each user's max session id — all
+    partitioned on user_id, so nothing reshuffles."""
+    from tableau_dashboard_performance_etl_automation_spark.operators.analytics import (
+        with_session_ids,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    sess = (
+        with_session_ids(e)
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            (F.unix_millis(F.max("ts")) - F.unix_millis(F.min("ts")))
+            .cast("bigint")
+            .alias("duration_ms"),
+        )
+    )
+    last = sess.groupBy("user_id").agg(
+        F.max("session_id").alias("last_sid")
+    )
+    return (
+        sess.join(last, "user_id")
+        .filter(F.col("session_id") != F.col("last_sid"))
+        .select("user_id", "session_id", "n_events", "duration_ms")
+        .orderBy("user_id", "session_id")
+    )
+
+
+QUERIES["closed_sessions_final"] = closed_sessions_final
+
+
+ORACLE_SQL["closed_sessions_final"] = f"""
+    WITH tagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN lag(ts) OVER uw IS NULL
+                         OR epoch_ms(ts) - epoch_ms(lag(ts) OVER uw)
+                            > {_SESSION_GAP_MS}
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW uw AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess_ev AS (
+        SELECT user_id, ts,
+               SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM tagged
+    ),
+    sess AS (
+        SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(epoch_ms(MAX(ts)) - epoch_ms(MIN(ts)) AS BIGINT)
+                   AS duration_ms
+        FROM sess_ev GROUP BY user_id, session_id
+    ),
+    last AS (
+        SELECT user_id, MAX(session_id) AS last_sid
+        FROM sess GROUP BY user_id
+    )
+    SELECT s.user_id, s.session_id, s.n_events, s.duration_ms
+    FROM sess s JOIN last l USING (user_id)
+    WHERE s.session_id <> l.last_sid
+    ORDER BY s.user_id, s.session_id
+"""

@@ -154,3 +154,103 @@ def run_length_collapse(stream: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+SESSION_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("duration_ms", LongType()),
+    ]
+)
+
+SESSION_STATE_SCHEMA = StructType(
+    [
+        StructField("session_id", LongType()),
+        StructField("start_ms", LongType()),
+        StructField("last_ms", LongType()),
+        StructField("n_events", LongType()),
+        StructField("last_event_id", LongType()),
+    ]
+)
+
+
+def _ts_ms(pdf: pd.DataFrame) -> "pd.Series":
+    """Event time in ms: ns→ms for datetime64 input, raw value for
+    integer input (unit consistency across calls follows from the
+    stable column dtype)."""
+    if pd.api.types.is_datetime64_any_dtype(pdf["ts"]):
+        return pdf["ts"].astype("int64") // 1_000_000
+    return pdf["ts"].astype("int64")
+
+
+def _close_sessions(
+    key: tuple, batches: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    """Emit each CLOSED session (gap > SESSION_GAP_MS to the next
+    event) for this user; the open tail session is carried in state.
+    Per-user ``session_id`` is the same 1-based counter the batch
+    sessionizer (`analytics.with_session_ids`) assigns, so the
+    streamed output is row-identical to the batch twin
+    (`streaming_twins.closed_sessions_final`) on an in-order stream.
+
+    Ordering contract (same as ``_collapse_runs``): rows sort by
+    (ts, event_id) within the batch, and the state's frontier drops
+    late cross-batch arrivals — detectably, never corrupting sessions
+    already emitted."""
+    from tableau_dashboard_performance_etl_automation_spark.operators.analytics import (
+        SESSION_GAP_MS,
+    )
+
+    if state.exists:
+        sid, start_ms, last_ms, n_events, last_eid = state.get
+    else:
+        sid, start_ms, last_ms, n_events, last_eid = 0, 0, -(2**62), 0, -(2**62)
+    out_sid: list = []
+    out_n: list = []
+    out_dur: list = []
+    pdf = pd.concat(list(batches)).sort_values(["ts", "event_id"])
+    ms = _ts_ms(pdf).to_numpy()
+    eids = pdf["event_id"].to_numpy()
+    for t, eid in zip(ms, eids):
+        t, eid = int(t), int(eid)
+        if (t, eid) < (last_ms, last_eid):
+            continue  # late cross-batch arrival: drop, never corrupt
+        if n_events == 0:
+            sid, start_ms, n_events = sid + 1, t, 1
+        elif t - last_ms > SESSION_GAP_MS:
+            out_sid.append(sid)
+            out_n.append(n_events)
+            out_dur.append(last_ms - start_ms)
+            sid, start_ms, n_events = sid + 1, t, 1
+        else:
+            n_events += 1
+        last_ms, last_eid = t, eid
+    state.update((sid, start_ms, last_ms, n_events, last_eid))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]] * len(out_sid),
+            "session_id": out_sid,
+            "n_events": out_n,
+            "duration_ms": out_dur,
+        }
+    )
+
+
+def session_collapse(stream: DataFrame) -> DataFrame:
+    """Streaming gap-based sessionizer (30-min inactivity, the
+    engine-wide ``SESSION_GAP_MS`` definition): per-user state is one
+    open session tuple — O(keys) state, no timeline buffered — and a
+    session is emitted exactly once, when the first event beyond its
+    gap closes it. The streaming half of the batch
+    ``with_session_ids`` sessionizer; ``streaming_twins.
+    closed_sessions_final`` registers the batch semantics with the
+    oracle gate."""
+    return stream.groupBy("user_id").applyInPandasWithState(
+        _close_sessions,
+        outputStructType=SESSION_OUTPUT_SCHEMA,
+        stateStructType=SESSION_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -90,3 +90,31 @@ def test_green_rounds_reads_latest_round():
     assert rounds, "no CORRECTNESS artifacts found"
     assert set(rounds) == entry_mod._driver_green()
     assert max(rounds.values()) >= 4  # r4 artifact exists in-repo
+
+
+def test_no_query_name_collisions_across_modules():
+    """Two modules registering the same query name silently shadow
+    each other in the merged dict (dict.update) — the later module
+    wins and the earlier oracle-green query vanishes. Round 5 nearly
+    shipped this with order_interarrival_stats; fail loudly instead."""
+    import importlib
+
+    pkg = "tableau_dashboard_performance_etl_automation_spark.operators"
+    modules = [
+        "tabjolt", "analytics", "dedup", "similarity", "textops",
+        "multimodal", "relational_ext", "starjoins", "subqueries",
+        "sketches", "scrubbing", "chunking", "history", "intervals",
+        "linkage", "clustering", "curation", "asof", "sampling",
+        "streaming_twins", "profiling", "cohorts", "textstats",
+    ]
+    seen: dict[str, str] = {}
+    dupes = []
+    for name in modules:
+        mod = importlib.import_module(f"{pkg}.{name}")
+        for q in mod.QUERIES:
+            if q in seen:
+                dupes.append((q, seen[q], name))
+            seen[q] = name
+    assert not dupes, f"query name collisions: {dupes}"
+    # the merged registry must carry every module-level registration
+    assert len(entry_mod.queries()) == len(seen)

@@ -487,3 +487,69 @@ def test_decayed_scores_anchor_is_broadcast(spark, sf_dir):
     plan = formatted_plan(df)
     assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def _window_fed_by_aggregate(plan: str) -> bool:
+    """True iff every Window operator's input subtree reaches a
+    HashAggregate before any parquet scan — i.e. windows sort
+    COMPACTIONS (value domains), never raw rows. The tree prints
+    parents above children, so scan the lines below each Window."""
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        if "Window (" not in line:
+            continue
+        for below in lines[i + 1 :]:
+            if "HashAggregate" in below:
+                break
+            if "Scan parquet" in below:
+                return False
+    return True
+
+
+def test_order_quartiles_window_sorts_values_not_rows(spark, sf_dir):
+    """The boundary-based NTILE rewrite: the per-priority window must
+    run over the (priority, price, count) COMPACTION — i.e. a hash
+    aggregate feeds the window — so no task ever sorts a priority's
+    raw row set (the r4 plan's 100×-scale killer)."""
+    from tableau_dashboard_performance_etl_automation_spark.operators import relational_ext
+
+    df = relational_ext.order_quartiles(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    # the totals side joins as a broadcast (5 rows), never a shuffle
+    assert has_broadcast_hash_join(df)
+    assert _window_fed_by_aggregate(plan)
+
+
+def test_pareto_window_runs_over_revenue_compaction(spark, sf_dir):
+    """customer_revenue_pareto's cumulative window must consume the
+    (revenue, count) compaction (hash aggregate upstream), and the
+    totals/threshold sides must broadcast."""
+    from tableau_dashboard_performance_etl_automation_spark.operators import cohorts
+
+    df = cohorts.customer_revenue_pareto(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    # the 1-row totals / 4-row thresholds attach as BROADCAST nested
+    # loop joins (no equi keys exist), never a shuffled cross product
+    assert "BroadcastNestedLoopJoin" in plan
+    assert _window_fed_by_aggregate(plan)
+
+
+def test_funnel_stages_join_without_cartesian_or_python(spark, sf_dir):
+    from tableau_dashboard_performance_etl_automation_spark.operators import cohorts
+
+    df = cohorts.session_funnel_conversion(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "Python" not in plan  # pure JVM pipeline
+
+
+def test_tfidf_topk_compiles_to_take_ordered(spark, sf_dir):
+    from tableau_dashboard_performance_etl_automation_spark.operators import textstats
+
+    df = textstats.tfidf_top_terms(spark, sf_dir)
+    plan = formatted_plan(df)
+    # sort+limit must fuse: no global sort materializes for the top-k
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan

@@ -435,3 +435,52 @@ def test_run_length_collapse_matches_batch_runs(spark, sf_dir, tmp_path):
         .collect()
     )
     assert got == want
+
+
+def test_session_collapse_matches_batch_closed_sessions(
+    spark, sf_dir, tmp_path
+):
+    """Drain the stream in two chronological micro-batches; the
+    emitted (closed) sessions must equal the batch twin
+    closed_sessions_final row-for-row — same per-user session ids,
+    counts, and durations."""
+    from tableau_dashboard_performance_etl_automation_spark.operators.streaming_twins import (
+        closed_sessions_final,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    split_ts = events.agg(
+        F.expr("percentile(unix_millis(ts), 0.5)")
+    ).collect()[0][0]
+    inp = str(tmp_path / "sess_inp")
+    events.filter(F.unix_millis("ts") <= split_ts).coalesce(1).write.mode(
+        "append"
+    ).parquet(inp)
+    events.filter(F.unix_millis("ts") > split_ts).coalesce(1).write.mode(
+        "append"
+    ).parquet(inp)
+
+    stream = (
+        spark.readStream.option("maxFilesPerTrigger", 1)
+        .schema(events.schema)
+        .parquet(inp)
+    )
+    (
+        stateful.session_collapse(stream)
+        .writeStream.format("memory")
+        .queryName("sessions_sink")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    got = sorted(
+        (r.user_id, r.session_id, r.n_events, r.duration_ms)
+        for r in spark.table("sessions_sink").collect()
+    )
+    want = sorted(
+        (r.user_id, r.session_id, r.n_events, r.duration_ms)
+        for r in closed_sessions_final(spark, sf_dir).collect()
+    )
+    assert got == want
+    assert got, "expected at least one closed session in the fixture"

@@ -146,6 +146,12 @@ def main() -> None:
     spark = get_spark("tdpe-factscale")
     spark.sparkContext.setLogLevel("ERROR")
     queries = entry_mod.queries()
+    # FACTSCALE_QUERIES=a,b,c limits the probe to a subset (used for
+    # deep-decade runs where the full slice would dominate wall time)
+    probe = PROBE_QUERIES
+    env_qs = os.environ.get("FACTSCALE_QUERIES")
+    if env_qs:
+        probe = [q for q in env_qs.split(",") if q in queries]
     report: dict = {"base": base, "scales": {}}
     for factor in factors:
         sf_dir = build_scaled(spark, base, factor)
@@ -153,7 +159,7 @@ def main() -> None:
             "lineitem_rows": load_table(spark, sf_dir, "lineitem").count(),
             "events_rows": load_table(spark, sf_dir, "events").count(),
         }
-        for name in PROBE_QUERIES:
+        for name in probe:
             best = float("inf")
             for _ in range(2):
                 t0 = time.time()
