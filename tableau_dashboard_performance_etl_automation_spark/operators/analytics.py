@@ -1925,46 +1925,72 @@ def winsorized_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     1-based rank ceil(p*n) in cents order) — actual int64 data
     values, not interpolated floats — so the clip comparisons and the
     clipped SUM are exact integer arithmetic in both engines; the
-    two divisions happen once per output row. Plan: one window
-    (partitioned by event_type — per-key state only, no global sort)
-    ranks the cents; the two threshold rows per type survive as a
-    4-column broadcast joined back onto the integer aggregate. At
-    100 TB you'd swap the exact rank window for percentile_approx
-    (mergeable sketch, no per-key sort) and keep the clip/sum shape.
+    two divisions happen once per output row.
+
+    Plan (round-5 rewrite, the ``_grouped_median_parts`` discipline):
+    EVERYTHING runs on the (event_type, cents, count) compaction — a
+    map-side-combinable hash aggregate.  The per-type window sorts
+    DISTINCT cents values with cumulative counts (the value domain,
+    bounded while rows grow), the rank-k thresholds fall out of the
+    cumulative interval containing k, and the clipped/raw sums weight
+    each compacted value by its count — no task ever sorts or ranks a
+    type's raw row set (the prior ROW_NUMBER form did, the same
+    100×-scale killer ``order_quartiles`` had).  The rank expression
+    keeps the original ``ceil(p · n)`` DOUBLE arithmetic so threshold
+    selection is bit-identical to the oracle's.
     """
     e = load_table(spark, sf_dir, "events").select(
         "event_type",
         F.round(F.col("value") * 100).cast("bigint").alias("cents"),
     )
-    w = Window.partitionBy("event_type").orderBy("cents")
-    ranked = e.select(
-        "event_type",
-        "cents",
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(Window.partitionBy("event_type")).alias("n"),
+    counts = e.groupBy("event_type", "cents").agg(
+        F.count(F.lit(1)).alias("cnt")
     )
+    w = Window.partitionBy("event_type").orderBy("cents")
+    cum = counts.withColumn("hic", F.sum("cnt").over(w)).withColumn(
+        "loc", F.col("hic") - F.col("cnt")
+    )
+    totals = counts.groupBy("event_type").agg(F.sum("cnt").alias("n"))
+    k_lo = F.ceil(F.lit(WINSOR_LO) * F.col("n"))
+    k_hi = F.ceil(F.lit(WINSOR_HI) * F.col("n"))
     thresholds = F.broadcast(
-        ranked.filter(
-            (F.col("rn") == F.ceil(F.lit(WINSOR_LO) * F.col("n")))
-            | (F.col("rn") == F.ceil(F.lit(WINSOR_HI) * F.col("n")))
-        )
+        cum.join(totals, "event_type")
         .groupBy("event_type")
         .agg(
-            F.min("cents").alias("lo"),
-            F.max("cents").alias("hi"),
+            F.max(
+                F.when(
+                    (F.col("loc") < k_lo) & (k_lo <= F.col("hic")),
+                    F.col("cents"),
+                )
+            ).alias("lo"),
+            F.max(
+                F.when(
+                    (F.col("loc") < k_hi) & (k_hi <= F.col("hic")),
+                    F.col("cents"),
+                )
+            ).alias("hi"),
         )
     )
     return (
-        e.join(thresholds, "event_type")
+        counts.join(thresholds, "event_type")
         .groupBy("event_type")
         .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_events"),
-            F.round(F.sum("cents") / F.lit(100.0) / F.count(F.lit(1)), 4)
-            .alias("raw_mean"),
+            F.sum("cnt").cast("bigint").alias("n_events"),
             F.round(
-                F.sum(F.greatest(F.least(F.col("cents"), F.col("hi")), F.col("lo")))
+                F.sum(F.col("cnt") * F.col("cents"))
                 / F.lit(100.0)
-                / F.count(F.lit(1)),
+                / F.sum("cnt"),
+                4,
+            ).alias("raw_mean"),
+            F.round(
+                F.sum(
+                    F.col("cnt")
+                    * F.greatest(
+                        F.least(F.col("cents"), F.col("hi")), F.col("lo")
+                    )
+                )
+                / F.lit(100.0)
+                / F.sum("cnt"),
                 4,
             ).alias("winsor_mean"),
             F.min(F.round(F.col("lo") / F.lit(100.0), 2)).alias("p_lo"),

@@ -654,3 +654,77 @@ ORACLE_SQL["neardup_degree_histogram"] = f"""
     FROM deg GROUP BY degree
     ORDER BY degree
 """
+
+
+def pagerank_df(
+    edges: DataFrame, iters: int = PR_ITERS, damping: float = PR_DAMPING
+) -> DataFrame:
+    """DataFrame-resident weighted PageRank for UNBOUNDED node
+    domains — the generalization :func:`nation_pagerank`'s driver
+    guard points to: ranks live in a (node, rank_units) DataFrame
+    that joins the edge table each round, so neither the rank vector
+    nor the edges ever concentrate on the driver.
+
+    ``edges`` must have columns (src, dst, w) with positive integer
+    weights.  Same exact-integer nano-unit arithmetic as
+    :func:`nation_pagerank` — identical results where both are
+    applicable (pinned by ``tests/test_clustering.py``) — but each
+    round is an equi-join on ``src`` (ranks hash-partitioned by node,
+    edges by src — co-located after the first round) + one map-side
+    combinable SUM, and a ``localCheckpoint`` truncates lineage so
+    round N never replays rounds 1..N-1.  The per-round dangling mass
+    and the node count are the only driver scalars.
+
+    At 100 TB scale: rank updates shuffle O(nodes) rows per round;
+    the edge table shuffles once at build. When nodes ≪ edges (the
+    usual web/trade graph regime) the broadcast variant wins; when
+    the node set itself outgrows executor memory this is the only
+    correct shape — same trade-off as broadcast vs sort-merge join.
+    """
+    sym = edges.select("src", "dst", "w").localCheckpoint()
+    outw = sym.groupBy("src").agg(F.sum("w").alias("out_w"))
+    ew = sym.join(outw, "src").localCheckpoint()
+    nodes = (
+        sym.select(F.col("src").alias("node"))
+        .union(sym.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = nodes.count()
+    base = int(PR_UNIT // n)
+    teleport = int((1 - damping) * PR_UNIT / n)
+    srcs = sym.select(F.col("src").alias("node")).distinct()
+    ranks = nodes.withColumn("r", F.lit(base).cast("bigint"))
+    for _ in range(iters):
+        contribs = (
+            ew.join(ranks, ew.src == ranks.node)
+            .groupBy(F.col("dst").alias("node"))
+            .agg(
+                F.sum(
+                    F.expr(
+                        f"CAST(FLOOR(CAST({damping} AS DOUBLE)"
+                        " * r * w / out_w) AS BIGINT)"
+                    )
+                ).alias("c")
+            )
+        )
+        dangling = (
+            ranks.join(srcs, "node", "left_anti")
+            .agg(F.coalesce(F.sum("r"), F.lit(0)))
+            .collect()[0][0]
+        )
+        dshare = int(damping * dangling / n)
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(teleport + dshare)
+                    + F.coalesce(F.col("c"), F.lit(0))
+                )
+                .cast("bigint")
+                .alias("r"),
+            )
+            .localCheckpoint()
+        )
+    return ranks.select("node", F.col("r").alias("rank_units"))

@@ -168,9 +168,13 @@ def session_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def customer_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Revenue concentration curve ("how many top customers cover X%
-    of revenue") at the ``PARETO_THRESHOLDS`` — the 80/20 slide of
-    every revenue review.
+    """GLOBAL revenue concentration curve ("how many top customers
+    cover X% of revenue") at the ``PARETO_THRESHOLDS`` — the 80/20
+    slide of every revenue review.  Complements
+    ``relational_ext.revenue_pareto_customers`` (single 80% threshold
+    PER SEGMENT, where segments partition the customer sort): the
+    global curve has no partitioning key, so it instead uses the
+    value-domain compaction to avoid a global customer sort entirely.
 
     Exact, scale-safe order statistics: per-customer revenue compacts
     to (revenue_cents, n_customers) — the cumulative window then
@@ -230,11 +234,14 @@ def customer_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """RFM segmentation with fixed business bands (recency vs the
+    """RFM segmentation with FIXED business bands (recency vs the
     corpus max date, frequency, monetary) rolled up to per-segment
-    counts — fixed bands are the scale-trivial form (a pure projection
-    + one bounded-domain aggregate); quartile-based RFM would reuse
-    the ``order_quartiles`` boundary machinery.
+    counts.  Deliberately the scale-trivial counterpart of
+    ``analytics.customer_rfm_segments`` (relative quintile scores via
+    NTILE over the customer table): fixed bands are a pure projection
+    + one bounded-domain aggregate — no ranking pass at all — which
+    is what a 100 TB pipeline runs daily, re-deriving the band edges
+    from the quantile operators only when the business recalibrates.
 
     Integer-exact: recency in whole days, monetary in cents; the
     per-segment average is one final division."""
@@ -421,82 +428,6 @@ def skyline_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: Winsorization rank percents (lower, upper).
-WINSOR_LO_PCT = 5
-WINSOR_HI_PCT = 95
-
-
-def winsorized_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-event-type winsorized mean: clamp values to the [p05, p95]
-    nearest-rank bounds, then average — the outlier-robust aggregate a
-    metrics pipeline reports next to the raw mean.
-
-    Bounds come from cumulative counts over the (type, cents, count)
-    compaction — the ``_grouped_median_parts`` discipline: the window
-    sorts the value domain, never rows, and the nearest-rank index is
-    replicated arithmetically in the oracle rather than trusting a
-    built-in's quantile semantics. The clamped sum stays in integer
-    cents; one final division."""
-    e = load_table(spark, sf_dir, "events")
-    vals = e.select("event_type", _cents("value").alias("cents"))
-    counts = vals.groupBy("event_type", "cents").agg(
-        F.count(F.lit(1)).alias("cnt")
-    )
-    w = Window.partitionBy("event_type").orderBy("cents")
-    cum = counts.withColumn("hi", F.sum("cnt").over(w)).withColumn(
-        "lo", F.col("hi") - F.col("cnt")
-    )
-    totals = vals.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
-    # nearest-rank (1-based) k = ceil(p/100 * n); 0-based index k-1
-    k_lo = F.expr(f"({WINSOR_LO_PCT} * n + 99) DIV 100 - 1")
-    k_hi = F.expr(f"({WINSOR_HI_PCT} * n + 99) DIV 100 - 1")
-    bounds = (
-        cum.join(totals, "event_type")
-        .groupBy("event_type")
-        .agg(
-            F.max(
-                F.when(
-                    (F.col("lo") <= k_lo) & (k_lo < F.col("hi")),
-                    F.col("cents"),
-                )
-            ).alias("lo_cents"),
-            F.max(
-                F.when(
-                    (F.col("lo") <= k_hi) & (k_hi < F.col("hi")),
-                    F.col("cents"),
-                )
-            ).alias("hi_cents"),
-            F.max("n").alias("n"),
-        )
-    )
-    clamped = (
-        counts.join(F.broadcast(bounds), "event_type")
-        .select(
-            "event_type",
-            "n",
-            "lo_cents",
-            "hi_cents",
-            (
-                F.col("cnt")
-                * F.greatest(
-                    F.col("lo_cents"),
-                    F.least(F.col("hi_cents"), F.col("cents")),
-                )
-            ).alias("contrib"),
-        )
-        .groupBy("event_type")
-        .agg(
-            F.max("n").cast("bigint").alias("n_events"),
-            (F.max("lo_cents") / 100.0).alias("p05"),
-            (F.max("hi_cents") / 100.0).alias("p95"),
-            F.round(
-                F.sum("contrib") / (F.max("n") * 100.0), 4
-            ).alias("winsorized_mean"),
-        )
-    )
-    return clamped.orderBy("event_type")
-
-
 QUERIES = {
     "weekly_cohort_retention": weekly_cohort_retention,
     "session_bounce_rate_daily": session_bounce_rate_daily,
@@ -506,7 +437,6 @@ QUERIES = {
     "mode_event_type_per_user": mode_event_type_per_user,
     "segment_interarrival_stats": segment_interarrival_stats,
     "skyline_orders": skyline_orders,
-    "winsorized_value_stats": winsorized_value_stats,
 }
 
 _SESS_EV_CTE = f"""
@@ -762,49 +692,5 @@ ORACLE_SQL = {
               AND (x.d < o.d OR x.cents > o.cents)
         )
         ORDER BY order_date, o.o_orderkey
-    """,
-    "winsorized_value_stats": f"""
-        WITH vals AS (
-            SELECT event_type,
-                   CAST(ROUND(value * 100) AS BIGINT) AS cents
-            FROM events
-        ),
-        counts AS (
-            SELECT event_type, cents, COUNT(*) AS cnt
-            FROM vals GROUP BY event_type, cents
-        ),
-        cum AS (
-            SELECT event_type, cents, cnt,
-                   SUM(cnt) OVER w AS hi,
-                   SUM(cnt) OVER w - cnt AS lo
-            FROM counts
-            WINDOW w AS (PARTITION BY event_type ORDER BY cents
-                         ROWS UNBOUNDED PRECEDING)
-        ),
-        totals AS (
-            SELECT event_type, COUNT(*) AS n FROM vals GROUP BY event_type
-        ),
-        bounds AS (
-            SELECT c.event_type,
-                   MAX(CASE WHEN c.lo <= ({WINSOR_LO_PCT} * t.n + 99) // 100 - 1
-                             AND ({WINSOR_LO_PCT} * t.n + 99) // 100 - 1 < c.hi
-                            THEN c.cents END) AS lo_cents,
-                   MAX(CASE WHEN c.lo <= ({WINSOR_HI_PCT} * t.n + 99) // 100 - 1
-                             AND ({WINSOR_HI_PCT} * t.n + 99) // 100 - 1 < c.hi
-                            THEN c.cents END) AS hi_cents,
-                   MAX(t.n) AS n
-            FROM cum c JOIN totals t USING (event_type)
-            GROUP BY c.event_type
-        )
-        SELECT c.event_type,
-               CAST(MAX(b.n) AS BIGINT) AS n_events,
-               MAX(b.lo_cents) / 100.0 AS p05,
-               MAX(b.hi_cents) / 100.0 AS p95,
-               ROUND(SUM(c.cnt * GREATEST(b.lo_cents,
-                                          LEAST(b.hi_cents, c.cents)))
-                     / (MAX(b.n) * 100.0), 4) AS winsorized_mean
-        FROM counts c JOIN bounds b USING (event_type)
-        GROUP BY c.event_type
-        ORDER BY c.event_type
     """,
 }

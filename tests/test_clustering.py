@@ -43,3 +43,44 @@ def test_two_components_stay_separate(spark):
         r.doc_id: r.cluster_id for r in connected_components(edges).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_pagerank_df_matches_driver_vector_variant(spark, sf_dir):
+    """The DataFrame-resident PageRank must produce the SAME integer
+    nano-unit ranks as the broadcast driver-vector implementation on
+    the nation trade graph (both are exact-integer arithmetic, so
+    equality is bitwise, not approximate)."""
+    from tableau_dashboard_performance_etl_automation_spark.operators import clustering as cl
+
+    edges = cl._trade_edges(spark, sf_dir)
+    df_ranks = {
+        r.node: r.rank_units for r in cl.pagerank_df(edges).collect()
+    }
+    names = {
+        int(r.n_nationkey): r.n_name
+        for r in spark.read.parquet(f"{sf_dir}/nation.parquet").collect()
+    }
+    drv = {
+        r.n_name: r.rank_units
+        for r in cl.nation_pagerank(spark, sf_dir).collect()
+    }
+    got = {names[k]: v for k, v in df_ranks.items()}
+    assert got == drv
+
+
+def test_pagerank_df_conserves_unit_mass_approximately(spark):
+    """Integer flooring only LOSES mass: total rank stays within
+    n·(iters+1) units of PR_UNIT and every rank is positive."""
+    from tableau_dashboard_performance_etl_automation_spark.operators import clustering as cl
+
+    edges = spark.createDataFrame(
+        [(1, 2, 10), (2, 3, 5), (3, 1, 1), (1, 3, 4), (4, 1, 7)],
+        "src BIGINT, dst BIGINT, w BIGINT",
+    )
+    ranks = {r.node: r.rank_units for r in cl.pagerank_df(edges).collect()}
+    assert set(ranks) == {1, 2, 3, 4}
+    assert all(v > 0 for v in ranks.values())
+    total = sum(ranks.values())
+    slack = 4 * (cl.PR_ITERS + 1) * 10  # floor losses per node/round
+    assert total <= cl.PR_UNIT
+    assert total >= cl.PR_UNIT - slack - 4 * cl.PR_ITERS * 2

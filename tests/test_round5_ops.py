@@ -65,13 +65,6 @@ def test_skyline_is_mutually_nondominated_and_complete(spark):
     assert any(abs(p - mx) < 1e-9 for _, p in pts)
 
 
-def test_winsorized_mean_sits_inside_bounds(spark):
-    for r in cohorts.winsorized_value_stats(spark, SF).collect():
-        assert r.p05 <= r.p95
-        assert r.p05 <= r.winsorized_mean <= r.p95
-        assert r.n_events > 0
-
-
 def test_mode_is_maximal_per_user(spark):
     e = spark.read.parquet(f"{SF}/events.parquet")
     cnts = {
