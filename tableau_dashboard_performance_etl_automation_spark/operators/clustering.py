@@ -20,6 +20,7 @@ different execution strategies for the same semantics.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
 
 from tableau_dashboard_performance_etl_automation_spark.catalog import load_table
 from tableau_dashboard_performance_etl_automation_spark.operators.dedup import (
@@ -728,3 +729,109 @@ def pagerank_df(
             .localCheckpoint()
         )
     return ranks.select("node", F.col("r").alias("rank_units"))
+
+
+def dedup_policy_token_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What dedup actually BUYS, in tokens: for the near-dup clusters
+    (MinHash-LSH pairs → connected components), the training-token
+    savings under the two standard policies — keep-one-per-cluster
+    (drop all but the min-doc_id survivor) and keep-two (hedge
+    against LSH false positives) — plus the recovered share of the
+    WHOLE corpus' tokens. This is the number the "should we pay for
+    dedup" decision reads; the cluster-size histogram shows shape,
+    this shows budget.
+
+    Scale shape: reuses the memoized CC label table; token counts
+    join on doc_id (co-partitioned); the keep-K accounting is one
+    row_number window PARTITIONED by cluster (state bounded by the
+    largest cluster) and a global single-row aggregate. The corpus
+    token total is a separate map-side-combinable aggregate that
+    never touches the labels."""
+    from tableau_dashboard_performance_etl_automation_spark.functions.text import words
+
+    labels = _lsh_cluster_labels(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(words()).cast("bigint").alias("toks")
+    )
+    corpus = F.broadcast(
+        docs.agg(F.sum("toks").alias("corpus_tokens"))
+    )
+    w = Window.partitionBy("cluster_id").orderBy("doc_id")
+    ranked = labels.join(docs, "doc_id").withColumn(
+        "rn", F.row_number().over(w)
+    )
+    return (
+        ranked.agg(
+            F.countDistinct("cluster_id").cast("bigint").alias("n_clusters"),
+            F.count(F.lit(1)).cast("bigint").alias("n_clustered_docs"),
+            F.sum("toks").cast("bigint").alias("clustered_tokens"),
+            F.sum(F.when(F.col("rn") > 1, F.col("toks")))
+            .cast("bigint")
+            .alias("tokens_recovered_keep1"),
+            F.coalesce(
+                F.sum(F.when(F.col("rn") > 2, F.col("toks"))), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("tokens_recovered_keep2"),
+        )
+        .crossJoin(corpus)
+        .select(
+            "n_clusters",
+            "n_clustered_docs",
+            "clustered_tokens",
+            "tokens_recovered_keep1",
+            "tokens_recovered_keep2",
+            F.round(
+                F.col("tokens_recovered_keep1")
+                * 100.0
+                / F.col("corpus_tokens"),
+                4,
+            ).alias("corpus_pct_recovered"),
+        )
+    )
+
+
+QUERIES["dedup_policy_token_savings"] = dedup_policy_token_savings
+
+ORACLE_SQL["dedup_policy_token_savings"] = f"""
+    WITH RECURSIVE
+    pairs AS (SELECT * FROM {_PAIRS_SQL} t),
+    sym AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION
+        SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    reach(doc_id, root) AS (
+        SELECT src, src FROM sym
+        UNION
+        SELECT s.src, r.root
+        FROM sym s JOIN reach r ON s.dst = r.doc_id
+    ),
+    labels AS (
+        SELECT doc_id, MIN(root) AS cluster_id
+        FROM reach GROUP BY doc_id
+    ),
+    toks AS (
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+        FROM documents
+    ),
+    corpus AS (SELECT SUM(toks) AS corpus_tokens FROM toks),
+    ranked AS (
+        SELECT l.cluster_id, t.toks,
+               ROW_NUMBER() OVER (PARTITION BY l.cluster_id
+                                  ORDER BY l.doc_id) AS rn
+        FROM labels l JOIN toks t USING (doc_id)
+    )
+    SELECT CAST(COUNT(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
+           CAST(COUNT(*) AS BIGINT) AS n_clustered_docs,
+           CAST(SUM(toks) AS BIGINT) AS clustered_tokens,
+           CAST(SUM(CASE WHEN rn > 1 THEN toks END) AS BIGINT)
+               AS tokens_recovered_keep1,
+           CAST(COALESCE(SUM(CASE WHEN rn > 2 THEN toks END), 0)
+                AS BIGINT) AS tokens_recovered_keep2,
+           ROUND(SUM(CASE WHEN rn > 1 THEN toks END) * 100.0
+                 / (SELECT corpus_tokens FROM corpus), 4)
+               AS corpus_pct_recovered
+    FROM ranked
+"""

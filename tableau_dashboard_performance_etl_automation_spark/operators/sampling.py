@@ -626,3 +626,82 @@ ORACLE_SQL = {
         ORDER BY pos
     """,
 }
+
+
+def shard_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balance audit of the training-shard assignment: per-shard doc
+    and TOKEN counts with each shard's token share — the check that
+    says whether contiguous hash-rank sharding actually balanced the
+    byte/token budget (doc-count balance is guaranteed by
+    construction; token balance is not, because document lengths
+    vary). A shard whose share drifts from 100/N_SHARDS% tells the
+    packer to shard by token prefix sums instead
+    (``split_token_budget``'s accounting).
+
+    One equi-join of the shard assignment with per-doc token counts
+    (co-partitioned on doc_id), then an ``N_SHARDS``-row aggregate —
+    map-side combinable, output bounded by the shard count."""
+    from tableau_dashboard_performance_etl_automation_spark.functions.text import words
+
+    shards = global_shuffle_shards(spark, sf_dir).select(
+        "doc_id", "shard_id"
+    )
+    toks = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(words()).cast("bigint").alias("toks")
+    )
+    total = F.broadcast(toks.agg(F.sum("toks").alias("total_tokens")))
+    return (
+        shards.join(toks, "doc_id")
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("toks").cast("bigint").alias("n_tokens"),
+        )
+        .crossJoin(total)
+        .select(
+            "shard_id",
+            "n_docs",
+            "n_tokens",
+            F.round(
+                F.col("n_tokens") * 100.0 / F.col("total_tokens"), 4
+            ).alias("token_share_pct"),
+        )
+        .orderBy("shard_id")
+    )
+
+
+QUERIES["shard_skew_report"] = shard_skew_report
+
+ORACLE_SQL["shard_skew_report"] = f"""
+    WITH h AS (
+        SELECT doc_id,
+               md5(CAST(doc_id AS VARCHAR) || ':{SHUFFLE_SEED}') AS h
+        FROM documents
+    ),
+    ranked AS (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY h, doc_id) AS pos,
+               COUNT(*) OVER () AS total
+        FROM h
+    ),
+    shards AS (
+        SELECT doc_id,
+               CAST(((pos - 1) * {N_SHARDS}) // total AS INTEGER)
+                   AS shard_id
+        FROM ranked
+    ),
+    toks AS (
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+        FROM documents
+    ),
+    tot AS (SELECT SUM(toks) AS total_tokens FROM toks)
+    SELECT s.shard_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(t.toks) AS BIGINT) AS n_tokens,
+           ROUND(SUM(t.toks) * 100.0 / (SELECT total_tokens FROM tot), 4)
+               AS token_share_pct
+    FROM shards s JOIN toks t USING (doc_id)
+    GROUP BY s.shard_id
+    ORDER BY s.shard_id
+"""

@@ -273,3 +273,56 @@ ORACLE_SQL = {
         ORDER BY d.doc_id
     """,
 }
+
+
+def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility proxy per language: characters per
+    whitespace token — the dial multilingual data budgeting reads
+    (a language whose fertility is 2× pays 2× the sequence length for
+    the same text; mixture weights and context budgets must correct
+    for it). Exact integer sums per bounded lang key; two final
+    divisions, rounded once each."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "lang",
+            F.col("n_chars").cast("bigint").alias("chars"),
+            F.size(words()).cast("bigint").alias("toks"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("chars").cast("bigint").alias("total_chars"),
+            F.sum("toks").cast("bigint").alias("total_tokens"),
+            F.round(F.sum("chars") / F.sum("toks").cast("double"), 4).alias(
+                "chars_per_token"
+            ),
+            F.round(
+                F.sum("toks") / F.count(F.lit(1)).cast("double"), 4
+            ).alias("tokens_per_doc"),
+        )
+        .orderBy("lang")
+    )
+
+
+QUERIES["tokenizer_fertility_by_lang"] = tokenizer_fertility_by_lang
+
+ORACLE_SQL["tokenizer_fertility_by_lang"] = """
+    WITH d AS (
+        SELECT lang,
+               CAST(n_chars AS BIGINT) AS chars,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+        FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(chars) AS BIGINT) AS total_chars,
+           CAST(SUM(toks) AS BIGINT) AS total_tokens,
+           ROUND(SUM(chars) / CAST(SUM(toks) AS DOUBLE), 4)
+               AS chars_per_token,
+           ROUND(SUM(toks) / CAST(COUNT(*) AS DOUBLE), 4)
+               AS tokens_per_doc
+    FROM d
+    GROUP BY lang
+    ORDER BY lang
+"""

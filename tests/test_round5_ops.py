@@ -135,3 +135,38 @@ def test_segment_interarrival_p90_dominates_median(spark):
     for r in cohorts.segment_interarrival_stats(spark, SF).collect():
         assert r.median_gap_days <= r.p90_gap_days
         assert r.n_gaps > 0
+
+
+def test_token_savings_consistent_with_cluster_histogram(spark):
+    r = clustering.dedup_policy_token_savings(spark, SF).collect()[0]
+    hist = clustering.dup_cluster_size_histogram(spark, SF).collect()
+    assert r.n_clusters == sum(h.n_clusters for h in hist)
+    assert r.n_clustered_docs == sum(h.n_docs for h in hist)
+    # keep-2 never recovers more than keep-1
+    assert r.tokens_recovered_keep2 <= r.tokens_recovered_keep1
+    assert r.tokens_recovered_keep1 <= r.clustered_tokens
+    assert 0 <= r.corpus_pct_recovered <= 100.0
+
+
+def test_shard_report_shares_sum_to_whole_corpus(spark):
+    from tableau_dashboard_performance_etl_automation_spark.operators import sampling
+
+    rows = sampling.shard_skew_report(spark, SF).collect()
+    n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
+    assert sum(r.n_docs for r in rows) == n_docs
+    assert abs(sum(r.token_share_pct for r in rows) - 100.0) < 0.01
+    # doc-count balance is by construction: shards differ by <= 1...
+    # (contiguous rank ranges of an n-row permutation)
+    counts = [r.n_docs for r in rows]
+    assert max(counts) - min(counts) <= 1
+
+
+def test_fertility_is_positive_and_consistent(spark):
+    from tableau_dashboard_performance_etl_automation_spark.operators import textstats as ts
+
+    rows = ts.tokenizer_fertility_by_lang(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.chars_per_token > 0
+        assert r.tokens_per_doc > 0
+        assert r.total_chars >= r.total_tokens  # token >= 1 char + space
