@@ -606,13 +606,48 @@ def _codebook(spark: SparkSession, sf_dir: str, e: DataFrame) -> DataFrame:
 _ASSIGN_CACHE: dict[tuple[str, str], DataFrame] = _register_memo({})
 
 
+IVF_POSTINGS_ARTIFACT = "ivf_postings"
+
+
 def _assignments(
     spark: SparkSession, sf_dir: str, e: DataFrame, cent: DataFrame
 ) -> DataFrame:
+    """The IVF posting lists, persisted like the codebook (round-5):
+    the first session ever to need them pays the full-corpus assign
+    pass ONCE and writes the (vec_id, vec, cent_id) table as parquet
+    PARTITIONED BY cent_id — each centroid's inverted list is its own
+    directory, so a probed search can prune to the ``nprobe``
+    touched clusters at the FILE level (partition pruning / DPP), the
+    layout a deployed IVF index stores.  A torn write cannot be
+    trusted: the tiny ``_meta`` tag artifact is written strictly
+    AFTER the postings, and its absence/mismatch forces a rebuild.
+    Deterministic assignment (exact integer centroid training +
+    rounded cosine) keeps the loaded postings bit-identical to a
+    recompute, so oracle parity is unaffected."""
+    from tableau_dashboard_performance_etl_automation_spark.sources.warehouse import (
+        _artifact_path,
+        load_artifact,
+        save_artifact,
+    )
+
     key = (spark.sparkContext.applicationId, sf_dir)
     df = _ASSIGN_CACHE.get(key)
     if df is None:
-        df = _nearest(e, cent).localCheckpoint()
+        art = _artifact_name(IVF_POSTINGS_ARTIFACT, sf_dir)
+        path = _artifact_path(spark, art)
+        meta = load_artifact(spark, art + "_meta", sf_dir)
+        if meta is None:
+            _nearest(e, cent).write.mode("overwrite").partitionBy(
+                "cent_id"
+            ).parquet(path)
+            save_artifact(
+                spark.createDataFrame([(1,)], "ok INT"),
+                art + "_meta",
+                sf_dir,
+            )
+        # table-backed: no localCheckpoint, no pinned blocks — reads
+        # prune to the probed cent_id partitions
+        df = spark.read.parquet(path).select("vec_id", "cent_id", "vec")
         _ASSIGN_CACHE.clear()  # single-entry cap
         _ASSIGN_CACHE[key] = df
     return df

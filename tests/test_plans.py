@@ -553,3 +553,16 @@ def test_tfidf_topk_compiles_to_take_ordered(spark, sf_dir):
     # sort+limit must fuse: no global sort materializes for the top-k
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_ivf_postings_scan_prunes_to_probed_clusters(spark, sf_dir):
+    """The persisted IVF posting lists (parquet partitioned by
+    cent_id) must be read with DYNAMIC PARTITION PRUNING from the
+    broadcast query side — the scan touches only probed clusters'
+    files, the read behavior a real IVF index exists to provide."""
+    from tableau_dashboard_performance_etl_automation_spark.operators import similarity
+
+    df = similarity.ann_ivf_topk(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ivf_postings" in plan
+    assert "dynamicpruning" in plan
