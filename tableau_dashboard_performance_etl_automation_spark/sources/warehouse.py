@@ -96,6 +96,32 @@ def save_artifact(df: DataFrame, name: str, tag: str) -> None:
     )
 
 
+def persisted_table(spark: SparkSession, name: str, tag: str, build) -> DataFrame:
+    """Meta-tag-guarded parquet persistence for CORPUS-SIZED derived
+    tables (shingle decompositions, LSH band signatures, IVF posting
+    lists): build once, write as plain parquet, and hand every
+    consumer a disk-backed scan instead of pinned ``localCheckpoint``
+    blocks — at large corpus scale the checkpoint blocks are exactly
+    what exhausts the heap, and the production shape is a stored
+    table anyway.
+
+    The tiny ``<name>_meta`` tag artifact is written strictly AFTER
+    the data, so a torn write is never trusted (absence/mismatch ⇒
+    rebuild).  ``build`` is called only on a miss and must be
+    deterministic so a loaded table is bit-identical to a rebuild.
+    Optional ``partition_by`` layouts should call the writer
+    themselves (see the IVF postings) — this helper covers the plain
+    case."""
+    path = _artifact_path(spark, name)
+    meta = load_artifact(spark, name + "_meta", tag)
+    if meta is None:
+        build().write.mode("overwrite").parquet(path)
+        save_artifact(
+            spark.createDataFrame([(1,)], "ok INT"), name + "_meta", tag
+        )
+    return spark.read.parquet(path)
+
+
 def load_artifact(spark: SparkSession, name: str, tag: str) -> DataFrame | None:
     """Read back a :func:`save_artifact` table, or ``None`` if it is
     absent or was built from different inputs (tag mismatch).  The
