@@ -118,11 +118,28 @@ _CC_LABELS_CACHE: dict[tuple[str, str], DataFrame] = _register_memo({})
 
 
 def _lsh_cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Converged (doc_id, cluster_id) labels, persisted as a
+    warehouse parquet table (round-5, like the shingle/band tables):
+    the iterative fixpoint runs once per corpus EVER — any session
+    thereafter reads the stored assignment, which is also what a
+    production pipeline ships downstream. Min-label CC is
+    deterministic, so the loaded table equals a recompute."""
+    import os
+
+    from tableau_dashboard_performance_etl_automation_spark.sources.warehouse import (
+        persisted_table,
+    )
+
     key = (spark.sparkContext.applicationId, sf_dir)
     cached = _CC_LABELS_CACHE.get(key)
     if cached is None:
-        edges = dedup_minhash_lsh(spark, sf_dir)
-        cached = connected_components(edges).localCheckpoint()
+        base = os.path.basename(sf_dir.rstrip("/")) or "root"
+        cached = persisted_table(
+            spark,
+            f"cc_labels/{base}",
+            sf_dir,
+            lambda: connected_components(dedup_minhash_lsh(spark, sf_dir)),
+        )
         _CC_LABELS_CACHE.clear()  # single-entry cap
         _CC_LABELS_CACHE[key] = cached
     return cached
