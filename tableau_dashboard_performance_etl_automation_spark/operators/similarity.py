@@ -1556,40 +1556,63 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     cached = _PQ_CACHE.get(key)
     if cached is None:
-        # index build (once per session): full-corpus subvector pass
-        # feeds training AND encoding; steady-state queries never
-        # rescan the corpus at full vector width again.  The trained
-        # codebook itself is a persisted warehouse artifact — a cold
-        # session re-encodes (one assign pass) but never re-trains
-        # (PQ_ITERS Lloyd rounds); deterministic training keeps the
-        # loaded codebook bit-identical to a retrain.
+        # index build (once per CORPUS, round-5): both halves of the
+        # PQ index persist as warehouse artifacts — the trained
+        # codebook (tiny, tagged parquet) and the encoded corpus
+        # codes (vec_id, m, code — the 8-bytes-per-vector layout a PQ
+        # store ships).  A cold session loads both and touches the
+        # full-width corpus only for the query vectors + the
+        # shortlist re-rank; only the first session ever pays the
+        # subvector pass, training, and encoding.  Deterministic
+        # training keeps loaded artifacts bit-identical to a rebuild.
         from tableau_dashboard_performance_etl_automation_spark.sources.warehouse import (
             load_artifact,
+            persisted_table,
             save_artifact,
         )
 
-        sub = _subvectors(e).localCheckpoint()
         art = _artifact_name(PQ_CODEBOOK_ARTIFACT, sf_dir)
-        stored = load_artifact(spark, art, sf_dir)
-        if stored is not None:
-            cb_rows = [(r.m, r.cent_id, r.cvec) for r in stored.collect()]
-        else:
-            cb_rows = _train_pq(spark, sub)
-            save_artifact(
-                spark.createDataFrame(
-                    cb_rows, "m INT, cent_id BIGINT, cvec ARRAY<DOUBLE>"
-                ),
-                art,
-                sf_dir,
+        cb_holder: dict = {}
+
+        def _cb_rows() -> list:
+            if "rows" not in cb_holder:
+                stored = load_artifact(spark, art, sf_dir)
+                if stored is not None:
+                    cb_holder["rows"] = [
+                        (r.m, r.cent_id, r.cvec) for r in stored.collect()
+                    ]
+                else:
+                    sub = _subvectors(e).localCheckpoint()
+                    cb_holder["sub"] = sub
+                    cb_holder["rows"] = _train_pq(spark, sub)
+                    save_artifact(
+                        spark.createDataFrame(
+                            cb_holder["rows"],
+                            "m INT, cent_id BIGINT, cvec ARRAY<DOUBLE>",
+                        ),
+                        art,
+                        sf_dir,
+                    )
+            return cb_holder["rows"]
+
+        def _build_codes() -> DataFrame:
+            cb = spark.createDataFrame(
+                _cb_rows(), "m INT, cent_id BIGINT, cvec ARRAY<DOUBLE>"
             )
-        cb = spark.createDataFrame(
-            cb_rows, "m INT, cent_id BIGINT, cvec ARRAY<DOUBLE>"
+            sub = cb_holder.get("sub")
+            if sub is None:
+                sub = _subvectors(e).localCheckpoint()
+            return _pq_assign(sub, cb).select(
+                "vec_id", "m", F.col("cent_id").alias("code")
+            )
+
+        codes = persisted_table(
+            spark,
+            _artifact_name("pq_codes", sf_dir),
+            sf_dir,
+            _build_codes,
         )
-        codes = (
-            _pq_assign(sub, cb)
-            .select("vec_id", "m", F.col("cent_id").alias("code"))
-            .localCheckpoint()
-        )
+        cb_rows = _cb_rows()
         _PQ_CACHE.clear()  # single-entry cap
         cached = (cb_rows, codes, e.count())
         _PQ_CACHE[key] = cached
