@@ -16,7 +16,11 @@ A second failure mode exists only in cluster mode: memos holding
 and subsequent reads FAIL (loudly) rather than silently rebuild —
 call :func:`invalidate_session_memos` and re-run the query to
 recover.  On ``local[*]`` (this repo's test target) executor loss
-cannot happen.
+cannot happen.  Since round 5 the CORPUS-SIZED memos (shingles,
+band signatures, CC labels, IVF postings, PQ codes) hold disk-backed
+parquet scans via ``warehouse.persisted_table`` instead — immune to
+block loss and free of executor heap; only small or
+lineage-truncation checkpoints remain.
 """
 
 from __future__ import annotations

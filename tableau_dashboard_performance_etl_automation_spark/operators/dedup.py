@@ -136,13 +136,14 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: Session memo of the computed band-signature table, single-entry
-#: capped like the IVF codebook / PageRank caches. In production the
-#: signature table is a PERSISTED artifact (the incremental probe
-#: already reads it as a bucketed table via ``_band_index``); six
-#: registered diagnostics consume it, and re-shingling the corpus per
-#: query never amortizes. Signatures are deterministic (md5 of
-#: shingle text), so the memo is bit-identical to a recompute.
+#: Session memo of the band-signature table — since round 5 a
+#: DISK-BACKED parquet scan (``warehouse.persisted_table``): stored
+#: once per corpus, zero executor heap, shared across sessions; six
+#: registered diagnostics consume it and re-shingling per query
+#: never amortizes. Signatures are deterministic (md5 of shingle
+#: text), so the loaded table is bit-identical to a recompute. The
+#: incremental probe additionally keeps its bucketed ``_band_index``
+#: variant for the zero-exchange probe join.
 #: Session memo — assumes sf_dir data is immutable within the
 #: application (see memo.py); registered for global invalidation.
 _BANDS_CACHE: dict[tuple[str, str], DataFrame] = _register_memo({})
