@@ -46,59 +46,71 @@ FACTORS = [1, 4, 16]
 
 
 def build_scaled(spark, base_dir: str, factor: int) -> str:
-    """Materialize a factor× corpus under SCALE_ROOT/{factor}x."""
+    """Materialize a factor× corpus under SCALE_ROOT/{factor}x.
+
+    Round-5 rewrite: the replica index is a COLUMN (cross join with a
+    ``factor``-row broadcast range) instead of a ``factor``-branch
+    union — the old form's per-branch lambda expressions blew up the
+    optimizer/codegen at 512 branches (driver heap OOM during the
+    build, before any probe ran). One plan, any factor; bytes are
+    identical to the per-branch build (same per-replica transform).
+    A ``_done`` marker guards torn builds."""
     base_dir = os.path.abspath(base_dir)
     out = f"{SCALE_ROOT}/{factor}x"
     if factor == 1:
         return base_dir
-    if os.path.exists(out):
+    done = f"{out}/_done"
+    if os.path.exists(done):
         return out
+    shutil.rmtree(out, ignore_errors=True)
     os.makedirs(out, exist_ok=True)
+    reps = F.broadcast(
+        spark.range(factor).select(F.col("id").cast("int").alias("r"))
+    )
     docs = load_table(spark, base_dir, "documents")
     n_docs = docs.count()
-    doc_parts = []
-    for r in range(factor):
-        doc_parts.append(
-            docs.select(
-                (F.col("doc_id") + F.lit(r * n_docs)).alias("doc_id"),
-                F.concat_ws(
-                    " ",
-                    F.expr(
-                        f"transform(split(text, ' '), (w, i) -> "
-                        f"CASE WHEN (i + {r}) % 3 = 0 "
-                        f"THEN concat(w, '_{r}') ELSE w END)"
-                    ),
-                ).alias("text"),
-                "lang",
-                "source",
-                "n_chars",
-            )
+    (
+        docs.crossJoin(reps)
+        .select(
+            (F.col("doc_id") + F.col("r").cast("bigint") * F.lit(n_docs))
+            .alias("doc_id"),
+            F.concat_ws(
+                " ",
+                F.expr(
+                    "transform(split(text, ' '), (w, i) -> "
+                    "CASE WHEN (i + r) % 3 = 0 "
+                    "THEN concat(w, '_', CAST(r AS STRING)) "
+                    "ELSE w END)"
+                ),
+            ).alias("text"),
+            "lang",
+            "source",
+            "n_chars",
         )
-    scaled_docs = doc_parts[0]
-    for p in doc_parts[1:]:
-        scaled_docs = scaled_docs.unionByName(p)
-    scaled_docs.write.mode("overwrite").parquet(f"{out}/documents.parquet")
+        .write.mode("overwrite")
+        .parquet(f"{out}/documents.parquet")
+    )
 
     emb = load_table(spark, base_dir, "embeddings")
     n_vec = emb.count()
-    emb_parts = []
-    for r in range(factor):
-        rot = r % similarity.EMB_DIM
-        emb_parts.append(
-            emb.select(
-                (F.col("vec_id") + F.lit(r * n_vec)).alias("vec_id"),
-                "label",
-                F.expr(
-                    f"concat(slice(embedding, {rot + 1}, "
-                    f"{similarity.EMB_DIM - rot}), "
-                    f"slice(embedding, 1, {rot}))"
-                ).alias("embedding"),
-            )
+    dim = similarity.EMB_DIM
+    (
+        emb.crossJoin(reps)
+        .select(
+            (F.col("vec_id") + F.col("r").cast("bigint") * F.lit(n_vec))
+            .alias("vec_id"),
+            "label",
+            F.expr(
+                f"concat(slice(embedding, (r % {dim}) + 1, "
+                f"{dim} - (r % {dim})), "
+                f"slice(embedding, 1, r % {dim}))"
+            ).alias("embedding"),
         )
-    scaled_emb = emb_parts[0]
-    for p in emb_parts[1:]:
-        scaled_emb = scaled_emb.unionByName(p)
-    scaled_emb.write.mode("overwrite").parquet(f"{out}/embeddings.parquet")
+        .write.mode("overwrite")
+        .parquet(f"{out}/embeddings.parquet")
+    )
+    with open(done, "w") as fh:
+        fh.write("ok")
     return out
 
 
