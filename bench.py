@@ -24,7 +24,7 @@ def main() -> None:
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     os.environ.setdefault("SPARK_GRAFT_CPUS", "32")
-    # One JVM runs 119 queries back-to-back; several operators
+    # One JVM runs every registered query back-to-back; some operators
     # localCheckpoint intermediates, whose blocks stay pinned until
     # the Python-side DataFrame is garbage-collected AND the
     # ContextCleaner runs. On the default heap the accumulated blocks

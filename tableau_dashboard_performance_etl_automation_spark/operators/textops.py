@@ -416,24 +416,37 @@ def char_bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     # whose per-index substring re-walks the UTF-8 bytes from position
     # 0 and turns a long document into O(n²) work (measured 3.2× on
     # the full op at sf0.1)
-    dbg = (
-        docs.select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    "zip_with("
-                    "slice(split(lower(text), ''), 1,"
-                    "      greatest(length(text) - 1, 0)),"
-                    "slice(split(lower(text), ''), 2,"
-                    "      greatest(length(text) - 1, 0)),"
-                    "(a, b) -> concat(a, b))"
-                )
-            ).alias("bg"),
-        )
-        .groupBy("doc_id", "bg")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .localCheckpoint()
+    # persisted, not localCheckpoint'd (round-5): at the 512× corpus
+    # decade the (doc, bigram) compaction is ~10⁸⁺ rows and pinning
+    # it as checkpoint blocks OOM'd a 48g heap; a disk-backed scan
+    # costs zero heap and later sessions reuse the build
+    import os as _os
+
+    from tableau_dashboard_performance_etl_automation_spark.sources.warehouse import (
+        persisted_table,
     )
+
+    def _build_dbg() -> DataFrame:
+        return (
+            docs.select(
+                "doc_id",
+                F.explode(
+                    F.expr(
+                        "zip_with("
+                        "slice(split(lower(text), ''), 1,"
+                        "      greatest(length(text) - 1, 0)),"
+                        "slice(split(lower(text), ''), 2,"
+                        "      greatest(length(text) - 1, 0)),"
+                        "(a, b) -> concat(a, b))"
+                    )
+                ).alias("bg"),
+            )
+            .groupBy("doc_id", "bg")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    _base = _os.path.basename(sf_dir.rstrip("/")) or "root"
+    dbg = persisted_table(spark, f"char_bigrams/{_base}", sf_dir, _build_dbg)
     counts = dbg.groupBy("bg").agg(F.sum("n").alias("cnt"))
     total = counts.agg(F.sum("cnt").alias("total"))
     # avg over bigram TOKENS = Σ n·log2(N/cnt) / Σ n
