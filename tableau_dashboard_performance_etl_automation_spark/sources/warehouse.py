@@ -111,7 +111,13 @@ def persisted_table(spark: SparkSession, name: str, tag: str, build) -> DataFram
     deterministic so a loaded table is bit-identical to a rebuild.
     Optional ``partition_by`` layouts should call the writer
     themselves (see the IVF postings) — this helper covers the plain
-    case."""
+    case.
+
+    Concurrency caveat: two PROCESSES building the same (name, tag)
+    simultaneously race on the overwrite — last writer wins and a
+    concurrent reader can see a transient missing-file error (retry
+    reads it). Single-writer-per-corpus is the deployment assumption,
+    as with any unmanaged warehouse path."""
     path = _artifact_path(spark, name)
     meta = load_artifact(spark, name + "_meta", tag)
     if meta is None:
