@@ -131,6 +131,31 @@ def _hyperplane_coef(h: int, d: int) -> float:
     )
 
 
+def _persisted_band_signatures(
+    spark: SparkSession, sf_dir: str, raw: DataFrame, band_bits: int
+) -> DataFrame:
+    """The (vec_id, band, sig) signature table as a persisted corpus
+    artifact (round-5, like the simhash signatures): the Arrow
+    projection pass runs once per corpus; every candidate join and
+    probe thereafter reads 3 integer columns from parquet.  Tagged
+    with the band-width dial, so a corpus crossing a width threshold
+    rebuilds.  Signatures are exact integer-unit sign decisions —
+    deterministic, so loaded equals recomputed."""
+    import os
+
+    from tableau_dashboard_performance_etl_automation_spark.sources.warehouse import (
+        persisted_table,
+    )
+
+    base = os.path.basename(sf_dir.rstrip("/")) or "root"
+    return persisted_table(
+        spark,
+        f"emb_band_sigs/{base}",
+        f"{sf_dir}|bits={band_bits}",
+        lambda: _band_signatures(raw, band_bits),
+    )
+
+
 def _band_signatures(e: DataFrame, band_bits: int) -> DataFrame:
     """(vec_id, band, sig) — sign-random-projection band signatures,
     computed as an Arrow ``mapInPandas`` batch projection.
@@ -217,11 +242,7 @@ def neardup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # One COUNT(*) job (parquet metadata aggregate) prices the dial;
     # the oracle recomputes the identical width from COUNT(*).
     bits = lsh_band_bits(raw.count())
-    # Both sides of the candidate self-join recompute the projection —
-    # deliberately NOT checkpointed: the signatures are straight-line
-    # codegen (cheap to recompute), while localCheckpoint on this wide
-    # expression tree costs far more in plan-cloning than it saves.
-    sigs = _band_signatures(raw, bits)
+    sigs = _persisted_band_signatures(spark, sf_dir, raw, bits)
     cand = (
         sigs.alias("a")
         .join(
@@ -295,7 +316,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir)
     raw = load_table(spark, sf_dir, "embeddings")
     bits = lsh_band_bits(raw.count())
-    sigs = _band_signatures(raw, bits)
+    sigs = _persisted_band_signatures(spark, sf_dir, raw, bits)
     probes = F.array(
         F.col("sig"),
         *[
