@@ -230,3 +230,37 @@ def test_ivf_codebook_persists_across_cold_session(spark, sf_dir):
     finally:
         sim._train_centroids = orig
     assert cold == warm
+
+
+def test_persisted_table_rebuilds_on_tag_change(spark, tmp_path):
+    """A persisted corpus artifact must be trusted only for ITS
+    inputs: same (name, tag) loads without rebuilding; a changed tag
+    (different corpus / different dial) forces a rebuild and
+    re-stamps."""
+    from tableau_dashboard_performance_etl_automation_spark.sources import warehouse as wh
+
+    calls = []
+
+    def build_a():
+        calls.append("a")
+        return spark.createDataFrame([(1, "a")], "k BIGINT, v STRING")
+
+    def build_b():
+        calls.append("b")
+        return spark.createDataFrame([(2, "b")], "k BIGINT, v STRING")
+
+    name = "test_artifact/rebuild"
+    out1 = wh.persisted_table(spark, name, "tag1", build_a)
+    assert [tuple(r) for r in out1.collect()] == [(1, "a")]
+    # same tag: loads, does NOT rebuild
+    out2 = wh.persisted_table(spark, name, "tag1", build_b)
+    assert [tuple(r) for r in out2.collect()] == [(1, "a")]
+    assert calls == ["a"]
+    # new tag (inputs changed): rebuilds and re-stamps
+    out3 = wh.persisted_table(spark, name, "tag2", build_b)
+    assert [tuple(r) for r in out3.collect()] == [(2, "b")]
+    assert calls == ["a", "b"]
+    # and the new stamp holds
+    out4 = wh.persisted_table(spark, name, "tag2", build_a)
+    assert [tuple(r) for r in out4.collect()] == [(2, "b")]
+    assert calls == ["a", "b"]
