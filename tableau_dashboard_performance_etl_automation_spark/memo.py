@@ -36,9 +36,21 @@ def register(cache: dict) -> dict:
 
 
 def invalidate_session_memos() -> int:
-    """Clear every registered session memo; returns how many dicts
+    """Clear every registered session memo AND revoke the on-disk
+    artifact stamps this process has touched; returns how many dicts
     were cleared.  Call after mutating data under a memoized sf_dir
-    (or after an executor loss invalidated checkpoint blocks)."""
+    (or after an executor loss invalidated checkpoint blocks).
+
+    The artifact revocation matters: disk-backed corpus artifacts are
+    tagged by input PATH, which cannot see an in-place mutation — so
+    clearing the dict memos alone would immediately re-trust stale
+    parquet.  Deleting the meta stamps forces the next consumer to
+    rebuild from the mutated inputs."""
+    from tableau_dashboard_performance_etl_automation_spark.sources.warehouse import (
+        invalidate_artifacts,
+    )
+
     for cache in _REGISTRY:
         cache.clear()
+    invalidate_artifacts()
     return len(_REGISTRY)

@@ -319,8 +319,10 @@ def order_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     cum = counts.withColumn("hi", F.sum("cnt").over(w)).withColumn(
         "lo", F.col("hi") - F.col("cnt")
     )
-    totals = orders.groupBy("o_orderpriority").agg(
-        F.count(F.lit(1)).alias("n")
+    # totals fold from the compaction (sum of counts), not from a
+    # second scan of the raw fact table
+    totals = counts.groupBy("o_orderpriority").agg(
+        F.sum("cnt").alias("n")
     )
     t = F.col("quartile").cast("bigint")
     base = F.expr("n DIV 4")

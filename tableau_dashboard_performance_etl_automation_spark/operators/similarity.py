@@ -646,29 +646,21 @@ def _assignments(
     rounded cosine) keeps the loaded postings bit-identical to a
     recompute, so oracle parity is unaffected."""
     from tableau_dashboard_performance_etl_automation_spark.sources.warehouse import (
-        _artifact_path,
-        load_artifact,
-        save_artifact,
+        persisted_table,
     )
 
     key = (spark.sparkContext.applicationId, sf_dir)
     df = _ASSIGN_CACHE.get(key)
     if df is None:
-        art = _artifact_name(IVF_POSTINGS_ARTIFACT, sf_dir)
-        path = _artifact_path(spark, art)
-        meta = load_artifact(spark, art + "_meta", sf_dir)
-        if meta is None:
-            _nearest(e, cent).write.mode("overwrite").partitionBy(
-                "cent_id"
-            ).parquet(path)
-            save_artifact(
-                spark.createDataFrame([(1,)], "ok INT"),
-                art + "_meta",
-                sf_dir,
-            )
         # table-backed: no localCheckpoint, no pinned blocks — reads
         # prune to the probed cent_id partitions
-        df = spark.read.parquet(path).select("vec_id", "cent_id", "vec")
+        df = persisted_table(
+            spark,
+            _artifact_name(IVF_POSTINGS_ARTIFACT, sf_dir),
+            sf_dir,
+            lambda: _nearest(e, cent),
+            partition_by=["cent_id"],
+        ).select("vec_id", "cent_id", "vec")
         _ASSIGN_CACHE.clear()  # single-entry cap
         _ASSIGN_CACHE[key] = df
     return df

@@ -68,11 +68,37 @@ def read_partitioned(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+#: Meta paths of every artifact this PROCESS has written or trusted —
+#: lets :func:`invalidate_artifacts` (called from
+#: ``memo.invalidate_session_memos``) revoke trust in on-disk
+#: artifacts after an in-session input mutation: deleting just the
+#: tiny meta stamp forces a rebuild without touching the data files.
+_ARTIFACT_META_PATHS: set[str] = set()
+
+
 def _artifact_path(spark: SparkSession, name: str) -> str:
     warehouse_dir = spark.conf.get("spark.sql.warehouse.dir", "")
     if warehouse_dir.startswith("file:"):
         warehouse_dir = warehouse_dir[len("file:") :]
     return f"{warehouse_dir}/{name}"
+
+
+def invalidate_artifacts() -> int:
+    """Delete the meta stamps of every artifact this process has
+    touched, so the next consumer rebuilds from (possibly mutated)
+    inputs instead of trusting stale parquet. Returns the number of
+    stamps removed. Wired into ``memo.invalidate_session_memos`` —
+    without this, clearing the dict memos alone would re-trust the
+    on-disk artifacts, whose path-based tags cannot see an in-place
+    data mutation."""
+    import shutil
+
+    n = 0
+    for path in list(_ARTIFACT_META_PATHS):
+        shutil.rmtree(path, ignore_errors=True)
+        _ARTIFACT_META_PATHS.discard(path)
+        n += 1
+    return n
 
 
 def save_artifact(df: DataFrame, name: str, tag: str) -> None:
@@ -96,7 +122,13 @@ def save_artifact(df: DataFrame, name: str, tag: str) -> None:
     )
 
 
-def persisted_table(spark: SparkSession, name: str, tag: str, build) -> DataFrame:
+def persisted_table(
+    spark: SparkSession,
+    name: str,
+    tag: str,
+    build,
+    partition_by: list[str] | None = None,
+) -> DataFrame:
     """Meta-tag-guarded parquet persistence for CORPUS-SIZED derived
     tables (shingle decompositions, LSH band signatures, IVF posting
     lists): build once, write as plain parquet, and hand every
@@ -105,26 +137,40 @@ def persisted_table(spark: SparkSession, name: str, tag: str, build) -> DataFram
     what exhausts the heap, and the production shape is a stored
     table anyway.
 
-    The tiny ``<name>_meta`` tag artifact is written strictly AFTER
-    the data, so a torn write is never trusted (absence/mismatch ⇒
-    rebuild).  ``build`` is called only on a miss and must be
-    deterministic so a loaded table is bit-identical to a rebuild.
-    Optional ``partition_by`` layouts should call the writer
-    themselves (see the IVF postings) — this helper covers the plain
-    case.
+    Torn-write discipline, BOTH directions: any stale meta (absent,
+    different tag) is DELETED before the data overwrite starts, and
+    the new meta is written strictly AFTER the data — so neither a
+    crash mid-first-build nor a crash mid-REBUILD (where the old tag's
+    meta would otherwise survive and bless the half-overwritten data
+    for the old inputs) can ever be trusted.  ``build`` is called only
+    on a miss and must be deterministic so a loaded table is
+    bit-identical to a rebuild.  ``partition_by`` writes the data
+    partitioned by those columns (the IVF posting-list layout —
+    probed reads prune at file level).
 
     Concurrency caveat: two PROCESSES building the same (name, tag)
     simultaneously race on the overwrite — last writer wins and a
     concurrent reader can see a transient missing-file error (retry
     reads it). Single-writer-per-corpus is the deployment assumption,
     as with any unmanaged warehouse path."""
+    import shutil
+
     path = _artifact_path(spark, name)
+    meta_path = _artifact_path(spark, name + "_meta")
     meta = load_artifact(spark, name + "_meta", tag)
     if meta is None:
-        build().write.mode("overwrite").parquet(path)
+        # revoke any stale stamp BEFORE touching the data: a crash
+        # between the overwrite and the new stamp must leave the
+        # artifact untrusted for every tag
+        shutil.rmtree(meta_path, ignore_errors=True)
+        writer = build().write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(path)
         save_artifact(
             spark.createDataFrame([(1,)], "ok INT"), name + "_meta", tag
         )
+    _ARTIFACT_META_PATHS.add(meta_path)
     return spark.read.parquet(path)
 
 
@@ -133,9 +179,15 @@ def load_artifact(spark: SparkSession, name: str, tag: str) -> DataFrame | None:
     absent or was built from different inputs (tag mismatch).  The
     distinct-tag check collects — artifacts are driver-sized by
     contract (codebooks, not corpora)."""
+    from pyspark.errors import AnalysisException
+
     try:
         df = spark.read.parquet(_artifact_path(spark, name))
-    except Exception:  # noqa: BLE001 — absent/corrupt ⇒ rebuild
+    except AnalysisException:
+        # path absent / unreadable as a table ⇒ treat as no artifact;
+        # transient I/O and permission errors are NOT caught — they
+        # must surface rather than silently trigger a corpus rebuild
+        # that overwrites a healthy artifact
         return None
     if "_artifact_tag" not in df.columns:
         return None

@@ -122,8 +122,10 @@ def _collapse_runs(
     ts_key = pdf["ts"].astype("int64").to_numpy()
     eids = pdf["event_id"].to_numpy()
     for et, t, eid in zip(pdf["event_type"], ts_key, eids):
-        if (int(t), int(eid)) < (last_ts_key, last_eid):
-            continue  # late cross-batch arrival: drop, never corrupt
+        if (int(t), int(eid)) <= (last_ts_key, last_eid):
+            # late arrival OR redelivered frontier event (equal keys,
+            # the at-least-once replay artifact): drop, never corrupt
+            continue
         last_ts_key, last_eid = int(t), int(eid)
         if et == last:
             run_len += 1
@@ -177,11 +179,14 @@ SESSION_STATE_SCHEMA = StructType(
 
 
 def _ts_ms(pdf: pd.DataFrame) -> "pd.Series":
-    """Event time in ms: ns→ms for datetime64 input, raw value for
-    integer input (unit consistency across calls follows from the
-    stable column dtype)."""
+    """Event time in MILLISECONDS — the unit the state's gap
+    comparison against ``SESSION_GAP_MS`` requires.  datetime64 input
+    is normalized to ns first (pandas 2.x / Arrow may hand this
+    function datetime64[us] or [s] frames, whose raw int64 would be
+    off by 10³-10⁶ against the ms constant); integer input is taken
+    as already-ms."""
     if pd.api.types.is_datetime64_any_dtype(pdf["ts"]):
-        return pdf["ts"].astype("int64") // 1_000_000
+        return pdf["ts"].astype("datetime64[ns]").astype("int64") // 1_000_000
     return pdf["ts"].astype("int64")
 
 
@@ -215,8 +220,11 @@ def _close_sessions(
     eids = pdf["event_id"].to_numpy()
     for t, eid in zip(ms, eids):
         t, eid = int(t), int(eid)
-        if (t, eid) < (last_ms, last_eid):
-            continue  # late cross-batch arrival: drop, never corrupt
+        if (t, eid) <= (last_ms, last_eid):
+            # late cross-batch arrival OR a transport-level redelivery
+            # of the frontier event itself (equal ts+event_id, the
+            # at-least-once replay artifact): drop, never corrupt
+            continue
         if n_events == 0:
             sid, start_ms, n_events = sid + 1, t, 1
         elif t - last_ms > SESSION_GAP_MS:

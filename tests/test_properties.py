@@ -417,3 +417,34 @@ def test_collapse_runs_drops_late_cross_batch_rows():
     assert emitted == [("a", 1)]  # late "a" dropped; open run b extends
     assert state.get[:2] == ("b", 2)
     assert state.get[2:] == (30, 4)
+
+
+def test_collapse_runs_drops_redelivered_frontier_event():
+    """An at-least-once redelivery of the exact frontier event (equal
+    ts AND event_id) must be idempotent — dropped, not folded into
+    the open run twice."""
+    import pandas as pd
+
+    from tableau_dashboard_performance_etl_automation_spark.streaming.stateful import (
+        _close_sessions,
+        _collapse_runs,
+    )
+
+    state = _FakeState()
+    b1 = pd.DataFrame({"ts": [10], "event_id": [1], "event_type": ["a"]})
+    list(_collapse_runs((7,), [b1], state))
+    b2 = pd.DataFrame(
+        {"ts": [10, 20], "event_id": [1, 2], "event_type": ["a", "a"]}
+    )
+    list(_collapse_runs((7,), [b2], state))
+    assert state.get[:2] == ("a", 2)  # duplicate NOT triple-counted
+
+    sstate = _FakeState()
+    s1 = pd.DataFrame({"ts": [10], "event_id": [1], "event_type": ["a"]})
+    list(_close_sessions((7,), [s1], sstate))
+    s2 = pd.DataFrame(
+        {"ts": [10, 20], "event_id": [1, 2], "event_type": ["a", "a"]}
+    )
+    list(_close_sessions((7,), [s2], sstate))
+    # open session has exactly 2 events (the redelivery dropped)
+    assert sstate.get[3] == 2

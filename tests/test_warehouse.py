@@ -264,3 +264,26 @@ def test_persisted_table_rebuilds_on_tag_change(spark, tmp_path):
     out4 = wh.persisted_table(spark, name, "tag2", build_a)
     assert [tuple(r) for r in out4.collect()] == [(2, "b")]
     assert calls == ["a", "b"]
+
+
+def test_invalidate_session_memos_revokes_artifact_trust(spark):
+    """After invalidate_session_memos(), disk artifacts this process
+    touched must NOT be trusted (their path-based tags cannot see an
+    in-place input mutation) — the next consumer rebuilds."""
+    from tableau_dashboard_performance_etl_automation_spark import memo
+    from tableau_dashboard_performance_etl_automation_spark.sources import warehouse as wh
+
+    calls = []
+
+    def build():
+        calls.append(1)
+        return spark.createDataFrame([(len(calls),)], "v BIGINT")
+
+    name = "test_artifact/invalidate"
+    wh.persisted_table(spark, name, "t", build)
+    wh.persisted_table(spark, name, "t", build)
+    assert calls == [1]  # trusted, no rebuild
+    memo.invalidate_session_memos()
+    out = wh.persisted_table(spark, name, "t", build)
+    assert calls == [1, 1]  # trust revoked -> rebuilt
+    assert [r.v for r in out.collect()] == [2]

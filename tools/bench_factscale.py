@@ -151,7 +151,14 @@ def main() -> None:
     probe = PROBE_QUERIES
     env_qs = os.environ.get("FACTSCALE_QUERIES")
     if env_qs:
-        probe = [q for q in env_qs.split(",") if q in queries]
+        probe = [q.strip() for q in env_qs.split(",") if q.strip()]
+        unknown = [q for q in probe if q not in queries]
+        if unknown:
+            # fail loudly BEFORE the multi-hour corpus build: a typo'd
+            # name silently dropped would burn the build for nothing
+            raise SystemExit(
+                f"FACTSCALE_QUERIES names not registered: {unknown}"
+            )
     report: dict = {"base": base, "scales": {}}
     for factor in factors:
         sf_dir = build_scaled(spark, base, factor)
