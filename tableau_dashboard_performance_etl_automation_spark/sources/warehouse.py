@@ -115,11 +115,15 @@ def save_artifact(df: DataFrame, name: str, tag: str) -> None:
     artifact (this write is mode=overwrite, so re-saving after a data
     change is the invalidation)."""
     spark = df.sparkSession
+    path = _artifact_path(spark, name)
     (
         df.withColumn("_artifact_tag", F.lit(tag))
         .write.mode("overwrite")
-        .parquet(_artifact_path(spark, name))
+        .parquet(path)
     )
+    # small artifacts are their own trust stamp — register so
+    # invalidate_artifacts() can revoke them after an input mutation
+    _ARTIFACT_META_PATHS.add(path)
 
 
 def persisted_table(
@@ -194,6 +198,7 @@ def load_artifact(spark: SparkSession, name: str, tag: str) -> DataFrame | None:
     tags = [r[0] for r in df.select("_artifact_tag").distinct().collect()]
     if tags != [tag]:
         return None
+    _ARTIFACT_META_PATHS.add(_artifact_path(spark, name))
     return df.drop("_artifact_tag")
 
 

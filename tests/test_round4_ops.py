@@ -83,8 +83,14 @@ def test_ann_lsh_topk_broadcasts_queries_no_cartesian(spark, sf_dir):
     assert not has_cartesian_product(df)
     plan = formatted_plan(df)
     assert "BroadcastExchange" in plan
-    assert "ArrowEvalPython" in plan or "MapInPandas" in plan  # the
-    # signature projection is the one sanctioned Arrow stage
+    # round-5: the Arrow signature projection runs only on the
+    # build-the-artifact pass; steady-state plans scan the persisted
+    # emb_band_sigs table instead — either is the sanctioned shape
+    assert (
+        "ArrowEvalPython" in plan
+        or "MapInPandas" in plan
+        or "emb_band_sigs" in plan
+    )
 
 
 def test_ann_lsh_topk_recall_against_bruteforce(spark, sf_dir):

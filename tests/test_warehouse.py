@@ -203,7 +203,6 @@ def test_ivf_codebook_persists_across_cold_session(spark, sf_dir):
     """A cold session (memos cleared) must LOAD the persisted codebook
     rather than retrain — and the loaded codebook must be bit-identical
     to the trained one (deterministic training)."""
-    from tableau_dashboard_performance_etl_automation_spark import memo
     from tableau_dashboard_performance_etl_automation_spark.operators import similarity as sim
     from tableau_dashboard_performance_etl_automation_spark.sources import warehouse as wh
 
@@ -214,7 +213,10 @@ def test_ivf_codebook_persists_across_cold_session(spark, sf_dir):
     art = sim._artifact_name(sim.IVF_CODEBOOK_ARTIFACT, sf_dir)
     assert wh.load_artifact(spark, art, sf_dir) is not None
 
-    memo.invalidate_session_memos()  # simulate the cold session
+    # simulate the cold session: clear ONLY the in-process dict memo.
+    # (invalidate_session_memos would be wrong here — it also revokes
+    # artifact trust, which models INPUT MUTATION, not a fresh session)
+    sim._CODEBOOK_CACHE.clear()
     # sabotage the trainer: a cold load must NOT call it
     orig = sim._train_centroids
     sim._train_centroids = lambda e: (_ for _ in ()).throw(
@@ -273,13 +275,17 @@ def test_invalidate_session_memos_revokes_artifact_trust(spark):
     from tableau_dashboard_performance_etl_automation_spark import memo
     from tableau_dashboard_performance_etl_automation_spark.sources import warehouse as wh
 
+    import uuid
+
     calls = []
 
     def build():
         calls.append(1)
         return spark.createDataFrame([(len(calls),)], "v BIGINT")
 
-    name = "test_artifact/invalidate"
+    # unique per run: the warehouse dir outlives pytest sessions, so a
+    # fixed name would already be trusted on the second run
+    name = f"test_artifact/invalidate_{uuid.uuid4().hex[:8]}"
     wh.persisted_table(spark, name, "t", build)
     wh.persisted_table(spark, name, "t", build)
     assert calls == [1]  # trusted, no rebuild
