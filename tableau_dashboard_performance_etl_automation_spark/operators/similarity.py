@@ -1243,10 +1243,14 @@ ORACLE_SQL = {
 }
 
 
-def _ivf_oracle() -> str:
-    """Replay k-means training + IVF search in SQL: the Lloyd rounds
-    unroll into a CTE chain (assign_i → integer-sum update → cent_i),
-    mirroring :func:`_train_centroids` arithmetic exactly."""
+def _ivf_assign_ctes() -> list[str]:
+    """The SQL CTE chain that replays k-means training and ends in
+    ``assign`` (vec_id, cent_id, embedding) — the full-corpus
+    nearest-centroid assignment. Shared by every oracle that consumes
+    the trained IVF index (:func:`_ivf_oracle`,
+    :func:`semantic_dedup_prune`, ...): the Lloyd rounds unroll into
+    assign_i → integer-sum update → cent_i, mirroring
+    :func:`_train_centroids` arithmetic exactly."""
     cos_vc = "list_cosine_similarity(v.embedding::DOUBLE[], c.cvec)"
     ctes = [
         f"""train AS (
@@ -1294,6 +1298,12 @@ def _ivf_oracle() -> str:
             FROM embeddings v CROSS JOIN cent{IVF_ITERS} c
         ) WHERE crn = 1
     )""")
+    return ctes
+
+
+def _ivf_oracle() -> str:
+    """IVF search over the replayed index (:func:`_ivf_assign_ctes`)."""
+    ctes = _ivf_assign_ctes()
     cos_qc2 = _COS_SQL.format(a="q.embedding", b="c.embedding")
     return f"""
         WITH {", ".join(ctes)}
@@ -2146,3 +2156,181 @@ ORACLE_SQL["knn_accuracy_by_label"] = f"""
     GROUP BY t.label
     ORDER BY true_label
 """
+
+
+#: SemDeDup prune threshold: within-cluster cosine at or above this
+#: marks the higher-id vector as a semantic duplicate of the
+#: lower-id one. Same τ as the LSH near-dup pass (NEARDUP_COSINE) so
+#: the two dedup families are directly comparable on the same corpus;
+#: at production scale τ is THE recall/precision dial (SemDeDup used
+#: 0.95+ on real embeddings — the synthetic corpus is far less
+#: correlated, so the shared 0.35 keeps the demo non-degenerate).
+SEMDEDUP_TAU = NEARDUP_COSINE
+
+
+def semantic_dedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic deduplication by
+    clustering the embedding space with k-means, then comparing pairs
+    ONLY within each cluster — the pair space drops from O(n²) to
+    Σ|cluster|², which with K ≈ √n-scaled codebooks is the difference
+    between impossible and routine at 10⁹ vectors. A vector is pruned
+    when a LOWER-id vector in its cluster has cosine ≥ τ (min-id
+    dominance — the deterministic, join-expressible variant of the
+    paper's keep-one-per-group rule; no iterative clustering of the
+    duplicate graph is needed to decide survivors).
+
+    Scale shape: reuses the PERSISTED IVF index — codebook
+    (:func:`_codebook`) and posting lists (:func:`_assignments`,
+    parquet partitioned by ``cent_id``) — so the only new work is a
+    self-equi-join on ``cent_id``: each cluster's pairs materialize
+    within one shuffle partition group, nothing crosses clusters, and
+    the scored-pair volume is bounded by the cluster-size distribution
+    the codebook controls. Output rows are the pruned vectors with
+    their dominating duplicate (the smallest qualifying lower id).
+
+    Returns (vec_id, cent_id, dup_of, cos4) ordered by vec_id.
+    """
+    e = _emb(spark, sf_dir)
+    cent = _codebook(spark, sf_dir, e)
+    assign = _assignments(spark, sf_dir, e, cent)
+    a = assign.select(
+        F.col("cent_id"),
+        F.col("vec_id"),
+        F.col("vec").alias("avec"),
+    )
+    b = assign.select(
+        F.col("cent_id"),
+        F.col("vec_id").alias("nid"),
+        F.col("vec").alias("bvec"),
+    )
+    pairs = (
+        a.join(b, "cent_id")
+        .filter(F.col("nid") < F.col("vec_id"))
+        .withColumn(
+            "cos6", F.round(cosine(F.col("avec"), F.col("bvec")), 6)
+        )
+        .filter(F.col("cos6") >= SEMDEDUP_TAU)
+    )
+    # dominating duplicate = smallest qualifying lower id; ids are
+    # unique, so MIN over (nid, cos6) structs is the nid-min row
+    return (
+        pairs.groupBy("vec_id", "cent_id")
+        .agg(F.min(F.struct("nid", "cos6")).alias("m"))
+        .select(
+            "vec_id",
+            "cent_id",
+            F.col("m.nid").alias("dup_of"),
+            F.round(F.col("m.cos6"), 4).alias("cos4"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+def semantic_dedup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster keep/prune accounting for the SemDeDup pass — the
+    operational dashboard number (how much does τ cut, and is the cut
+    concentrated in a few dense clusters?). One count aggregate over
+    the posting lists left-joined with the pruned set; both sides are
+    keyed by ``cent_id`` and the pruned side is the (small) output of
+    :func:`semantic_dedup_prune`, so this adds one broadcast-size
+    join to work already done.
+
+    Returns (cent_id, n_vecs, n_pruned, n_kept, prune_frac).
+    """
+    e = _emb(spark, sf_dir)
+    cent = _codebook(spark, sf_dir, e)
+    assign = _assignments(spark, sf_dir, e, cent)
+    totals = assign.groupBy("cent_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs")
+    )
+    pruned = (
+        semantic_dedup_prune(spark, sf_dir)
+        .groupBy("cent_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pruned"))
+    )
+    return (
+        totals.join(pruned, "cent_id", "left")
+        .select(
+            "cent_id",
+            "n_vecs",
+            F.coalesce(F.col("n_pruned"), F.lit(0))
+            .cast("bigint")
+            .alias("n_pruned"),
+            (
+                F.col("n_vecs")
+                - F.coalesce(F.col("n_pruned"), F.lit(0))
+            ).cast("bigint").alias("n_kept"),
+            F.round(
+                F.coalesce(F.col("n_pruned"), F.lit(0))
+                / F.col("n_vecs"),
+                4,
+            ).alias("prune_frac"),
+        )
+        .orderBy("cent_id")
+    )
+
+
+QUERIES["semantic_dedup_prune"] = semantic_dedup_prune
+QUERIES["semantic_dedup_summary"] = semantic_dedup_summary
+
+
+def _semantic_pairs_sql() -> str:
+    """Within-cluster qualifying pairs over the replayed IVF
+    assignment (shared by the two SemDeDup oracles)."""
+    cos_ab2 = _COS_SQL.format(a="a.embedding", b="b.embedding")
+    return f"""pairs AS (
+        SELECT a.vec_id AS vec_id, a.cent_id AS cent_id,
+               b.vec_id AS nid,
+               ROUND({cos_ab2}, 6) AS cos6
+        FROM assign a
+        JOIN assign b ON b.cent_id = a.cent_id
+                     AND b.vec_id < a.vec_id
+        WHERE ROUND({cos_ab2}, 6) >= {SEMDEDUP_TAU}
+    )"""
+
+
+def _semantic_prune_oracle() -> str:
+    ctes = _ivf_assign_ctes()
+    ctes.append(_semantic_pairs_sql())
+    return f"""
+        WITH {", ".join(ctes)}
+        SELECT vec_id, cent_id, nid AS dup_of, ROUND(cos6, 4) AS cos4
+        FROM (
+            SELECT vec_id, cent_id, nid, cos6,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY vec_id ORDER BY nid
+                   ) AS rn
+            FROM pairs
+        )
+        WHERE rn = 1
+        ORDER BY vec_id
+    """
+
+
+def _semantic_summary_oracle() -> str:
+    ctes = _ivf_assign_ctes()
+    ctes.append(_semantic_pairs_sql())
+    ctes.append("""pruned AS (
+        SELECT cent_id, CAST(COUNT(DISTINCT vec_id) AS BIGINT)
+                   AS n_pruned
+        FROM pairs GROUP BY cent_id
+    )""")
+    ctes.append("""totals AS (
+        SELECT cent_id, CAST(COUNT(*) AS BIGINT) AS n_vecs
+        FROM assign GROUP BY cent_id
+    )""")
+    return """
+        WITH {ctes}
+        SELECT t.cent_id AS cent_id, t.n_vecs AS n_vecs,
+               CAST(COALESCE(p.n_pruned, 0) AS BIGINT) AS n_pruned,
+               CAST(t.n_vecs - COALESCE(p.n_pruned, 0) AS BIGINT)
+                   AS n_kept,
+               ROUND(COALESCE(p.n_pruned, 0)
+                     / CAST(t.n_vecs AS DOUBLE), 4) AS prune_frac
+        FROM totals t LEFT JOIN pruned p ON p.cent_id = t.cent_id
+        ORDER BY cent_id
+    """.replace("{ctes}", ", ".join(ctes))
+
+
+ORACLE_SQL["semantic_dedup_prune"] = _semantic_prune_oracle()
+ORACLE_SQL["semantic_dedup_summary"] = _semantic_summary_oracle()

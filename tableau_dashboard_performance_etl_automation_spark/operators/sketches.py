@@ -280,3 +280,140 @@ ORACLE_SQL["kmv_distinct_users"] = f"""
     FROM kth
     ORDER BY event_type
 """
+
+
+#: HyperLogLog geometry: m = 2^6 registers. Error ≈ 1.04/√m ≈ 13% —
+#: deliberately coarse so the toy corpora exercise the estimator
+#: (the point of the demo); at scale m is the accuracy dial and the
+#: state stays m 6-bit maxima per group regardless of cardinality.
+HLL_M = 64
+#: Flajolet et al. 2007 bias constant α_m for m = 64, inlined as one
+#: Python double so both engines consume the identical literal.
+HLL_ALPHA = 0.7213 / (1 + 1.079 / HLL_M)
+#: Register-max width: ρ is counted over a 32-bit hash suffix, so
+#: ρ ∈ [1, 33].
+_HLL_W_BITS = 32
+
+
+def hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type distinct-user estimate from a HAND-ROLLED
+    HyperLogLog (Flajolet et al. 2007) — unlike Spark's builtin
+    ``approx_count_distinct`` (whose estimate is
+    implementation-defined and only range-assertable, see
+    ``approx_distinct_users``), this one fixes the hash (md5), the
+    register map, and the estimator arithmetic, so the DuckDB oracle
+    replays it bit-for-bit and the sketch is oracle-checked end to
+    end like its KMV sibling.
+
+    Register assignment: md5 hex digits 1-2 mod m pick the register;
+    digits 3-10 form a 32-bit suffix whose leading-zero count + 1 is
+    ρ. State per group is m register maxima — each a MAX aggregate
+    with map-side partial combine, mergeable across
+    partitions/executors/streams by pointwise max (the canonical
+    distributed-sketch shape; duplicate users land identical (reg, ρ)
+    rows and cost nothing). Estimator: raw = α·m²/Σ 2^(-M_j) with
+    empty registers contributing 2^0, linear-counting correction
+    m·ln(m/V) when raw ≤ 2.5m and V > 0. All Σ 2^(-M_j) terms are
+    exact dyadic doubles (ρ ≤ 33 keeps the sum inside 53 bits), so
+    the estimate is reduction-order-independent.
+    """
+    events = load_table(spark, sf_dir, "events")
+    h = F.md5(F.col("user_id").cast("string"))
+    reg = md5_hex_int(h, 1, 2) % HLL_M
+    w = (
+        md5_hex_int(h, 3, 4).cast("bigint") * 65536
+        + md5_hex_int(h, 7, 4).cast("bigint")
+    )
+    rho = (
+        F.length(
+            F.regexp_extract(
+                F.lpad(F.bin(w), _HLL_W_BITS, "0"), "^0*", 0
+            )
+        )
+        + 1
+    )
+    regs = (
+        events.select("event_type", reg.alias("reg"), rho.alias("rho"))
+        .groupBy("event_type", "reg")
+        .agg(F.max("rho").alias("mreg"))
+    )
+    per_type = regs.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_present"),
+        F.sum(F.pow(F.lit(2.0), -F.col("mreg"))).alias("z_present"),
+    )
+    v_empty = F.lit(HLL_M) - F.col("n_present")
+    raw = F.lit(HLL_ALPHA * HLL_M * HLL_M) / (
+        F.col("z_present") + v_empty.cast("double")
+    )
+    est = F.when(
+        (raw <= 2.5 * HLL_M) & (v_empty > 0),
+        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / v_empty),
+    ).otherwise(raw)
+    exact = events.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("bigint").alias("n_exact")
+    )
+    return (
+        per_type.join(exact, "event_type")
+        .select(
+            "event_type",
+            "n_exact",
+            F.round(est, 2).alias("hll_estimate"),
+            F.round(
+                (est - F.col("n_exact")) / F.col("n_exact"), 4
+            ).alias("rel_err"),
+        )
+        .orderBy("event_type")
+    )
+
+
+QUERIES["hll_distinct_users"] = hll_distinct_users
+
+_HLL_H = "md5(CAST(user_id AS VARCHAR))"
+_HLL_REG_SQL = f"({md5_hex_int_sql(_HLL_H, 1, 2)} % {HLL_M})"
+_HLL_W_SQL = (
+    f"(CAST({md5_hex_int_sql(_HLL_H, 3, 4)} AS BIGINT) * 65536"
+    f" + CAST({md5_hex_int_sql(_HLL_H, 7, 4)} AS BIGINT))"
+)
+
+ORACLE_SQL["hll_distinct_users"] = f"""
+    WITH regs AS (
+        SELECT event_type, {_HLL_REG_SQL} AS reg,
+               MAX(length(regexp_extract(
+                       lpad(bin({_HLL_W_SQL}), {_HLL_W_BITS}, '0'),
+                       '^0*')) + 1) AS mreg
+        FROM events
+        GROUP BY event_type, reg
+    ),
+    per_type AS (
+        SELECT event_type,
+               COUNT(*) AS n_present,
+               SUM(pow(2.0, -mreg)) AS z_present
+        FROM regs GROUP BY event_type
+    ),
+    exact AS (
+        SELECT event_type,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
+        FROM events GROUP BY event_type
+    ),
+    est AS (
+        SELECT event_type,
+               CASE WHEN {HLL_ALPHA * HLL_M * HLL_M!r}
+                         / (z_present + CAST({HLL_M} - n_present
+                                             AS DOUBLE))
+                         <= {2.5 * HLL_M}
+                     AND ({HLL_M} - n_present) > 0
+                    THEN {float(HLL_M)!r}
+                         * ln({float(HLL_M)!r}
+                              / ({HLL_M} - n_present))
+                    ELSE {HLL_ALPHA * HLL_M * HLL_M!r}
+                         / (z_present + CAST({HLL_M} - n_present
+                                             AS DOUBLE))
+               END AS est
+        FROM per_type
+    )
+    SELECT e.event_type AS event_type, x.n_exact AS n_exact,
+           ROUND(e.est, 2) AS hll_estimate,
+           ROUND((e.est - x.n_exact) / x.n_exact, 4) AS rel_err
+    FROM est e JOIN exact x ON x.event_type = e.event_type
+    ORDER BY event_type
+"""

@@ -389,42 +389,30 @@ def vocab_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def char_bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document surprisal under a corpus-trained character-bigram
-    language model — the classic cheap perplexity proxy for quality
-    filtering (documents whose character statistics diverge from the
-    corpus score high and get reviewed/dropped).
+def _doc_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The (doc_id, bg, n) character-bigram compaction, persisted as
+    a corpus artifact — the shared substrate for every char-LM-based
+    score (:func:`char_bigram_lm_scores`, :func:`dsir_target_scores`).
 
-    The "model" is the corpus itself: ``p(bg) = count(bg)/N`` over
-    all bigram tokens, ``avg_nll_bits = -avg(log2 p)`` over each
-    document's bigrams. Scale shape: the bigram census is a hash
-    aggregate bounded by |charset|² distinct keys, so the trained
-    model BROADCASTS back into the per-document scoring pass — train
-    on the corpus, score the corpus, two narrow passes and one tiny
-    broadcast, no quadratic anything. Exact-integer counts feed the
-    logs; the per-doc average is rounded to 4 so reduction order
-    cannot surface.
-    """
-    docs = load_table(spark, sf_dir, "documents")
-    # ONE explode pass: (doc_id, bg) token counts; the corpus model
-    # (per-bigram counts, grand total) and the per-doc scores all
-    # derive from this compaction, so the expensive explode is not
-    # recomputed per consumer and the scoring join carries distinct
-    # (doc, bigram) pairs, not raw tokens
-    # char pairs via split('') + zip_with of the two shifted slices —
-    # linear per string, unlike transform(sequence, i -> substring(...))
-    # whose per-index substring re-walks the UTF-8 bytes from position
-    # 0 and turns a long document into O(n²) work (measured 3.2× on
-    # the full op at sf0.1)
-    # persisted, not localCheckpoint'd (round-5): at the 512× corpus
-    # decade the (doc, bigram) compaction is ~10⁸⁺ rows and pinning
-    # it as checkpoint blocks OOM'd a 48g heap; a disk-backed scan
-    # costs zero heap and later sessions reuse the build
+    ONE explode pass: the corpus model (per-bigram counts, grand
+    total) and all per-doc scores derive from this compaction, so the
+    expensive explode is not recomputed per consumer and scoring
+    joins carry distinct (doc, bigram) pairs, not raw tokens. Char
+    pairs via split('') + zip_with of the two shifted slices — linear
+    per string, unlike transform(sequence, i -> substring(...)) whose
+    per-index substring re-walks the UTF-8 bytes from position 0 and
+    turns a long document into O(n²) work (measured 3.2× on the full
+    op at sf0.1). Persisted, not localCheckpoint'd (round-5): at the
+    512× corpus decade the compaction is ~10⁸⁺ rows and pinning it as
+    checkpoint blocks OOM'd a 48g heap; a disk-backed scan costs zero
+    heap and later sessions reuse the build."""
     import os as _os
 
     from tableau_dashboard_performance_etl_automation_spark.sources.warehouse import (
         persisted_table,
     )
+
+    docs = load_table(spark, sf_dir, "documents")
 
     def _build_dbg() -> DataFrame:
         return (
@@ -446,7 +434,26 @@ def char_bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     _base = _os.path.basename(sf_dir.rstrip("/")) or "root"
-    dbg = persisted_table(spark, f"char_bigrams/{_base}", sf_dir, _build_dbg)
+    return persisted_table(spark, f"char_bigrams/{_base}", sf_dir, _build_dbg)
+
+
+def char_bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document surprisal under a corpus-trained character-bigram
+    language model — the classic cheap perplexity proxy for quality
+    filtering (documents whose character statistics diverge from the
+    corpus score high and get reviewed/dropped).
+
+    The "model" is the corpus itself: ``p(bg) = count(bg)/N`` over
+    all bigram tokens, ``avg_nll_bits = -avg(log2 p)`` over each
+    document's bigrams. Scale shape: the bigram census is a hash
+    aggregate bounded by |charset|² distinct keys, so the trained
+    model BROADCASTS back into the per-document scoring pass — train
+    on the corpus, score the corpus, two narrow passes and one tiny
+    broadcast, no quadratic anything. Exact-integer counts feed the
+    logs; the per-doc average is rounded to 4 so reduction order
+    cannot surface.
+    """
+    dbg = _doc_bigrams(spark, sf_dir)
     counts = dbg.groupBy("bg").agg(F.sum("n").alias("cnt"))
     total = counts.agg(F.sum("cnt").alias("total"))
     # avg over bigram TOKENS = Σ n·log2(N/cnt) / Σ n
@@ -1270,4 +1277,140 @@ ORACLE_SQL["vocab_coverage_curve"] = f"""
                  / CAST(t.n_total AS DOUBLE), 6) AS cum_share
     FROM top, tot t
     ORDER BY vocab_rank
+"""
+
+
+#: DSIR target domain and selection size: score every document by how
+#: much more likely its character bigrams are under the TARGET
+#: distribution (English docs) than under the general corpus, then
+#: keep the top slice — the hashed/importance-resampling recipe of
+#: Xie et al. 2023 ("Data Selection for Language Models via
+#: Importance Resampling"), with the same cheap bigram features.
+DSIR_TARGET_LANG = "en"
+DSIR_TOP_N = 100
+
+
+def dsir_target_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance scores: per-document average
+    log-likelihood ratio ``log2 p_target(bg) / p_general(bg)`` over
+    the document's character bigrams, add-one smoothed against the
+    corpus bigram vocabulary; the ``DSIR_TOP_N`` highest-ratio
+    documents are the selected in-domain slice.
+
+    Scale shape: both "models" are hash aggregates over the persisted
+    (doc, bigram) compaction (:func:`_doc_bigrams`) — bounded by
+    |charset|² distinct keys — that BROADCAST into one scoring pass
+    over the compaction. The target-side count re-uses the same
+    compaction via a doc_id equi-join with the target doc set, so the
+    raw text is exploded exactly once per corpus across all char-LM
+    consumers. No window over the corpus; the final top-N is a
+    TakeOrdered over per-doc rows.
+
+    Determinism: smoothing keeps every probability finite with exact
+    integer numerators/denominators; ranking uses ROUND(score, 6)
+    with a doc_id tiebreak; reported scores round to 4.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    dbg = _doc_bigrams(spark, sf_dir)
+    tgt_docs = docs.filter(
+        F.col("lang") == DSIR_TARGET_LANG
+    ).select("doc_id")
+    cg = dbg.groupBy("bg").agg(F.sum("n").alias("cnt_g"))
+    ct = (
+        dbg.join(tgt_docs, "doc_id")
+        .groupBy("bg")
+        .agg(F.sum("n").alias("cnt_t"))
+    )
+    sizes = cg.agg(
+        F.sum("cnt_g").alias("n_g"),
+        F.count(F.lit(1)).alias("v"),
+    ).crossJoin(
+        dbg.join(tgt_docs, "doc_id").agg(F.sum("n").alias("n_t"))
+    )
+    # per-token ratio term; both engines compute the identical
+    # double-division shape, and the per-doc weighted mean rounds
+    # to 4 so libm/reduction-order ulps cannot surface (the
+    # char_bigram_lm_scores discipline)
+    p_t = (F.col("cnt_t0") + 1).cast("double") / (
+        F.col("n_t") + F.col("v")
+    ).cast("double")
+    p_g = (F.col("cnt_g") + 1).cast("double") / (
+        F.col("n_g") + F.col("v")
+    ).cast("double")
+    scored = (
+        dbg.join(F.broadcast(cg), "bg")
+        .join(F.broadcast(ct), "bg", "left")
+        .withColumn(
+            "cnt_t0", F.coalesce(F.col("cnt_t"), F.lit(0))
+        )
+        .crossJoin(F.broadcast(sizes))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_bigrams"),
+            (
+                F.sum(F.col("n") * F.log2(p_t / p_g)) / F.sum("n")
+            ).alias("score"),
+        )
+    )
+    return (
+        scored.join(docs.select("doc_id", "lang"), "doc_id")
+        .orderBy(
+            F.round(F.col("score"), 6).desc(), F.col("doc_id")
+        )
+        .limit(DSIR_TOP_N)
+        .select(
+            "doc_id",
+            "lang",
+            "n_bigrams",
+            F.round(F.col("score"), 4).alias("dsir_score"),
+        )
+    )
+
+
+QUERIES["dsir_target_scores"] = dsir_target_scores
+
+ORACLE_SQL["dsir_target_scores"] = f"""
+    WITH b AS (
+        SELECT doc_id,
+               substr(lower(text), CAST(i AS INTEGER), 2) AS bg
+        FROM documents,
+             UNNEST(generate_series(1, length(text) - 1)) AS t(i)
+        WHERE length(text) >= 2
+    ),
+    tgt AS (
+        SELECT doc_id FROM documents WHERE lang = '{DSIR_TARGET_LANG}'
+    ),
+    cg AS (
+        SELECT bg, CAST(COUNT(*) AS BIGINT) AS cnt_g FROM b GROUP BY bg
+    ),
+    ct AS (
+        SELECT bg, CAST(COUNT(*) AS BIGINT) AS cnt_t
+        FROM b JOIN tgt USING (doc_id) GROUP BY bg
+    ),
+    sizes AS (
+        SELECT (SELECT CAST(SUM(cnt_g) AS BIGINT) FROM cg) AS n_g,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM cg) AS v,
+               (SELECT CAST(COUNT(*) AS BIGINT)
+                FROM b JOIN tgt USING (doc_id)) AS n_t
+    ),
+    scored AS (
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               AVG(log2(
+                   (CAST(COALESCE(ct.cnt_t, 0) + 1 AS DOUBLE)
+                    / CAST(n_t + v AS DOUBLE))
+                   / (CAST(cnt_g + 1 AS DOUBLE)
+                      / CAST(n_g + v AS DOUBLE))
+               )) AS score
+        FROM b
+        JOIN cg USING (bg)
+        LEFT JOIN ct USING (bg)
+        CROSS JOIN sizes
+        GROUP BY doc_id
+    )
+    SELECT s.doc_id AS doc_id, d.lang AS lang, s.n_bigrams,
+           ROUND(s.score, 4) AS dsir_score
+    FROM scored s JOIN documents d ON d.doc_id = s.doc_id
+    ORDER BY ROUND(s.score, 6) DESC, s.doc_id
+    LIMIT {DSIR_TOP_N}
 """

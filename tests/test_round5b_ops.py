@@ -1,0 +1,125 @@
+"""Invariant tests for the round-5b operators (SemDeDup semantic
+prune, DSIR importance scores, hand-rolled HyperLogLog). Value-level
+parity with DuckDB is the mirror/driver gate's job; these pin the
+semantic invariants that must hold on ANY corpus."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tableau_dashboard_performance_etl_automation_spark.operators import (
+    dedup,
+    sketches,
+    similarity,
+    textops,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_semantic_prune_dominators_are_lower_id_and_kept_closed(spark):
+    pruned = similarity.semantic_dedup_prune(spark, SF).collect()
+    assert pruned, "expected at least one semantic duplicate"
+    pruned_ids = {r.vec_id for r in pruned}
+    for r in pruned:
+        # min-id dominance: the dominating duplicate is strictly older
+        assert r.dup_of < r.vec_id
+        assert r.cos4 >= similarity.SEMDEDUP_TAU
+    # a vector pruned BY r.dup_of may itself be pruned only by an even
+    # lower id — so the set of dominators that are themselves unpruned
+    # must be non-empty (the kept side is never empty per cluster used)
+    assert any(r.dup_of not in pruned_ids for r in pruned)
+
+
+def test_semantic_summary_accounts_for_every_vector(spark):
+    summary = similarity.semantic_dedup_summary(spark, SF).collect()
+    n_corpus = (
+        similarity._emb(spark, SF).count()
+    )
+    assert sum(r.n_vecs for r in summary) == n_corpus
+    pruned = similarity.semantic_dedup_prune(spark, SF).count()
+    assert sum(r.n_pruned for r in summary) == pruned
+    for r in summary:
+        assert r.n_kept + r.n_pruned == r.n_vecs
+        assert 0.0 <= r.prune_frac <= 1.0
+
+
+def test_dsir_selects_target_language_disproportionately(spark):
+    sel = textops.dsir_target_scores(spark, SF).collect()
+    assert len(sel) == min(
+        textops.DSIR_TOP_N,
+        spark.read.parquet(f"{SF}/documents.parquet").count(),
+    )
+    # scores are sorted descending under the registered tie order
+    scores = [r.dsir_score for r in sel]
+    assert scores == sorted(scores, reverse=True)
+    # the point of DSIR: the selected slice is enriched in the target
+    # language relative to the corpus base rate
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    base = (
+        docs.filter(F.col("lang") == textops.DSIR_TARGET_LANG).count()
+        / docs.count()
+    )
+    sel_rate = sum(
+        1 for r in sel if r.lang == textops.DSIR_TARGET_LANG
+    ) / len(sel)
+    assert sel_rate > base
+
+
+def test_hll_estimate_tracks_exact_within_sketch_error(spark):
+    rows = sketches.hll_distinct_users(spark, SF).collect()
+    assert rows
+    # 1.04/sqrt(m) standard error; allow 4 sigma before calling the
+    # estimator broken
+    tol = 4 * 1.04 / (sketches.HLL_M ** 0.5)
+    for r in rows:
+        assert r.n_exact > 0
+        assert abs(r.rel_err) <= tol, (
+            f"{r.event_type}: rel_err {r.rel_err} beyond {tol}"
+        )
+        assert abs(r.hll_estimate / r.n_exact - 1 - r.rel_err) < 1e-3
+
+
+def test_hll_registers_merge_pointwise(spark):
+    """The sketch state must be mergeable: register maxima computed
+    on two disjoint halves of the events table, merged by pointwise
+    max, must equal the single-pass register maxima — the property
+    that lets the sketch partial-aggregate map-side and merge across
+    executors/streams."""
+    events = spark.read.parquet(f"{SF}/events.parquet")
+    h = F.md5(F.col("user_id").cast("string"))
+    from tableau_dashboard_performance_etl_automation_spark.functions.hashing import md5_hex_int
+
+    reg = md5_hex_int(h, 1, 2) % sketches.HLL_M
+    w = (
+        md5_hex_int(h, 3, 4).cast("bigint") * 65536
+        + md5_hex_int(h, 7, 4).cast("bigint")
+    )
+    rho = (
+        F.length(
+            F.regexp_extract(F.lpad(F.bin(w), 32, "0"), "^0*", 0)
+        )
+        + 1
+    )
+    tagged = events.select(
+        "event_type",
+        reg.alias("reg"),
+        rho.alias("rho"),
+        (F.col("event_id") % 2).alias("half"),
+    )
+    whole = {
+        (r.event_type, r.reg): r.m
+        for r in tagged.groupBy("event_type", "reg")
+        .agg(F.max("rho").alias("m"))
+        .collect()
+    }
+    halves = (
+        tagged.groupBy("event_type", "reg", "half")
+        .agg(F.max("rho").alias("m"))
+        .collect()
+    )
+    merged: dict = {}
+    for r in halves:
+        k = (r.event_type, r.reg)
+        merged[k] = max(merged.get(k, 0), r.m)
+    assert merged == whole
