@@ -852,3 +852,118 @@ ORACLE_SQL["dedup_policy_token_savings"] = f"""
                AS corpus_pct_recovered
     FROM ranked
 """
+
+
+#: Dedup-aware sampling: base keep rate (percent) for a singleton
+#: document; a duplicate family of k docs gets each member at
+#: BASE/k, so every FAMILY contributes the same expected mass and
+#: boilerplate-heavy sources stop dominating the training mix.
+DWS_BASE_PCT = 50
+
+
+def dedup_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplication-aware Poisson sample: each document's inclusion
+    probability is ``DWS_BASE_PCT% / cluster_size``, where
+    cluster_size is the document's MinHash-LSH duplicate-family size
+    (1 for documents in no candidate pair) — the sampling-side
+    alternative to hard dedup: instead of deleting all-but-one of a
+    family, DOWN-WEIGHT the family so its expected contribution
+    equals a singleton's (cf. repetition-discounted epoch mixing in
+    large-scale LM data work). The Horvitz-Thompson weight makes
+    sample-side aggregates unbiased for the corpus.
+
+    Scale shape: reuses the persisted CC labels
+    (:func:`_lsh_cluster_labels` — pointer-jumping output, built once
+    per corpus); cluster sizes are one hash aggregate on the (small)
+    labeled set that BROADCASTS back onto a narrow corpus scan; the
+    keep decision is per-row exact-integer arithmetic
+    (``u · 100 · k < BASE · 2^16``), no global state, merges
+    trivially — the Poisson-sampler shape (sampling.py) with a
+    cluster-derived rate.
+
+    Returns kept rows (doc_id, cluster_size, ht_weight) by doc_id.
+    """
+    from tableau_dashboard_performance_etl_automation_spark.operators.sampling import (
+        _U_BITS,
+        _hex4,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    labels = _lsh_cluster_labels(spark, sf_dir)
+    sizes = labels.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("k")
+    )
+    fam = labels.join(F.broadcast(sizes), "cluster_id").select(
+        "doc_id", "k"
+    )
+    u = _hex4("dws|", F.col("doc_id"))
+    return (
+        docs.join(F.broadcast(fam), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("k"), F.lit(1))
+            .cast("bigint")
+            .alias("cluster_size"),
+            u.alias("u"),
+        )
+        .filter(
+            F.col("u") * 100 * F.col("cluster_size")
+            < DWS_BASE_PCT * (1 << _U_BITS)
+        )
+        .select(
+            "doc_id",
+            "cluster_size",
+            F.round(
+                F.col("cluster_size") * 100.0 / DWS_BASE_PCT, 6
+            ).alias("ht_weight"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+QUERIES["dedup_weighted_sample"] = dedup_weighted_sample
+
+
+def _dws_oracle() -> str:
+    from tableau_dashboard_performance_etl_automation_spark.operators.sampling import (
+        _U_BITS,
+        _hex4_sql,
+    )
+
+    u_sql = _hex4_sql("dws|", "d.doc_id")
+    return f"""
+        WITH RECURSIVE
+        pairs AS (SELECT * FROM {_PAIRS_SQL} t),
+        sym AS (
+            SELECT doc_a AS src, doc_b AS dst FROM pairs
+            UNION
+            SELECT doc_b AS src, doc_a AS dst FROM pairs
+        ),
+        reach(doc_id, root) AS (
+            SELECT src, src FROM sym
+            UNION
+            SELECT s.src, r.root
+            FROM sym s JOIN reach r ON s.dst = r.doc_id
+        ),
+        labels AS (
+            SELECT doc_id, MIN(root) AS cluster_id
+            FROM reach GROUP BY doc_id
+        ),
+        fam AS (
+            SELECT doc_id,
+                   COUNT(*) OVER (PARTITION BY cluster_id) AS k
+            FROM labels
+        )
+        SELECT d.doc_id AS doc_id,
+               CAST(COALESCE(f.k, 1) AS BIGINT) AS cluster_size,
+               ROUND(COALESCE(f.k, 1) * 100.0 / {DWS_BASE_PCT}, 6)
+                   AS ht_weight
+        FROM documents d
+        LEFT JOIN fam f ON f.doc_id = d.doc_id
+        WHERE {u_sql} * 100 * COALESCE(f.k, 1)
+              < {DWS_BASE_PCT} * {1 << _U_BITS}
+        ORDER BY doc_id
+    """
+
+
+ORACLE_SQL["dedup_weighted_sample"] = _dws_oracle()

@@ -2334,3 +2334,76 @@ def _semantic_summary_oracle() -> str:
 
 ORACLE_SQL["semantic_dedup_prune"] = _semantic_prune_oracle()
 ORACLE_SQL["semantic_dedup_summary"] = _semantic_summary_oracle()
+
+
+#: Cluster-balanced sample size: vectors kept PER CLUSTER. Uniform
+#: per-cluster quotas flatten the cluster-size distribution — the
+#: diversity-preserving counterpoint to proportional sampling, which
+#: lets dense regions dominate the training mix.
+CLUSTER_SAMPLE_PER = 8
+
+
+def cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced (diversity) sampling over the embedding
+    space: keep a fixed quota of vectors from EVERY k-means cluster,
+    chosen by md5 rank — the curation move that follows a SemDeDup
+    pass (prune near-identical vectors, then flatten what remains so
+    no dense mode dominates the mixture; cf. the cluster-balanced
+    selection in SemDeDup/DoReMi-style curation pipelines).
+
+    Scale shape: reuses the persisted IVF posting lists
+    (:func:`_assignments`); the per-cluster rank window partitions on
+    ``cent_id`` over rows already laid out by ``cent_id`` — each
+    cluster sorts only its own md5 keys, no corpus-wide sort, and the
+    quota bounds the output at K·quota rows regardless of corpus
+    size. Selection is md5-deterministic, so the sample is replayable
+    (the Poisson-sampling discipline, sampling.py).
+
+    Returns (cent_id, pick_rank, vec_id, label) ordered by
+    (cent_id, pick_rank).
+    """
+    e = _emb(spark, sf_dir)
+    cent = _codebook(spark, sf_dir, e)
+    assign = _assignments(spark, sf_dir, e, cent)
+    w = Window.partitionBy("cent_id").orderBy(
+        F.md5(F.concat(F.lit("cbs|"), F.col("vec_id").cast("string"))),
+        F.col("vec_id"),
+    )
+    labels = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label"
+    )
+    return (
+        assign.select("cent_id", "vec_id")
+        .withColumn("pick_rank", F.row_number().over(w))
+        .filter(F.col("pick_rank") <= CLUSTER_SAMPLE_PER)
+        .join(labels, "vec_id")
+        .select("cent_id", "pick_rank", "vec_id", "label")
+        .orderBy("cent_id", "pick_rank")
+    )
+
+
+QUERIES["cluster_balanced_sample"] = cluster_balanced_sample
+
+
+def _cluster_sample_oracle() -> str:
+    ctes = _ivf_assign_ctes()
+    return f"""
+        WITH {", ".join(ctes)}
+        SELECT cent_id, pick_rank, vec_id, label
+        FROM (
+            SELECT a.cent_id AS cent_id, a.vec_id AS vec_id,
+                   e.label AS label,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY a.cent_id
+                       ORDER BY md5('cbs|' || CAST(a.vec_id AS VARCHAR)),
+                                a.vec_id
+                   ) AS pick_rank
+            FROM assign a
+            JOIN embeddings e ON e.vec_id = a.vec_id
+        )
+        WHERE pick_rank <= {CLUSTER_SAMPLE_PER}
+        ORDER BY cent_id, pick_rank
+    """
+
+
+ORACLE_SQL["cluster_balanced_sample"] = _cluster_sample_oracle()

@@ -161,3 +161,80 @@ ORACLE_SQL["closed_sessions_final"] = f"""
     WHERE s.session_id <> l.last_sid
     ORDER BY s.user_id, s.session_id
 """
+
+
+#: Attribution lookback: clicks within this many minutes BEFORE the
+#: purchase are credited (same-window twin of
+#: ``streaming.trend.purchase_click_attribution``'s 1-hour gap).
+ATTRIB_GAP_MIN = 60
+
+
+def purchase_click_attribution_final(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Batch semantics of ``streaming.trend.purchase_click_attribution``
+    (the watermarked stream-stream interval join): every (purchase,
+    click) pair for the same user with the click in the
+    ``ATTRIB_GAP_MIN``-minute window ending at the purchase. After the
+    stream drains, the streaming join has emitted exactly these pairs
+    — the reconciliation contract ``tests/test_streaming.py`` asserts.
+
+    Scale shape: an equi-join on ``user_id`` with the time-range
+    predicate applied inside the join — both sides shuffle once on
+    the user key and each user's pairs materialize within one task;
+    the range never becomes a cross join. The streaming variant
+    bounds the SAME computation's state by watermark instead of by
+    partition.
+    """
+    e = load_table(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+    )
+    return (
+        p.join(
+            c,
+            (F.col("user_id") == F.col("c_user"))
+            & (F.col("click_ts") <= F.col("purchase_ts"))
+            & (
+                F.col("click_ts")
+                >= F.col("purchase_ts")
+                - F.expr(f"INTERVAL {ATTRIB_GAP_MIN} MINUTES")
+            ),
+        )
+        .select(
+            "purchase_id",
+            "user_id",
+            "click_id",
+            F.unix_millis("purchase_ts").alias("purchase_ms"),
+            F.unix_millis("click_ts").alias("click_ms"),
+        )
+        .orderBy("purchase_id", "click_id")
+    )
+
+
+QUERIES["purchase_click_attribution_final"] = (
+    purchase_click_attribution_final
+)
+
+ORACLE_SQL["purchase_click_attribution_final"] = f"""
+    SELECT p.event_id AS purchase_id,
+           p.user_id AS user_id,
+           c.event_id AS click_id,
+           CAST(epoch_ms(p.ts) AS BIGINT) AS purchase_ms,
+           CAST(epoch_ms(c.ts) AS BIGINT) AS click_ms
+    FROM events p
+    JOIN events c
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click'
+     AND c.ts <= p.ts
+     AND c.ts >= p.ts - INTERVAL {ATTRIB_GAP_MIN} MINUTES
+    WHERE p.event_type = 'purchase'
+    ORDER BY purchase_id, click_id
+"""

@@ -123,3 +123,51 @@ def test_hll_registers_merge_pointwise(spark):
         k = (r.event_type, r.reg)
         merged[k] = max(merged.get(k, 0), r.m)
     assert merged == whole
+
+
+def test_attribution_twin_clicks_precede_within_gap(spark):
+    from tableau_dashboard_performance_etl_automation_spark.operators import streaming_twins
+
+    rows = streaming_twins.purchase_click_attribution_final(
+        spark, SF
+    ).collect()
+    assert rows, "expected attributed pairs"
+    gap_ms = streaming_twins.ATTRIB_GAP_MIN * 60 * 1000
+    for r in rows:
+        assert 0 <= r.purchase_ms - r.click_ms <= gap_ms
+
+
+def test_cluster_balanced_sample_flattens_quota(spark):
+    sample = similarity.cluster_balanced_sample(spark, SF).collect()
+    assert sample
+    per = {}
+    for r in sample:
+        per.setdefault(r.cent_id, []).append(r.pick_rank)
+    sizes = {
+        r.cent_id: r.n_vecs
+        for r in similarity.semantic_dedup_summary(spark, SF).collect()
+    }
+    for cid, ranks in per.items():
+        want = min(similarity.CLUSTER_SAMPLE_PER, sizes[cid])
+        assert sorted(ranks) == list(range(1, want + 1))
+    # every cluster with any vectors is represented
+    assert set(per) == {cid for cid, n in sizes.items() if n > 0}
+
+
+def test_dedup_weighted_sample_downweights_families(spark):
+    from tableau_dashboard_performance_etl_automation_spark.operators import clustering
+
+    kept = clustering.dedup_weighted_sample(spark, SF).collect()
+    assert kept
+    for r in kept:
+        assert r.cluster_size >= 1
+        # HT weight = 1/p = cluster_size / base_rate
+        assert abs(
+            r.ht_weight
+            - r.cluster_size * 100.0 / clustering.DWS_BASE_PCT
+        ) < 1e-6
+    # singletons keep at roughly the base rate; the md5 uniform makes
+    # this deterministic per corpus, so pin loose structural bounds
+    singles = [r for r in kept if r.cluster_size == 1]
+    docs = spark.read.parquet(f"{SF}/documents.parquet").count()
+    assert 0 < len(singles) <= docs

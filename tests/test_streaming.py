@@ -119,22 +119,12 @@ def test_stream_stream_interval_join_matches_batch(spark, sf_dir, tmp_path):
         (r.purchase_id, r.click_id)
         for r in spark.table("attr_sink").collect()
     }
-    e = load_table(spark, sf_dir, "events")
-    p = e.filter(F.col("event_type") == "purchase").select(
-        F.col("user_id").alias("pu"), F.col("ts").alias("pts"),
-        F.col("event_id").alias("pid"),
-    )
-    c = e.filter(F.col("event_type") == "click").select(
-        F.col("user_id").alias("cu"), F.col("ts").alias("cts"),
-        F.col("event_id").alias("cid"),
-    )
+    from tableau_dashboard_performance_etl_automation_spark.operators import streaming_twins
+
     want = {
-        (r.pid, r.cid)
-        for r in p.join(
-            c,
-            (F.col("pu") == F.col("cu"))
-            & (F.col("cts") <= F.col("pts"))
-            & (F.col("cts") >= F.col("pts") - F.expr("INTERVAL 1 HOUR")),
+        (r.purchase_id, r.click_id)
+        for r in streaming_twins.purchase_click_attribution_final(
+            spark, sf_dir
         ).collect()
     }
     assert got == want
