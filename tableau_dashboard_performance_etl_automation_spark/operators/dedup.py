@@ -1918,3 +1918,160 @@ ORACLE_SQL["source_dedup_burden"] = """
     GROUP BY d.source
     ORDER BY d.source
 """
+
+
+#: Winnowing dials (Schleimer, Wilkerson & Aiken 2003, "Winnowing:
+#: Local Algorithms for Document Fingerprinting" — the MOSS
+#: algorithm). K-word grams hashed per position; each window of W
+#: consecutive hashes contributes its minimum as a fingerprint, which
+#: GUARANTEES any shared run of at least W + K - 1 words is caught by
+#: at least one shared fingerprint — a local-match detector, where
+#: MinHash/SimHash only see whole-document similarity.
+WINNOW_K = 4
+WINNOW_W = 4
+#: Pairs must share at least this many fingerprints to be reported.
+WINNOW_MIN_SHARED = 3
+#: Stop-fingerprint cap — boilerplate grams shared by more docs than
+#: this are dropped before the pair join (the jaccard discipline).
+WINNOW_MAX_DF = 100
+
+
+def winnowing_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-overlap candidate pairs by winnowing fingerprints: docs
+    that share ≥ ``WINNOW_MIN_SHARED`` window-min k-gram hashes —
+    i.e. docs containing COPIED SPANS (quotes, templated paragraphs,
+    near-identical sections), even when the documents as a whole are
+    dissimilar. This is the span-level member of the dedup family:
+    exact (whole doc) → minhash/simhash (whole-doc similarity) →
+    winnowing (shared local runs ≥ W+K-1 words).
+
+    Scale shape: fingerprint extraction is one narrow positional
+    explode + a per-document window min (partitions by ``doc_id``,
+    sorts only each doc's own positions — bounded by doc length,
+    never corpus-wide); the density bound means each doc keeps
+    ~2/(W+1) of its positions, so the inverted index carries a
+    fraction of the shingle volume. The pair step is the capped
+    equi-join on fingerprint (no cross join), with the same
+    stop-fingerprint DF cap as the jaccard index. Hashes are md5 hex
+    strings — lexicographic MIN agrees across engines.
+
+    Returns (doc_a, doc_b, n_shared, overlap_frac) where
+    overlap_frac = n_shared / min(|fp_a|, |fp_b|), ordered by pair.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    arr = word_shingles(k=WINNOW_K)
+    sh = (
+        docs.withColumn("w", words())
+        .filter(F.size("w") >= WINNOW_K)
+        .select(
+            "doc_id",
+            F.size(arr).alias("nsh"),
+            F.posexplode(arr).alias("pos", "sh"),
+        )
+        .withColumn("h", F.md5("sh"))
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(
+        0, WINNOW_W - 1
+    )
+    fp = (
+        sh.withColumn("fp", F.min("h").over(win))
+        .filter(F.col("pos") <= F.col("nsh") - WINNOW_W)
+        .select("doc_id", "fp")
+        .distinct()
+    )
+    keep = (
+        fp.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= WINNOW_MAX_DF)
+        .select("fp")
+    )
+    fpk = fp.join(keep, "fp")
+    counts = fpk.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nfp"))
+    a, b = fpk.alias("a"), fpk.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+        .filter(F.col("n_shared") >= WINNOW_MIN_SHARED)
+    )
+    ca = counts.select(
+        F.col("doc_id").alias("doc_a"), F.col("nfp").alias("nfp_a")
+    )
+    cb = counts.select(
+        F.col("doc_id").alias("doc_b"), F.col("nfp").alias("nfp_b")
+    )
+    return (
+        pairs.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared",
+            F.round(
+                F.col("n_shared")
+                / F.least(F.col("nfp_a"), F.col("nfp_b")),
+                4,
+            ).alias("overlap_frac"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+QUERIES["winnowing_overlap_pairs"] = winnowing_overlap_pairs
+
+ORACLE_SQL["winnowing_overlap_pairs"] = f"""
+    WITH dw AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        WHERE len(string_split(text, ' ')) >= {WINNOW_K}
+    ),
+    sh AS (
+        SELECT doc_id,
+               len(w) - {WINNOW_K} + 1 AS nsh,
+               generate_subscripts(
+                   {shingles_sql_duckdb(WINNOW_K)}, 1) - 1 AS pos,
+               md5(unnest({shingles_sql_duckdb(WINNOW_K)})) AS h
+        FROM dw
+    ),
+    fp AS (
+        SELECT DISTINCT doc_id, fp FROM (
+            SELECT doc_id, pos, nsh,
+                   MIN(h) OVER (
+                       PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN CURRENT ROW
+                                AND {WINNOW_W - 1} FOLLOWING
+                   ) AS fp
+            FROM sh
+        )
+        WHERE pos <= nsh - {WINNOW_W}
+    ),
+    keep AS (
+        SELECT fp FROM fp GROUP BY fp
+        HAVING COUNT(*) <= {WINNOW_MAX_DF}
+    ),
+    fpk AS (SELECT f.doc_id, f.fp FROM fp f JOIN keep USING (fp)),
+    counts AS (
+        SELECT doc_id, COUNT(*) AS nfp FROM fpk GROUP BY doc_id
+    ),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(COUNT(*) AS BIGINT) AS n_shared
+        FROM fpk a
+        JOIN fpk b ON b.fp = a.fp AND b.doc_id > a.doc_id
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= {WINNOW_MIN_SHARED}
+    )
+    SELECT p.doc_a, p.doc_b, p.n_shared,
+           ROUND(p.n_shared / CAST(LEAST(ca.nfp, cb.nfp) AS DOUBLE), 4)
+               AS overlap_frac
+    FROM pairs p
+    JOIN counts ca ON ca.doc_id = p.doc_a
+    JOIN counts cb ON cb.doc_id = p.doc_b
+    ORDER BY doc_a, doc_b
+"""

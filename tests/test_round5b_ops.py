@@ -171,3 +171,73 @@ def test_dedup_weighted_sample_downweights_families(spark):
     singles = [r for r in kept if r.cluster_size == 1]
     docs = spark.read.parquet(f"{SF}/documents.parquet").count()
     assert 0 < len(singles) <= docs
+
+
+def test_winnowing_fingerprints_match_python_oracle(spark):
+    """Replay Schleimer et al.'s winnowing in plain Python for a few
+    documents and compare against the operator's window-min pipeline
+    (engine-level check; cross-engine parity is the mirror's job)."""
+    import hashlib
+
+    docs = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+        .limit(5)
+        .collect()
+    )
+    K, W = dedup.WINNOW_K, dedup.WINNOW_W
+
+    def py_fps(text: str) -> set:
+        w = text.split(" ")
+        grams = [
+            " ".join(w[i : i + K]) for i in range(len(w) - K + 1)
+        ]
+        hs = [hashlib.md5(g.encode()).hexdigest() for g in grams]
+        return {
+            min(hs[i : i + W]) for i in range(len(hs) - W + 1)
+        }
+
+    from pyspark.sql import functions as SF_
+    from pyspark.sql.window import Window
+    from tableau_dashboard_performance_etl_automation_spark.functions.text import word_shingles, words
+
+    arr = word_shingles(k=K)
+    sh = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .filter(SF_.col("doc_id").isin([r.doc_id for r in docs]))
+        .withColumn("w", words())
+        .filter(SF_.size("w") >= K)
+        .select(
+            "doc_id",
+            SF_.size(arr).alias("nsh"),
+            SF_.posexplode(arr).alias("pos", "sh"),
+        )
+        .withColumn("h", SF_.md5("sh"))
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(
+        0, W - 1
+    )
+    got: dict = {}
+    for r in (
+        sh.withColumn("fp", SF_.min("h").over(win))
+        .filter(SF_.col("pos") <= SF_.col("nsh") - W)
+        .select("doc_id", "fp")
+        .distinct()
+        .collect()
+    ):
+        got.setdefault(r.doc_id, set()).add(r.fp)
+    for d in docs:
+        want = py_fps(d.text)
+        if len(d.text.split(" ")) - K + 1 >= W:
+            assert got.get(d.doc_id) == want, f"doc {d.doc_id}"
+        else:
+            assert d.doc_id not in got
+
+
+def test_winnowing_pairs_are_valid(spark):
+    rows = dedup.winnowing_overlap_pairs(spark, SF).collect()
+    for r in rows:
+        assert r.doc_a < r.doc_b
+        assert r.n_shared >= dedup.WINNOW_MIN_SHARED
+        assert 0.0 < r.overlap_frac <= 1.0
