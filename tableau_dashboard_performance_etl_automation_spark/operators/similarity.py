@@ -72,12 +72,30 @@ EMB_DIM = 64
 N_QUERIES = 10
 #: IVF codebook: K centroids trained with IVF_ITERS Lloyd iterations
 #: (spherical k-means: assign by cosine, update by arithmetic mean).
-#: K is a dial — ≈√n per cluster-balance rule of thumb; fixed here so
-#: the oracle can replay training. Centroid updates accumulate exact
-#: integer micro-units (round(x*1e6) as BIGINT) so the means are
-#: order-independent and bit-identical across engines.
-N_CENTROIDS = 16
+#: K is a SELF-EXECUTING dial (round-5b, like ``lsh_band_bits``):
+#: ≈√n per the cluster-balance rule of thumb, stepped to multiples
+#: of 8 and clamped — the test corpora (≤2.5k vectors) land on the
+#: 16 floor (bit-identical to the old fixed K=16), a 1e9-vector
+#: corpus lands near the ceiling. This is what keeps the
+#: within-cluster pair joins (SemDeDup, IVF probes) sub-quadratic:
+#: with K ≈ √n the total pair space is n²/K ≈ n^1.5, not n². The
+#: oracle recomputes the same dial from COUNT(*). Centroid updates
+#: accumulate exact integer micro-units (round(x*1e6) as BIGINT) so
+#: the means are order-independent and bit-identical across engines.
+IVF_MIN_CENTROIDS = 16
+IVF_MAX_CENTROIDS = 65536
 IVF_ITERS = 3
+
+
+def ivf_n_centroids(n_vectors: int) -> int:
+    """Codebook size for an ``n_vectors`` corpus: ⌊√n⌋ stepped down
+    to a multiple of 8, clamped to [MIN, MAX]. Python ``isqrt`` and
+    the oracle's ``FLOOR(SQRT(n))`` agree exactly for any feasible
+    corpus count (IEEE sqrt of an integer < 2^52 floors to isqrt)."""
+    import math
+
+    k = (math.isqrt(max(0, n_vectors)) // 8) * 8
+    return min(IVF_MAX_CENTROIDS, max(IVF_MIN_CENTROIDS, k))
 QUANT_SCALE = "1e6"
 #: Train on a deterministic 4-in-5 sample of the corpus (vec_id % 5
 #: < 4) — k-means codebooks are trained on a sample and applied to
@@ -505,7 +523,7 @@ def _nearest(e: DataFrame, cent: DataFrame, nprobe: int = 1) -> DataFrame:
     )
 
 
-def _train_centroids(e: DataFrame) -> list:
+def _train_centroids(e: DataFrame, n_centroids: int) -> list:
     """K-means codebook training; returns the K collected
     ``(cent_id, cvec)`` rows. Init = first K vectors, then
     ``IVF_ITERS`` Lloyd rounds of (assign by cosine →
@@ -531,7 +549,7 @@ def _train_centroids(e: DataFrame) -> list:
         .coalesce(8)
         .localCheckpoint()
     )
-    cent = e.filter(F.col("vec_id") < N_CENTROIDS).select(
+    cent = e.filter(F.col("vec_id") < n_centroids).select(
         F.col("vec_id").alias("cent_id"), F.col("vec").alias("cvec")
     )
     rows = [(r.cent_id, r.cvec) for r in cent.collect()]
@@ -597,12 +615,16 @@ def _codebook(spark: SparkSession, sf_dir: str, e: DataFrame) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     rows = _CODEBOOK_CACHE.get(key)
     if rows is None:
-        art = _artifact_name(IVF_CODEBOOK_ARTIFACT, sf_dir)
+        # K self-derives from the corpus count (ivf_n_centroids) and
+        # versions the artifact path, so codebooks built under a
+        # different dial value can never be read back by mistake
+        k = ivf_n_centroids(e.count())
+        art = _artifact_name(f"{IVF_CODEBOOK_ARTIFACT}/k{k}", sf_dir)
         stored = load_artifact(spark, art, sf_dir)
         if stored is not None:
             rows = [(r.cent_id, r.cvec) for r in stored.collect()]
         else:
-            rows = _train_centroids(e)
+            rows = _train_centroids(e, k)
             save_artifact(
                 spark.createDataFrame(
                     rows, "cent_id BIGINT, cvec ARRAY<DOUBLE>"
@@ -654,9 +676,13 @@ def _assignments(
     if df is None:
         # table-backed: no localCheckpoint, no pinned blocks — reads
         # prune to the probed cent_id partitions
+        # postings version-stamped by the codebook size (K is the
+        # local count of the tiny centroid frame — no corpus job)
         df = persisted_table(
             spark,
-            _artifact_name(IVF_POSTINGS_ARTIFACT, sf_dir),
+            _artifact_name(
+                f"{IVF_POSTINGS_ARTIFACT}/k{cent.count()}", sf_dir
+            ),
             sf_dir,
             lambda: _nearest(e, cent),
             partition_by=["cent_id"],
@@ -1257,9 +1283,16 @@ def _ivf_assign_ctes() -> list[str]:
             SELECT * FROM embeddings
             WHERE (vec_id % {TRAIN_MOD}) < {TRAIN_KEEP}
         )""",
-        f"""cent0 AS (
+        f"""kdial AS (
+            SELECT LEAST({IVF_MAX_CENTROIDS}, GREATEST(
+                       {IVF_MIN_CENTROIDS},
+                       (CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT) // 8) * 8
+                   )) AS k
+            FROM embeddings
+        )""",
+        """cent0 AS (
             SELECT vec_id AS cent_id, embedding::DOUBLE[] AS cvec
-            FROM embeddings WHERE vec_id < {N_CENTROIDS}
+            FROM embeddings WHERE vec_id < (SELECT k FROM kdial)
         )""",
     ]
     for i in range(1, IVF_ITERS + 1):

@@ -241,3 +241,16 @@ def test_winnowing_pairs_are_valid(spark):
         assert r.doc_a < r.doc_b
         assert r.n_shared >= dedup.WINNOW_MIN_SHARED
         assert 0.0 < r.overlap_frac <= 1.0
+
+
+def test_ivf_centroid_dial():
+    assert similarity.ivf_n_centroids(0) == similarity.IVF_MIN_CENTROIDS
+    assert similarity.ivf_n_centroids(500) == 16      # test corpora
+    assert similarity.ivf_n_centroids(2000) == 40     # sf0.1
+    assert similarity.ivf_n_centroids(32000) == 176
+    # sqrt scaling keeps within-cluster pair space ~n^1.5
+    assert similarity.ivf_n_centroids(10**9) == 31616
+    assert (
+        similarity.ivf_n_centroids(10**10)
+        == similarity.IVF_MAX_CENTROIDS
+    )

@@ -71,7 +71,12 @@ def test_ivf_recall_improves_with_nprobe(spark, sf_dir):
         }
         return len(brute & ivf) / len(brute)
 
-    r1, r4, rall = recall(1), recall(4), recall(similarity.N_CENTROIDS)
+    n_vec = similarity._emb(spark, sf_dir).count()
+    r1, r4, rall = (
+        recall(1),
+        recall(4),
+        recall(similarity.ivf_n_centroids(n_vec)),
+    )
     assert r1 <= r4 <= rall
     # probing every cluster IS brute force → perfect recall
     assert rall == 1.0

@@ -139,6 +139,12 @@ def main() -> None:
         "doc_char_entropy": textops.doc_char_entropy,
         "char_bigram_lm_scores": textops.char_bigram_lm_scores,
         "vocab_coverage_curve": textops.vocab_coverage_curve,
+        # round-5b: the span-level fingerprint family (per-doc window
+        # min + capped inverted index) and the clustered semantic
+        # prune (within-cluster pair join over the persisted IVF
+        # postings) — both must stay near-linear as the corpus grows
+        "winnowing_overlap_pairs": dedup.winnowing_overlap_pairs,
+        "semantic_dedup_prune": similarity.semantic_dedup_prune,
     }
     report: dict = {"base": base, "scales": {}}
     for factor in factors:
