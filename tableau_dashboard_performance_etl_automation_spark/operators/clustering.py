@@ -967,3 +967,131 @@ def _dws_oracle() -> str:
 
 
 ORACLE_SQL["dedup_weighted_sample"] = _dws_oracle()
+
+
+def split_leakage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test contamination audit: every MinHash-LSH near-dup
+    candidate pair, bucketed by the split assignment of its two ends
+    (``sampling.dataset_split``'s md5 buckets). Rows with
+    ``leaks = 1`` are near-duplicate pairs that STRADDLE a split
+    boundary — the eval-set leakage a naive per-document split
+    produces, and the number :func:`leakfree_split_assign` drives to
+    zero.
+
+    Scale shape: the candidate pairs come from the banded equi-join
+    (never a cross join); the split column is a narrow md5 projection
+    on each side, so this adds two cheap joins on ``doc_id`` and one
+    bounded (≤ |splits|²-row) aggregate.
+    """
+    from tableau_dashboard_performance_etl_automation_spark.operators.dedup import (
+        dedup_minhash_lsh,
+    )
+    from tableau_dashboard_performance_etl_automation_spark.operators.sampling import (
+        _split_col,
+    )
+
+    pairs = dedup_minhash_lsh(spark, sf_dir)
+    return (
+        pairs.withColumn("split_a", _split_col(F.col("doc_a")))
+        .withColumn("split_b", _split_col(F.col("doc_b")))
+        .groupBy("split_a", "split_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+        .withColumn(
+            "leaks",
+            (F.col("split_a") != F.col("split_b")).cast("int"),
+        )
+        .orderBy("split_a", "split_b")
+    )
+
+
+def leakfree_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster-aware split assignment: every document is
+    split by the md5 bucket of its near-dup CLUSTER REPRESENTATIVE
+    (the cluster's min doc_id; singletons represent themselves), so a
+    whole duplicate family always lands in ONE split and near-dup
+    train→test leakage is zero by construction — the split discipline
+    eval-minded pipelines use (group-aware splitting).
+
+    Scale shape: reuses the persisted CC labels
+    (:func:`_lsh_cluster_labels`); the assignment is a left join on
+    ``doc_id`` plus a narrow md5 projection — no new pair work.
+
+    Returns (doc_id, rep_id, split) ordered by doc_id.
+    """
+    from tableau_dashboard_performance_etl_automation_spark.operators.sampling import (
+        _split_col,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    labels = _lsh_cluster_labels(spark, sf_dir)
+    return (
+        docs.join(F.broadcast(labels), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("cluster_id"), F.col("doc_id"))
+            .cast("bigint")
+            .alias("rep_id"),
+        )
+        .withColumn("split", _split_col(F.col("rep_id")))
+        .orderBy("doc_id")
+    )
+
+
+QUERIES["split_leakage_report"] = split_leakage_report
+QUERIES["leakfree_split_assign"] = leakfree_split_assign
+
+
+def _leakage_oracle() -> str:
+    from tableau_dashboard_performance_etl_automation_spark.operators.sampling import (
+        split_case_sql,
+    )
+
+    return f"""
+        WITH pairs AS (SELECT * FROM {_PAIRS_SQL} t)
+        SELECT {split_case_sql('doc_a')} AS split_a,
+               {split_case_sql('doc_b')} AS split_b,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST({split_case_sql('doc_a')}
+                    != {split_case_sql('doc_b')} AS INTEGER) AS leaks
+        FROM pairs
+        GROUP BY split_a, split_b
+        ORDER BY split_a, split_b
+    """
+
+
+def _leakfree_oracle() -> str:
+    from tableau_dashboard_performance_etl_automation_spark.operators.sampling import (
+        split_case_sql,
+    )
+
+    return f"""
+        WITH RECURSIVE
+        pairs AS (SELECT * FROM {_PAIRS_SQL} t),
+        sym AS (
+            SELECT doc_a AS src, doc_b AS dst FROM pairs
+            UNION
+            SELECT doc_b AS src, doc_a AS dst FROM pairs
+        ),
+        reach(doc_id, root) AS (
+            SELECT src, src FROM sym
+            UNION
+            SELECT s.src, r.root
+            FROM sym s JOIN reach r ON s.dst = r.doc_id
+        ),
+        labels AS (
+            SELECT doc_id, MIN(root) AS cluster_id
+            FROM reach GROUP BY doc_id
+        )
+        SELECT d.doc_id AS doc_id,
+               CAST(COALESCE(l.cluster_id, d.doc_id) AS BIGINT)
+                   AS rep_id,
+               {split_case_sql('COALESCE(l.cluster_id, d.doc_id)')}
+                   AS split
+        FROM documents d
+        LEFT JOIN labels l ON l.doc_id = d.doc_id
+        ORDER BY doc_id
+    """
+
+
+ORACLE_SQL["split_leakage_report"] = _leakage_oracle()
+ORACLE_SQL["leakfree_split_assign"] = _leakfree_oracle()

@@ -452,12 +452,27 @@ _BUCKET_SQL = (
     " + ascii(substr(md5(CAST(doc_id AS VARCHAR)), 2, 1))) % 100"
 )
 
-_SPLIT_CASE = f"""
-    CASE WHEN {_BUCKET_SQL} >= 0  AND {_BUCKET_SQL} < 90 THEN 'train'
-         WHEN {_BUCKET_SQL} >= 90 AND {_BUCKET_SQL} < 95 THEN 'val'
-         WHEN {_BUCKET_SQL} >= 95 AND {_BUCKET_SQL} < 100 THEN 'test'
-    END
-"""
+def bucket_sql(id_expr: str) -> str:
+    """DuckDB twin of :func:`_bucket` over an arbitrary id expr."""
+    h = f"md5(CAST({id_expr} AS VARCHAR))"
+    return (
+        f"(ascii(substr({h}, 1, 1)) * 256"
+        f" + ascii(substr({h}, 2, 1))) % 100"
+    )
+
+
+def split_case_sql(id_expr: str) -> str:
+    """DuckDB twin of :func:`_split_col` over an arbitrary id expr —
+    generated from ``SPLITS`` so the boundaries live in one place."""
+    b = bucket_sql(id_expr)
+    arms = " ".join(
+        f"WHEN {b} >= {lo} AND {b} < {hi} THEN '{name}'"
+        for name, lo, hi in SPLITS
+    )
+    return f"CASE {arms} END"
+
+
+_SPLIT_CASE = split_case_sql("doc_id")
 
 _RATE_CASE = "CASE " + " ".join(
     f"WHEN lang = '{lang}' THEN {pct}" for lang, pct in MIX_RATES.items()

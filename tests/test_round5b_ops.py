@@ -254,3 +254,38 @@ def test_ivf_centroid_dial():
         similarity.ivf_n_centroids(10**10)
         == similarity.IVF_MAX_CENTROIDS
     )
+
+
+def test_leakfree_split_keeps_families_together(spark):
+    from tableau_dashboard_performance_etl_automation_spark.operators import clustering
+
+    assign = {
+        r.doc_id: (r.rep_id, r.split)
+        for r in clustering.leakfree_split_assign(spark, SF).collect()
+    }
+    labels = {
+        r.doc_id: r.cluster_id
+        for r in clustering._lsh_cluster_labels(spark, SF).collect()
+    }
+    assert assign, "expected assignments"
+    # every member of a duplicate family gets the family's split
+    by_cluster: dict = {}
+    for doc, cid in labels.items():
+        by_cluster.setdefault(cid, []).append(doc)
+    for cid, docs in by_cluster.items():
+        splits = {assign[d][1] for d in docs}
+        assert len(splits) == 1, f"cluster {cid} split across {splits}"
+    # singletons represent themselves
+    for doc, (rep, _) in assign.items():
+        if doc not in labels:
+            assert rep == doc
+
+
+def test_leakage_report_consistent_with_pairs(spark):
+    from tableau_dashboard_performance_etl_automation_spark.operators import clustering
+
+    rows = clustering.split_leakage_report(spark, SF).collect()
+    n_pairs = dedup.dedup_minhash_lsh(spark, SF).count()
+    assert sum(r.n_pairs for r in rows) == n_pairs
+    for r in rows:
+        assert r.leaks == int(r.split_a != r.split_b)
