@@ -16,6 +16,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     DoubleType,
     LongType,
     StringType,
@@ -259,6 +260,81 @@ def session_collapse(stream: DataFrame) -> DataFrame:
         _close_sessions,
         outputStructType=SESSION_OUTPUT_SCHEMA,
         stateStructType=SESSION_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+HLL_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("hll_estimate", DoubleType()),
+        StructField("n_registers_set", LongType()),
+    ]
+)
+
+#: HLL state = the m register maxima — the canonical bounded sketch
+#: state (fixed size regardless of how many users stream through).
+HLL_STATE_SCHEMA = StructType(
+    [StructField("regs", ArrayType(LongType()))]
+)
+
+
+def _hll_update(
+    key: tuple, batches: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    """Fold each micro-batch into the per-type register maxima and
+    emit the running estimate. The hash/register/ρ arithmetic is the
+    SAME md5 pipeline as the batch twin
+    (``operators.sketches.hll_distinct_users``) — hashlib.md5 here,
+    ``F.md5`` there, identical bytes — so after the stream drains the
+    state reproduces the batch registers exactly (reconciliation
+    test: ``tests/test_streaming.py``). Register max is
+    order-insensitive and mergeable, which is the whole reason an
+    HLL can live in a state store."""
+    import hashlib
+    import math
+
+    from tableau_dashboard_performance_etl_automation_spark.operators.sketches import (
+        HLL_ALPHA,
+        HLL_M,
+    )
+
+    regs = list(state.get[0]) if state.exists else [0] * HLL_M
+    for pdf in batches:
+        for uid in pdf["user_id"]:
+            h = hashlib.md5(str(uid).encode()).hexdigest()
+            reg = int(h[0:2], 16) % HLL_M
+            w = int(h[2:10], 16)
+            rho = 33 - w.bit_length()  # 32-bit suffix; w=0 → 33
+            if rho > regs[reg]:
+                regs[reg] = rho
+    state.update((regs,))
+    z = sum(2.0 ** -m for m in regs if m > 0)
+    v_empty = sum(1 for m in regs if m == 0)
+    raw = HLL_ALPHA * HLL_M * HLL_M / (z + float(v_empty))
+    if raw <= 2.5 * HLL_M and v_empty > 0:
+        est = float(HLL_M) * math.log(float(HLL_M) / v_empty)
+    else:
+        est = raw
+    yield pd.DataFrame(
+        {
+            "event_type": [key[0]],
+            "hll_estimate": [round(est, 2)],
+            "n_registers_set": [HLL_M - v_empty],
+        }
+    )
+
+
+def hll_distinct_stream(stream: DataFrame) -> DataFrame:
+    """Streaming HyperLogLog: per-event-type distinct-user estimate
+    maintained in the state store — m register maxima per key, O(m)
+    state no matter how many users stream through, updated per
+    micro-batch and emitting the running estimate."""
+    return stream.groupBy("event_type").applyInPandasWithState(
+        _hll_update,
+        outputStructType=HLL_OUTPUT_SCHEMA,
+        stateStructType=HLL_STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -566,3 +566,46 @@ def test_ivf_postings_scan_prunes_to_probed_clusters(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "ivf_postings" in plan
     assert "dynamicpruning" in plan
+
+
+def test_semantic_prune_is_equijoin_over_postings(spark, sf_dir):
+    df = similarity.semantic_dedup_prune(spark, sf_dir)
+    plan = formatted_plan(df)
+    # within-cluster pairs come from an equi-join on cent_id over the
+    # persisted posting lists — never a cartesian pair enumeration
+    assert not has_cartesian_product(df)
+    # extraction is JVM-side: no Python stage anywhere in the plan
+    assert "Python" not in plan
+
+
+def test_winnowing_has_no_window_and_no_cartesian(spark, sf_dir):
+    df = dedup.winnowing_overlap_pairs(spark, sf_dir)
+    plan = formatted_plan(df)
+    # fingerprint extraction is array-side inside a projection; the
+    # per-doc window-sort formulation must not creep back in
+    assert "Window" not in plan
+    assert not has_cartesian_product(df)
+    assert "Python" not in plan
+
+
+def test_dedup_weighted_sample_broadcasts_family_sizes(spark, sf_dir):
+    from tableau_dashboard_performance_etl_automation_spark.operators import clustering
+
+    df = clustering.dedup_weighted_sample(spark, sf_dir)
+    plan = formatted_plan(df)
+    # the family-size side is label-census sized → must broadcast
+    # into the corpus scan, not shuffle the corpus
+    assert "BroadcastHashJoin" in plan
+    assert not has_cartesian_product(df)
+
+
+def test_hll_is_two_hash_aggregates_no_join_on_corpus(spark, sf_dir):
+    from tableau_dashboard_performance_etl_automation_spark.operators import sketches
+
+    df = sketches.hll_distinct_users(spark, sf_dir)
+    plan = formatted_plan(df)
+    # register maxima + per-type reduction: hash aggregates with
+    # map-side partial combine; no sort-based aggregation path
+    assert "HashAggregate" in plan
+    assert not has_cartesian_product(df)
+    assert "Python" not in plan

@@ -474,3 +474,40 @@ def test_session_collapse_matches_batch_closed_sessions(
     )
     assert got == want
     assert got, "expected at least one closed session in the fixture"
+
+
+def test_streaming_hll_converges_to_batch_sketch(spark, sf_dir, tmp_path):
+    """After the stream drains, the state-store registers must equal
+    the batch sketch's — same md5 pipeline on both sides — so the
+    final per-type estimate matches hll_distinct_users exactly."""
+    from tableau_dashboard_performance_etl_automation_spark.operators import sketches
+
+    inp = _stage_stream_input(spark, sf_dir, tmp_path)
+    stream = trend.events_stream(spark, inp)
+    (
+        stateful.hll_distinct_stream(
+            stream.select("event_type", "user_id")
+        )
+        .writeStream.format("memory")
+        .queryName("hll_sink")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    # update mode emits one row per (trigger, key): keep each key's
+    # LAST emission (max n_registers_set is monotone, but rely on
+    # arrival order within the memory sink via groupBy-last on the
+    # running estimate from the final trigger)
+    import collections
+
+    last: dict = collections.OrderedDict()
+    for r in spark.table("hll_sink").collect():
+        last[r.event_type] = (r.hll_estimate, r.n_registers_set)
+    want = {
+        r.event_type: r.hll_estimate
+        for r in sketches.hll_distinct_users(spark, sf_dir).collect()
+    }
+    assert set(last) == set(want)
+    for et, (est, _) in last.items():
+        assert est == want[et], f"{et}: stream {est} != batch {want[et]}"

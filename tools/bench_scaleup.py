@@ -164,10 +164,14 @@ def main() -> None:
                 "sec": round(time.time() - t0, 2),
                 "rows": n_rows,
             }
-            if name == "dedup_incremental_newbatch":
-                # first call pays the one-time bucketed index write
-                # (∝ corpus, amortized forever); steady-state probes
-                # are the recurring cost and must stay ∝ batch
+            if name in (
+                "dedup_incremental_newbatch",
+                "winnowing_overlap_pairs",
+                "semantic_dedup_prune",
+            ):
+                # first call pays the one-time persisted-artifact
+                # build (∝ corpus, amortized forever); steady-state
+                # probes are the recurring cost
                 t1 = time.time()
                 fn(spark, sf_dir).count()
                 row[name]["steady_sec"] = round(time.time() - t1, 2)
