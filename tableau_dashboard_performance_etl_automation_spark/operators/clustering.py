@@ -874,8 +874,11 @@ def dedup_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: reuses the persisted CC labels
     (:func:`_lsh_cluster_labels` — pointer-jumping output, built once
-    per corpus); cluster sizes are one hash aggregate on the (small)
-    labeled set that BROADCASTS back onto a narrow corpus scan; the
+    per corpus); cluster sizes are one hash aggregate on the labeled
+    set (the per-CLUSTER census broadcasts into the family join; the
+    per-DOC family table is corpus-shaped, so its join onto the
+    corpus is a plain doc_id equi-join — AQE broadcasts it only when
+    it is actually small); the
     keep decision is per-row exact-integer arithmetic
     (``u · 100 · k < BASE · 2^16``), no global state, merges
     trivially — the Poisson-sampler shape (sampling.py) with a
@@ -893,12 +896,16 @@ def dedup_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes = labels.groupBy("cluster_id").agg(
         F.count(F.lit(1)).alias("k")
     )
+    # sizes (one row per CLUSTER) is census-shaped and safe to
+    # broadcast; fam (one row per labeled DOC) is corpus-shaped, so
+    # its join onto the corpus stays a plain equi-join on doc_id —
+    # AQE broadcasts it dynamically when the labeled set is small
     fam = labels.join(F.broadcast(sizes), "cluster_id").select(
         "doc_id", "k"
     )
     u = _hex4("dws|", F.col("doc_id"))
     return (
-        docs.join(F.broadcast(fam), "doc_id", "left")
+        docs.join(fam, "doc_id", "left")
         .select(
             "doc_id",
             F.coalesce(F.col("k"), F.lit(1))
@@ -1025,7 +1032,9 @@ def leakfree_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     labels = _lsh_cluster_labels(spark, sf_dir)
     return (
-        docs.join(F.broadcast(labels), "doc_id", "left")
+        # labels are corpus-shaped (every doc in any pair): plain
+        # equi-join on doc_id; AQE broadcasts when actually small
+        docs.join(labels, "doc_id", "left")
         .select(
             "doc_id",
             F.coalesce(F.col("cluster_id"), F.col("doc_id"))
