@@ -1414,3 +1414,96 @@ ORACLE_SQL["dsir_target_scores"] = f"""
     ORDER BY ROUND(s.score, 6) DESC, s.doc_id
     LIMIT {DSIR_TOP_N}
 """
+
+
+#: Reciprocal-rank-fusion constant (Cormack et al. 2009's k=60) and
+#: fused-list size.
+RRF_K = 60
+RRF_TOP = 20
+
+
+def hybrid_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval by reciprocal rank fusion: merge the LEXICAL
+    ranking (:func:`bm25_ranked_docs`) with the DISTRIBUTION-match
+    ranking (:func:`dsir_target_scores`) via
+    ``rrf = Σ 1/(k + rank_r)`` — the standard score-free fusion rule
+    that makes BM25 and an embedding/LM ranker comparable without
+    calibrating their score scales (Cormack, Clarke & Büttner 2009;
+    the default hybrid-search combiner in modern retrieval stacks).
+
+    Scale shape: both inputs are already top-N lists bounded by
+    CONSTANTS (BM25_TOP_K, DSIR_TOP_N), so the unpartitioned rank
+    windows and the full-outer join touch ≤ N rows regardless of
+    corpus size — the heavy lifting happened inside the two rankers,
+    each with its own documented scale path. RRF terms are fixed
+    two-operand double expressions (no reduction), identical in both
+    engines; ties break on doc_id.
+
+    Returns the RRF_TOP fused docs: (doc_id, rank_bm25, rank_dsir,
+    rrf_score), rank columns NULL where a doc appears in only one
+    list.
+    """
+    bm = bm25_ranked_docs(spark, sf_dir).select("doc_id", "bm25")
+    ds = dsir_target_scores(spark, sf_dir).select(
+        "doc_id", "dsir_score"
+    )
+    wb = Window.orderBy(F.col("bm25").desc(), F.col("doc_id"))
+    wd = Window.orderBy(F.col("dsir_score").desc(), F.col("doc_id"))
+    bmr = bm.select(
+        "doc_id", F.row_number().over(wb).alias("rank_bm25")
+    )
+    dsr = ds.select(
+        "doc_id", F.row_number().over(wd).alias("rank_dsir")
+    )
+    rrf = F.coalesce(
+        F.lit(1.0) / (F.lit(RRF_K) + F.col("rank_bm25")), F.lit(0.0)
+    ) + F.coalesce(
+        F.lit(1.0) / (F.lit(RRF_K) + F.col("rank_dsir")), F.lit(0.0)
+    )
+    return (
+        bmr.join(dsr, "doc_id", "full")
+        .select(
+            "doc_id",
+            F.col("rank_bm25").cast("int").alias("rank_bm25"),
+            F.col("rank_dsir").cast("int").alias("rank_dsir"),
+            F.round(rrf, 6).alias("rrf_score"),
+        )
+        .orderBy(F.col("rrf_score").desc(), F.col("doc_id"))
+        .limit(RRF_TOP)
+    )
+
+
+QUERIES["hybrid_rank_fusion"] = hybrid_rank_fusion
+
+ORACLE_SQL["hybrid_rank_fusion"] = f"""
+    WITH bm AS (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id)
+                   AS rank_bm25
+        FROM ({{bm25}}) b
+    ),
+    ds AS (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY dsir_score DESC, doc_id)
+                   AS rank_dsir
+        FROM ({{dsir}}) d
+    )
+    SELECT COALESCE(bm.doc_id, ds.doc_id) AS doc_id,
+           CAST(bm.rank_bm25 AS INTEGER) AS rank_bm25,
+           CAST(ds.rank_dsir AS INTEGER) AS rank_dsir,
+           ROUND(COALESCE(1.0 / ({RRF_K} + bm.rank_bm25), 0.0)
+                 + COALESCE(1.0 / ({RRF_K} + ds.rank_dsir), 0.0), 6)
+               AS rrf_score
+    FROM bm FULL JOIN ds ON ds.doc_id = bm.doc_id
+    ORDER BY rrf_score DESC, doc_id
+    LIMIT {RRF_TOP}
+"""
+
+# splice the two ranker oracles in as derived tables (after the
+# f-string above resolved RRF_K/RRF_TOP, only these two slots remain)
+ORACLE_SQL["hybrid_rank_fusion"] = ORACLE_SQL[
+    "hybrid_rank_fusion"
+].format(
+    bm25=ORACLE_SQL["bm25_ranked_docs"],
+    dsir=ORACLE_SQL["dsir_target_scores"],
+)

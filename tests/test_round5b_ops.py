@@ -289,3 +289,20 @@ def test_leakage_report_consistent_with_pairs(spark):
     assert sum(r.n_pairs for r in rows) == n_pairs
     for r in rows:
         assert r.leaks == int(r.split_a != r.split_b)
+
+
+def test_rrf_fusion_scores_and_membership(spark):
+    fused = textops.hybrid_rank_fusion(spark, SF).collect()
+    assert fused and len(fused) <= textops.RRF_TOP
+    k = textops.RRF_K
+    for r in fused:
+        want = 0.0
+        if r.rank_bm25 is not None:
+            want += 1.0 / (k + r.rank_bm25)
+        if r.rank_dsir is not None:
+            want += 1.0 / (k + r.rank_dsir)
+        assert abs(r.rrf_score - round(want, 6)) < 1e-9
+        assert r.rank_bm25 is not None or r.rank_dsir is not None
+    # docs in BOTH lists dominate same-rank docs in one list
+    scores = [r.rrf_score for r in fused]
+    assert scores == sorted(scores, reverse=True)
