@@ -111,3 +111,74 @@ ORACLE_SQL = {
         ORDER BY doc_id
     """,
 }
+
+
+#: k-anonymity threshold: a quasi-identifier cell backed by fewer
+#: than this many distinct users is a re-identification risk and gets
+#: flagged for suppression.
+K_ANON = 5
+
+
+def small_cell_suppression_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """k-anonymity audit over the events stream: for every
+    quasi-identifier cell — (event_type, Monday=0 weekday, value decade) —
+    count the distinct users behind it and flag cells below
+    ``K_ANON`` for suppression. This is the other half of the privacy
+    pass next to the PII regex scrub: redaction removes direct
+    identifiers, small-cell suppression catches combinations of
+    innocuous attributes that single out individuals (the standard
+    release-audit rule in k-anonymity / statistical-disclosure
+    control).
+
+    Scale shape: one hash aggregate over a narrow projection — cell
+    cardinality is bounded by |types|·7·|decades| regardless of event
+    volume, and COUNT(DISTINCT user) partial-aggregates per cell.
+    The decade binning is exact integer FLOOR division (both engines
+    floor identically on non-negative values).
+
+    Returns (event_type, dow, value_decade, n_users, n_events,
+    suppress) ordered by cell.
+    """
+    e = load_table(spark, sf_dir, "events")
+    cells = (
+        e.select(
+            "event_type",
+            # Monday=0 weekday (Spark F.weekday == DuckDB isodow-1)
+            F.weekday("ts").cast("int").alias("dow"),
+            F.floor(F.col("value") / 10).cast("bigint").alias(
+                "value_decade"
+            ),
+            "user_id",
+        )
+        .groupBy("event_type", "dow", "value_decade")
+        .agg(
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        )
+    )
+    return cells.select(
+        "event_type",
+        "dow",
+        "value_decade",
+        "n_users",
+        "n_events",
+        (F.col("n_users") < K_ANON).cast("int").alias("suppress"),
+    ).orderBy("event_type", "dow", "value_decade")
+
+
+QUERIES["small_cell_suppression_report"] = small_cell_suppression_report
+
+ORACLE_SQL["small_cell_suppression_report"] = f"""
+    SELECT event_type,
+           CAST(isodow(ts) - 1 AS INTEGER) AS dow,
+           CAST(FLOOR(value / 10) AS BIGINT) AS value_decade,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) < {K_ANON} AS INTEGER)
+               AS suppress
+    FROM events
+    GROUP BY event_type, dow, value_decade
+    ORDER BY event_type, dow, value_decade
+"""

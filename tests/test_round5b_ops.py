@@ -306,3 +306,15 @@ def test_rrf_fusion_scores_and_membership(spark):
     # docs in BOTH lists dominate same-rank docs in one list
     scores = [r.rrf_score for r in fused]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_small_cell_report_flags_below_k(spark):
+    from tableau_dashboard_performance_etl_automation_spark.operators import scrubbing
+
+    rows = scrubbing.small_cell_suppression_report(spark, SF).collect()
+    assert rows
+    assert any(r.suppress == 1 for r in rows)
+    for r in rows:
+        assert r.suppress == int(r.n_users < scrubbing.K_ANON)
+        assert 0 <= r.dow <= 6
+        assert r.n_events >= r.n_users >= 1
