@@ -720,3 +720,86 @@ ORACLE_SQL["shard_skew_report"] = f"""
     GROUP BY s.shard_id
     ORDER BY s.shard_id
 """
+
+
+#: Token-balanced packing: number of parallel bins (data-loader
+#: workers / microbatch streams) the corpus is striped across.
+N_PACK_BINS = 16
+
+
+def token_packed_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-balanced bin packing plan: stripe documents across
+    ``N_PACK_BINS`` bins in descending token order (longest-first
+    round-robin — the classic LPT-style balancing heuristic), so
+    every bin ends up with near-equal token mass. This is the
+    sequence-packing PLANNER of a training data loader: equal-token
+    bins mean equal-work microbatch streams, where naive per-doc
+    round-robin leaves long-document skew.
+
+    Scale shape — a global rank WITHOUT a single-partition sort: the
+    sort key is the token COUNT, whose distinct-value domain is
+    bounded by document length, so the rank decomposes exactly like
+    ``global_shuffle_shards``' hash-prefix histogram: (1) per-count
+    doc totals (map-side combinable), cumulated into per-count
+    offsets on a tiny broadcast frame; (2) a row_number window
+    partitioned by count (bounded state) stitched onto the offset.
+    The per-bin aggregate is ``N_PACK_BINS`` rows.
+
+    Returns (bin_id, n_docs, total_tokens, max_tokens) by bin_id.
+    """
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", F.size(F.split("text", " ")).alias("toks")
+    )
+    counts = t.groupBy("toks").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy(F.col("toks").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = counts.select(
+        "toks", F.coalesce(F.sum("n").over(w), F.lit(0)).alias("offset")
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("toks").orderBy("doc_id")
+    )
+    ranked = t.join(F.broadcast(offsets), "toks").select(
+        "doc_id", "toks", (F.col("offset") + rn).alias("rank")
+    )
+    return (
+        ranked.select(
+            "toks",
+            ((F.col("rank") - 1) % N_PACK_BINS)
+            .cast("int")
+            .alias("bin_id"),
+        )
+        .groupBy("bin_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("toks").cast("bigint").alias("total_tokens"),
+            F.max("toks").cast("bigint").alias("max_tokens"),
+        )
+        .orderBy("bin_id")
+    )
+
+
+QUERIES["token_packed_bins"] = token_packed_bins
+
+ORACLE_SQL["token_packed_bins"] = f"""
+    WITH t AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS toks
+        FROM documents
+    ),
+    r AS (
+        SELECT doc_id, toks,
+               ROW_NUMBER() OVER (ORDER BY toks DESC, doc_id) AS rank
+        FROM t
+    )
+    SELECT CAST((rank - 1) % {N_PACK_BINS} AS INTEGER) AS bin_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(toks) AS BIGINT) AS total_tokens,
+           CAST(MAX(toks) AS BIGINT) AS max_tokens
+    FROM r
+    GROUP BY bin_id
+    ORDER BY bin_id
+"""

@@ -318,3 +318,17 @@ def test_small_cell_report_flags_below_k(spark):
         assert r.suppress == int(r.n_users < scrubbing.K_ANON)
         assert 0 <= r.dow <= 6
         assert r.n_events >= r.n_users >= 1
+
+
+def test_token_packing_balances_bins(spark):
+    from tableau_dashboard_performance_etl_automation_spark.operators import sampling
+
+    bins = sampling.token_packed_bins(spark, SF).collect()
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    assert sum(r.n_docs for r in bins) == docs.count()
+    totals = [r.total_tokens for r in bins]
+    # longest-first striping: bin token totals stay within one
+    # max-document of each other is too strict for striping, but the
+    # relative imbalance must be small on any non-degenerate corpus
+    assert max(totals) - min(totals) <= max(r.max_tokens for r in bins) * 2
+    assert max(r.n_docs for r in bins) - min(r.n_docs for r in bins) <= 1
