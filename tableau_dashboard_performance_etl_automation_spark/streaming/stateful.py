@@ -302,7 +302,9 @@ def _hll_update(
 
     regs = list(state.get[0]) if state.exists else [0] * HLL_M
     for pdf in batches:
-        for uid in pdf["user_id"]:
+        # duplicates can't move a register max — hash each distinct
+        # user once per batch
+        for uid in pdf["user_id"].unique():
             h = hashlib.md5(str(uid).encode()).hexdigest()
             reg = int(h[0:2], 16) % HLL_M
             w = int(h[2:10], 16)
