@@ -417,3 +417,218 @@ ORACLE_SQL["hll_distinct_users"] = f"""
     FROM est e JOIN exact x ON x.event_type = e.event_type
     ORDER BY event_type
 """
+
+
+def kmv_type_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV sketch SET OPERATIONS: estimate the distinct-user Jaccard
+    similarity between every pair of event types from their K-minimum
+    -values sketches alone — the property that makes KMV the sketch
+    of choice for cross-dataset overlap audits (union = K smallest of
+    the sketch union; Jaccard = fraction of the union sketch present
+    in both sides; Beyer et al. 2007). The exact Jaccard runs
+    alongside to expose the sketch error, as in
+    :func:`kmv_distinct_users`.
+
+    Scale shape: each type's sketch is K values (the corpus collapses
+    to |types|·K rows before any pairwise work); the pairwise stage
+    touches only sketches — |types|²/2 · K rows total, independent of
+    event volume. Every rank window partitions by type or type-pair
+    (bounded state); membership tests are equi-joins on the 48-bit
+    hash. All arithmetic is exact integers/ratios → bit-identical
+    across engines.
+
+    Returns (type_a, type_b, kmv_jaccard, exact_jaccard, abs_err)
+    for type_a < type_b, ordered by pair.
+    """
+    from pyspark.sql.window import Window
+
+    events = load_table(spark, sf_dir, "events")
+    h = F.md5(F.col("user_id").cast("string"))
+    h48 = (
+        md5_hex_int(h, 1, _KMV_HALF_DIGITS).cast("bigint")
+        * F.lit(_KMV_HALF_SPACE)
+        + md5_hex_int(h, 1 + _KMV_HALF_DIGITS, _KMV_HALF_DIGITS).cast(
+            "bigint"
+        )
+    )
+    hashed = events.select("event_type", h48.alias("h")).distinct()
+    wk = Window.partitionBy("event_type").orderBy("h")
+    sk = (
+        hashed.withColumn("rn", F.row_number().over(wk))
+        .filter(F.col("rn") <= KMV_K)
+        .select("event_type", "h")
+    )
+    a = sk.select(
+        F.col("event_type").alias("type_a"), F.col("h")
+    )
+    b = sk.select(
+        F.col("event_type").alias("type_b"), F.col("h")
+    )
+    # union of the two sketches per (a, b) pair, K smallest kept;
+    # membership flags survive the merge via max() over the dedup
+    merged = (
+        a.withColumn("in_a", F.lit(1)).withColumn("in_b", F.lit(0))
+        .crossJoin(
+            sk.select(F.col("event_type").alias("type_b")).distinct()
+        )
+        .filter(F.col("type_a") < F.col("type_b"))
+        .unionByName(
+            b.withColumn("in_b", F.lit(1))
+            .withColumn("in_a", F.lit(0))
+            .crossJoin(
+                sk.select(
+                    F.col("event_type").alias("type_a")
+                ).distinct()
+            )
+            .filter(F.col("type_a") < F.col("type_b"))
+        )
+        .groupBy("type_a", "type_b", "h")
+        .agg(
+            F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b")
+        )
+    )
+    wp = Window.partitionBy("type_a", "type_b").orderBy("h")
+    topk = merged.withColumn("urn", F.row_number().over(wp)).filter(
+        F.col("urn") <= KMV_K
+    )
+    est = topk.groupBy("type_a", "type_b").agg(
+        F.count(F.lit(1)).alias("k_eff"),
+        F.sum(
+            (F.col("in_a") * F.col("in_b")).cast("bigint")
+        ).alias("n_both"),
+    )
+    exact = (
+        hashed.alias("x")
+        .join(
+            hashed.alias("y"),
+            (F.col("x.h") == F.col("y.h"))
+            & (F.col("x.event_type") < F.col("y.event_type")),
+        )
+        .groupBy(
+            F.col("x.event_type").alias("type_a"),
+            F.col("y.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sizes = hashed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    sa = sizes.select(
+        F.col("event_type").alias("type_a"), F.col("n").alias("n_a")
+    )
+    sb = sizes.select(
+        F.col("event_type").alias("type_b"), F.col("n").alias("n_b")
+    )
+    ej = (
+        exact.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            F.round(
+                F.col("n_inter")
+                / (
+                    F.col("n_a") + F.col("n_b") - F.col("n_inter")
+                ).cast("double"),
+                6,
+            ).alias("exact_jaccard"),
+        )
+    )
+    return (
+        est.join(ej, ["type_a", "type_b"])
+        .select(
+            "type_a",
+            "type_b",
+            F.round(
+                F.col("n_both") / F.col("k_eff").cast("double"), 6
+            ).alias("kmv_jaccard"),
+            "exact_jaccard",
+            F.round(
+                F.abs(
+                    F.col("n_both") / F.col("k_eff").cast("double")
+                    - F.col("exact_jaccard")
+                ),
+                6,
+            ).alias("abs_err"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+QUERIES["kmv_type_overlap"] = kmv_type_overlap
+
+ORACLE_SQL["kmv_type_overlap"] = f"""
+    WITH hashed AS (
+        SELECT DISTINCT event_type,
+               CAST({_KMV_HI_SQL} AS BIGINT) * {_KMV_HALF_SPACE}
+               + CAST({_KMV_LO_SQL} AS BIGINT) AS h
+        FROM events
+    ),
+    sk AS (
+        SELECT event_type, h FROM (
+            SELECT event_type, h,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY event_type ORDER BY h
+                   ) AS rn
+            FROM hashed
+        ) WHERE rn <= {KMV_K}
+    ),
+    types AS (SELECT DISTINCT event_type FROM sk),
+    merged AS (
+        SELECT type_a, type_b, h,
+               MAX(in_a) AS in_a, MAX(in_b) AS in_b
+        FROM (
+            SELECT s.event_type AS type_a, t.event_type AS type_b,
+                   s.h, 1 AS in_a, 0 AS in_b
+            FROM sk s CROSS JOIN types t
+            WHERE s.event_type < t.event_type
+            UNION ALL
+            SELECT t.event_type AS type_a, s.event_type AS type_b,
+                   s.h, 0 AS in_a, 1 AS in_b
+            FROM sk s CROSS JOIN types t
+            WHERE t.event_type < s.event_type
+        )
+        GROUP BY type_a, type_b, h
+    ),
+    topk AS (
+        SELECT * FROM (
+            SELECT type_a, type_b, h, in_a, in_b,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY type_a, type_b ORDER BY h
+                   ) AS urn
+            FROM merged
+        ) WHERE urn <= {KMV_K}
+    ),
+    est AS (
+        SELECT type_a, type_b,
+               COUNT(*) AS k_eff,
+               CAST(SUM(in_a * in_b) AS BIGINT) AS n_both
+        FROM topk GROUP BY type_a, type_b
+    ),
+    inter AS (
+        SELECT x.event_type AS type_a, y.event_type AS type_b,
+               COUNT(*) AS n_inter
+        FROM hashed x
+        JOIN hashed y ON y.h = x.h
+                     AND x.event_type < y.event_type
+        GROUP BY 1, 2
+    ),
+    sizes AS (
+        SELECT event_type, COUNT(*) AS n FROM hashed
+        GROUP BY event_type
+    )
+    SELECT e.type_a AS type_a, e.type_b AS type_b,
+           ROUND(e.n_both / CAST(e.k_eff AS DOUBLE), 6) AS kmv_jaccard,
+           ROUND(i.n_inter
+                 / CAST(sa.n + sb.n - i.n_inter AS DOUBLE), 6)
+               AS exact_jaccard,
+           ROUND(ABS(e.n_both / CAST(e.k_eff AS DOUBLE)
+                     - i.n_inter
+                       / CAST(sa.n + sb.n - i.n_inter AS DOUBLE)), 6)
+               AS abs_err
+    FROM est e
+    JOIN inter i ON i.type_a = e.type_a AND i.type_b = e.type_b
+    JOIN sizes sa ON sa.event_type = e.type_a
+    JOIN sizes sb ON sb.event_type = e.type_b
+    ORDER BY type_a, type_b
+"""

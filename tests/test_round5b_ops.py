@@ -332,3 +332,17 @@ def test_token_packing_balances_bins(spark):
     # relative imbalance must be small on any non-degenerate corpus
     assert max(totals) - min(totals) <= max(r.max_tokens for r in bins) * 2
     assert max(r.n_docs for r in bins) - min(r.n_docs for r in bins) <= 1
+
+
+def test_kmv_overlap_tracks_exact_jaccard(spark):
+    rows = sketches.kmv_type_overlap(spark, SF).collect()
+    assert rows, "expected type pairs"
+    # sketch Jaccard standard error ~ 1/sqrt(K); allow 4 sigma
+    tol = 4 / (sketches.KMV_K ** 0.5)
+    for r in rows:
+        assert r.type_a < r.type_b
+        assert 0.0 <= r.kmv_jaccard <= 1.0
+        assert 0.0 <= r.exact_jaccard <= 1.0
+        assert r.abs_err <= tol, (
+            f"{r.type_a}/{r.type_b}: err {r.abs_err} beyond {tol}"
+        )
