@@ -210,7 +210,10 @@ def test_ivf_codebook_persists_across_cold_session(spark, sf_dir):
         (r.cent_id, tuple(r.cvec))
         for r in sim._codebook(spark, sf_dir, sim._emb(spark, sf_dir)).collect()
     )
-    art = sim._artifact_name(sim.IVF_CODEBOOK_ARTIFACT, sf_dir)
+    k = sim.ivf_n_centroids(sim._emb(spark, sf_dir).count())
+    art = sim._artifact_name(
+        f"{sim.IVF_CODEBOOK_ARTIFACT}/k{k}", sf_dir
+    )
     assert wh.load_artifact(spark, art, sf_dir) is not None
 
     # simulate the cold session: clear ONLY the in-process dict memo.
@@ -219,7 +222,7 @@ def test_ivf_codebook_persists_across_cold_session(spark, sf_dir):
     sim._CODEBOOK_CACHE.clear()
     # sabotage the trainer: a cold load must NOT call it
     orig = sim._train_centroids
-    sim._train_centroids = lambda e: (_ for _ in ()).throw(
+    sim._train_centroids = lambda e, k: (_ for _ in ()).throw(
         AssertionError("cold session retrained instead of loading")
     )
     try:
