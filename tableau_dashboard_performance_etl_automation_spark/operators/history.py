@@ -274,3 +274,69 @@ ORACLE_SQL["cdc_upsert_customers"] = """
       ON c.c_custkey = l.custkey
     ORDER BY custkey
 """
+
+
+def scd2_point_in_time_purchases(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Point-in-time (PIT) lookup against the SCD2 band history: every
+    purchase event joins the band interval that was CURRENT at its
+    event time — the temporal-dimension join every warehouse with
+    slowly-changing dimensions runs (feature stores call it the
+    point-in-time-correct join; ``asof.py`` is its nearest-event
+    cousin, this is exact interval membership).
+
+    Scale shape: an equi-join on ``user_id`` with the interval test
+    applied inside the join — each user's history rows are few, so
+    the pair space per user is events × segments of THAT user, never
+    cross-user. Interval bounds compare as ``yyyy-MM-dd HH:mm:ss``
+    strings, whose lexicographic order IS chronological order —
+    engine-identical with zero timestamp-type drift. Boundary note:
+    a purchase whose ts equals the shared boundary of two segments
+    (band flip within one timestamp) matches both intervals; the
+    predicate is identical in the oracle, so the (deterministic)
+    double-count cannot diverge.
+
+    Returns (band, n_purchases, value_cents) ordered by band.
+    """
+    bands = scd2_user_bands(spark, sf_dir).select(
+        "user_id", "band", "valid_from", "valid_to"
+    )
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.date_format("ts", _TS_FMT).alias("pts"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    return (
+        p.join(
+            bands,
+            (p["user_id"] == bands["user_id"])
+            & (F.col("pts") >= F.col("valid_from"))
+            & (F.col("pts") <= F.col("valid_to")),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
+            F.sum("cents").cast("bigint").alias("value_cents"),
+        )
+        .orderBy("band")
+    )
+
+
+QUERIES["scd2_point_in_time_purchases"] = scd2_point_in_time_purchases
+
+ORACLE_SQL["scd2_point_in_time_purchases"] = f"""
+    WITH hist AS ({ORACLE_SQL["scd2_user_bands"]})
+    SELECT h.band AS band,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(SUM(CAST(ROUND(e.value * 100) AS BIGINT)) AS BIGINT)
+               AS value_cents
+    FROM events e
+    JOIN hist h ON h.user_id = e.user_id
+               AND strftime(e.ts, '{{duck_fmt}}') >= h.valid_from
+               AND strftime(e.ts, '{{duck_fmt}}') <= h.valid_to
+    WHERE e.event_type = 'purchase'
+    GROUP BY h.band
+    ORDER BY band
+""".replace("{duck_fmt}", _TS_FMT_DUCK)

@@ -346,3 +346,21 @@ def test_kmv_overlap_tracks_exact_jaccard(spark):
         assert r.abs_err <= tol, (
             f"{r.type_a}/{r.type_b}: err {r.abs_err} beyond {tol}"
         )
+
+
+def test_scd2_pit_join_accounts_every_purchase(spark):
+    from tableau_dashboard_performance_etl_automation_spark.operators import history
+
+    rows = history.scd2_point_in_time_purchases(spark, SF).collect()
+    assert rows
+    n_joined = sum(r.n_purchases for r in rows)
+    n_purchases = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .where("event_type = 'purchase'")
+        .count()
+    )
+    # every purchase falls inside its user's own history (it helped
+    # build it); boundary double-matches can only add, never drop
+    assert n_joined >= n_purchases
+    for r in rows:
+        assert r.value_cents > 0
