@@ -803,3 +803,141 @@ ORACLE_SQL["token_packed_bins"] = f"""
     GROUP BY bin_id
     ORDER BY bin_id
 """
+
+
+#: Bootstrap replicates and per-replicate keep rate (percent). 32
+#: half-samples give a stable nonparametric CI on any mean-like
+#: corpus statistic; the replicate membership is md5-deterministic,
+#: so the "random" resamples are reproducible and oracle-replayable.
+BOOT_B = 32
+BOOT_KEEP_PCT = 50
+
+
+def bootstrap_mean_tokens_ci(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Nonparametric confidence interval for the corpus mean token
+    count via deterministic half-sample bootstrap (m-out-of-n):
+    ``BOOT_B`` replicates, each keeping a doc iff
+    ``md5(replicate|doc)`` falls under the keep rate, then the
+    [2.5%, 97.5%] spread of the replicate means. Error bars on corpus
+    statistics are how a curation dashboard distinguishes real drift
+    from sampling noise — and a hash-seeded bootstrap is the only
+    kind that is reproducible across runs, partitionings, and
+    engines.
+
+    Scale shape: the replicate dimension is a BOOT_B-row broadcast
+    range crossed onto a narrow (doc_id, tokens) projection — one
+    pass over the corpus produces every replicate's membership
+    simultaneously (flat-map, no per-replicate rescan); per-replicate
+    means are one hash aggregate keyed by replicate id (B groups);
+    the quantile step runs on a B-row frame. Means are exact integer
+    token sums over exact counts, so replicate statistics are
+    bit-identical across engines.
+
+    Returns one row: (n_replicates, mean_tokens, ci_lo, ci_hi).
+    """
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", F.size(F.split("text", " ")).alias("toks")
+    )
+    reps = F.broadcast(
+        spark.range(BOOT_B).select(F.col("id").cast("int").alias("rep"))
+    )
+    member = (
+        t.crossJoin(reps)
+        .withColumn(
+            "u",
+            _hex4_rep(F.col("rep"), F.col("doc_id")),
+        )
+        .filter(F.col("u") * 100 < BOOT_KEEP_PCT * (1 << _U_BITS))
+    )
+    per_rep = member.groupBy("rep").agg(
+        (
+            F.sum("toks").cast("double") / F.count(F.lit(1))
+        ).alias("rep_mean")
+    )
+    overall = t.agg(
+        (F.sum("toks").cast("double") / F.count(F.lit(1))).alias(
+            "mean_tokens"
+        )
+    )
+    ci = per_rep.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_replicates"),
+        F.round(
+            F.expr("percentile(rep_mean, 0.025)"), 4
+        ).alias("ci_lo"),
+        F.round(
+            F.expr("percentile(rep_mean, 0.975)"), 4
+        ).alias("ci_hi"),
+    )
+    return ci.crossJoin(F.broadcast(overall)).select(
+        "n_replicates",
+        F.round(F.col("mean_tokens"), 4).alias("mean_tokens"),
+        "ci_lo",
+        "ci_hi",
+    )
+
+
+def _hex4_rep(rep_col: F.Column, id_col: F.Column) -> F.Column:
+    """Per-replicate uniform: first 4 md5 hex digits of
+    ``boot|<rep>|<doc_id>`` — the _hex4 family keyed by replicate."""
+    from tableau_dashboard_performance_etl_automation_spark.functions.hashing import (
+        md5_hex_int,
+    )
+
+    h = F.md5(
+        F.concat(
+            F.lit("boot|"),
+            rep_col.cast("string"),
+            F.lit("|"),
+            id_col.cast("string"),
+        )
+    )
+    return md5_hex_int(h, 1, 4)
+
+
+QUERIES["bootstrap_mean_tokens_ci"] = bootstrap_mean_tokens_ci
+
+
+def _boot_u_sql() -> str:
+    from tableau_dashboard_performance_etl_automation_spark.functions.hashing import (
+        md5_hex_int_sql,
+    )
+
+    h = ("md5('boot|' || CAST(r.rep AS VARCHAR) || '|'"
+         " || CAST(t.doc_id AS VARCHAR))")
+    return md5_hex_int_sql(h, 1, 4)
+
+
+ORACLE_SQL["bootstrap_mean_tokens_ci"] = f"""
+    WITH t AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS toks
+        FROM documents
+    ),
+    r AS (
+        SELECT CAST(UNNEST(generate_series(0, {BOOT_B - 1})) AS INTEGER)
+                   AS rep
+    ),
+    member AS (
+        SELECT r.rep, t.toks
+        FROM t CROSS JOIN r
+        WHERE {{u}} * 100 < {BOOT_KEEP_PCT} * {1 << 16}
+    ),
+    per_rep AS (
+        SELECT rep,
+               CAST(SUM(toks) AS DOUBLE) / COUNT(*) AS rep_mean
+        FROM member GROUP BY rep
+    ),
+    overall AS (
+        SELECT CAST(SUM(toks) AS DOUBLE) / COUNT(*) AS mean_tokens
+        FROM t
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_replicates,
+           ROUND(ANY_VALUE(o.mean_tokens), 4) AS mean_tokens,
+           ROUND(quantile_cont(rep_mean, 0.025), 4) AS ci_lo,
+           ROUND(quantile_cont(rep_mean, 0.975), 4) AS ci_hi
+    FROM per_rep CROSS JOIN overall o
+""".replace("{u}", _boot_u_sql())

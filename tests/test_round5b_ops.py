@@ -364,3 +364,14 @@ def test_scd2_pit_join_accounts_every_purchase(spark):
     assert n_joined >= n_purchases
     for r in rows:
         assert r.value_cents > 0
+
+
+def test_bootstrap_ci_brackets_the_mean(spark):
+    from tableau_dashboard_performance_etl_automation_spark.operators import sampling
+
+    row = sampling.bootstrap_mean_tokens_ci(spark, SF).collect()[0]
+    assert row.n_replicates == sampling.BOOT_B
+    # half-sample replicate means scatter AROUND the corpus mean;
+    # the 95% band must contain it on any non-adversarial corpus
+    assert row.ci_lo <= row.mean_tokens <= row.ci_hi
+    assert row.ci_lo < row.ci_hi
