@@ -941,3 +941,87 @@ ORACLE_SQL["bootstrap_mean_tokens_ci"] = f"""
            ROUND(quantile_cont(rep_mean, 0.975), 4) AS ci_hi
     FROM per_rep CROSS JOIN overall o
 """.replace("{u}", _boot_u_sql())
+
+
+def ht_estimated_token_total(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Horvitz-Thompson estimation CLOSED LOOP: estimate the corpus
+    token total from the Poisson PPS sample alone
+    (:func:`poisson_token_sample`) and report it against the exact
+    total — the check that the sampler's inclusion probabilities and
+    weights actually deliver the unbiasedness the docstring promises.
+    For size-proportional inclusion ``p = toks/CAP`` the HT term
+    ``toks/p`` collapses to exact integers (CAP for every sampled doc
+    under the cap, ``toks`` for docs at p=1), so the estimate itself
+    is integer-exact and cross-engine stable — only the final
+    relative error is a rounded double.
+
+    Scale shape: one narrow scan for the sample (no shuffle before
+    the 1-row aggregates), one for the exact total; both collapse
+    map-side.
+
+    Returns one row: (n_sampled, est_total_tokens,
+    exact_total_tokens, rel_err).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.size(F.split(F.col("text"), " "))
+    u = _hex4("pois|", F.col("doc_id"))
+    sampled = docs.select(
+        toks.alias("toks"), u.alias("u")
+    ).filter(F.col("u") * POISSON_CAP < F.col("toks") * (1 << _U_BITS))
+    est = sampled.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sampled"),
+        F.sum(
+            F.when(
+                F.col("toks") >= POISSON_CAP, F.col("toks")
+            ).otherwise(F.lit(POISSON_CAP))
+        ).cast("bigint").alias("est_total_tokens"),
+    )
+    exact = docs.agg(
+        F.sum(toks).cast("bigint").alias("exact_total_tokens")
+    )
+    return est.crossJoin(F.broadcast(exact)).select(
+        "n_sampled",
+        "est_total_tokens",
+        "exact_total_tokens",
+        F.round(
+            (
+                F.col("est_total_tokens")
+                - F.col("exact_total_tokens")
+            ).cast("double")
+            / F.col("exact_total_tokens"),
+            6,
+        ).alias("rel_err"),
+    )
+
+
+QUERIES["ht_estimated_token_total"] = ht_estimated_token_total
+
+_POIS_U_SQL = _hex4_sql("pois|", "doc_id")
+
+ORACLE_SQL["ht_estimated_token_total"] = f"""
+    WITH t AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS toks
+        FROM documents
+    ),
+    s AS (
+        SELECT toks FROM t
+        WHERE {_POIS_U_SQL} * {POISSON_CAP}
+              < toks * {1 << 16}
+    ),
+    est AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_sampled,
+               CAST(SUM(CASE WHEN toks >= {POISSON_CAP} THEN toks
+                             ELSE {POISSON_CAP} END) AS BIGINT)
+                   AS est_total_tokens
+        FROM s
+    ),
+    exact AS (
+        SELECT CAST(SUM(toks) AS BIGINT) AS exact_total_tokens FROM t
+    )
+    SELECT e.n_sampled, e.est_total_tokens, x.exact_total_tokens,
+           ROUND(CAST(e.est_total_tokens - x.exact_total_tokens
+                      AS DOUBLE) / x.exact_total_tokens, 6) AS rel_err
+    FROM est e CROSS JOIN exact x
+"""

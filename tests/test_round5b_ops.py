@@ -375,3 +375,14 @@ def test_bootstrap_ci_brackets_the_mean(spark):
     # the 95% band must contain it on any non-adversarial corpus
     assert row.ci_lo <= row.mean_tokens <= row.ci_hi
     assert row.ci_lo < row.ci_hi
+
+
+def test_ht_estimator_is_near_unbiased(spark):
+    from tableau_dashboard_performance_etl_automation_spark.operators import sampling
+
+    row = sampling.ht_estimated_token_total(spark, SF).collect()[0]
+    assert row.n_sampled > 0
+    assert row.est_total_tokens > 0
+    # a PPS-with-cap HT estimate from a single draw: allow generous
+    # but finite error before calling the weights wrong
+    assert abs(row.rel_err) < 0.25
