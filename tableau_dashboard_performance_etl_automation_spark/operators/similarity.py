@@ -2440,3 +2440,196 @@ def _cluster_sample_oracle() -> str:
 
 
 ORACLE_SQL["cluster_balanced_sample"] = _cluster_sample_oracle()
+
+
+def cluster_lang_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal cluster coherence: join the IVF cluster assignment
+    (embedding space) to the documents table (text space, same id
+    domain) and measure each cluster's language purity — top-language
+    share and language entropy. The sanity dashboard behind any
+    cluster-based curation decision (SemDeDup pruning, cluster
+    sampling): incoherent clusters mean the embedding space or K is
+    wrong BEFORE any pruning happens.
+
+    Scale shape: posting lists join ``documents`` on the id (narrow,
+    co-partitioned by the join key); per-(cluster, lang) counts are a
+    bounded hash aggregate (K·|langs| cells); entropy folds over ≤
+    |langs| terms per cluster. Entropy terms are exact-integer ratios
+    into log2, rounded 4 per the parity discipline.
+
+    Returns (cent_id, n_vecs, top_lang, top_share, lang_entropy).
+    """
+    e = _emb(spark, sf_dir)
+    cent = _codebook(spark, sf_dir, e)
+    assign = _assignments(spark, sf_dir, e, cent)
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("vec_id"), "lang"
+    )
+    cells = (
+        assign.select("vec_id", "cent_id")
+        .join(docs, "vec_id")
+        .groupBy("cent_id", "lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = cells.groupBy("cent_id").agg(
+        F.sum("n").cast("bigint").alias("n_vecs")
+    )
+    joined = cells.join(tot, "cent_id")
+    return (
+        joined.groupBy("cent_id", "n_vecs")
+        .agg(
+            F.max(F.struct(F.col("n"), F.col("lang"))).alias("top"),
+            F.round(
+                F.sum(
+                    (F.col("n") / F.col("n_vecs"))
+                    * -F.log2(F.col("n") / F.col("n_vecs"))
+                ),
+                4,
+            ).alias("lang_entropy"),
+        )
+        .select(
+            "cent_id",
+            "n_vecs",
+            F.col("top.lang").alias("top_lang"),
+            F.round(F.col("top.n") / F.col("n_vecs"), 4).alias(
+                "top_share"
+            ),
+            "lang_entropy",
+        )
+        .orderBy("cent_id")
+    )
+
+
+def cluster_centroid_margin(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cluster separation quality: per cluster, the mean margin
+    between each member's cosine to its OWN centroid and its best
+    cosine to any OTHER centroid (a silhouette-style score from
+    quantities the IVF index already has). Near-zero or negative
+    margins flag clusters whose members sit on a boundary — the
+    K-dial / retrain diagnostic.
+
+    Scale shape: members score against the K-row broadcast codebook
+    (the assignment pass shape, O(n·K) map-side); margins aggregate
+    per cluster. Cosines round to 6 before the margin so cross-engine
+    float ulps cannot move a max.
+
+    Returns (cent_id, n_vecs, mean_margin6, min_margin6) by cent_id.
+    """
+    e = _emb(spark, sf_dir)
+    cent = _codebook(spark, sf_dir, e)
+    assign = _assignments(spark, sf_dir, e, cent)
+    scored = (
+        assign.select("vec_id", "cent_id", "vec")
+        .crossJoin(
+            F.broadcast(
+                cent.select(
+                    F.col("cent_id").alias("other_id"), "cvec"
+                )
+            )
+        )
+        .withColumn(
+            "cos6", F.round(cosine(F.col("vec"), F.col("cvec")), 6)
+        )
+    )
+    per_vec = scored.groupBy("vec_id", "cent_id").agg(
+        F.max(
+            F.when(F.col("other_id") == F.col("cent_id"), F.col("cos6"))
+        ).alias("own"),
+        F.max(
+            F.when(F.col("other_id") != F.col("cent_id"), F.col("cos6"))
+        ).alias("best_other"),
+    )
+    # micro-unit margins keep the per-cluster mean exact-integer
+    margin_u = (
+        F.round((F.col("own") - F.col("best_other")) * 1000000)
+        .cast("bigint")
+    )
+    return (
+        per_vec.withColumn("mu", margin_u)
+        .groupBy("cent_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+            F.round(
+                (F.sum("mu").cast("double") / F.count(F.lit(1)))
+                / 1000000.0,
+                6,
+            ).alias("mean_margin6"),
+            F.round(F.min("mu") / 1000000.0, 6).alias("min_margin6"),
+        )
+        .orderBy("cent_id")
+    )
+
+
+QUERIES["cluster_lang_purity"] = cluster_lang_purity
+QUERIES["cluster_centroid_margin"] = cluster_centroid_margin
+
+
+def _cluster_purity_oracle() -> str:
+    ctes = _ivf_assign_ctes()
+    return f"""
+        WITH {", ".join(ctes)},
+        cells AS (
+            SELECT a.cent_id, d.lang, COUNT(*) AS n
+            FROM assign a JOIN documents d ON d.doc_id = a.vec_id
+            GROUP BY a.cent_id, d.lang
+        ),
+        tot AS (
+            SELECT cent_id, CAST(SUM(n) AS BIGINT) AS n_vecs
+            FROM cells GROUP BY cent_id
+        )
+        SELECT c.cent_id AS cent_id, t.n_vecs AS n_vecs,
+               MAX(CASE WHEN rn = 1 THEN lang END) AS top_lang,
+               ROUND(MAX(CASE WHEN rn = 1 THEN n END)
+                     / CAST(t.n_vecs AS DOUBLE), 4) AS top_share,
+               ROUND(SUM((n / CAST(t.n_vecs AS DOUBLE))
+                         * -log2(n / CAST(t.n_vecs AS DOUBLE))), 4)
+                   AS lang_entropy
+        FROM (
+            SELECT cent_id, lang, n,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY cent_id
+                       ORDER BY n DESC, lang DESC
+                   ) AS rn
+            FROM cells
+        ) c
+        JOIN tot t ON t.cent_id = c.cent_id
+        GROUP BY c.cent_id, t.n_vecs
+        ORDER BY cent_id
+    """
+
+
+def _cluster_margin_oracle() -> str:
+    ctes = _ivf_assign_ctes()
+    cos_ac = _COS_SQL.format(a="a.embedding", b="c.cvec")
+    return f"""
+        WITH {", ".join(ctes)},
+        scored AS (
+            SELECT a.vec_id, a.cent_id, c.cent_id AS other_id,
+                   ROUND({cos_ac}, 6) AS cos6
+            FROM assign a CROSS JOIN cent{IVF_ITERS} c
+        ),
+        per_vec AS (
+            SELECT vec_id, cent_id,
+                   MAX(CASE WHEN other_id = cent_id THEN cos6 END)
+                       AS own,
+                   MAX(CASE WHEN other_id != cent_id THEN cos6 END)
+                       AS best_other
+            FROM scored GROUP BY vec_id, cent_id
+        )
+        SELECT cent_id, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+               ROUND((CAST(SUM(CAST(ROUND((own - best_other) * 1000000)
+                                    AS BIGINT)) AS DOUBLE)
+                      / COUNT(*)) / 1000000.0, 6) AS mean_margin6,
+               ROUND(MIN(CAST(ROUND((own - best_other) * 1000000)
+                              AS BIGINT)) / 1000000.0, 6)
+                   AS min_margin6
+        FROM per_vec
+        GROUP BY cent_id
+        ORDER BY cent_id
+    """
+
+
+ORACLE_SQL["cluster_lang_purity"] = _cluster_purity_oracle()
+ORACLE_SQL["cluster_centroid_margin"] = _cluster_margin_oracle()

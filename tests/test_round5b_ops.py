@@ -386,3 +386,20 @@ def test_ht_estimator_is_near_unbiased(spark):
     # a PPS-with-cap HT estimate from a single draw: allow generous
     # but finite error before calling the weights wrong
     assert abs(row.rel_err) < 0.25
+
+
+def test_cluster_purity_and_margin_shapes(spark):
+    purity = similarity.cluster_lang_purity(spark, SF).collect()
+    margin = similarity.cluster_centroid_margin(spark, SF).collect()
+    assert {r.cent_id for r in purity} == {r.cent_id for r in margin}
+    n_corpus = similarity._emb(spark, SF).count()
+    assert sum(r.n_vecs for r in purity) == n_corpus
+    for r in purity:
+        assert 0.0 < r.top_share <= 1.0
+        assert r.lang_entropy >= 0.0
+        # one-language cluster iff zero entropy
+        assert (r.top_share == 1.0) == (r.lang_entropy == 0.0)
+    for r in margin:
+        # a member's own centroid need not win, but the margin is
+        # bounded by the cosine range
+        assert -2.0 <= r.min_margin6 <= r.mean_margin6 <= 2.0
