@@ -496,3 +496,62 @@ ORACLE_SQL["zonemap_pruning_stats"] = f"""
     GROUP BY shard_id
     ORDER BY shard_id
 """
+
+
+def crossmodal_id_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal referential integrity: documents and embeddings
+    share an id domain (doc_id = vec_id for paired text/vector rows);
+    this audit counts rows on each side of the pairing — matched,
+    text-only (doc never embedded: an embedding-job backlog), and
+    vector-only (orphaned embedding: its document was filtered or
+    deleted after embedding — the stale-index hazard every two-stage
+    pipeline has). The multimodal sibling of
+    ``history.fk_integrity_audit``.
+
+    Scale shape: two anti-join counts + one semi-join count, each an
+    equi-join on the id followed by a 1-row aggregate — no data
+    movement beyond the join shuffle, output is exactly 3 rows.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id")
+    )
+    vecs = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("id")
+    )
+    def one(side: str, df) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_ids")
+        ).select(F.lit(side).alias("side"), "n_ids")
+
+    return (
+        one("matched", docs.join(vecs, "id", "left_semi"))
+        .unionByName(one("text_only", docs.join(vecs, "id", "left_anti")))
+        .unionByName(one("vector_only", vecs.join(docs, "id", "left_anti")))
+        .orderBy("side")
+    )
+
+
+QUERIES["crossmodal_id_audit"] = crossmodal_id_audit
+
+ORACLE_SQL["crossmodal_id_audit"] = """
+    SELECT side, n_ids FROM (
+        SELECT 'matched' AS side,
+               CAST((SELECT COUNT(*) FROM documents d
+                     WHERE EXISTS (SELECT 1 FROM embeddings e
+                                   WHERE e.vec_id = d.doc_id))
+                    AS BIGINT) AS n_ids
+        UNION ALL
+        SELECT 'text_only',
+               CAST((SELECT COUNT(*) FROM documents d
+                     WHERE NOT EXISTS (SELECT 1 FROM embeddings e
+                                       WHERE e.vec_id = d.doc_id))
+                    AS BIGINT)
+        UNION ALL
+        SELECT 'vector_only',
+               CAST((SELECT COUNT(*) FROM embeddings e
+                     WHERE NOT EXISTS (SELECT 1 FROM documents d
+                                       WHERE d.doc_id = e.vec_id))
+                    AS BIGINT)
+    )
+    ORDER BY side
+"""
