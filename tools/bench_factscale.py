@@ -82,6 +82,12 @@ PROBE_QUERIES = [
     "value_drift_psi",
     "event_type_dow_chisq",
     "daily_value_autocorrelation",
+    # round-5b event-table shapes: sketches (fixed-state aggregates),
+    # the interval attribution join, and the quasi-identifier census
+    "hll_distinct_users",
+    "kmv_type_overlap",
+    "purchase_click_attribution_final",
+    "small_cell_suppression_report",
 ]
 
 
