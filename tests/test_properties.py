@@ -448,3 +448,64 @@ def test_collapse_runs_drops_redelivered_frontier_event():
     list(_close_sessions((7,), [s2], sstate))
     # open session has exactly 2 events (the redelivery dropped)
     assert sstate.get[3] == 2
+
+
+@given(st.lists(_word, min_size=8, max_size=30))
+@_SETTINGS
+def test_winnowing_guarantee_on_shared_runs(spark, tokens):
+    """Schleimer et al.'s detection guarantee, property-tested: two
+    documents sharing a run of >= W+K-1 consecutive words MUST share
+    at least one winnowing fingerprint. Doc B embeds a guaranteed-
+    length slice of doc A inside unrelated padding."""
+    import hashlib
+
+    from tableau_dashboard_performance_etl_automation_spark.operators.dedup import (
+        WINNOW_K,
+        WINNOW_W,
+    )
+
+    need = WINNOW_W + WINNOW_K - 1
+    if len(tokens) < need:
+        return
+    shared = tokens[:need]
+    pad = [f"zz{i}q" for i in range(WINNOW_W + WINNOW_K)]
+    doc_a = " ".join(tokens)
+    doc_b = " ".join(pad + shared + [w + "x" for w in pad])
+
+    def fps(text: str) -> set:
+        w = text.split(" ")
+        grams = [
+            " ".join(w[i : i + WINNOW_K])
+            for i in range(len(w) - WINNOW_K + 1)
+        ]
+        hs = [hashlib.md5(g.encode()).hexdigest() for g in grams]
+        return {
+            min(hs[i : i + WINNOW_W])
+            for i in range(len(hs) - WINNOW_W + 1)
+        }
+
+    assert fps(doc_a) & fps(doc_b), "shared run escaped winnowing"
+
+
+@given(st.lists(st.integers(min_value=0, max_value=10**6),
+                min_size=1, max_size=40))
+@_SETTINGS
+def test_hll_register_fold_is_permutation_invariant(spark, uids):
+    """Register maxima must not depend on arrival order — the
+    mergeability property the streaming HLL's state relies on."""
+    import hashlib
+
+    from tableau_dashboard_performance_etl_automation_spark.operators.sketches import HLL_M
+
+    def regs(order):
+        r = [0] * HLL_M
+        for uid in order:
+            h = hashlib.md5(str(uid).encode()).hexdigest()
+            reg = int(h[0:2], 16) % HLL_M
+            w = int(h[2:10], 16)
+            rho = 33 - w.bit_length()
+            r[reg] = max(r[reg], rho)
+        return r
+
+    assert regs(uids) == regs(list(reversed(uids)))
+    assert regs(uids) == regs(sorted(uids))
