@@ -2104,3 +2104,99 @@ ORACLE_SQL["winnowing_overlap_pairs"] = f"""
     JOIN counts cb ON cb.doc_id = p.doc_b
     ORDER BY doc_a, doc_b
 """
+
+
+def winnow_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level benchmark decontamination via winnowing: flag
+    corpus documents sharing ANY winnowed fingerprint with the
+    benchmark slice (doc_id < DECON_BENCH_DOCS, the
+    ``benchmark_decontaminate`` convention). Where the k-gram variant
+    stores EVERY benchmark shingle, this one stores the winnowed
+    ~2/(W+1) density subset yet still catches every shared run of at
+    least W+K-1 words (the winnowing guarantee) — the storage/recall
+    trade an eval-suite registry at production scale actually ships.
+
+    Scale shape: both sides are id-filtered reads of the PERSISTED
+    fingerprint table (:func:`_winnow_fingerprints` — built once per
+    corpus, shared with the pair detector); the benchmark side is
+    human-sized and broadcasts into one narrow join + per-doc count.
+
+    Returns (doc_id, n_shared_fp, contaminated) for corpus docs.
+    """
+    fp = _winnow_fingerprints(spark, sf_dir)
+    bench = (
+        fp.filter(F.col("doc_id") < DECON_BENCH_DOCS)
+        .select("fp")
+        .distinct()
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    hits = (
+        fp.filter(F.col("doc_id") >= DECON_BENCH_DOCS)
+        .join(F.broadcast(bench), "fp")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared_fp"))
+    )
+    return (
+        docs.filter(F.col("doc_id") >= DECON_BENCH_DOCS)
+        .select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(
+                F.col("n_shared_fp"), F.lit(0).cast("bigint")
+            ).alias("n_shared_fp"),
+            (F.coalesce(F.col("n_shared_fp"), F.lit(0)) > 0)
+            .cast("int")
+            .alias("contaminated"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+QUERIES["winnow_decontaminate"] = winnow_decontaminate
+
+ORACLE_SQL["winnow_decontaminate"] = f"""
+    WITH dw AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        WHERE len(string_split(text, ' ')) >= {WINNOW_K}
+    ),
+    sh AS (
+        SELECT doc_id,
+               len(w) - {WINNOW_K} + 1 AS nsh,
+               generate_subscripts(
+                   {shingles_sql_duckdb(WINNOW_K)}, 1) - 1 AS pos,
+               md5(unnest({shingles_sql_duckdb(WINNOW_K)})) AS h
+        FROM dw
+    ),
+    fp AS (
+        SELECT DISTINCT doc_id, fp FROM (
+            SELECT doc_id, pos, nsh,
+                   MIN(h) OVER (
+                       PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN CURRENT ROW
+                                AND {WINNOW_W - 1} FOLLOWING
+                   ) AS fp
+            FROM sh
+        )
+        WHERE pos <= nsh - {WINNOW_W}
+    ),
+    bench AS (
+        SELECT DISTINCT fp FROM fp
+        WHERE doc_id < {DECON_BENCH_DOCS}
+    ),
+    hits AS (
+        SELECT f.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_shared_fp
+        FROM fp f JOIN bench b ON b.fp = f.fp
+        WHERE f.doc_id >= {DECON_BENCH_DOCS}
+        GROUP BY f.doc_id
+    )
+    SELECT d.doc_id AS doc_id,
+           CAST(COALESCE(h.n_shared_fp, 0) AS BIGINT) AS n_shared_fp,
+           CAST(COALESCE(h.n_shared_fp, 0) > 0 AS INTEGER)
+               AS contaminated
+    FROM documents d
+    LEFT JOIN hits h ON h.doc_id = d.doc_id
+    WHERE d.doc_id >= {DECON_BENCH_DOCS}
+    ORDER BY doc_id
+"""

@@ -403,3 +403,21 @@ def test_cluster_purity_and_margin_shapes(spark):
         # a member's own centroid need not win, but the margin is
         # bounded by the cosine range
         assert -2.0 <= r.min_margin6 <= r.mean_margin6 <= 2.0
+
+
+def test_winnow_decon_subset_of_kgram_decon(spark):
+    """Winnowed fingerprints are a subset of all k-grams, so a doc
+    the winnowing pass flags must also hold a shared k-gram with the
+    benchmark slice under the same K (no false positives vs the
+    denser variant)."""
+    win = {
+        r.doc_id
+        for r in dedup.winnow_decontaminate(spark, SF).collect()
+        if r.contaminated
+    }
+    kgram = {
+        r.doc_id
+        for r in dedup.benchmark_decontaminate(spark, SF).collect()
+        if r.contaminated
+    }
+    assert win <= kgram
