@@ -109,6 +109,26 @@ TRAIN_MOD = 5
 TRAIN_KEEP = 4
 TOP_K = 5
 
+#: Adaptive IVF training sample (round-5c): a codebook needs O(K)
+#: training vectors, not O(n) — target this many per centroid. Below
+#: the target the dense 4-in-5 rule applies unchanged (all test
+#: corpora: bit-identical results); past it the keep rate shrinks as
+#: K/n, capping training cost at ~K²·TARGET cosines instead of n·K
+#: (measured: the fixed 4/5 rule cost 562 s of one-time training at
+#: the 64× corpus decade, K=352 — the adaptive rate keeps ~70% there
+#: and ~1.7% at 1e9 vectors).
+TRAIN_TARGET_PER_CENTROID = 256
+
+
+def ivf_train_permille(n_vectors: int, k: int) -> int | None:
+    """Per-mille training keep-rate, or ``None`` for the dense
+    4-in-5 rule. Pure integer arithmetic (``//``) so the oracle's
+    SQL replay computes the identical branch and rate."""
+    s = TRAIN_TARGET_PER_CENTROID * k
+    if n_vectors * 4 <= s * 5:
+        return None
+    return max(1, (1000 * s) // n_vectors)
+
 #: Session-scoped memo of the TRAINED codebook (the collected K×dim
 #: centroid doubles, a plain Python list — no pinned checkpoint
 #: blocks). A real deployment trains the IVF codebook once and
@@ -523,7 +543,9 @@ def _nearest(e: DataFrame, cent: DataFrame, nprobe: int = 1) -> DataFrame:
     )
 
 
-def _train_centroids(e: DataFrame, n_centroids: int) -> list:
+def _train_centroids(
+    e: DataFrame, n_centroids: int, n_corpus: int
+) -> list:
     """K-means codebook training; returns the K collected
     ``(cent_id, cvec)`` rows. Init = first K vectors, then
     ``IVF_ITERS`` Lloyd rounds of (assign by cosine →
@@ -543,8 +565,14 @@ def _train_centroids(e: DataFrame, n_centroids: int) -> list:
     # over full-scan partitioning makes every round pay scan-width
     # task overhead for near-empty partitions. On a cluster, size the
     # partition count to sample_rows / desired_rows_per_partition.
+    pm = ivf_train_permille(n_corpus, n_centroids)
+    keep = (
+        (F.col("vec_id") % TRAIN_MOD) < TRAIN_KEEP
+        if pm is None
+        else (F.col("vec_id") % 1000) < pm
+    )
     train = (
-        e.filter((F.col("vec_id") % TRAIN_MOD) < TRAIN_KEEP)
+        e.filter(keep)
         .select("vec_id", "vec")
         .coalesce(8)
         .localCheckpoint()
@@ -618,13 +646,14 @@ def _codebook(spark: SparkSession, sf_dir: str, e: DataFrame) -> DataFrame:
         # K self-derives from the corpus count (ivf_n_centroids) and
         # versions the artifact path, so codebooks built under a
         # different dial value can never be read back by mistake
-        k = ivf_n_centroids(e.count())
+        n = e.count()
+        k = ivf_n_centroids(n)
         art = _artifact_name(f"{IVF_CODEBOOK_ARTIFACT}/k{k}", sf_dir)
         stored = load_artifact(spark, art, sf_dir)
         if stored is not None:
             rows = [(r.cent_id, r.cvec) for r in stored.collect()]
         else:
-            rows = _train_centroids(e, k)
+            rows = _train_centroids(e, k, n)
             save_artifact(
                 spark.createDataFrame(
                     rows, "cent_id BIGINT, cvec ARRAY<DOUBLE>"
@@ -1278,17 +1307,24 @@ def _ivf_assign_ctes() -> list[str]:
     assign_i → integer-sum update → cent_i, mirroring
     :func:`_train_centroids` arithmetic exactly."""
     cos_vc = "list_cosine_similarity(v.embedding::DOUBLE[], c.cvec)"
+    tpc = TRAIN_TARGET_PER_CENTROID
     ctes = [
-        f"""train AS (
-            SELECT * FROM embeddings
-            WHERE (vec_id % {TRAIN_MOD}) < {TRAIN_KEEP}
-        )""",
         f"""kdial AS (
             SELECT LEAST({IVF_MAX_CENTROIDS}, GREATEST(
                        {IVF_MIN_CENTROIDS},
                        (CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT) // 8) * 8
-                   )) AS k
+                   )) AS k,
+                   CAST(COUNT(*) AS BIGINT) AS n
             FROM embeddings
+        )""",
+        f"""train AS (
+            SELECT e.* FROM embeddings e CROSS JOIN kdial d
+            WHERE CASE
+                WHEN d.n * 4 <= d.k * {tpc * 5}
+                THEN (e.vec_id % {TRAIN_MOD}) < {TRAIN_KEEP}
+                ELSE (e.vec_id % 1000)
+                     < GREATEST(1, (d.k * {tpc * 1000}) // d.n)
+            END
         )""",
         """cent0 AS (
             SELECT vec_id AS cent_id, embedding::DOUBLE[] AS cvec

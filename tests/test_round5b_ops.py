@@ -421,3 +421,15 @@ def test_winnow_decon_subset_of_kgram_decon(spark):
         if r.contaminated
     }
     assert win <= kgram
+
+
+def test_ivf_train_sample_dial():
+    # dense rule at gate corpora (bit-identical results guaranteed)
+    assert similarity.ivf_train_permille(500, 16) is None
+    assert similarity.ivf_train_permille(2000, 40) is None
+    # adaptive past the O(K) target; pure integer arithmetic
+    t = similarity.TRAIN_TARGET_PER_CENTROID
+    pm = similarity.ivf_train_permille(128000, 352)
+    assert pm == (1000 * t * 352) // 128000
+    # never zero: some training sample always survives
+    assert similarity.ivf_train_permille(10**9, 16) >= 1
