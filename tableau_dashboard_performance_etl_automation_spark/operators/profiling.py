@@ -555,3 +555,139 @@ ORACLE_SQL["crossmodal_id_audit"] = """
     )
     ORDER BY side
 """
+
+
+#: Z-order layout experiment: bits per dimension (8 → 256 cells per
+#: dim, 65536 z-values) and the bucket granularity (top 6 z-bits →
+#: 64 "files").
+ZORDER_BITS = 8
+ZORDER_BUCKET_SHIFT = 2 * ZORDER_BITS - 6
+
+
+def _interleave_expr(x: str, y: str, bits: int) -> str:
+    """Bit-interleaving (Morton/Z-value) as a plain arithmetic
+    expression string valid in BOTH Spark SQL and DuckDB: x's bit i →
+    position 2i, y's bit i → position 2i+1. Built from ``//``-free
+    integer ops (DIV/%/\\*) shared by the two dialects."""
+    terms = []
+    for i in range(bits):
+        terms.append(
+            f"((({x}) % {1 << (i + 1)}) DIV {1 << i}) * {1 << (2 * i)}"
+        )
+        terms.append(
+            f"((({y}) % {1 << (i + 1)}) DIV {1 << i}) * {1 << (2 * i + 1)}"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+def zorder_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ORDER vs LINEAR layout, measured: bucket the orders table 64
+    ways under (a) its natural o_orderkey order and (b) the Morton
+    interleaving of (customer, order-day) low bits, then compare the
+    per-bucket zone-map SPANS of both dimensions. A point/range scan
+    can skip a bucket whose [min,max] excludes the predicate — so
+    smaller average spans = more pruning. Linear layout gives one
+    tight dimension (whatever you sorted by) and one full-width
+    dimension; the space-filling curve shrinks BOTH — the reason
+    lakehouse OPTIMIZE ZORDER exists. This query is the measurable
+    evidence behind that layout decision (the multi-dim sibling of
+    ``zonemap_pruning_stats``).
+
+    Scale shape: the z-value is a pure integer projection (generated
+    bit-arithmetic expression, identical text in both engines); each
+    layout is one map-side-combinable aggregate over its 64 bucket
+    keys; the comparison output is 2 rows.
+
+    Returns (layout, n_buckets, avg_cust_span, avg_day_span).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderkey",
+        F.expr(f"o_custkey % {1 << ZORDER_BITS}").alias("cx"),
+        F.expr(
+            f"CAST(datediff(o_orderdate, DATE '1992-01-01') AS BIGINT)"
+            f" % {1 << ZORDER_BITS}"
+        ).alias("dy"),
+    )
+    z = F.expr(_interleave_expr("cx", "dy", ZORDER_BITS))
+
+    def spans(df: DataFrame, bucket: F.Column, layout: str) -> DataFrame:
+        per = df.groupBy(bucket.alias("b")).agg(
+            (F.max("cx") - F.min("cx")).alias("cust_span"),
+            (F.max("dy") - F.min("dy")).alias("day_span"),
+        )
+        return per.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+            F.round(F.avg("cust_span"), 4).alias("avg_cust_span"),
+            F.round(F.avg("day_span"), 4).alias("avg_day_span"),
+        ).select(F.lit(layout).alias("layout"), "*")
+
+    # 64 equal-population linear buckets need the key RANGE, not
+    # NTILE (keeps the aggregate map-side): orderkey DIV stride
+    stride = F.broadcast(
+        base.agg(
+            (
+                (F.max("o_orderkey") + 1 + 63) / 64
+            ).cast("bigint").alias("stride")
+        )
+    )
+    linear = spans(
+        base.crossJoin(stride),
+        F.expr("CAST(o_orderkey DIV stride AS BIGINT)"),
+        "linear_orderkey",
+    )
+    zorder = spans(
+        base.withColumn("z", z),
+        F.expr(f"CAST(z DIV {1 << ZORDER_BUCKET_SHIFT} AS BIGINT)"),
+        "zorder_cust_day",
+    )
+    return linear.unionByName(zorder).orderBy("layout")
+
+
+QUERIES["zorder_layout_stats"] = zorder_layout_stats
+
+_Z_EXPR = _interleave_expr("cx", "dy", ZORDER_BITS)
+
+ORACLE_SQL["zorder_layout_stats"] = f"""
+    WITH base AS (
+        SELECT o_orderkey,
+               o_custkey % {1 << ZORDER_BITS} AS cx,
+               CAST(datediff('day', DATE '1992-01-01', o_orderdate)
+                    AS BIGINT) % {1 << ZORDER_BITS} AS dy
+        FROM orders
+    ),
+    stride AS (
+        SELECT CAST((MAX(o_orderkey) + 1 + 63) / 64 AS BIGINT)
+                   AS stride
+        FROM base
+    ),
+    lin AS (
+        SELECT CAST(o_orderkey // stride AS BIGINT) AS b,
+               MAX(cx) - MIN(cx) AS cust_span,
+               MAX(dy) - MIN(dy) AS day_span
+        FROM base CROSS JOIN stride
+        GROUP BY 1
+    ),
+    zb AS (
+        SELECT CAST({_Z_EXPR.replace("DIV", "//")}
+                    // {1 << ZORDER_BUCKET_SHIFT} AS BIGINT) AS b,
+               MAX(cx) - MIN(cx) AS cust_span,
+               MAX(dy) - MIN(dy) AS day_span
+        FROM base
+        GROUP BY 1
+    )
+    SELECT layout, n_buckets, avg_cust_span, avg_day_span FROM (
+        SELECT 'linear_orderkey' AS layout,
+               CAST(COUNT(*) AS BIGINT) AS n_buckets,
+               ROUND(AVG(cust_span), 4) AS avg_cust_span,
+               ROUND(AVG(day_span), 4) AS avg_day_span
+        FROM lin
+        UNION ALL
+        SELECT 'zorder_cust_day',
+               CAST(COUNT(*) AS BIGINT),
+               ROUND(AVG(cust_span), 4),
+               ROUND(AVG(day_span), 4)
+        FROM zb
+    )
+    ORDER BY layout
+"""

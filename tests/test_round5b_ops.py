@@ -433,3 +433,20 @@ def test_ivf_train_sample_dial():
     assert pm == (1000 * t * 352) // 128000
     # never zero: some training sample always survives
     assert similarity.ivf_train_permille(10**9, 16) >= 1
+
+
+def test_zorder_shrinks_both_dim_spans(spark):
+    from tableau_dashboard_performance_etl_automation_spark.operators import profiling
+
+    rows = {
+        r.layout: r
+        for r in profiling.zorder_layout_stats(spark, SF).collect()
+    }
+    lin, zo = rows["linear_orderkey"], rows["zorder_cust_day"]
+    assert lin.n_buckets > 1 and zo.n_buckets > 1
+    # the whole point: z-order's day span must beat linear's
+    # (orderkey order carries no day locality), while not giving the
+    # customer dimension back up to full width
+    full = (1 << profiling.ZORDER_BITS) - 1
+    assert zo.avg_day_span < lin.avg_day_span
+    assert zo.avg_cust_span < full
