@@ -1025,3 +1025,82 @@ ORACLE_SQL["ht_estimated_token_total"] = f"""
                       AS DOUBLE) / x.exact_total_tokens, 6) AS rel_err
     FROM est e CROSS JOIN exact x
 """
+
+
+#: Efraimidis–Spirakis weighted sample size.
+ES_SAMPLE_N = 50
+
+
+def weighted_sample_es(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement via Efraimidis–Spirakis
+    exponential keys (2006): every doc draws a deterministic uniform
+    u and competes on ``ln(u)/w`` (w = token count); the top-N keys
+    ARE a weighted sample without replacement — the distributed
+    one-pass answer to "sample 50 docs proportional to length, no
+    duplicates", where sequential weighted reservoirs can't shard.
+
+    Scale shape: one narrow projection computes the key, the top-N is
+    a TakeOrdered (no global sort materialization); no state, merges
+    trivially — the A-ES property that makes it THE distributed
+    weighted sampler. Determinism: u is a 48-bit md5 uniform; the
+    key rounds to 9 before ranking with a doc_id tiebreak, so an
+    engine ulp in ``ln`` cannot reorder the sample.
+
+    Returns (doc_id, tokens, es_key9) for the N winners, ordered by
+    key desc (the selection order).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.size(F.split(F.col("text"), " "))
+    h = F.md5(F.concat(F.lit("es|"), F.col("doc_id").cast("string")))
+    from tableau_dashboard_performance_etl_automation_spark.functions.hashing import md5_hex_int
+
+    u48 = (
+        md5_hex_int(h, 1, 6).cast("bigint") * F.lit(_KMV_HALF_SPACE_ES)
+        + md5_hex_int(h, 7, 6).cast("bigint")
+    )
+    # u in (0, 1]: (u48 + 1) / 2^48 — never 0, so ln is finite
+    u = (u48 + 1).cast("double") / F.lit(float(_KMV_SPACE_ES))
+    key = F.round(F.log(u) / toks.cast("double"), 9)
+    return (
+        docs.select(
+            "doc_id", toks.alias("tokens"), key.alias("es_key9")
+        )
+        .filter(F.col("tokens") > 0)
+        .orderBy(F.col("es_key9").desc(), F.col("doc_id"))
+        .limit(ES_SAMPLE_N)
+    )
+
+
+_KMV_HALF_SPACE_ES = 16**6
+_KMV_SPACE_ES = _KMV_HALF_SPACE_ES * _KMV_HALF_SPACE_ES
+
+QUERIES["weighted_sample_es"] = weighted_sample_es
+
+
+def _es_oracle() -> str:
+    from tableau_dashboard_performance_etl_automation_spark.functions.hashing import (
+        md5_hex_int_sql,
+    )
+
+    h = "md5('es|' || CAST(doc_id AS VARCHAR))"
+    hi = md5_hex_int_sql(h, 1, 6)
+    lo = md5_hex_int_sql(h, 7, 6)
+    return f"""
+        WITH t AS (
+            SELECT doc_id,
+                   len(string_split(text, ' ')) AS tokens,
+                   (CAST({hi} AS BIGINT) * {_KMV_HALF_SPACE_ES}
+                    + CAST({lo} AS BIGINT) + 1) AS u48
+            FROM documents
+        )
+        SELECT doc_id, tokens,
+               ROUND(ln(u48 / {float(_KMV_SPACE_ES)!r})
+                     / CAST(tokens AS DOUBLE), 9) AS es_key9
+        FROM t
+        WHERE tokens > 0
+        ORDER BY es_key9 DESC, doc_id
+        LIMIT {ES_SAMPLE_N}
+    """
+
+
+ORACLE_SQL["weighted_sample_es"] = _es_oracle()

@@ -450,3 +450,21 @@ def test_zorder_shrinks_both_dim_spans(spark):
     full = (1 << profiling.ZORDER_BITS) - 1
     assert zo.avg_day_span < lin.avg_day_span
     assert zo.avg_cust_span < full
+
+
+def test_es_sample_prefers_heavy_docs(spark):
+    from tableau_dashboard_performance_etl_automation_spark.operators import sampling
+
+    sel = sampling.weighted_sample_es(spark, SF).collect()
+    assert len(sel) == sampling.ES_SAMPLE_N
+    assert len({r.doc_id for r in sel}) == len(sel)  # no replacement
+    keys = [r.es_key9 for r in sel]
+    assert keys == sorted(keys, reverse=True)
+    # weighting check: the sample's mean token count exceeds the
+    # corpus mean (inclusion odds grow with length)
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    corpus_mean = (
+        docs.selectExpr("avg(size(split(text, ' ')))").collect()[0][0]
+    )
+    sample_mean = sum(r.tokens for r in sel) / len(sel)
+    assert sample_mean > corpus_mean
