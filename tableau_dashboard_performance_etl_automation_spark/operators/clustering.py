@@ -1104,3 +1104,142 @@ def _leakfree_oracle() -> str:
 
 ORACLE_SQL["split_leakage_report"] = _leakage_oracle()
 ORACLE_SQL["leakfree_split_assign"] = _leakfree_oracle()
+
+
+#: Markov power-iteration dials: iteration count and the integer mass
+#: unit (same discipline as PageRank: BIGINT micro-units make every
+#: iteration reduction-order-independent and bit-identical across
+#: engines).
+MARKOV_ITERS = 8
+MARKOV_UNIT = 1_000_000_000
+#: Bound on the driver-resident transition matrix (|types|² cells).
+MARKOV_MAX_CELLS = 100_000
+
+
+def event_markov_stationary(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Stationary distribution of the event-type Markov chain: count
+    per-user consecutive (current → next) transitions, row-normalize
+    into a transition matrix, and power-iterate a uniform start for
+    ``MARKOV_ITERS`` steps — "where does a user session settle" as a
+    first-class behavioral-model table (the chain analog of
+    ``session_type_pmi``'s co-occurrence view).
+
+    Scale shape: the DISTRIBUTED work is the transition census — a
+    per-user lead window (each partition sorts only its own user's
+    events) into a |types|² hash aggregate. The matrix is
+    domain-bounded (guarded at ``MARKOV_MAX_CELLS``), so the power
+    iteration itself runs driver-side on exact integers, like the
+    25-node PageRank vector — with the same loud guard against
+    anyone pointing it at an unbounded state space. Mass updates are
+    ``floor(v·w/out)`` BIGINT ops — deterministic in both engines.
+    Types that never appear as a transition SOURCE are excluded from
+    the state space (they would silently absorb mass).
+
+    Returns (event_type, stationary_micro, stationary) ordered by
+    event_type.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        e.select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.col("event_type").alias("cur"),
+        )
+        .withColumn("nxt", F.lead("cur").over(w))
+        .filter(F.col("nxt").isNotNull())
+        .groupBy("cur", "nxt")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
+    )
+    rows = trans.collect()
+    if len(rows) > MARKOV_MAX_CELLS:
+        raise RuntimeError(
+            f"transition matrix has {len(rows)} cells > "
+            f"{MARKOV_MAX_CELLS}; the driver-side iteration is for "
+            f"bounded type domains — use a DataFrame-resident "
+            f"iteration for unbounded state spaces"
+        )
+    srcs = sorted({r.cur for r in rows})
+    sset = set(srcs)
+    # restrict to the closed sub-chain over source types
+    mat: dict = {}
+    out: dict = {}
+    for r in rows:
+        if r.cur in sset and r.nxt in sset:
+            mat[(r.cur, r.nxt)] = mat.get((r.cur, r.nxt), 0) + r.w
+            out[r.cur] = out.get(r.cur, 0) + r.w
+    v = {t: MARKOV_UNIT // len(srcs) for t in srcs}
+    for _ in range(MARKOV_ITERS):
+        nv = {t: 0 for t in srcs}
+        for (cur, nxt), wt in sorted(mat.items()):
+            nv[nxt] += (v[cur] * wt) // out[cur]
+        v = nv
+    out_rows = [
+        (t, v[t], round(v[t] / MARKOV_UNIT, 6)) for t in srcs
+    ]
+    return spark.createDataFrame(
+        out_rows,
+        "event_type STRING, stationary_micro BIGINT, stationary DOUBLE",
+    ).orderBy("event_type")
+
+
+QUERIES["event_markov_stationary"] = event_markov_stationary
+
+
+def _markov_oracle() -> str:
+    parts = [
+        """
+        trans AS (
+            SELECT cur, nxt, CAST(COUNT(*) AS BIGINT) AS w
+            FROM (
+                SELECT event_type AS cur,
+                       LEAD(event_type) OVER (
+                           PARTITION BY user_id
+                           ORDER BY ts, event_id
+                       ) AS nxt
+                FROM events
+            )
+            WHERE nxt IS NOT NULL
+            GROUP BY cur, nxt
+        ),
+        srcs AS (SELECT DISTINCT cur AS t FROM trans),
+        mat AS (
+            SELECT t.cur, t.nxt, t.w FROM trans t
+            JOIN srcs a ON a.t = t.cur
+            JOIN srcs b ON b.t = t.nxt
+        ),
+        outw AS (SELECT cur, SUM(w) AS out_w FROM mat GROUP BY cur),
+        nn AS (SELECT COUNT(*) AS n FROM srcs)"""
+    ]
+    parts.append(f"""
+        v0 AS (
+            SELECT t, {MARKOV_UNIT} // nn.n AS r
+            FROM srcs CROSS JOIN nn
+        )""")
+    prev = "v0"
+    for i in range(1, MARKOV_ITERS + 1):
+        parts.append(f"""
+        v{i} AS (
+            SELECT m.nxt AS t,
+                   SUM((r.r * m.w) // o.out_w) AS r
+            FROM mat m
+            JOIN {prev} r ON r.t = m.cur
+            JOIN outw o ON o.cur = m.cur
+            GROUP BY m.nxt
+        )""")
+        prev = f"v{i}"
+    return f"""
+        WITH {", ".join(parts)}
+        SELECT s.t AS event_type,
+               CAST(COALESCE(v.r, 0) AS BIGINT) AS stationary_micro,
+               ROUND(COALESCE(v.r, 0) / {float(MARKOV_UNIT)!r}, 6)
+                   AS stationary
+        FROM srcs s LEFT JOIN {prev} v ON v.t = s.t
+        ORDER BY event_type
+    """
+
+
+ORACLE_SQL["event_markov_stationary"] = _markov_oracle()

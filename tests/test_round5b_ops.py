@@ -468,3 +468,24 @@ def test_es_sample_prefers_heavy_docs(spark):
     )
     sample_mean = sum(r.tokens for r in sel) / len(sel)
     assert sample_mean > corpus_mean
+
+
+def test_markov_stationary_is_a_distribution(spark):
+    from tableau_dashboard_performance_etl_automation_spark.operators import clustering
+
+    rows = clustering.event_markov_stationary(spark, SF).collect()
+    assert rows
+    total = sum(r.stationary_micro for r in rows)
+    # floor ops shed at most one micro-unit per matrix cell per
+    # iteration — the mass stays within rounding of 1.0
+    assert (
+        clustering.MARKOV_UNIT * 0.999
+        <= total
+        <= clustering.MARKOV_UNIT
+    )
+    for r in rows:
+        assert r.stationary_micro >= 0
+        assert abs(
+            r.stationary
+            - round(r.stationary_micro / clustering.MARKOV_UNIT, 6)
+        ) < 1e-12
