@@ -32,6 +32,7 @@ from tableau_dashboard_performance_etl_automation_spark.operators import (
     similarity,
     sketches,
     starjoins,
+    statstests,
     streaming_twins,
     subqueries,
     tabjolt,
@@ -154,6 +155,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(multimodal.QUERIES)
     out.update(relational_ext.QUERIES)
     out.update(starjoins.QUERIES)
+    out.update(statstests.QUERIES)
     out.update(subqueries.QUERIES)
     out.update(sketches.QUERIES)
     out.update(scrubbing.QUERIES)
@@ -183,6 +185,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(multimodal.ORACLE_SQL)
     out.update(relational_ext.ORACLE_SQL)
     out.update(starjoins.ORACLE_SQL)
+    out.update(statstests.ORACLE_SQL)
     out.update(subqueries.ORACLE_SQL)
     out.update(sketches.ORACLE_SQL)
     out.update(scrubbing.ORACLE_SQL)

@@ -106,6 +106,7 @@ def test_no_query_name_collisions_across_modules():
         "sketches", "scrubbing", "chunking", "history", "intervals",
         "linkage", "clustering", "curation", "asof", "sampling",
         "streaming_twins", "profiling", "cohorts", "textstats",
+        "statstests",
     ]
     seen: dict[str, str] = {}
     dupes = []

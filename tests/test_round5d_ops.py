@@ -1,0 +1,158 @@
+"""Invariant tests for the round-5d statistical testing layer
+(``operators/statstests.py``). Value-level parity with DuckDB is the
+mirror/driver gate's job; these pin the mathematical invariants each
+test statistic must satisfy on ANY input, plus small brute-force
+Python oracles for the rank statistics."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tableau_dashboard_performance_etl_automation_spark.operators import statstests
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_cusum_closes_at_zero_and_covers_every_day(spark):
+    rows = statstests.daily_cusum_drift(spark, SF).collect()
+    n_days = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .select(F.to_date("ts").alias("d"))
+        .distinct()
+        .count()
+    )
+    assert len(rows) == n_days
+    # the cumulative deviation from the uniform rate is identically
+    # zero at the last day: cum_S - D * (S/D) == 0
+    assert rows[-1].cusum_dev == 0.0
+    assert rows[-1].dev_share_pct == 0.0
+    # days ascend
+    ds = [r.d for r in rows]
+    assert ds == sorted(ds)
+
+
+def test_ewma_starts_at_first_mean_and_stays_in_prefix_hull(spark):
+    rows = statstests.daily_value_ewma(spark, SF).collect()
+    assert rows[0].ewma == rows[0].day_mean
+    lo = hi = rows[0].day_mean
+    for r in rows[1:]:
+        lo, hi = min(lo, r.day_mean), max(hi, r.day_mean)
+        # convexity: an EWMA is a weighted mean of prefix day means
+        assert lo - 1e-3 <= r.ewma <= hi + 1e-3
+
+
+def test_mannwhitney_matches_bruteforce_ranks(spark):
+    row = statstests.quality_mannwhitney_sources(spark, SF).collect()[0]
+    docs = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .filter(
+            F.col("source").isin(statstests.MW_SRC_A, statstests.MW_SRC_B)
+        )
+        .select("source", "n_chars")
+        .collect()
+    )
+    vals = sorted((d.n_chars, d.source) for d in docs)
+    # average ranks with ties, brute force
+    ranks: dict[int, float] = {}
+    i = 0
+    while i < len(vals):
+        j = i
+        while j < len(vals) and vals[j][0] == vals[i][0]:
+            j += 1
+        avg = (i + 1 + j) / 2.0
+        ranks[vals[i][0]] = avg
+        i = j
+    ra = sum(
+        ranks[v] for v, s in vals if s == statstests.MW_SRC_A
+    )
+    na = sum(1 for _, s in vals if s == statstests.MW_SRC_A)
+    nb = len(vals) - na
+    u_a = ra - na * (na + 1) / 2.0
+    assert row.na == na and row.nb == nb
+    assert abs(row.u_a - u_a) < 0.51
+    assert 0.0 <= row.u_a <= na * nb
+
+
+def test_ks_matches_bruteforce_ecdf(spark):
+    row = statstests.daily_value_ks_test(spark, SF).collect()[0]
+    ev = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .select(F.to_date("ts").alias("d"), "value")
+        .collect()
+    )
+    days = sorted({r.d for r in ev})
+    pivot = days[0] + __import__("datetime").timedelta(
+        days=statstests.KS_SPLIT_DAYS - 1
+    )
+    a = sorted(round(r.value * 100) for r in ev if r.d <= pivot)
+    b = sorted(round(r.value * 100) for r in ev if r.d > pivot)
+    assert row.na == len(a) and row.nb == len(b)
+    grid = sorted(set(a) | set(b))
+    import bisect
+
+    d_int = max(
+        abs(
+            bisect.bisect_right(a, v) * len(b)
+            - bisect.bisect_right(b, v) * len(a)
+        )
+        for v in grid
+    )
+    assert abs(row.ks_d - d_int / (len(a) * len(b))) < 1e-6
+    assert 0.0 <= row.ks_d <= 1.0
+
+
+def test_effective_rank_bounded_by_dims(spark):
+    row = statstests.embedding_effective_rank(spark, SF).collect()[0]
+    # participation ratio lives in [1, n_dims] by Cauchy-Schwarz
+    assert 1.0 <= row.effective_rank <= row.n_dims
+    assert row.trace_cov > 0
+
+
+def test_ab_arms_partition_users_and_rates_consistent(spark):
+    row = statstests.conversion_ab_ztest(spark, SF).collect()[0]
+    n_users = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert row.n_a + row.n_b == n_users
+    assert 0 <= row.conv_a <= row.n_a
+    assert 0 <= row.conv_b <= row.n_b
+    assert abs(row.rate_a - round(row.conv_a / row.n_a, 4)) < 1e-9
+    assert abs(row.rate_b - round(row.conv_b / row.n_b, 4)) < 1e-9
+
+
+def test_kappa_bounded_and_consistent_with_confusion(spark):
+    from tableau_dashboard_performance_etl_automation_spark.operators.textops import (
+        text_lang_id,
+    )
+
+    row = statstests.lang_id_cohens_kappa(spark, SF).collect()[0]
+    assert -1.0 <= row.kappa <= 1.0
+    pred = text_lang_id(spark, SF)
+    agree = pred.filter(
+        F.col("lang") == F.col("predicted_lang")
+    ).count()
+    total = pred.count()
+    assert row.n_docs == total
+    assert abs(row.agreement_pct - round(agree * 100.0 / total, 4)) < 1e-9
+    # kappa never exceeds raw agreement share
+    assert row.kappa <= row.agreement_pct / 100.0 + 1e-9
+
+
+def test_water_filling_exhausts_budget_within_caps(spark):
+    rows = statstests.mixture_water_filling(spark, SF).collect()
+    total = sum(r.available_tokens for r in rows)
+    budget = total * statstests.WATERFILL_BUDGET_PCT // 100
+    alloc = sum(r.alloc_tokens for r in rows)
+    # rounding each of K allocations to 2 decimals
+    assert abs(alloc - budget) <= 0.01 * len(rows)
+    for r in rows:
+        assert r.alloc_tokens <= r.available_tokens + 1e-9
+        if r.at_cap:
+            assert r.alloc_tokens == r.water_level
+        else:
+            assert r.alloc_tokens == float(r.available_tokens)
+    # somebody must sit at the water level when the budget binds
+    assert any(r.at_cap for r in rows)
