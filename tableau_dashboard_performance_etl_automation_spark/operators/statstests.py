@@ -800,6 +800,7 @@ class _LazyOracle(dict):
     def _fill(self) -> None:
         if not self:
             self.update(_oracle_sql())
+            self.update(_oracle_sql2())
 
     def __getitem__(self, key):  # noqa: D105
         self._fill()
@@ -819,3 +820,655 @@ class _LazyOracle(dict):
 
 
 ORACLE_SQL = _LazyOracle()
+
+
+#: Lead-lag scan range (days) for the cross-correlation query.
+LEADLAG_MAX = 3
+
+#: Series compared by the lead-lag cross-correlation.
+LEADLAG_X = "click"
+LEADLAG_Y = "purchase"
+
+
+def benford_price_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order prices — the
+    data-quality / fraud screen: a synthetically generated or
+    manipulated money column deviates from ``P(d) = log10(1+1/d)``
+    long before any per-row rule can see it.
+
+    First digits come from string arithmetic on the exact integer
+    part (no libm log on data); the digit spine 1..9 is generated so
+    absent digits still report a row. One map-side-combinable
+    aggregate onto 9 cells; expected shares apply log10 to the nine
+    CONSTANTS only."""
+    orders = load_table(spark, sf_dir, "orders")
+    digits = (
+        orders.filter(F.col("o_totalprice") >= 1)
+        .select(
+            F.substring(
+                F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1
+            )
+            .cast("int")
+            .alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("obs"))
+    )
+    spine = spark.range(1, 10).select(F.col("id").cast("int").alias("digit"))
+    total = F.broadcast(digits.agg(F.sum("obs").alias("n")))
+    benford = F.log10(1.0 + 1.0 / F.col("digit"))
+    exp = F.col("n") * benford
+    return (
+        spine.join(F.broadcast(digits), "digit", "left")
+        .withColumn("obs", F.coalesce("obs", F.lit(0).cast("bigint")))
+        .crossJoin(total)
+        .select(
+            "digit",
+            F.col("obs").alias("n_orders"),
+            F.round(F.col("obs") * 100.0 / F.col("n"), 4).alias("obs_pct"),
+            F.round(benford * 100.0, 4).alias("benford_pct"),
+            F.round((F.col("obs") - exp) * (F.col("obs") - exp) / exp, 6)
+            .alias("chi_term"),
+        )
+        .orderBy("digit")
+    )
+
+
+def daily_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single best changepoint in the daily event-value series:
+    the day split maximizing the between-segment sum of squares
+    (binary-segmentation step 1) — the "WHEN did the level shift"
+    answer to what `daily_cusum_drift` plots.
+
+    Every candidate split's objective ``S1²/N1 + S2²/N2`` is a
+    closed form of exact BIGINT prefix sums on the ~30-row day
+    compaction (cents headroom to ~3e9 cents of daily volume per
+    side, then DECIMAL); the objective is rounded to 6 BEFORE the
+    argmax so near-ties collapse to exact ties broken by earliest
+    day — deterministic in both engines."""
+    events = load_table(spark, sf_dir, "events")
+    daily = (
+        events.select(
+            F.to_date("ts").alias("d"),
+            F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+        .groupBy("d")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("cents").alias("s"),
+        )
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    totals = F.broadcast(
+        daily.agg(
+            F.sum("n").alias("nn"),
+            F.sum("s").alias("ss"),
+            F.count(F.lit(1)).alias("n_days"),
+        )
+    )
+    t = F.row_number().over(Window.orderBy("d"))
+    pre = (
+        daily.withColumn("t", t)
+        .withColumn("cumn", F.sum("n").over(w))
+        .withColumn("cums", F.sum("s").over(w))
+        .crossJoin(totals)
+        .filter(F.col("t") < F.col("n_days"))
+    )
+    n2 = F.col("nn") - F.col("cumn")
+    s2 = F.col("ss") - F.col("cums")
+    obj = F.round(
+        F.col("cums") * F.col("cums") / (F.col("cumn") * 1.0)
+        + s2 * s2 / (n2 * 1.0),
+        6,
+    )
+    cand = pre.select(
+        "d", "cumn", "cums", "nn", "ss", obj.alias("obj")
+    )
+    peak = F.broadcast(cand.agg(F.max("obj").alias("best")))
+    return (
+        cand.crossJoin(peak)
+        .filter(F.col("obj") == F.col("best"))
+        .groupBy("nn", "ss", "best")
+        .agg(
+            F.min("d").alias("split_day"),
+            F.min_by(
+                F.struct("cumn", "cums"), F.struct("d")
+            ).alias("pref"),
+        )
+        .select(
+            F.col("split_day"),
+            F.round(
+                F.col("pref.cums") / (F.col("pref.cumn") * 100.0), 4
+            ).alias("mean_before"),
+            F.round(
+                (F.col("ss") - F.col("pref.cums"))
+                / ((F.col("nn") - F.col("pref.cumn")) * 100.0),
+                4,
+            ).alias("mean_after"),
+            F.round(
+                (
+                    F.col("best")
+                    - F.col("ss") * F.col("ss") / (F.col("nn") * 1.0)
+                )
+                / F.col("nn")
+                / 1e4,
+                6,
+            ).alias("between_var_gain"),
+        )
+    )
+
+
+def event_type_leadlag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead-lag cross-correlation between the daily ``LEADLAG_X``
+    and ``LEADLAG_Y`` event-count series at lags −3..+3 days — the
+    "do clicks lead purchases?" diagnostic behind attribution
+    windows. Positive lag correlates today's clicks with purchases
+    ``lag`` days LATER.
+
+    Both series live on the day spine (absent days count 0, so the
+    pairing is dense); each lag is an equi-join of the ~30-row day
+    compactions on a date offset, reduced to exact BIGINT power sums
+    and one closed-form Pearson r."""
+    events = load_table(spark, sf_dir, "events")
+    per_day = (
+        events.groupBy(F.to_date("ts").alias("d"))
+        .agg(
+            F.sum(
+                (F.col("event_type") == LEADLAG_X).cast("bigint")
+            ).alias("x"),
+            F.sum(
+                (F.col("event_type") == LEADLAG_Y).cast("bigint")
+            ).alias("y"),
+        )
+    )
+    lags = spark.range(-LEADLAG_MAX, LEADLAG_MAX + 1).select(
+        F.col("id").cast("int").alias("lag")
+    )
+    a = per_day.select("d", "x")
+    b = per_day.select(F.col("d").alias("d2"), "y")
+    pairs = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.expr("d2 = date_add(d, lag)"))
+    )
+    sums = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = F.col("n_days") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(
+        (
+            F.col("n_days") * F.col("sxx") - F.col("sx") * F.col("sx")
+        ).cast("double")
+        * (
+            F.col("n_days") * F.col("syy") - F.col("sy") * F.col("sy")
+        ).cast("double")
+    )
+    return (
+        sums.select(
+            "lag",
+            "n_days",
+            F.round(F.when(den > 0, num / den), 6).alias("r"),
+        )
+        .orderBy("lag")
+    )
+
+
+def dow_seasonal_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonal decomposition of the daily mean event
+    value: per dow (0=Sunday, the `order_seasonality` convention),
+    the dow-mean level, its effect vs the overall mean of daily
+    means, and the within-dow residual variance — the "is Monday
+    really different or just noisy" table.
+
+    Each day's mean is quantized ONCE to exact micro-value BIGINTs
+    (``round(1e6·s/n)`` of bit-identical integer quotients), so the
+    dow/grand aggregates and the variance closed form run entirely
+    on exact integers; divisions happen only in the final
+    projection."""
+    events = load_table(spark, sf_dir, "events")
+    daily = (
+        events.select(
+            F.to_date("ts").alias("d"),
+            F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+        .groupBy("d")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("cents").alias("s"),
+        )
+        .select(
+            (F.dayofweek("d") - 1).cast("int").alias("dow"),
+            F.round(F.col("s") * 1e4 / F.col("n")).cast("bigint").alias(
+                "mu"
+            ),
+        )
+    )
+    grand = F.broadcast(
+        daily.agg(
+            F.sum("mu").alias("gsum"),
+            F.count(F.lit(1)).alias("gdays"),
+        )
+    )
+    per_dow = daily.groupBy("dow").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("mu").alias("dsum"),
+        F.sum(F.col("mu") * F.col("mu")).alias("dsum2"),
+    )
+    dmean = F.col("dsum") / (F.col("n_days") * 1.0)
+    gmean = F.col("gsum") / (F.col("gdays") * 1.0)
+    return (
+        per_dow.crossJoin(grand)
+        .select(
+            "dow",
+            "n_days",
+            F.round(dmean / 1e6, 4).alias("dow_mean"),
+            F.round((dmean - gmean) / 1e6, 4).alias("effect"),
+            F.round(
+                (
+                    F.col("dsum2") / (F.col("n_days") * 1.0)
+                    - dmean * dmean
+                )
+                / 1e12,
+                4,
+            ).alias("within_var"),
+        )
+        .orderBy("dow")
+    )
+
+
+def daily_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test on the daily mean value series:
+    are above-median and below-median days randomly interleaved, or
+    do they clump (trend/regime) or alternate (overcorrection)?
+
+    The median of the ~30 quantized day means is exact (average of
+    the two middle order statistics of BIGINT micro-values, selected
+    by row_number — a window over the day compaction); days AT the
+    median drop (the standard tie rule); runs count via one lag
+    window over the remaining day rows; z is the closed form of
+    exact integers."""
+    events = load_table(spark, sf_dir, "events")
+    daily = (
+        events.select(
+            F.to_date("ts").alias("d"),
+            F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+        .groupBy("d")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("cents").alias("s"),
+        )
+        .select(
+            "d",
+            F.round(F.col("s") * 1e4 / F.col("n")).cast("bigint").alias(
+                "mu"
+            ),
+        )
+    )
+    rn = F.row_number().over(Window.orderBy("mu", "d"))
+    cnt = F.broadcast(daily.agg(F.count(F.lit(1)).alias("dd")))
+    med = F.broadcast(
+        daily.crossJoin(cnt)
+        .withColumn("rn", rn)
+        .filter(
+            (F.col("rn") == F.expr("(dd + 1) DIV 2"))
+            | (F.col("rn") == F.expr("(dd + 2) DIV 2"))
+        )
+        .agg(F.avg("mu").alias("med"))
+    )
+    signs = (
+        daily.crossJoin(med)
+        .filter(F.col("mu") != F.col("med"))
+        .select("d", (F.col("mu") > F.col("med")).cast("int").alias("up"))
+    )
+    flips = signs.select(
+        "up",
+        (
+            F.col("up")
+            != F.lag("up", 1, -1).over(Window.orderBy("d"))
+        ).cast("bigint").alias("flip"),
+    )
+    sums = flips.agg(
+        F.sum("up").cast("bigint").alias("n1"),
+        F.sum(1 - F.col("up")).cast("bigint").alias("n2"),
+        F.sum("flip").cast("bigint").alias("runs"),
+    )
+    n = F.col("n1") + F.col("n2")
+    mu_r = 2.0 * F.col("n1") * F.col("n2") / n + 1
+    var_r = (
+        2.0
+        * F.col("n1")
+        * F.col("n2")
+        * (2.0 * F.col("n1") * F.col("n2") - n)
+        / (n * n * (n - 1.0))
+    )
+    return sums.select(
+        F.col("n1").alias("n_above"),
+        F.col("n2").alias("n_below"),
+        F.col("runs").alias("n_runs"),
+        F.round(
+            F.when(var_r > 0, (F.col("runs") - mu_r) / F.sqrt(var_r)), 4
+        ).alias("z"),
+    )
+
+
+def nation_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation OLS trend of monthly order revenue: slope and
+    intercept of cents-exact revenue regressed on the month index —
+    the per-key regression every KPI dashboard fits (and the honest
+    replacement for eyeballing `monthly_revenue_growth`).
+
+    Month revenue is one (nation, month) hash aggregate after the
+    orders⋈customer key shuffle (customer carries only its 2-column
+    projection); the regression reduces the bounded nation×month
+    grid to exact BIGINT power sums; slope/intercept are closed
+    forms. Month indexes anchor to the global min order month
+    (broadcast 1-row aggregate), so t is small and t·y products stay
+    far from BIGINT limits."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nation = F.broadcast(
+        load_table(spark, sf_dir, "nation").select(
+            "n_nationkey", "n_name"
+        )
+    )
+    anchor = F.broadcast(
+        orders.agg(
+            F.min(
+                F.year("o_orderdate") * 12 + F.month("o_orderdate")
+            ).alias("m0")
+        )
+    )
+    monthly = (
+        orders.select(
+            "o_custkey",
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias(
+                "m"
+            ),
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias(
+                "cents"
+            ),
+        )
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(nation, F.col("c_nationkey") == F.col("n_nationkey"))
+        .crossJoin(anchor)
+        .groupBy(
+            "n_name", (F.col("m") - F.col("m0")).cast("bigint").alias("t")
+        )
+        .agg(F.sum("cents").alias("y"))
+    )
+    sums = monthly.groupBy("n_name").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_months"),
+        F.sum("t").alias("st"),
+        F.sum(F.col("t") * F.col("t")).alias("stt"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("t") * F.col("y")).alias("sty"),
+    )
+    det = (
+        F.col("n_months") * F.col("stt") - F.col("st") * F.col("st")
+    ).cast("double")
+    slope = (
+        F.col("n_months") * F.col("sty") - F.col("st") * F.col("sy")
+    ) / det
+    intercept = (
+        F.col("sy") - slope * F.col("st")
+    ) / F.col("n_months")
+    return (
+        sums.select(
+            "n_name",
+            "n_months",
+            F.round(F.when(det > 0, slope / 100.0), 4).alias(
+                "slope_per_month"
+            ),
+            F.round(
+                F.when(det > 0, intercept / 100.0), 4
+            ).alias("intercept"),
+        )
+        .orderBy("n_name")
+    )
+
+
+QUERIES["benford_price_digits"] = benford_price_digits
+QUERIES["daily_changepoint"] = daily_changepoint
+QUERIES["event_type_leadlag"] = event_type_leadlag
+QUERIES["dow_seasonal_decomposition"] = dow_seasonal_decomposition
+QUERIES["daily_runs_test"] = daily_runs_test
+QUERIES["nation_revenue_trend"] = nation_revenue_trend
+
+
+def _oracle_sql2() -> dict[str, str]:
+    return {
+        "benford_price_digits": """
+            WITH digits AS (
+                SELECT CAST(substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT)
+                                        AS VARCHAR), 1, 1) AS INTEGER)
+                           AS digit,
+                       CAST(COUNT(*) AS BIGINT) AS obs
+                FROM orders
+                WHERE o_totalprice >= 1
+                GROUP BY 1
+            ),
+            spine AS (
+                SELECT CAST(unnest(range(1, 10)) AS INTEGER) AS digit
+            ),
+            tot AS (SELECT SUM(obs) AS n FROM digits)
+            SELECT s.digit,
+                   COALESCE(d.obs, 0) AS n_orders,
+                   ROUND(COALESCE(d.obs, 0) * 100.0 / n, 4) AS obs_pct,
+                   ROUND(log10(1.0 + 1.0 / s.digit) * 100.0, 4)
+                       AS benford_pct,
+                   ROUND((COALESCE(d.obs, 0) - n * log10(1.0 + 1.0 / s.digit))
+                         * (COALESCE(d.obs, 0)
+                            - n * log10(1.0 + 1.0 / s.digit))
+                         / (n * log10(1.0 + 1.0 / s.digit)), 6)
+                       AS chi_term
+            FROM spine s LEFT JOIN digits d USING (digit) CROSS JOIN tot
+            ORDER BY s.digit
+        """,
+        "daily_changepoint": """
+            WITH daily AS (
+                SELECT CAST(ts AS DATE) AS d,
+                       CAST(COUNT(*) AS BIGINT) AS n,
+                       SUM(CAST(ROUND(value * 100) AS BIGINT)) AS s
+                FROM events GROUP BY 1
+            ),
+            tot AS (
+                SELECT SUM(n) AS nn, SUM(s) AS ss, COUNT(*) AS n_days
+                FROM daily
+            ),
+            pre AS (
+                SELECT d,
+                       SUM(n) OVER w AS cumn,
+                       SUM(s) OVER w AS cums,
+                       CAST(ROW_NUMBER() OVER (ORDER BY d) AS BIGINT) AS t,
+                       nn, ss, n_days
+                FROM daily CROSS JOIN tot
+                WINDOW w AS (ORDER BY d ROWS UNBOUNDED PRECEDING)
+            ),
+            cand AS (
+                SELECT d, cumn, cums, nn, ss,
+                       ROUND(cums * cums / (cumn * 1.0)
+                             + (ss - cums) * (ss - cums)
+                               / ((nn - cumn) * 1.0), 6) AS obj
+                FROM pre WHERE t < n_days
+            ),
+            best AS (
+                SELECT * FROM cand
+                WHERE obj = (SELECT MAX(obj) FROM cand)
+                ORDER BY d LIMIT 1
+            )
+            SELECT d AS split_day,
+                   ROUND(cums / (cumn * 100.0), 4) AS mean_before,
+                   ROUND((ss - cums) / ((nn - cumn) * 100.0), 4)
+                       AS mean_after,
+                   ROUND((obj - ss * ss / (nn * 1.0)) / nn / 1e4, 6)
+                       AS between_var_gain
+            FROM best
+        """,
+        "event_type_leadlag": f"""
+            WITH per_day AS (
+                SELECT CAST(ts AS DATE) AS d,
+                       CAST(SUM(CASE WHEN event_type = '{LEADLAG_X}'
+                                     THEN 1 ELSE 0 END) AS BIGINT) AS x,
+                       CAST(SUM(CASE WHEN event_type = '{LEADLAG_Y}'
+                                     THEN 1 ELSE 0 END) AS BIGINT) AS y
+                FROM events GROUP BY 1
+            ),
+            lags AS (
+                SELECT CAST(unnest(range(-{LEADLAG_MAX},
+                                         {LEADLAG_MAX} + 1))
+                            AS INTEGER) AS lag
+            ),
+            pairs AS (
+                SELECT l.lag, a.x, b.y
+                FROM per_day a
+                CROSS JOIN lags l
+                JOIN per_day b ON b.d = a.d + l.lag
+            ),
+            s AS (
+                SELECT lag,
+                       CAST(COUNT(*) AS BIGINT) AS n_days,
+                       SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+                       SUM(x * x) AS sxx, SUM(y * y) AS syy
+                FROM pairs GROUP BY lag
+            )
+            SELECT lag, n_days,
+                   ROUND(CASE WHEN (n_days * sxx - sx * sx) > 0
+                               AND (n_days * syy - sy * sy) > 0
+                        THEN (n_days * sxy - sx * sy)
+                             / sqrt(CAST(n_days * sxx - sx * sx AS DOUBLE)
+                                    * CAST(n_days * syy - sy * sy
+                                           AS DOUBLE))
+                        END, 6) AS r
+            FROM s
+            ORDER BY lag
+        """,
+        "dow_seasonal_decomposition": """
+            WITH daily AS (
+                SELECT CAST(ts AS DATE) AS d,
+                       CAST(COUNT(*) AS BIGINT) AS n,
+                       SUM(CAST(ROUND(value * 100) AS BIGINT)) AS s
+                FROM events GROUP BY 1
+            ),
+            q AS (
+                SELECT CAST(EXTRACT(dow FROM d) AS INTEGER) AS dow,
+                       CAST(ROUND(s * 1e4 / n) AS BIGINT) AS mu
+                FROM daily
+            ),
+            grand AS (
+                SELECT SUM(mu) AS gsum, COUNT(*) AS gdays FROM q
+            ),
+            per_dow AS (
+                SELECT dow,
+                       CAST(COUNT(*) AS BIGINT) AS n_days,
+                       SUM(mu) AS dsum,
+                       SUM(mu * mu) AS dsum2
+                FROM q GROUP BY dow
+            )
+            SELECT dow, n_days,
+                   ROUND(dsum / (n_days * 1.0) / 1e6, 4) AS dow_mean,
+                   ROUND((dsum / (n_days * 1.0) - gsum / (gdays * 1.0))
+                         / 1e6, 4) AS effect,
+                   ROUND((dsum2 / (n_days * 1.0)
+                          - (dsum / (n_days * 1.0))
+                            * (dsum / (n_days * 1.0))) / 1e12, 4)
+                       AS within_var
+            FROM per_dow CROSS JOIN grand
+            ORDER BY dow
+        """,
+        "daily_runs_test": """
+            WITH daily AS (
+                SELECT CAST(ts AS DATE) AS d,
+                       CAST(COUNT(*) AS BIGINT) AS n,
+                       SUM(CAST(ROUND(value * 100) AS BIGINT)) AS s
+                FROM events GROUP BY 1
+            ),
+            q AS (
+                SELECT d, CAST(ROUND(s * 1e4 / n) AS BIGINT) AS mu
+                FROM daily
+            ),
+            cnt AS (SELECT COUNT(*) AS dd FROM q),
+            med AS (
+                SELECT AVG(mu) AS med
+                FROM (
+                    SELECT mu,
+                           ROW_NUMBER() OVER (ORDER BY mu, d) AS rn
+                    FROM q
+                ) CROSS JOIN cnt
+                WHERE rn = (dd + 1) // 2 OR rn = (dd + 2) // 2
+            ),
+            signs AS (
+                SELECT d, CAST(mu > med AS INTEGER) AS up
+                FROM q CROSS JOIN med
+                WHERE mu <> med
+            ),
+            flips AS (
+                SELECT up,
+                       CAST(up <> LAG(up, 1, -1) OVER (ORDER BY d)
+                            AS BIGINT) AS flip
+                FROM signs
+            ),
+            s AS (
+                SELECT CAST(SUM(up) AS BIGINT) AS n1,
+                       CAST(SUM(1 - up) AS BIGINT) AS n2,
+                       CAST(SUM(flip) AS BIGINT) AS runs
+                FROM flips
+            )
+            SELECT n1 AS n_above, n2 AS n_below, runs AS n_runs,
+                   ROUND(CASE WHEN
+                         2.0 * n1 * n2 * (2.0 * n1 * n2 - (n1 + n2))
+                         / ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1.0)) > 0
+                        THEN (runs - (2.0 * n1 * n2 / (n1 + n2) + 1))
+                             / sqrt(2.0 * n1 * n2
+                                    * (2.0 * n1 * n2 - (n1 + n2))
+                                    / ((n1 + n2) * (n1 + n2)
+                                       * (n1 + n2 - 1.0)))
+                        END, 4) AS z
+            FROM s
+        """,
+        "nation_revenue_trend": """
+            WITH anchor AS (
+                SELECT MIN(EXTRACT(year FROM o_orderdate) * 12
+                           + EXTRACT(month FROM o_orderdate)) AS m0
+                FROM orders
+            ),
+            monthly AS (
+                SELECT n.n_name,
+                       CAST(EXTRACT(year FROM o.o_orderdate) * 12
+                            + EXTRACT(month FROM o.o_orderdate) - m0
+                            AS BIGINT) AS t,
+                       SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT))
+                           AS y
+                FROM orders o
+                JOIN customer c ON o.o_custkey = c.c_custkey
+                JOIN nation n ON c.c_nationkey = n.n_nationkey
+                CROSS JOIN anchor
+                GROUP BY 1, 2
+            ),
+            s AS (
+                SELECT n_name,
+                       CAST(COUNT(*) AS BIGINT) AS n_months,
+                       SUM(t) AS st, SUM(t * t) AS stt,
+                       SUM(y) AS sy, SUM(t * y) AS sty
+                FROM monthly GROUP BY n_name
+            )
+            SELECT n_name, n_months,
+                   ROUND(CASE WHEN n_months * stt - st * st > 0
+                        THEN (n_months * sty - st * sy)
+                             / CAST(n_months * stt - st * st AS DOUBLE)
+                             / 100.0 END, 4) AS slope_per_month,
+                   ROUND(CASE WHEN n_months * stt - st * st > 0
+                        THEN (sy - (n_months * sty - st * sy)
+                                   / CAST(n_months * stt - st * st
+                                          AS DOUBLE) * st)
+                             / n_months / 100.0 END, 4) AS intercept
+            FROM s
+            ORDER BY n_name
+        """,
+    }

@@ -156,3 +156,150 @@ def test_water_filling_exhausts_budget_within_caps(spark):
             assert r.alloc_tokens == float(r.available_tokens)
     # somebody must sit at the water level when the budget binds
     assert any(r.at_cap for r in rows)
+
+
+def test_benford_shares_close(spark):
+    rows = statstests.benford_price_digits(spark, SF).collect()
+    assert [r.digit for r in rows] == list(range(1, 10))
+    n_orders = (
+        spark.read.parquet(f"{SF}/orders.parquet")
+        .filter(F.col("o_totalprice") >= 1)
+        .count()
+    )
+    assert sum(r.n_orders for r in rows) == n_orders
+    assert abs(sum(r.obs_pct for r in rows) - 100.0) < 0.01
+    assert abs(sum(r.benford_pct for r in rows) - 100.0) < 0.01
+    assert all(r.chi_term >= 0 for r in rows)
+
+
+def test_changepoint_sits_between_segment_means(spark):
+    row = statstests.daily_changepoint(spark, SF).collect()[0]
+    ev = spark.read.parquet(f"{SF}/events.parquet").select(
+        F.to_date("ts").alias("d"), "value"
+    )
+    dmin, dmax = ev.agg(F.min("d"), F.max("d")).collect()[0]
+    assert dmin <= row.split_day < dmax
+    assert row.between_var_gain >= 0
+    # the global mean is a convex combination of the two segment means
+    gmean = ev.agg(F.avg("value")).collect()[0][0]
+    lo, hi = sorted([row.mean_before, row.mean_after])
+    assert lo - 0.01 <= gmean <= hi + 0.01
+
+
+def test_leadlag_zero_lag_matches_bruteforce_pearson(spark):
+    rows = statstests.event_type_leadlag(spark, SF).collect()
+    assert [r.lag for r in rows] == list(
+        range(-statstests.LEADLAG_MAX, statstests.LEADLAG_MAX + 1)
+    )
+    per_day = {}
+    for r in (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .groupBy(F.to_date("ts").alias("d"))
+        .agg(
+            F.sum(
+                (F.col("event_type") == statstests.LEADLAG_X).cast("int")
+            ).alias("x"),
+            F.sum(
+                (F.col("event_type") == statstests.LEADLAG_Y).cast("int")
+            ).alias("y"),
+        )
+        .collect()
+    ):
+        per_day[r.d] = (r.x, r.y)
+    xs = [v[0] for _, v in sorted(per_day.items())]
+    ys = [v[1] for _, v in sorted(per_day.items())]
+    n = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(a * b for a, b in zip(xs, ys))
+    sxx, syy = sum(a * a for a in xs), sum(b * b for b in ys)
+    num = n * sxy - sx * sy
+    den = ((n * sxx - sx * sx) * (n * syy - sy * sy)) ** 0.5
+    r0 = [r for r in rows if r.lag == 0][0]
+    assert abs(r0.r - round(num / den, 6)) < 1e-6
+    assert all(r.r is None or -1.0 <= r.r <= 1.0 for r in rows)
+
+
+def test_dow_effects_weighted_sum_to_zero(spark):
+    rows = statstests.dow_seasonal_decomposition(spark, SF).collect()
+    n_days = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .select(F.to_date("ts").alias("d"))
+        .distinct()
+        .count()
+    )
+    assert sum(r.n_days for r in rows) == n_days
+    weighted = sum(r.n_days * r.effect for r in rows)
+    assert abs(weighted) < 0.01 * n_days
+    assert all(r.within_var >= 0 for r in rows)
+
+
+def test_runs_test_counts_match_bruteforce(spark):
+    row = statstests.daily_runs_test(spark, SF).collect()[0]
+    daily = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .groupBy(F.to_date("ts").alias("d"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("s"),
+        )
+        .collect()
+    )
+    mus = sorted(
+        (round(r.s * 1e4 / r.n), r.d) for r in daily
+    )
+    dd = len(mus)
+    med = (mus[(dd + 1) // 2 - 1][0] + mus[(dd + 2) // 2 - 1][0]) / 2.0
+    seq = [
+        mu > med
+        for mu, _ in sorted(mus, key=lambda p: p[1])
+        if mu != med
+    ]
+    runs = 1 + sum(a != b for a, b in zip(seq, seq[1:]))
+    assert row.n_runs == runs
+    assert row.n_above == sum(seq)
+    assert row.n_below == len(seq) - sum(seq)
+    assert 1 <= row.n_runs <= row.n_above + row.n_below
+
+
+def test_nation_trend_matches_bruteforce_ols(spark):
+    rows = statstests.nation_revenue_trend(spark, SF).collect()
+    nations = spark.read.parquet(f"{SF}/nation.parquet").count()
+    assert len(rows) == nations
+    # brute-force the slope for the first nation
+    target = rows[0].n_name
+    monthly = (
+        spark.read.parquet(f"{SF}/orders.parquet")
+        .join(
+            spark.read.parquet(f"{SF}/customer.parquet"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            spark.read.parquet(f"{SF}/nation.parquet"),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .filter(F.col("n_name") == target)
+        .groupBy(
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias(
+                "m"
+            )
+        )
+        .agg(
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("bigint")
+            ).alias("y")
+        )
+        .collect()
+    )
+    m0 = (
+        spark.read.parquet(f"{SF}/orders.parquet")
+        .agg(F.min(F.year("o_orderdate") * 12 + F.month("o_orderdate")))
+        .collect()[0][0]
+    )
+    pts = [(r.m - m0, r.y) for r in monthly]
+    n = len(pts)
+    st = sum(t for t, _ in pts)
+    stt = sum(t * t for t, _ in pts)
+    sy = sum(y for _, y in pts)
+    sty = sum(t * y for t, y in pts)
+    slope = (n * sty - st * sy) / (n * stt - st * st) / 100.0
+    assert abs(rows[0].slope_per_month - round(slope, 4)) < 1e-6
