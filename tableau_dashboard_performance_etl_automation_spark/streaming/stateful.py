@@ -340,3 +340,85 @@ def hll_distinct_stream(stream: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+CMS_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("shard", LongType()),
+        StructField("n_events", LongType()),
+        StructField("grid", ArrayType(LongType())),
+    ]
+)
+
+#: CMS state = the flattened D×W counter grid — like the HLL
+#: registers, a fixed-size mergeable sketch that can live in a state
+#: store regardless of how many events stream through the shard.
+CMS_STATE_SCHEMA = StructType(
+    [StructField("grid", ArrayType(LongType()))]
+)
+
+#: Shards the streaming CMS is partitioned into (state parallelism).
+CMS_SHARDS = 8
+
+
+def _cms_update(
+    key: tuple, batches: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    """Fold each micro-batch's events into the shard's D×W counter
+    grid and emit the running grid. The row/bucket arithmetic is the
+    SAME seeded-md5 pipeline as the batch twin
+    (``operators.sketches.heavy_hitter_users_cms``: md5 of
+    ``"{row}|{user_id}"``, first two hex digits → 0..255), and every
+    event lands in the same (row, bucket) cells regardless of which
+    shard counts it — so the cell-wise SUM of all shard grids equals
+    the batch sketch exactly (counter addition is the mergeability
+    CMS is built on; reconciliation test in
+    ``tests/test_streaming.py``)."""
+    import hashlib
+
+    from tableau_dashboard_performance_etl_automation_spark.operators.sketches import (
+        CMS_DEPTH,
+        CMS_WIDTH,
+    )
+
+    grid = list(state.get[0]) if state.exists else [0] * (
+        CMS_DEPTH * CMS_WIDTH
+    )
+    for pdf in batches:
+        for uid in pdf["user_id"]:
+            for r in range(CMS_DEPTH):
+                h = hashlib.md5(f"{r}|{uid}".encode()).hexdigest()
+                grid[r * CMS_WIDTH + int(h[0:2], 16)] += 1
+    state.update((grid,))
+    yield pd.DataFrame(
+        {
+            "shard": [key[0]],
+            "n_events": [sum(grid) // CMS_DEPTH],
+            "grid": [list(grid)],
+        }
+    )
+
+
+def cms_grid_stream(stream: DataFrame) -> DataFrame:
+    """Streaming count-min sketch, sharded for state parallelism:
+    events hash-partition into ``CMS_SHARDS`` groups (``user_id %
+    CMS_SHARDS``), each maintaining its own fixed-size counter grid
+    in the state store. Per-shard state is O(D×W) no matter the
+    event volume; the shard grids are cell-wise addable, so a reader
+    merges them into the exact global sketch (the map-side-combine
+    property, expressed as streaming state)."""
+    import pyspark.sql.functions as F
+
+    keyed = stream.select(
+        F.pmod(F.col("user_id"), F.lit(CMS_SHARDS))
+        .cast("bigint")
+        .alias("shard"),
+        "user_id",
+    )
+    return keyed.groupBy("shard").applyInPandasWithState(
+        _cms_update,
+        outputStructType=CMS_OUTPUT_SCHEMA,
+        stateStructType=CMS_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

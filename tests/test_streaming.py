@@ -511,3 +511,51 @@ def test_streaming_hll_converges_to_batch_sketch(spark, sf_dir, tmp_path):
     assert set(last) == set(want)
     for et, (est, _) in last.items():
         assert est == want[et], f"{et}: stream {est} != batch {want[et]}"
+
+
+def test_streaming_cms_shards_merge_into_batch_grid(spark, sf_dir, tmp_path):
+    """Cell-wise sum of the final per-shard streaming grids must
+    equal the batch CMS grid (same seeded-md5 cells, counters add),
+    so top-user estimates recomputed from the merged grid match
+    heavy_hitter_users_cms exactly."""
+    import collections
+
+    from tableau_dashboard_performance_etl_automation_spark.operators import sketches
+
+    inp = _stage_stream_input(spark, sf_dir, tmp_path)
+    stream = trend.events_stream(spark, inp)
+    (
+        stateful.cms_grid_stream(stream.select("user_id"))
+        .writeStream.format("memory")
+        .queryName("cms_sink")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    last: dict = collections.OrderedDict()
+    for r in spark.table("cms_sink").collect():
+        last[r.shard] = r.grid  # later emissions overwrite earlier
+    merged = [0] * (sketches.CMS_DEPTH * sketches.CMS_WIDTH)
+    for grid in last.values():
+        for i, c in enumerate(grid):
+            merged[i] += c
+    n_events = load_table(spark, sf_dir, "events").count()
+    assert sum(merged) == n_events * sketches.CMS_DEPTH
+
+    import hashlib
+
+    def est(uid) -> int:
+        return min(
+            merged[
+                r * sketches.CMS_WIDTH
+                + int(
+                    hashlib.md5(f"{r}|{uid}".encode()).hexdigest()[0:2],
+                    16,
+                )
+            ]
+            for r in range(sketches.CMS_DEPTH)
+        )
+
+    for row in sketches.heavy_hitter_users_cms(spark, sf_dir).collect():
+        assert est(row.user_id) == row.est_count, row
