@@ -2669,3 +2669,218 @@ def _cluster_margin_oracle() -> str:
 
 ORACLE_SQL["cluster_lang_purity"] = _cluster_purity_oracle()
 ORACLE_SQL["cluster_centroid_margin"] = _cluster_margin_oracle()
+
+
+#: Matryoshka dimension budgets evaluated against the full vector.
+MRL_BUDGETS = [8, 16, 32, 64]
+
+
+def ann_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-signature top-k: rank by Hamming distance between
+    sign-bit signatures — the 64× compression end of the search
+    spectrum (exact → int8 → PQ → binary), and the memory layout a
+    100 TB vector store scans first (two BIGINT words per vector,
+    XOR + popcount per candidate, no float math in the scan loop).
+
+    Signatures pack 32 sign bits per BIGINT word (two words for the
+    64-dim corpus; bit d set iff ``vec[d] > 0``), built once in the
+    projection; the distance is ``bit_count(xor(...)) +
+    bit_count(xor(...))`` — all exact integer ops, so ranking is
+    deterministic (ties break by neighbor id; Hamming ties are the
+    norm with 65 possible distances). Queries broadcast, the corpus
+    never moves — the brute-force layout with 64× less memory
+    traffic."""
+    e = _emb(spark, sf_dir)
+    word = (
+        "aggregate(transform(sequence({lo}, {hi}), d -> CASE WHEN"
+        " vec[d] > 0 THEN shiftleft(CAST(1 AS BIGINT), d - {lo})"
+        " ELSE CAST(0 AS BIGINT) END), CAST(0 AS BIGINT), (a, x) -> a + x)"
+    )
+    sigs = e.select(
+        "vec_id",
+        F.expr(word.format(lo=0, hi=31)).alias("wlo"),
+        F.expr(word.format(lo=32, hi=63)).alias("whi"),
+    )
+    q = sigs.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("wlo").alias("qlo"),
+        F.col("whi").alias("qhi"),
+    )
+    ham = (
+        F.bit_count(F.expr("wlo ^ qlo")) + F.bit_count(F.expr("whi ^ qhi"))
+    ).cast("int")
+    w = Window.partitionBy("query_id").orderBy("hamming", "neighbor_id")
+    return (
+        sigs.select(
+            F.col("vec_id").alias("neighbor_id"), "wlo", "whi"
+        )
+        .crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("hamming", ham)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "hamming", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+def matryoshka_truncation_fidelity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Matryoshka truncation fidelity: for each dimension budget m,
+    how faithfully does cosine over the FIRST m dims reproduce the
+    full-dimension cosine across the query×corpus pair set? Reports
+    Pearson r and mean |Δ| per budget — the table that decides how
+    hard an MRL-style embedding can be truncated before retrieval
+    quality goes.
+
+    Per-pair cosines use the engine's shared fold (rounded to 6),
+    then are quantized ONCE to exact 1e6 integer units, so the
+    correlation/MAE reductions over the pair set are exact BIGINT
+    power sums in any accumulation order; r and MAE divide once.
+    Scale shape: queries broadcast, the corpus streams, budgets
+    explode a 4-element literal — cost is one corpus scan per run,
+    independent of budget count beyond the per-row arithmetic."""
+    e = _emb(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec")
+    )
+    budgets = ", ".join(str(m) for m in MRL_BUDGETS)
+    pairs = (
+        e.select(F.col("vec_id").alias("neighbor_id"), "vec")
+        .crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "c_full",
+            F.round(cosine(F.col("qvec"), F.col("vec")), 6),
+        )
+        .withColumn("m", F.explode(F.expr(f"array({budgets})")))
+        .withColumn(
+            "c_m",
+            F.round(
+                cosine(
+                    F.expr("slice(qvec, 1, m)"), F.expr("slice(vec, 1, m)")
+                ),
+                6,
+            ),
+        )
+        .filter(F.col("c_full").isNotNull() & F.col("c_m").isNotNull())
+        .select(
+            "m",
+            F.round(F.col("c_full") * 1e6).cast("bigint").alias("x"),
+            F.round(F.col("c_m") * 1e6).cast("bigint").alias("y"),
+        )
+    )
+    sums = pairs.groupBy("m").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.abs(F.col("x") - F.col("y"))).alias("sad"),
+    )
+    num = F.col("n_pairs") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(
+        (
+            F.col("n_pairs") * F.col("sxx") - F.col("sx") * F.col("sx")
+        ).cast("double")
+        * (
+            F.col("n_pairs") * F.col("syy") - F.col("sy") * F.col("sy")
+        ).cast("double")
+    )
+    return (
+        sums.select(
+            "m",
+            "n_pairs",
+            F.round(F.when(den > 0, num / den), 6).alias("r_vs_full"),
+            F.round(F.col("sad") / F.col("n_pairs") / 1e6, 6).alias(
+                "mae_cosine"
+            ),
+        )
+        .orderBy("m")
+    )
+
+
+QUERIES["ann_hamming_topk"] = ann_hamming_topk
+QUERIES["matryoshka_truncation_fidelity"] = matryoshka_truncation_fidelity
+
+ORACLE_SQL["ann_hamming_topk"] = f"""
+    WITH sigs AS (
+        SELECT vec_id,
+               CAST(list_sum(list_transform(range(1, 33), d ->
+                   CASE WHEN embedding[CAST(d AS INTEGER)] > 0
+                        THEN CAST(1 AS BIGINT) << (d - 1)
+                        ELSE 0 END)) AS BIGINT) AS wlo,
+               CAST(list_sum(list_transform(range(33, 65), d ->
+                   CASE WHEN embedding[CAST(d AS INTEGER)] > 0
+                        THEN CAST(1 AS BIGINT) << (d - 33)
+                        ELSE 0 END)) AS BIGINT) AS whi
+        FROM embeddings
+    ),
+    q AS (
+        SELECT vec_id AS query_id, wlo AS qlo, whi AS qhi
+        FROM sigs WHERE vec_id < {N_QUERIES}
+    ),
+    scored AS (
+        SELECT q.query_id, s.vec_id AS neighbor_id,
+               CAST(bit_count(xor(s.wlo, q.qlo))
+                    + bit_count(xor(s.whi, q.qhi)) AS INTEGER)
+                   AS hamming
+        FROM sigs s CROSS JOIN q
+        WHERE s.vec_id <> q.query_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, hamming,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY query_id
+                   ORDER BY hamming, neighbor_id) AS INTEGER) AS rank
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, hamming, rank
+    FROM ranked WHERE rank <= {TOP_K}
+    ORDER BY query_id, rank
+"""
+
+ORACLE_SQL["matryoshka_truncation_fidelity"] = f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding AS qvec
+        FROM embeddings WHERE vec_id < {N_QUERIES}
+    ),
+    pairs AS (
+        SELECT m,
+               CAST(ROUND(ROUND({_COS_SQL.format(a="q.qvec", b="e.embedding")},
+                                6) * 1e6) AS BIGINT) AS x,
+               CAST(ROUND(ROUND({_COS_SQL.format(
+                   a="list_slice(q.qvec, 1, m)",
+                   b="list_slice(e.embedding, 1, m)")},
+                                6) * 1e6) AS BIGINT) AS y
+        FROM embeddings e
+        CROSS JOIN q
+        CROSS JOIN (SELECT unnest([{", ".join(str(m) for m in MRL_BUDGETS)}])
+                        AS m)
+        WHERE e.vec_id <> q.query_id
+          AND {_COS_SQL.format(a="q.qvec", b="e.embedding")} IS NOT NULL
+          AND {_COS_SQL.format(
+              a="list_slice(q.qvec, 1, m)",
+              b="list_slice(e.embedding, 1, m)")} IS NOT NULL
+    ),
+    s AS (
+        SELECT m,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+               SUM(x * x) AS sxx, SUM(y * y) AS syy,
+               SUM(ABS(x - y)) AS sad
+        FROM pairs GROUP BY m
+    )
+    SELECT m, n_pairs,
+           ROUND(CASE WHEN (n_pairs * sxx - sx * sx) > 0
+                       AND (n_pairs * syy - sy * sy) > 0
+                THEN (n_pairs * sxy - sx * sy)
+                     / sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE)
+                            * CAST(n_pairs * syy - sy * sy AS DOUBLE))
+                END, 6) AS r_vs_full,
+           ROUND(sad / (n_pairs * 1.0) / 1e6, 6) AS mae_cosine
+    FROM s
+    ORDER BY m
+"""

@@ -266,8 +266,15 @@ def daily_value_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "na",
             "nb",
+            # degenerate-input parity: an empty period gives 0/0
+            # (NaN, whose hash differs between engines) — both
+            # engines return NULL instead
             F.round(
-                F.col("max_diff") / (F.col("na") * F.col("nb") * 1.0), 6
+                F.when(
+                    F.col("na") * F.col("nb") > 0,
+                    F.col("max_diff") / (F.col("na") * F.col("nb") * 1.0),
+                ),
+                6,
             ).alias("ks_d"),
             F.round(F.col("at_cents") / 100.0, 2).alias("at_value"),
         )
@@ -651,7 +658,9 @@ def _oracle_sql() -> dict[str, str]:
             ),
             peak AS (SELECT MAX(diff_int) AS max_diff FROM diffs)
             SELECT na, nb,
-                   ROUND(max_diff / (na * nb * 1.0), 6) AS ks_d,
+                   ROUND(CASE WHEN na * nb > 0
+                              THEN max_diff / (na * nb * 1.0) END, 6)
+                       AS ks_d,
                    ROUND(MIN(cents) / 100.0, 2) AS at_value
             FROM diffs CROSS JOIN peak
             WHERE diff_int = max_diff

@@ -303,3 +303,50 @@ def test_nation_trend_matches_bruteforce_ols(spark):
     sty = sum(t * y for t, y in pts)
     slope = (n * sty - st * sy) / (n * stt - st * st) / 100.0
     assert abs(rows[0].slope_per_month - round(slope, 4)) < 1e-6
+
+
+def test_hamming_topk_matches_bruteforce_signatures(spark):
+    from tableau_dashboard_performance_etl_automation_spark.operators import similarity
+
+    rows = similarity.ann_hamming_topk(spark, SF).collect()
+    vecs = {
+        r.vec_id: r.embedding
+        for r in spark.read.parquet(f"{SF}/embeddings.parquet").collect()
+    }
+
+    def sig(v):
+        return sum(1 << d for d in range(64) if v[d] > 0)
+
+    sigs = {i: sig(v) for i, v in vecs.items()}
+    by_query: dict = {}
+    for r in rows:
+        by_query.setdefault(r.query_id, []).append(r)
+    assert set(by_query) == set(range(similarity.N_QUERIES))
+    for qid, lst in by_query.items():
+        want = sorted(
+            (
+                bin(sigs[qid] ^ sigs[nid]).count("1"),
+                nid,
+            )
+            for nid in vecs
+            if nid != qid
+        )[: similarity.TOP_K]
+        got = [(r.hamming, r.neighbor_id) for r in sorted(lst, key=lambda r: r.rank)]
+        assert got == want, f"query {qid}"
+
+
+def test_matryoshka_fidelity_improves_with_budget(spark):
+    from tableau_dashboard_performance_etl_automation_spark.operators import similarity
+
+    rows = similarity.matryoshka_truncation_fidelity(spark, SF).collect()
+    assert [r.m for r in rows] == similarity.MRL_BUDGETS
+    full = [r for r in rows if r.m == similarity.EMB_DIM][0]
+    # at m = full dimension the truncation is the identity
+    assert full.r_vs_full == 1.0
+    assert full.mae_cosine == 0.0
+    # fidelity is monotone in the budget on this corpus
+    maes = [r.mae_cosine for r in rows]
+    assert maes == sorted(maes, reverse=True)
+    rs = [r.r_vs_full for r in rows]
+    assert rs == sorted(rs)
+    assert all(r.n_pairs == rows[0].n_pairs for r in rows)

@@ -88,6 +88,15 @@ PROBE_QUERIES = [
     "kmv_type_overlap",
     "purchase_click_attribution_final",
     "small_cell_suppression_report",
+    # round-5d statistical testing shapes: the value-domain KS
+    # cumsum window (the one global ordered window in the layer),
+    # day-compaction changepoint, orders-scan Benford digits, the
+    # orders⋈customer OLS trend, and the user-domain A/B aggregate
+    "daily_value_ks_test",
+    "daily_changepoint",
+    "benford_price_digits",
+    "nation_revenue_trend",
+    "conversion_ab_ztest",
 ]
 
 
