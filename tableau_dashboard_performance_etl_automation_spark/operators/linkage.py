@@ -122,3 +122,223 @@ ORACLE_SQL = {
         ORDER BY p_name
     """,
 }
+
+
+#: Proxy-match threshold: candidate pairs whose normalized name
+#: similarity reaches this are treated as matches when estimating the
+#: m-probabilities (standard blocked-F-S bootstrap in lieu of EM).
+FS_MATCH_SIM = 0.9
+
+#: Report size of the scored-pair table.
+FS_TOP_N = 50
+
+
+def part_fs_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter scored record linkage over part records: each
+    candidate pair gets the classic log-likelihood-ratio weight
+    ``sum_f log2(m_f/u_f)`` (agree) / ``log2((1-m_f)/(1-u_f))``
+    (disagree) across four fields (name-similarity ≥
+    ``FS_MATCH_SIM``, brand, type, size) — probabilistic entity
+    resolution (Fellegi & Sunter 1969), the principled upgrade of
+    :func:`part_record_linkage`'s single-field best-match.
+
+    Parameters are data-derived and exact: the u-probabilities are
+    unconditional collision rates ``sum f_v(f_v-1) / N(N-1)`` from
+    per-value frequency counts (exact BIGINTs), the m-probabilities
+    are Laplace-smoothed agreement rates on the proxy-matched subset
+    of candidates — so both engines compute identical doubles, and
+    ``log2`` applies once per (field, branch) to those shared values.
+
+    Scale shape: candidate generation is two equi-join blocking
+    passes — (brand, size) and (type, size) — unioned and
+    deduplicated; pair volume is bounded by block sizes, never N²
+    (the LSH-band discipline applied to entity resolution; at 100 TB
+    you add more selective composite keys, the scoring is unchanged).
+    Levenshtein runs JVM-side on the blocked pairs only; the final
+    top-``FS_TOP_N`` is sort+limit."""
+    parts = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_name", "p_brand", "p_type", "p_size"
+    )
+    a = parts.select(
+        F.col("p_partkey").alias("ka"),
+        F.col("p_name").alias("na"),
+        F.col("p_brand").alias("ba"),
+        F.col("p_type").alias("ta"),
+        F.col("p_size").alias("sa"),
+    )
+    b = parts.select(
+        F.col("p_partkey").alias("kb"),
+        F.col("p_name").alias("nb"),
+        F.col("p_brand").alias("bb"),
+        F.col("p_type").alias("tb"),
+        F.col("p_size").alias("sb"),
+    )
+    pass1 = a.join(
+        b,
+        (F.col("ba") == F.col("bb"))
+        & (F.col("sa") == F.col("sb"))
+        & (F.col("ka") < F.col("kb")),
+    )
+    pass2 = a.join(
+        b,
+        (F.col("ta") == F.col("tb"))
+        & (F.col("sa") == F.col("sb"))
+        & (F.col("ka") < F.col("kb")),
+    )
+    cand = pass1.unionByName(pass2).dropDuplicates(["ka", "kb"])
+    sim = F.round(
+        1.0
+        - F.levenshtein(F.col("na"), F.col("nb"))
+        / F.greatest(F.length("na"), F.length("nb")),
+        4,
+    )
+    flagged = cand.select(
+        "ka",
+        "kb",
+        sim.alias("name_sim"),
+        (sim >= FS_MATCH_SIM).cast("int").alias("f_name"),
+        (F.col("ba") == F.col("bb")).cast("int").alias("f_brand"),
+        (F.col("ta") == F.col("tb")).cast("int").alias("f_type"),
+        (F.col("sa") == F.col("sb")).cast("int").alias("f_size"),
+    )
+    # u-probabilities: chance two distinct random records agree on
+    # the field — exact frequency arithmetic on the full table
+    n_tot = parts.count()
+
+    def u_of(col: str) -> float:
+        rows = (
+            parts.groupBy(col)
+            .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+            .collect()
+        )
+        num = sum(r.c * (r.c - 1) for r in rows)
+        return num / (n_tot * (n_tot - 1))
+
+    # name-field u: chance a random pair clears the sim threshold is
+    # approximated by exact-name collisions (a lower bound; constant
+    # exact arithmetic, shared with the oracle)
+    u = {
+        "f_name": u_of("p_name"),
+        "f_brand": u_of("p_brand"),
+        "f_type": u_of("p_type"),
+        "f_size": u_of("p_size"),
+    }
+    # m-probabilities: Laplace-smoothed agreement among proxy matches
+    proxy = flagged.filter(F.col("f_name") == 1)
+    m_row = proxy.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        *[
+            F.sum(f).cast("bigint").alias(f)
+            for f in ("f_brand", "f_type", "f_size")
+        ],
+    ).collect()[0]
+    m = {"f_name": (m_row.n + 1) / (m_row.n + 2)}
+    for f in ("f_brand", "f_type", "f_size"):
+        m[f] = (getattr(m_row, f) + 1) / (m_row.n + 2)
+
+    import math
+
+    def w_pair(f: str) -> tuple[float, float]:
+        return (
+            math.log2(m[f] / u[f]),
+            math.log2((1 - m[f]) / (1 - u[f])),
+        )
+
+    weight = F.lit(0.0)
+    for f in ("f_name", "f_brand", "f_type", "f_size"):
+        wa, wd = w_pair(f)
+        weight = weight + F.when(F.col(f) == 1, F.lit(wa)).otherwise(
+            F.lit(wd)
+        )
+    return (
+        flagged.select(
+            F.col("ka").alias("partkey_a"),
+            F.col("kb").alias("partkey_b"),
+            "name_sim",
+            "f_brand",
+            "f_type",
+            "f_size",
+            F.round(weight, 4).alias("fs_weight"),
+        )
+        .orderBy(
+            F.col("fs_weight").desc(), "partkey_a", "partkey_b"
+        )
+        .limit(FS_TOP_N)
+    )
+
+
+QUERIES["part_fs_linkage"] = part_fs_linkage
+
+ORACLE_SQL["part_fs_linkage"] = f"""
+    WITH cand AS (
+        SELECT DISTINCT ka, kb, na, nb, ba, bb, ta, tb, sa, sb
+        FROM (
+            SELECT a.p_partkey AS ka, b.p_partkey AS kb,
+                   a.p_name AS na, b.p_name AS nb,
+                   a.p_brand AS ba, b.p_brand AS bb,
+                   a.p_type AS ta, b.p_type AS tb,
+                   a.p_size AS sa, b.p_size AS sb
+            FROM part a JOIN part b
+              ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+             AND a.p_partkey < b.p_partkey
+            UNION ALL
+            SELECT a.p_partkey, b.p_partkey, a.p_name, b.p_name,
+                   a.p_brand, b.p_brand, a.p_type, b.p_type,
+                   a.p_size, b.p_size
+            FROM part a JOIN part b
+              ON a.p_type = b.p_type AND a.p_size = b.p_size
+             AND a.p_partkey < b.p_partkey
+        )
+    ),
+    flagged AS (
+        SELECT ka, kb,
+               ROUND(1.0 - levenshtein(na, nb) * 1.0
+                     / GREATEST(length(na), length(nb)), 4) AS name_sim,
+               CAST(ROUND(1.0 - levenshtein(na, nb) * 1.0
+                    / GREATEST(length(na), length(nb)), 4)
+                    >= {FS_MATCH_SIM} AS INTEGER) AS f_name,
+               CAST(ba = bb AS INTEGER) AS f_brand,
+               CAST(ta = tb AS INTEGER) AS f_type,
+               CAST(sa = sb AS INTEGER) AS f_size
+        FROM cand
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM part),
+    u AS (
+        SELECT
+            (SELECT SUM(c * (c - 1)) FROM (
+                SELECT COUNT(*) AS c FROM part GROUP BY p_name))
+                * 1.0 / (n * (n - 1)) AS u_name,
+            (SELECT SUM(c * (c - 1)) FROM (
+                SELECT COUNT(*) AS c FROM part GROUP BY p_brand))
+                * 1.0 / (n * (n - 1)) AS u_brand,
+            (SELECT SUM(c * (c - 1)) FROM (
+                SELECT COUNT(*) AS c FROM part GROUP BY p_type))
+                * 1.0 / (n * (n - 1)) AS u_type,
+            (SELECT SUM(c * (c - 1)) FROM (
+                SELECT COUNT(*) AS c FROM part GROUP BY p_size))
+                * 1.0 / (n * (n - 1)) AS u_size
+        FROM tot
+    ),
+    m AS (
+        SELECT (COUNT(*) + 1.0) / (COUNT(*) + 2.0) AS m_name,
+               (SUM(f_brand) + 1.0) / (COUNT(*) + 2.0) AS m_brand,
+               (SUM(f_type) + 1.0) / (COUNT(*) + 2.0) AS m_type,
+               (SUM(f_size) + 1.0) / (COUNT(*) + 2.0) AS m_size
+        FROM flagged WHERE f_name = 1
+    )
+    SELECT ka AS partkey_a, kb AS partkey_b, name_sim,
+           f_brand, f_type, f_size,
+           ROUND(
+             (CASE WHEN f_name = 1 THEN log2(m_name / u_name)
+                   ELSE log2((1 - m_name) / (1 - u_name)) END)
+           + (CASE WHEN f_brand = 1 THEN log2(m_brand / u_brand)
+                   ELSE log2((1 - m_brand) / (1 - u_brand)) END)
+           + (CASE WHEN f_type = 1 THEN log2(m_type / u_type)
+                   ELSE log2((1 - m_type) / (1 - u_type)) END)
+           + (CASE WHEN f_size = 1 THEN log2(m_size / u_size)
+                   ELSE log2((1 - m_size) / (1 - u_size)) END), 4)
+               AS fs_weight
+    FROM flagged CROSS JOIN u CROSS JOIN m
+    ORDER BY fs_weight DESC, partkey_a, partkey_b
+    LIMIT {FS_TOP_N}
+"""

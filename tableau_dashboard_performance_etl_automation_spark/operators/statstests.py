@@ -810,6 +810,7 @@ class _LazyOracle(dict):
         if not self:
             self.update(_oracle_sql())
             self.update(_oracle_sql2())
+            self.update(_oracle_sql3())
 
     def __getitem__(self, key):  # noqa: D105
         self._fill()
@@ -1479,5 +1480,236 @@ def _oracle_sql2() -> dict[str, str]:
                              / n_months / 100.0 END, 4) AS intercept
             FROM s
             ORDER BY n_name
+        """,
+    }
+
+
+def nation_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend per nation: the MEDIAN of all pairwise
+    month-over-month revenue slopes — the outlier-proof companion to
+    :func:`nation_revenue_trend`'s OLS (one bulk-order month cannot
+    move it; breakdown point 29%).
+
+    The pair space is months-choose-2 per nation (bounded grid, never
+    fact rows); each pairwise slope quantizes ONCE to exact
+    hundredth-cent-per-month BIGINTs (bit-identical integer-quotient
+    doubles), and the median is the average of the two middle order
+    statistics selected by row_number — the exact-median compaction
+    discipline."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nation = F.broadcast(
+        load_table(spark, sf_dir, "nation").select(
+            "n_nationkey", "n_name"
+        )
+    )
+    monthly = (
+        orders.select(
+            "o_custkey",
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias(
+                "m"
+            ),
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias(
+                "cents"
+            ),
+        )
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(nation, F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name", "m")
+        .agg(F.sum("cents").alias("y"))
+    )
+    a = monthly.select(
+        F.col("n_name").alias("nn"),
+        F.col("m").alias("m1"),
+        F.col("y").alias("y1"),
+    )
+    b = monthly.select(
+        F.col("n_name").alias("nn"),
+        F.col("m").alias("m2"),
+        F.col("y").alias("y2"),
+    )
+    slopes = (
+        a.join(b, ["nn"])
+        .filter(F.col("m2") > F.col("m1"))
+        .select(
+            "nn",
+            "m1",
+            "m2",
+            F.round(
+                (F.col("y2") - F.col("y1"))
+                / (F.col("m2") - F.col("m1"))
+                * 100
+            )
+            .cast("bigint")
+            .alias("su"),
+        )
+    )
+    wn = Window.partitionBy("nn").orderBy("su", "m1", "m2")
+    cnt = slopes.groupBy("nn").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs")
+    )
+    med = (
+        slopes.withColumn("rn", F.row_number().over(wn))
+        .join(F.broadcast(cnt), "nn")
+        .filter(
+            (F.col("rn") == F.expr("(n_pairs + 1) DIV 2"))
+            | (F.col("rn") == F.expr("(n_pairs + 2) DIV 2"))
+        )
+        .groupBy(F.col("nn").alias("n_name"), "n_pairs")
+        .agg(F.avg("su").alias("med_u"))
+    )
+    return med.select(
+        "n_name",
+        "n_pairs",
+        F.round(F.col("med_u") / 1e4, 4).alias("theilsen_slope"),
+    ).orderBy("n_name")
+
+
+def seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backtest of the two zero-parameter forecasters every real
+    forecast must beat: naive-1 (tomorrow = today) and
+    seasonal-naive-7 (tomorrow = same weekday last week), scored by
+    MAE and MAPE over the daily mean value series — the baseline row
+    of a forecasting scorecard.
+
+    Predictions join the day compaction to itself on a DATE offset
+    (spine-safe: a missing day yields no pair, never a wrong lag);
+    day means and per-day percentage errors quantize ONCE to exact
+    integer units so the error aggregates are order-free; MAE/MAPE
+    divide once."""
+    events = load_table(spark, sf_dir, "events")
+    daily = (
+        events.select(
+            F.to_date("ts").alias("d"),
+            F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+        .groupBy("d")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("cents").alias("s"),
+        )
+        .select(
+            "d",
+            F.round(F.col("s") * 1e4 / F.col("n")).cast("bigint").alias(
+                "mu"
+            ),
+        )
+    )
+    preds = None
+    for model, lag in (("naive1", 1), ("snaive7", 7)):
+        p = (
+            daily.alias("cur")
+            .join(
+                daily.alias("prev"),
+                F.expr(f"cur.d = date_add(prev.d, {lag})"),
+            )
+            .select(
+                F.lit(model).alias("model"),
+                F.col("cur.mu").alias("actual"),
+                F.col("prev.mu").alias("pred"),
+            )
+        )
+        preds = p if preds is None else preds.unionByName(p)
+    errs = preds.select(
+        "model",
+        F.abs(F.col("actual") - F.col("pred")).alias("ae_u"),
+        F.round(
+            F.abs(F.col("actual") - F.col("pred"))
+            * 1e8
+            / F.col("actual")
+        )
+        .cast("bigint")
+        .alias("ape_u"),
+    )
+    return (
+        errs.groupBy("model")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+            F.round(F.sum("ae_u") / F.count(F.lit(1)) / 1e6, 4).alias(
+                "mae"
+            ),
+            F.round(
+                F.sum("ape_u") / F.count(F.lit(1)) / 1e6, 4
+            ).alias("mape_pct"),
+        )
+        .orderBy("model")
+    )
+
+
+QUERIES["nation_theilsen_trend"] = nation_theilsen_trend
+QUERIES["seasonal_naive_backtest"] = seasonal_naive_backtest
+
+
+def _oracle_sql3() -> dict[str, str]:
+    return {
+        "nation_theilsen_trend": """
+            WITH monthly AS (
+                SELECT n.n_name AS nn,
+                       CAST(EXTRACT(year FROM o.o_orderdate) * 12
+                            + EXTRACT(month FROM o.o_orderdate)
+                            AS BIGINT) AS m,
+                       SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT))
+                           AS y
+                FROM orders o
+                JOIN customer c ON o.o_custkey = c.c_custkey
+                JOIN nation n ON c.c_nationkey = n.n_nationkey
+                GROUP BY 1, 2
+            ),
+            slopes AS (
+                SELECT a.nn, a.m AS m1, b.m AS m2,
+                       CAST(ROUND((b.y - a.y) * 1.0 / (b.m - a.m) * 100)
+                            AS BIGINT) AS su
+                FROM monthly a JOIN monthly b
+                  ON a.nn = b.nn AND b.m > a.m
+            ),
+            cnt AS (
+                SELECT nn, CAST(COUNT(*) AS BIGINT) AS n_pairs
+                FROM slopes GROUP BY nn
+            ),
+            ranked AS (
+                SELECT s.nn, s.su, c.n_pairs,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY s.nn
+                           ORDER BY s.su, s.m1, s.m2) AS rn
+                FROM slopes s JOIN cnt c USING (nn)
+            )
+            SELECT nn AS n_name, n_pairs,
+                   ROUND(AVG(su) / 1e4, 4) AS theilsen_slope
+            FROM ranked
+            WHERE rn = (n_pairs + 1) // 2 OR rn = (n_pairs + 2) // 2
+            GROUP BY nn, n_pairs
+            ORDER BY nn
+        """,
+        "seasonal_naive_backtest": """
+            WITH daily AS (
+                SELECT CAST(ts AS DATE) AS d,
+                       CAST(ROUND(SUM(CAST(ROUND(value * 100) AS BIGINT))
+                                  * 1e4 / COUNT(*)) AS BIGINT) AS mu
+                FROM events GROUP BY 1
+            ),
+            preds AS (
+                SELECT 'naive1' AS model, cur.mu AS actual,
+                       prev.mu AS pred
+                FROM daily cur JOIN daily prev ON cur.d = prev.d + 1
+                UNION ALL
+                SELECT 'snaive7', cur.mu, prev.mu
+                FROM daily cur JOIN daily prev ON cur.d = prev.d + 7
+            ),
+            errs AS (
+                SELECT model,
+                       ABS(actual - pred) AS ae_u,
+                       CAST(ROUND(ABS(actual - pred) * 1e8 * 1.0
+                                  / actual) AS BIGINT) AS ape_u
+                FROM preds
+            )
+            SELECT model,
+                   CAST(COUNT(*) AS BIGINT) AS n_days,
+                   ROUND(SUM(ae_u) / COUNT(*) / 1e6, 4) AS mae,
+                   ROUND(SUM(ape_u) / COUNT(*) / 1e6, 4) AS mape_pct
+            FROM errs
+            GROUP BY model
+            ORDER BY model
         """,
     }

@@ -350,3 +350,170 @@ def test_matryoshka_fidelity_improves_with_budget(spark):
     rs = [r.r_vs_full for r in rows]
     assert rs == sorted(rs)
     assert all(r.n_pairs == rows[0].n_pairs for r in rows)
+
+
+def test_fs_linkage_weights_match_bruteforce(spark):
+    from tableau_dashboard_performance_etl_automation_spark.operators import linkage
+
+    rows = linkage.part_fs_linkage(spark, SF).collect()
+    assert len(rows) <= linkage.FS_TOP_N
+    ws = [r.fs_weight for r in rows]
+    assert ws == sorted(ws, reverse=True)
+    parts = {
+        r.p_partkey: r
+        for r in spark.read.parquet(f"{SF}/part.parquet").collect()
+    }
+    # blocking invariant: every candidate shares (brand,size) or
+    # (type,size)
+    for r in rows:
+        a, b = parts[r.partkey_a], parts[r.partkey_b]
+        assert (a.p_brand == b.p_brand and a.p_size == b.p_size) or (
+            a.p_type == b.p_type and a.p_size == b.p_size
+        )
+        assert r.f_brand == int(a.p_brand == b.p_brand)
+        assert r.f_type == int(a.p_type == b.p_type)
+        assert r.f_size == int(a.p_size == b.p_size)
+
+    # recompute u-probabilities and the top pair's weight brute force
+    import collections
+    import math
+
+    n = len(parts)
+
+    def u_of(attr):
+        c = collections.Counter(getattr(p, attr) for p in parts.values())
+        return sum(v * (v - 1) for v in c.values()) / (n * (n - 1))
+
+    u = {
+        "f_name": u_of("p_name"),
+        "f_brand": u_of("p_brand"),
+        "f_type": u_of("p_type"),
+        "f_size": u_of("p_size"),
+    }
+
+    def lev(s, t):
+        prev = list(range(len(t) + 1))
+        for i, cs in enumerate(s, 1):
+            cur = [i]
+            for j, ct in enumerate(t, 1):
+                cur.append(
+                    min(
+                        prev[j] + 1,
+                        cur[j - 1] + 1,
+                        prev[j - 1] + (cs != ct),
+                    )
+                )
+            prev = cur
+        return prev[-1]
+
+    # candidate set brute force (needed for the m-estimates)
+    keys = sorted(parts)
+    cand = set()
+    for i, ka in enumerate(keys):
+        for kb in keys[i + 1 :]:
+            a, b = parts[ka], parts[kb]
+            if (a.p_brand == b.p_brand and a.p_size == b.p_size) or (
+                a.p_type == b.p_type and a.p_size == b.p_size
+            ):
+                cand.add((ka, kb))
+
+    def flags(ka, kb):
+        a, b = parts[ka], parts[kb]
+        sim = round(
+            1.0 - lev(a.p_name, b.p_name) / max(len(a.p_name), len(b.p_name)),
+            4,
+        )
+        return {
+            "f_name": int(sim >= linkage.FS_MATCH_SIM),
+            "f_brand": int(a.p_brand == b.p_brand),
+            "f_type": int(a.p_type == b.p_type),
+            "f_size": int(a.p_size == b.p_size),
+        }
+
+    proxy = [p for p in cand if flags(*p)["f_name"] == 1]
+    pn = len(proxy)
+    m = {"f_name": (pn + 1) / (pn + 2)}
+    for f in ("f_brand", "f_type", "f_size"):
+        m[f] = (sum(flags(*p)[f] for p in proxy) + 1) / (pn + 2)
+
+    top = rows[0]
+    fl = flags(top.partkey_a, top.partkey_b)
+    w = sum(
+        math.log2(m[f] / u[f])
+        if fl[f]
+        else math.log2((1 - m[f]) / (1 - u[f]))
+        for f in ("f_name", "f_brand", "f_type", "f_size")
+    )
+    assert abs(top.fs_weight - round(w, 4)) < 1e-6
+
+
+def test_theilsen_matches_bruteforce_median(spark):
+    rows = statstests.nation_theilsen_trend(spark, SF).collect()
+    target = rows[0].n_name
+    monthly = (
+        spark.read.parquet(f"{SF}/orders.parquet")
+        .join(
+            spark.read.parquet(f"{SF}/customer.parquet"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            spark.read.parquet(f"{SF}/nation.parquet"),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .filter(F.col("n_name") == target)
+        .groupBy(
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias(
+                "m"
+            )
+        )
+        .agg(
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("bigint")
+            ).alias("y")
+        )
+        .collect()
+    )
+    pts = sorted((r.m, r.y) for r in monthly)
+    sus = sorted(
+        round((y2 - y1) / (m2 - m1) * 100)
+        for i, (m1, y1) in enumerate(pts)
+        for (m2, y2) in pts[i + 1 :]
+    )
+    k = len(sus)
+    med = (sus[(k + 1) // 2 - 1] + sus[(k + 2) // 2 - 1]) / 2.0
+    assert rows[0].n_pairs == k
+    assert abs(rows[0].theilsen_slope - round(med / 1e4, 4)) < 1e-6
+
+
+def test_backtest_naive1_matches_bruteforce(spark):
+    rows = {
+        r.model: r
+        for r in statstests.seasonal_naive_backtest(spark, SF).collect()
+    }
+    daily = {
+        r.d: round(r.s * 1e4 / r.n)
+        for r in (
+            spark.read.parquet(f"{SF}/events.parquet")
+            .groupBy(F.to_date("ts").alias("d"))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(
+                    F.round(F.col("value") * 100).cast("bigint")
+                ).alias("s"),
+            )
+            .collect()
+        )
+    }
+    import datetime
+
+    aes = [
+        abs(mu - daily[d - datetime.timedelta(days=1)])
+        for d, mu in daily.items()
+        if d - datetime.timedelta(days=1) in daily
+    ]
+    assert rows["naive1"].n_days == len(aes)
+    assert (
+        abs(rows["naive1"].mae - round(sum(aes) / len(aes) / 1e6, 4))
+        < 1e-6
+    )
+    assert rows["snaive7"].n_days < rows["naive1"].n_days
