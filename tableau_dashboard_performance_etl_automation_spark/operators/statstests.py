@@ -811,6 +811,7 @@ class _LazyOracle(dict):
             self.update(_oracle_sql())
             self.update(_oracle_sql2())
             self.update(_oracle_sql3())
+            self.update(_oracle_sql4())
 
     def __getitem__(self, key):  # noqa: D105
         self._fill()
@@ -1711,5 +1712,95 @@ def _oracle_sql3() -> dict[str, str]:
             FROM errs
             GROUP BY model
             ORDER BY model
+        """,
+    }
+
+
+def user_sequence_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user surprisal under the corpus event-type Markov model:
+    average bits per transition of each user's chronological event
+    sequence, scored by the globally-fitted first-order transition
+    probabilities (`event_transition_matrix`'s model) — the
+    behavioral-anomaly ranking (bot / scripted sessions surface as
+    extreme low, erratic ones as extreme high).
+
+    The NLL lookup is the |types|² transition table with ``log2``
+    applied once per CELL to exact integer ratios, quantized to 1e-6
+    integer units — so the per-user reductions are exact BIGINT sums
+    in any order (the accumulation-order discipline), broadcast-joined
+    onto the per-user transition stream; one final division per
+    user."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = e.select(
+        "user_id",
+        F.lag("event_type").over(w).alias("from_type"),
+        F.col("event_type").alias("to_type"),
+    ).filter(F.col("from_type").isNotNull())
+    counts = trans.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    row_tot = Window.partitionBy("from_type")
+    nll = counts.select(
+        "from_type",
+        "to_type",
+        F.round(
+            F.log2(
+                F.sum("c").over(row_tot) / F.col("c").cast("double")
+            )
+            * 1e6
+        )
+        .cast("bigint")
+        .alias("nll_u"),
+    )
+    return (
+        trans.join(F.broadcast(nll), ["from_type", "to_type"])
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_transitions"),
+            F.round(
+                F.sum("nll_u") / F.count(F.lit(1)) / 1e6, 4
+            ).alias("avg_nll_bits"),
+        )
+        .orderBy("user_id")
+    )
+
+
+QUERIES["user_sequence_perplexity"] = user_sequence_perplexity
+
+
+def _oracle_sql4() -> dict[str, str]:
+    return {
+        "user_sequence_perplexity": """
+            WITH trans AS (
+                SELECT user_id,
+                       LAG(event_type) OVER (
+                           PARTITION BY user_id
+                           ORDER BY ts, event_id) AS from_type,
+                       event_type AS to_type
+                FROM events
+                QUALIFY from_type IS NOT NULL
+            ),
+            counts AS (
+                SELECT from_type, to_type,
+                       CAST(COUNT(*) AS BIGINT) AS c
+                FROM trans GROUP BY 1, 2
+            ),
+            nll AS (
+                SELECT from_type, to_type,
+                       CAST(ROUND(log2(
+                           SUM(c) OVER (PARTITION BY from_type)
+                           / CAST(c AS DOUBLE)) * 1e6) AS BIGINT)
+                           AS nll_u
+                FROM counts
+            )
+            SELECT t.user_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_transitions,
+                   ROUND(SUM(n.nll_u) / COUNT(*) / 1e6, 4)
+                       AS avg_nll_bits
+            FROM trans t
+            JOIN nll n USING (from_type, to_type)
+            GROUP BY t.user_id
+            ORDER BY t.user_id
         """,
     }

@@ -1507,3 +1507,130 @@ ORACLE_SQL["hybrid_rank_fusion"] = ORACLE_SQL[
     bm25=ORACLE_SQL["bm25_ranked_docs"],
     dsir=ORACLE_SQL["dsir_target_scores"],
 )
+
+
+#: Absolute-discounting mass reserved for the continuation model.
+KN_DISCOUNT = 0.75
+
+
+def word_bigram_kn_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document surprisal under an interpolated Kneser-Ney-style
+    word-bigram LM (absolute discounting ``D=0.75`` with a
+    continuation-probability backoff) — the statistical LM score a
+    quality pipeline uses where the MLE char-bigram model
+    (:func:`char_bigram_lm_scores`) is too coarse: KN's continuation
+    term ranks "novel combination of common words" above "rote
+    repetition of one frequent bigram".
+
+    ``P(w2|w1) = max(c12-D,0)/c1 + D·N1+(w1·)/c1 · N1+(·w2)/B``
+    — every term is a ratio of exact BIGINT counts (bigram count,
+    context count, distinct-follower/precursor counts, distinct
+    bigram types), composed and ``log2``-ed once per bigram TYPE
+    (bounded vocabulary², not corpus rows), quantized to 1e-6 units
+    so the per-doc sums are order-free exact integers. Scale shape:
+    explode → (w1,w2) hash aggregates; the score lookup broadcasts
+    onto the per-doc bigram stream."""
+    docs = load_table(spark, sf_dir, "documents")
+    bigrams = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(split(text, ' ')) >= 2 THEN"
+                " transform(sequence(0, size(split(text, ' ')) - 2),"
+                " i -> struct(split(text, ' ')[i] AS w1,"
+                " split(text, ' ')[i + 1] AS w2))"
+                " ELSE array() END"
+            )
+        ).alias("bg"),
+    ).select("doc_id", "bg.w1", "bg.w2")
+    c12 = bigrams.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c12")
+    )
+    ctx = c12.groupBy("w1").agg(
+        F.sum("c12").alias("c1"),
+        F.count(F.lit(1)).cast("bigint").alias("n1p_fol"),
+    )
+    prec = c12.groupBy("w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n1p_prec")
+    )
+    btypes = F.broadcast(
+        c12.agg(F.count(F.lit(1)).cast("bigint").alias("b_types"))
+    )
+    d = F.lit(KN_DISCOUNT)
+    p = (
+        F.greatest(F.col("c12") - d, F.lit(0.0)) / F.col("c1")
+        + d
+        * F.col("n1p_fol")
+        / F.col("c1")
+        * (F.col("n1p_prec") / F.col("b_types"))
+    )
+    scores = (
+        c12.join(ctx, "w1")
+        .join(prec, "w2")
+        .crossJoin(btypes)
+        .select(
+            "w1",
+            "w2",
+            F.round(-F.log2(p) * 1e6).cast("bigint").alias("nll_u"),
+        )
+    )
+    return (
+        bigrams.join(scores, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.round(
+                F.sum("nll_u") / F.count(F.lit(1)) / 1e6, 4
+            ).alias("kn_avg_nll_bits"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+QUERIES["word_bigram_kn_scores"] = word_bigram_kn_scores
+
+ORACLE_SQL["word_bigram_kn_scores"] = f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ),
+    bigrams AS (
+        SELECT doc_id,
+               ws[CAST(i AS INTEGER)] AS w1,
+               ws[CAST(i AS INTEGER) + 1] AS w2
+        FROM toks, UNNEST(generate_series(1, len(ws) - 1)) AS t(i)
+        WHERE len(ws) >= 2
+    ),
+    c12 AS (
+        SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+        FROM bigrams GROUP BY w1, w2
+    ),
+    ctx AS (
+        SELECT w1, SUM(c12) AS c1,
+               CAST(COUNT(*) AS BIGINT) AS n1p_fol
+        FROM c12 GROUP BY w1
+    ),
+    prec AS (
+        SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1p_prec
+        FROM c12 GROUP BY w2
+    ),
+    btypes AS (SELECT CAST(COUNT(*) AS BIGINT) AS b_types FROM c12),
+    scores AS (
+        SELECT c.w1, c.w2,
+               CAST(ROUND(-log2(
+                   GREATEST(c.c12 - {KN_DISCOUNT}, 0.0) / x.c1
+                   + {KN_DISCOUNT} * x.n1p_fol / x.c1
+                     * (p.n1p_prec / CAST(b.b_types AS DOUBLE))
+               ) * 1e6) AS BIGINT) AS nll_u
+        FROM c12 c
+        JOIN ctx x USING (w1)
+        JOIN prec p USING (w2)
+        CROSS JOIN btypes b
+    )
+    SELECT g.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(SUM(s.nll_u) / COUNT(*) / 1e6, 4) AS kn_avg_nll_bits
+    FROM bigrams g
+    JOIN scores s USING (w1, w2)
+    GROUP BY g.doc_id
+    ORDER BY g.doc_id
+"""

@@ -517,3 +517,44 @@ def test_backtest_naive1_matches_bruteforce(spark):
         < 1e-6
     )
     assert rows["snaive7"].n_days < rows["naive1"].n_days
+
+
+def test_sequence_perplexity_covers_active_users(spark):
+    rows = statstests.user_sequence_perplexity(spark, SF).collect()
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    multi = (
+        ev.groupBy("user_id")
+        .count()
+        .filter(F.col("count") >= 2)
+        .count()
+    )
+    assert len(rows) == multi
+    n_events = ev.count()
+    n_users = ev.select("user_id").distinct().count()
+    # total transitions = events - users-with-at-least-one-event
+    assert sum(r.n_transitions for r in rows) == n_events - n_users
+    assert all(r.avg_nll_bits >= 0 for r in rows)
+
+
+def test_kn_scores_are_valid_probabilities(spark):
+    from tableau_dashboard_performance_etl_automation_spark.operators import textops
+
+    rows = textops.word_bigram_kn_scores(spark, SF).collect()
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    with_bigrams = docs.filter(
+        F.size(F.split("text", " ")) >= 2
+    ).count()
+    assert len(rows) == with_bigrams
+    # NLL of a probability is positive; interpolated KN never assigns
+    # p >= 1 to an observed bigram in a non-degenerate corpus
+    assert all(r.kn_avg_nll_bits > 0 for r in rows)
+    total_bigrams = (
+        docs.select(
+            F.greatest(
+                F.size(F.split("text", " ")) - 1, F.lit(0)
+            ).alias("nb")
+        )
+        .agg(F.sum("nb"))
+        .collect()[0][0]
+    )
+    assert sum(r.n_bigrams for r in rows) == total_bigrams
