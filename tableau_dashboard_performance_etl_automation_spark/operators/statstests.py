@@ -812,6 +812,7 @@ class _LazyOracle(dict):
             self.update(_oracle_sql2())
             self.update(_oracle_sql3())
             self.update(_oracle_sql4())
+            self.update(_oracle_sql5())
 
     def __getitem__(self, key):  # noqa: D105
         self._fill()
@@ -1802,5 +1803,235 @@ def _oracle_sql4() -> dict[str, str]:
             JOIN nll n USING (from_type, to_type)
             GROUP BY t.user_id
             ORDER BY t.user_id
+        """,
+    }
+
+
+#: Decile grid of the QQ shift profile.
+QQ_DECILES = 9
+
+
+def length_qq_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile-by-decile QQ shift between the document-length
+    distributions of ``MW_SRC_A`` and ``MW_SRC_B`` — WHERE the two
+    sources differ (head/body/tail), the drill-down behind
+    :func:`quality_mannwhitney_sources`'s single is-different verdict.
+
+    Exact discrete quantiles: per source, the value compaction's
+    cumulative counts pick the smallest length whose cumulative
+    count reaches ``ceil(q·n/10)`` — integer arithmetic end to end,
+    windows over distinct lengths only."""
+    docs = load_table(spark, sf_dir, "documents")
+    comp = (
+        docs.filter(F.col("source").isin(MW_SRC_A, MW_SRC_B))
+        .groupBy("source", F.col("n_chars").alias("v"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    wc = (
+        Window.partitionBy("source")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = comp.select(
+        "source", "v", F.sum("c").over(wc).alias("cum")
+    )
+    totals = comp.groupBy("source").agg(F.sum("c").alias("n"))
+    spine = spark.range(1, QQ_DECILES + 1).select(
+        F.col("id").cast("int").alias("decile")
+    )
+    targets = totals.crossJoin(F.broadcast(spine)).select(
+        "source",
+        "decile",
+        F.expr("CAST((decile * n + 9) DIV 10 AS BIGINT)").alias("target"),
+    )
+    qs = (
+        cum.join(targets, "source")
+        .filter(F.col("cum") >= F.col("target"))
+        .groupBy("source", "decile")
+        .agg(F.min("v").alias("q"))
+    )
+    a = qs.filter(F.col("source") == MW_SRC_A).select(
+        "decile", F.col("q").alias("q_a")
+    )
+    b = qs.filter(F.col("source") == MW_SRC_B).select(
+        "decile", F.col("q").alias("q_b")
+    )
+    return (
+        a.join(b, "decile")
+        .select(
+            "decile",
+            "q_a",
+            "q_b",
+            (F.col("q_a") - F.col("q_b")).alias("shift"),
+        )
+        .orderBy("decile")
+    )
+
+
+def markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropy rate of the event-type Markov chain:
+    ``H = -sum_ij pi_i p_ij log2 p_ij`` over the fitted transition
+    matrix and its stationary distribution — ONE number for "how
+    predictable is user behavior" (0 = deterministic loops,
+    log2(|types|) = uniform chaos), with the uniform bound alongside.
+
+    Composes :func:`clustering.event_markov_stationary` (exact
+    integer-unit pi). Each cell's term is a closed-form double of
+    exact integers quantized to 1e-6 units, so the final sum over the
+    bounded |types|² grid is order-free."""
+    from tableau_dashboard_performance_etl_automation_spark.operators.clustering import (
+        event_markov_stationary,
+        MARKOV_UNIT,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        e.select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.col("event_type").alias("cur"),
+        )
+        .withColumn("nxt", F.lead("cur").over(w))
+        .filter(F.col("nxt").isNotNull())
+        .groupBy("cur", "nxt")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tw"))
+    )
+    pi = F.broadcast(
+        event_markov_stationary(spark, sf_dir).select(
+            F.col("event_type").alias("cur"),
+            F.col("stationary_micro").alias("pi_u"),
+        )
+    )
+    # restrict to the closed sub-chain the stationary solver used
+    # (both endpoints must be source types, as in the solver's mat)
+    cells = trans.join(pi, "cur").join(
+        F.broadcast(pi.select(F.col("cur").alias("nxt"))), "nxt"
+    )
+    outw = cells.groupBy("cur").agg(F.sum("tw").alias("out_w"))
+    term = (
+        F.col("pi_u")
+        * (F.col("tw") / F.col("out_w"))
+        * F.log2(F.col("out_w") / F.col("tw").cast("double"))
+    )
+    sums = (
+        cells.join(F.broadcast(outw), "cur")
+        .select(F.round(term).cast("bigint").alias("term_u"))
+        .agg(
+            F.sum("term_u").alias("h_u"),
+            F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+        )
+    )
+    n_states = F.broadcast(
+        cells.select("cur").distinct().agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_states")
+        )
+    )
+    return (
+        sums.crossJoin(n_states)
+        .select(
+            "n_states",
+            "n_cells",
+            F.round(F.col("h_u") / F.lit(float(MARKOV_UNIT)), 6).alias(
+                "entropy_rate_bits"
+            ),
+            F.round(F.log2(F.col("n_states").cast("double")), 6).alias(
+                "max_entropy_bits"
+            ),
+        )
+    )
+
+
+QUERIES["length_qq_shift"] = length_qq_shift
+QUERIES["markov_entropy_rate"] = markov_entropy_rate
+
+
+def _oracle_sql5() -> dict[str, str]:
+    from tableau_dashboard_performance_etl_automation_spark.operators.clustering import (
+        MARKOV_UNIT,
+        _markov_oracle,
+    )
+
+    return {
+        "length_qq_shift": f"""
+            WITH comp AS (
+                SELECT source, n_chars AS v,
+                       CAST(COUNT(*) AS BIGINT) AS c
+                FROM documents
+                WHERE source IN ('{MW_SRC_A}', '{MW_SRC_B}')
+                GROUP BY source, n_chars
+            ),
+            cum AS (
+                SELECT source, v,
+                       SUM(c) OVER (PARTITION BY source ORDER BY v
+                           ROWS UNBOUNDED PRECEDING) AS cum
+                FROM comp
+            ),
+            totals AS (
+                SELECT source, SUM(c) AS n FROM comp GROUP BY source
+            ),
+            targets AS (
+                SELECT source,
+                       CAST(d AS INTEGER) AS decile,
+                       CAST((d * n + 9) // 10 AS BIGINT) AS target
+                FROM totals,
+                     UNNEST(range(1, {QQ_DECILES} + 1)) AS t(d)
+            ),
+            qs AS (
+                SELECT c.source, t.decile, MIN(c.v) AS q
+                FROM cum c JOIN targets t
+                  ON c.source = t.source AND c.cum >= t.target
+                GROUP BY c.source, t.decile
+            )
+            SELECT a.decile, a.q AS q_a, b.q AS q_b,
+                   a.q - b.q AS shift
+            FROM qs a JOIN qs b USING (decile)
+            WHERE a.source = '{MW_SRC_A}' AND b.source = '{MW_SRC_B}'
+            ORDER BY a.decile
+        """,
+        "markov_entropy_rate": f"""
+            WITH stat AS ({_markov_oracle()}),
+            etrans AS (
+                SELECT cur, nxt, CAST(COUNT(*) AS BIGINT) AS tw
+                FROM (
+                    SELECT event_type AS cur,
+                           LEAD(event_type) OVER (
+                               PARTITION BY user_id
+                               ORDER BY ts, event_id) AS nxt
+                    FROM events
+                )
+                WHERE nxt IS NOT NULL
+                GROUP BY cur, nxt
+            ),
+            cells AS (
+                SELECT t.cur, t.nxt, t.tw, s.stationary_micro AS pi_u
+                FROM etrans t
+                JOIN stat s ON s.event_type = t.cur
+                JOIN stat s2 ON s2.event_type = t.nxt
+            ),
+            outw AS (
+                SELECT cur, SUM(tw) AS out_w FROM cells GROUP BY cur
+            ),
+            terms AS (
+                SELECT CAST(ROUND(
+                           c.pi_u * (c.tw * 1.0 / o.out_w)
+                           * log2(o.out_w / CAST(c.tw AS DOUBLE))
+                       ) AS BIGINT) AS term_u
+                FROM cells c JOIN outw o USING (cur)
+            ),
+            ns AS (
+                SELECT CAST(COUNT(DISTINCT cur) AS BIGINT) AS n_states
+                FROM cells
+            )
+            SELECT n_states,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM terms)
+                       AS n_cells,
+                   ROUND((SELECT SUM(term_u) FROM terms)
+                         / {float(MARKOV_UNIT)!r}, 6)
+                       AS entropy_rate_bits,
+                   ROUND(log2(CAST(n_states AS DOUBLE)), 6)
+                       AS max_entropy_bits
+            FROM ns
         """,
     }

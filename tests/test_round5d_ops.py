@@ -558,3 +558,38 @@ def test_kn_scores_are_valid_probabilities(spark):
         .collect()[0][0]
     )
     assert sum(r.n_bigrams for r in rows) == total_bigrams
+
+
+def test_qq_shift_deciles_are_exact_quantiles(spark):
+    rows = statstests.length_qq_shift(spark, SF).collect()
+    assert [r.decile for r in rows] == list(
+        range(1, statstests.QQ_DECILES + 1)
+    )
+    docs = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .filter(
+            F.col("source").isin(statstests.MW_SRC_A, statstests.MW_SRC_B)
+        )
+        .select("source", "n_chars")
+        .collect()
+    )
+    for src, col in ((statstests.MW_SRC_A, "q_a"), (statstests.MW_SRC_B, "q_b")):
+        vals = sorted(d.n_chars for d in docs if d.source == src)
+        n = len(vals)
+        for r in rows:
+            want = vals[-(-r.decile * n // 10) - 1]
+            assert getattr(r, col) == want, (src, r.decile)
+    for r in rows:
+        assert r.shift == r.q_a - r.q_b
+    # quantiles are nondecreasing in the decile
+    for col in ("q_a", "q_b"):
+        qs = [getattr(r, col) for r in rows]
+        assert qs == sorted(qs)
+
+
+def test_entropy_rate_bounded_by_uniform(spark):
+    row = statstests.markov_entropy_rate(spark, SF).collect()[0]
+    assert 0.0 <= row.entropy_rate_bits <= row.max_entropy_bits + 1e-9
+    assert row.n_cells <= row.n_states * row.n_states
+    # the synthetic events are near-uniform: the chain is high-entropy
+    assert row.entropy_rate_bits > 0.5 * row.max_entropy_bits
