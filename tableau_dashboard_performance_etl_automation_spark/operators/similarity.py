@@ -993,11 +993,18 @@ def label_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Session memo for the dim²-row covariance result (tiny; shared by
+#: ``embedding_effective_rank`` — saves the posexplode self-join
+#: rebuild). Assumes immutable sf_dir data like every memo here.
+_COV_CACHE: dict[tuple[str, str], DataFrame] = _register_memo({})
+
+
 def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Upper-triangle covariance matrix of the embedding dimensions —
     the moment matrix PCA/whitening starts from (``cov(i,j) =
     E[x_i·x_j] − E[x_i]·E[x_j]``), computed as one pass of exact
-    integer micro-unit moments.
+    integer micro-unit moments; the dim·(dim+1)/2-row result is
+    localCheckpoint-memoized per (application, sf_dir).
 
     Scale shape: posexplode → co-partitioned self-equi-join on
     ``vec_id`` (both sides are the same exploded projection, so AQE
@@ -1008,6 +1015,10 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     vectors per partial; at larger corpora drop to 1e4 units). The
     final covariance divides exact integer sums, rounded to 8.
     """
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _COV_CACHE.get(key)
+    if cached is not None:
+        return cached
     e = _emb(spark, sf_dir)
     flat = e.select(
         "vec_id", F.posexplode("vec").alias("dim", "x")
@@ -1033,18 +1044,26 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("b.xm")).alias("s_j"),
         )
     )
-    return moments.select(
-        "dim_i",
-        "dim_j",
-        F.round(
-            (
-                F.col("s_ij") / F.col("n")
-                - (F.col("s_i") / F.col("n")) * (F.col("s_j") / F.col("n"))
-            )
-            / F.lit(1e12),
-            8,
-        ).alias("cov"),
-    ).orderBy("dim_i", "dim_j")
+    out = (
+        moments.select(
+            "dim_i",
+            "dim_j",
+            F.round(
+                (
+                    F.col("s_ij") / F.col("n")
+                    - (F.col("s_i") / F.col("n"))
+                    * (F.col("s_j") / F.col("n"))
+                )
+                / F.lit(1e12),
+                8,
+            ).alias("cov"),
+        )
+        .orderBy("dim_i", "dim_j")
+        .localCheckpoint()
+    )
+    _COV_CACHE.clear()  # single-entry cap
+    _COV_CACHE[key] = out
+    return out
 
 
 QUERIES = {
