@@ -422,3 +422,77 @@ def cms_grid_stream(stream: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+CUSUM_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("n_events", LongType()),
+        StructField("cum_dev_cents", LongType()),
+        StructField("max_pos_exc", LongType()),
+        StructField("max_neg_exc", LongType()),
+    ]
+)
+
+#: CUSUM state = four integers per key — O(1) drift-monitor state.
+CUSUM_STATE_SCHEMA = StructType(
+    [
+        StructField("n_events", LongType()),
+        StructField("cum_dev", LongType()),
+        StructField("max_pos", LongType()),
+        StructField("max_neg", LongType()),
+    ]
+)
+
+
+def cusum_drift_stream(stream: DataFrame, target_cents: int) -> DataFrame:
+    """Streaming CUSUM drift monitor per event type: fold each
+    event's deviation from the provided ``target_cents`` reference
+    rate into a running cumulative deviation, tracking the extreme
+    positive/negative excursions — the online form of the batch
+    ``statstests.daily_cusum_drift`` control chart, with O(1) state
+    per key.
+
+    The cumulative deviation is an order-free exact integer SUM, so
+    after the stream drains it equals the batch total exactly
+    whatever the micro-batch slicing (reconciliation test); the
+    excursion extremes depend on event-time order and carry the same
+    cross-batch ordering precondition as ``run_length_collapse``
+    (rows sort by (ts, event_id) within each batch)."""
+
+    def update(
+        key: tuple, batches: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        if state.exists:
+            n, cum, mx, mn = state.get
+        else:
+            n, cum, mx, mn = 0, 0, 0, 0
+        for pdf in batches:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for cents in (
+                pdf["value"].mul(100).round().astype("int64") - target_cents
+            ):
+                cum += int(cents)
+                n += 1
+                if cum > mx:
+                    mx = cum
+                if cum < mn:
+                    mn = cum
+        state.update((n, cum, mx, mn))
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]],
+                "n_events": [n],
+                "cum_dev_cents": [cum],
+                "max_pos_exc": [mx],
+                "max_neg_exc": [mn],
+            }
+        )
+
+    return stream.groupBy("event_type").applyInPandasWithState(
+        update,
+        outputStructType=CUSUM_OUTPUT_SCHEMA,
+        stateStructType=CUSUM_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

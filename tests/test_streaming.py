@@ -559,3 +559,54 @@ def test_streaming_cms_shards_merge_into_batch_grid(spark, sf_dir, tmp_path):
 
     for row in sketches.heavy_hitter_users_cms(spark, sf_dir).collect():
         assert est(row.user_id) == row.est_count, row
+
+
+def test_streaming_cusum_total_deviation_matches_batch(spark, sf_dir, tmp_path):
+    """The drained per-type cumulative deviation is an order-free
+    integer sum: it must equal the batch computation exactly, and the
+    tracked excursion extremes must bracket both 0 and the final
+    cumulative value."""
+    import collections
+
+    batch = load_table(spark, sf_dir, "events")
+    target = int(
+        batch.agg(
+            (
+                F.sum(F.round(F.col("value") * 100).cast("bigint"))
+                / F.count(F.lit(1))
+            ).cast("bigint")
+        ).collect()[0][0]
+    )
+    inp = _stage_stream_input(spark, sf_dir, tmp_path)
+    stream = trend.events_stream(spark, inp)
+    (
+        stateful.cusum_drift_stream(
+            stream.select("event_type", "ts", "event_id", "value"),
+            target,
+        )
+        .writeStream.format("memory")
+        .queryName("cusum_sink")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    last: dict = collections.OrderedDict()
+    for r in spark.table("cusum_sink").collect():
+        last[r.event_type] = r
+    want = {
+        r.event_type: (r.n, r.cum)
+        for r in batch.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(
+                F.round(F.col("value") * 100).cast("bigint") - target
+            ).alias("cum"),
+        )
+        .collect()
+    }
+    assert set(last) == set(want)
+    for et, row in last.items():
+        assert (row.n_events, row.cum_dev_cents) == want[et], et
+        assert row.max_neg_exc <= 0 <= row.max_pos_exc
+        assert row.max_neg_exc <= row.cum_dev_cents <= row.max_pos_exc
