@@ -813,6 +813,7 @@ class _LazyOracle(dict):
             self.update(_oracle_sql3())
             self.update(_oracle_sql4())
             self.update(_oracle_sql5())
+            self.update(_oracle_sql6())
 
     def __getitem__(self, key):  # noqa: D105
         self._fill()
@@ -2033,5 +2034,181 @@ def _oracle_sql5() -> dict[str, str]:
                    ROUND(log2(CAST(n_states AS DOUBLE)), 6)
                        AS max_entropy_bits
             FROM ns
+        """,
+    }
+
+
+def conversion_did_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences on per-user-period purchase rates:
+    arms from the engine's deterministic md5 split
+    (:func:`conversion_ab_ztest`'s assignment), periods from the
+    data-derived pivot (:func:`daily_value_ks_test`'s split) — DiD =
+    (B_post − B_pre) − (A_post − A_pre), the parallel-trends
+    estimator an experimentation pipeline reports when treatment
+    turned on mid-window, with its pooled standard error.
+
+    Each (arm, period) cell reduces to two exact BIGINTs (users with
+    ≥1 event in the period, converters among them); the estimate and
+    the four-cell binomial SE are one closed form each."""
+    events = load_table(spark, sf_dir, "events")
+    piv = F.broadcast(
+        events.agg(
+            F.date_add(F.min(F.to_date("ts")), KS_SPLIT_DAYS - 1).alias(
+                "pivot_d"
+            )
+        )
+    )
+    cells_src = (
+        events.crossJoin(piv)
+        .select(
+            F.when(_bucket(F.col("user_id")) % 2 == 0, "A")
+            .otherwise("B")
+            .alias("arm"),
+            F.when(F.to_date("ts") <= F.col("pivot_d"), "pre")
+            .otherwise("post")
+            .alias("period"),
+            "user_id",
+            (F.col("event_type") == "purchase").cast("bigint").alias(
+                "purchased"
+            ),
+        )
+        .groupBy("arm", "period", "user_id")
+        .agg(F.max("purchased").alias("converted"))
+    )
+    cells = cells_src.groupBy("arm", "period").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("converted").cast("bigint").alias("conv"),
+    )
+    wide = (
+        cells.groupBy()
+        .pivot("arm", ["A", "B"])
+        .agg(
+            F.sum(F.when(F.col("period") == "pre", F.col("n"))).alias(
+                "n_pre"
+            ),
+            F.sum(
+                F.when(F.col("period") == "pre", F.col("conv"))
+            ).alias("c_pre"),
+            F.sum(F.when(F.col("period") == "post", F.col("n"))).alias(
+                "n_post"
+            ),
+            F.sum(
+                F.when(F.col("period") == "post", F.col("conv"))
+            ).alias("c_post"),
+        )
+    )
+    r = {
+        f"{a}_{p}": F.col(f"{a}_c_{p}") / F.col(f"{a}_n_{p}")
+        for a in ("A", "B")
+        for p in ("pre", "post")
+    }
+    did = (r["B_post"] - r["B_pre"]) - (r["A_post"] - r["A_pre"])
+    se = F.sqrt(
+        sum(
+            r[k] * (1 - r[k]) / F.col(f"{k[0]}_n_{k[2:]}")
+            for k in ("A_pre", "A_post", "B_pre", "B_post")
+        )
+    )
+    return wide.select(
+        F.col("A_n_pre").alias("n_a_pre"),
+        F.col("A_n_post").alias("n_a_post"),
+        F.col("B_n_pre").alias("n_b_pre"),
+        F.col("B_n_post").alias("n_b_post"),
+        F.round(r["A_pre"], 4).alias("rate_a_pre"),
+        F.round(r["A_post"], 4).alias("rate_a_post"),
+        F.round(r["B_pre"], 4).alias("rate_b_pre"),
+        F.round(r["B_post"], 4).alias("rate_b_post"),
+        F.round(did, 6).alias("did"),
+        F.round(F.when(se > 0, did / se), 4).alias("z"),
+    )
+
+
+QUERIES["conversion_did_estimate"] = conversion_did_estimate
+
+
+def _oracle_sql6() -> dict[str, str]:
+    return {
+        "conversion_did_estimate": f"""
+            WITH piv AS (
+                SELECT MIN(CAST(ts AS DATE))
+                           + INTERVAL {KS_SPLIT_DAYS - 1} DAY AS pivot_d
+                FROM events
+            ),
+            per_user AS (
+                SELECT CASE WHEN (ascii(substr(md5(
+                               CAST(user_id AS VARCHAR)), 1, 1)) * 256
+                             + ascii(substr(md5(
+                               CAST(user_id AS VARCHAR)), 2, 1)))
+                            % 100 % 2 = 0
+                       THEN 'A' ELSE 'B' END AS arm,
+                       CASE WHEN CAST(ts AS DATE) <= pivot_d
+                            THEN 'pre' ELSE 'post' END AS period,
+                       user_id,
+                       MAX(CASE WHEN event_type = 'purchase'
+                                THEN 1 ELSE 0 END) AS converted
+                FROM events CROSS JOIN piv
+                GROUP BY 1, 2, user_id
+            ),
+            cells AS (
+                SELECT arm, period,
+                       CAST(COUNT(*) AS BIGINT) AS n,
+                       CAST(SUM(converted) AS BIGINT) AS conv
+                FROM per_user GROUP BY arm, period
+            ),
+            wide AS (
+                SELECT
+                    MAX(CASE WHEN arm='A' AND period='pre' THEN n END)
+                        AS n_a_pre,
+                    MAX(CASE WHEN arm='A' AND period='pre' THEN conv END)
+                        AS c_a_pre,
+                    MAX(CASE WHEN arm='A' AND period='post' THEN n END)
+                        AS n_a_post,
+                    MAX(CASE WHEN arm='A' AND period='post' THEN conv END)
+                        AS c_a_post,
+                    MAX(CASE WHEN arm='B' AND period='pre' THEN n END)
+                        AS n_b_pre,
+                    MAX(CASE WHEN arm='B' AND period='pre' THEN conv END)
+                        AS c_b_pre,
+                    MAX(CASE WHEN arm='B' AND period='post' THEN n END)
+                        AS n_b_post,
+                    MAX(CASE WHEN arm='B' AND period='post' THEN conv END)
+                        AS c_b_post
+                FROM cells
+            )
+            SELECT n_a_pre, n_a_post, n_b_pre, n_b_post,
+                   ROUND(c_a_pre * 1.0 / n_a_pre, 4) AS rate_a_pre,
+                   ROUND(c_a_post * 1.0 / n_a_post, 4) AS rate_a_post,
+                   ROUND(c_b_pre * 1.0 / n_b_pre, 4) AS rate_b_pre,
+                   ROUND(c_b_post * 1.0 / n_b_post, 4) AS rate_b_post,
+                   ROUND((c_b_post * 1.0 / n_b_post
+                          - c_b_pre * 1.0 / n_b_pre)
+                         - (c_a_post * 1.0 / n_a_post
+                            - c_a_pre * 1.0 / n_a_pre), 6) AS did,
+                   ROUND(CASE WHEN
+                       sqrt((c_a_pre * 1.0 / n_a_pre)
+                            * (1 - c_a_pre * 1.0 / n_a_pre) / n_a_pre
+                          + (c_a_post * 1.0 / n_a_post)
+                            * (1 - c_a_post * 1.0 / n_a_post) / n_a_post
+                          + (c_b_pre * 1.0 / n_b_pre)
+                            * (1 - c_b_pre * 1.0 / n_b_pre) / n_b_pre
+                          + (c_b_post * 1.0 / n_b_post)
+                            * (1 - c_b_post * 1.0 / n_b_post) / n_b_post)
+                       > 0
+                    THEN ((c_b_post * 1.0 / n_b_post
+                           - c_b_pre * 1.0 / n_b_pre)
+                          - (c_a_post * 1.0 / n_a_post
+                             - c_a_pre * 1.0 / n_a_pre))
+                         / sqrt((c_a_pre * 1.0 / n_a_pre)
+                                * (1 - c_a_pre * 1.0 / n_a_pre) / n_a_pre
+                              + (c_a_post * 1.0 / n_a_post)
+                                * (1 - c_a_post * 1.0 / n_a_post)
+                                / n_a_post
+                              + (c_b_pre * 1.0 / n_b_pre)
+                                * (1 - c_b_pre * 1.0 / n_b_pre) / n_b_pre
+                              + (c_b_post * 1.0 / n_b_post)
+                                * (1 - c_b_post * 1.0 / n_b_post)
+                                / n_b_post)
+                    END, 4) AS z
+            FROM wide
         """,
     }

@@ -593,3 +593,26 @@ def test_entropy_rate_bounded_by_uniform(spark):
     assert row.n_cells <= row.n_states * row.n_states
     # the synthetic events are near-uniform: the chain is high-entropy
     assert row.entropy_rate_bits > 0.5 * row.max_entropy_bits
+
+
+def test_did_cells_partition_user_periods(spark):
+    row = statstests.conversion_did_estimate(spark, SF).collect()[0]
+    # every (user, period-with-activity) pair lands in exactly one cell
+    import datetime
+
+    ev = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .select(F.to_date("ts").alias("d"), "user_id")
+        .collect()
+    )
+    d0 = min(r.d for r in ev)
+    pivot = d0 + datetime.timedelta(days=statstests.KS_SPLIT_DAYS - 1)
+    pre = {r.user_id for r in ev if r.d <= pivot}
+    post = {r.user_id for r in ev if r.d > pivot}
+    assert row.n_a_pre + row.n_b_pre == len(pre)
+    assert row.n_a_post + row.n_b_post == len(post)
+    # DiD identity over the reported (rounded) rates within rounding
+    did = (row.rate_b_post - row.rate_b_pre) - (
+        row.rate_a_post - row.rate_a_pre
+    )
+    assert abs(row.did - did) < 5e-4

@@ -145,6 +145,13 @@ def main() -> None:
         # postings) — both must stay near-linear as the corpus grows
         "winnowing_overlap_pairs": dedup.winnowing_overlap_pairs,
         "semantic_dedup_prune": similarity.semantic_dedup_prune,
+        # round-5d: the binary-signature linear scan and the
+        # 4-budget truncation-fidelity pair sweep — both must stay
+        # linear in corpus size (queries broadcast, corpus streams)
+        "ann_hamming_topk": similarity.ann_hamming_topk,
+        "matryoshka_truncation_fidelity": (
+            similarity.matryoshka_truncation_fidelity
+        ),
     }
     report: dict = {"base": base, "scales": {}}
     for factor in factors:
