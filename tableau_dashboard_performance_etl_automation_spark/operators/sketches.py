@@ -174,6 +174,56 @@ _KMV_HALF_SPACE = 16**_KMV_HALF_DIGITS
 _KMV_SPACE = _KMV_HALF_SPACE * _KMV_HALF_SPACE
 
 
+_KMV_HASHED_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _kmv_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (event_type, 48-bit user hash) pairs — the compaction
+    BOTH KMV queries (`kmv_distinct_users`, `kmv_type_overlap`) build
+    their sketches and exact baselines from. Persisted as a warehouse
+    parquet table (the `dedup._doc_shingles` discipline): the md5
+    pipeline is deterministic, so a loaded table is bit-identical to
+    a rebuild, and the 3-4 plan branches that consume it read a
+    parquet scan instead of re-hashing the corpus."""
+    import os
+
+    from tableau_dashboard_performance_etl_automation_spark.memo import (
+        register as _reg,
+    )
+    from tableau_dashboard_performance_etl_automation_spark.sources.warehouse import (
+        persisted_table,
+    )
+
+    if not getattr(_kmv_hashed, "_registered", False):
+        _reg(_KMV_HASHED_CACHE)
+        _kmv_hashed._registered = True
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _KMV_HASHED_CACHE.get(key)
+    if cached is None:
+
+        def build() -> DataFrame:
+            events = load_table(spark, sf_dir, "events")
+            h = F.md5(F.col("user_id").cast("string"))
+            h48 = (
+                md5_hex_int(h, 1, _KMV_HALF_DIGITS).cast("bigint")
+                * F.lit(_KMV_HALF_SPACE)
+                + md5_hex_int(
+                    h, 1 + _KMV_HALF_DIGITS, _KMV_HALF_DIGITS
+                ).cast("bigint")
+            )
+            return events.select(
+                "event_type", h48.alias("h")
+            ).distinct()
+
+        base = os.path.basename(sf_dir.rstrip("/")) or "root"
+        cached = persisted_table(
+            spark, f"kmv_hashed/{base}", sf_dir, build
+        )
+        _KMV_HASHED_CACHE.clear()
+        _KMV_HASHED_CACHE[key] = cached
+    return cached
+
+
 def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type distinct-user estimate from a K-minimum-values
     sketch (Bar-Yossef et al. 2002), with the exact count alongside
@@ -190,16 +240,7 @@ def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     store or map-side partial carries. The rank window here runs on
     DISTINCT (type, hash) rows — per-group state already collapsed
     to distinct keys; a production aggregate keeps only K."""
-    events = load_table(spark, sf_dir, "events")
-    h = F.md5(F.col("user_id").cast("string"))
-    h48 = (
-        md5_hex_int(h, 1, _KMV_HALF_DIGITS).cast("bigint")
-        * F.lit(_KMV_HALF_SPACE)
-        + md5_hex_int(h, 1 + _KMV_HALF_DIGITS, _KMV_HALF_DIGITS).cast(
-            "bigint"
-        )
-    )
-    hashed = events.select("event_type", h48.alias("h")).distinct()
+    hashed = _kmv_hashed(spark, sf_dir)
     from pyspark.sql.window import Window
 
     w = Window.partitionBy("event_type").orderBy("h")
@@ -442,21 +483,17 @@ def kmv_type_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql.window import Window
 
-    events = load_table(spark, sf_dir, "events")
-    h = F.md5(F.col("user_id").cast("string"))
-    h48 = (
-        md5_hex_int(h, 1, _KMV_HALF_DIGITS).cast("bigint")
-        * F.lit(_KMV_HALF_SPACE)
-        + md5_hex_int(h, 1 + _KMV_HALF_DIGITS, _KMV_HALF_DIGITS).cast(
-            "bigint"
-        )
-    )
-    hashed = events.select("event_type", h48.alias("h")).distinct()
+    hashed = _kmv_hashed(spark, sf_dir)
     wk = Window.partitionBy("event_type").orderBy("h")
     sk = (
         hashed.withColumn("rn", F.row_number().over(wk))
         .filter(F.col("rn") <= KMV_K)
         .select("event_type", "h")
+        # the sketch subtree (full scan + md5 + distinct + window)
+        # feeds FOUR branches below (a, b, and both type spines);
+        # materialize it once — strictly bounded at |types|·K rows,
+        # so pinning it is safe at any corpus size
+        .localCheckpoint()
     )
     a = sk.select(
         F.col("event_type").alias("type_a"), F.col("h")
