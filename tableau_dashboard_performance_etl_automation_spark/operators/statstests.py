@@ -116,10 +116,16 @@ def daily_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     denoised trend line the drift tests compare against.
 
     The r^t scaling cancels between numerator and denominator, so
-    each is a cumulative sum of ``x_i * 2^i`` / ``2^i`` — and the
-    weights are built by integer shift (``1 << t``), EXACT in both
-    engines, never libm ``pow`` whose last ulp may differ. The window
-    orders the ~30 aggregated day rows."""
+    each is a cumulative sum of ``x_i * 2^(i-D)`` / ``2^(i-D)``
+    (D = series length) — and the weights are built as reciprocals
+    of integer shifts (``1 / (1 << (D-i))``), EXACT in both engines,
+    never libm ``pow`` whose last ulp may differ. Anchoring at the
+    series END keeps every shift in 0..62 no matter how long the
+    series grows (a raw ``1 << t`` would silently wrap past 62
+    days); history older than 62 days gets weight exactly 0.0 in
+    both engines — numerically indistinguishable from its true
+    < 2^-63 contribution. The window orders the aggregated day
+    rows."""
     events = load_table(spark, sf_dir, "events")
     daily = (
         events.select(
@@ -135,11 +141,17 @@ def daily_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = F.row_number().over(Window.orderBy("d"))
     mean = F.col("s") / F.col("n") / 100.0
     # SQL shiftleft accepts a column shift amount (the Python API
-    # wrapper does not) — 1<<t stays an exact BIGINT power of two
-    wt = F.expr("CAST(shiftleft(CAST(1 AS BIGINT), CAST(t AS INT)) AS DOUBLE)")
+    # wrapper does not); the shift amount D-t stays in 0..62
+    wt = F.expr(
+        "CASE WHEN dd - t <= 62 THEN"
+        " 1.0 / CAST(shiftleft(CAST(1 AS BIGINT), CAST(dd - t AS INT))"
+        " AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END"
+    )
     w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    dd = F.broadcast(daily.agg(F.count(F.lit(1)).alias("dd")))
     return (
-        daily.withColumn("t", t)
+        daily.crossJoin(dd)
+        .withColumn("t", t)
         .withColumn("day_mean", mean)
         .withColumn("u", F.col("day_mean") * wt)
         .withColumn("v", wt)
@@ -576,12 +588,17 @@ def _oracle_sql() -> dict[str, str]:
                        SUM(CAST(ROUND(value * 100) AS BIGINT)) AS s
                 FROM events GROUP BY 1
             ),
+            cnt AS (SELECT COUNT(*) AS dd FROM daily),
             r AS (
                 SELECT d,
                        CAST(s AS DOUBLE) / n / 100.0 AS day_mean,
-                       CAST(1::BIGINT << ROW_NUMBER() OVER (ORDER BY d)
-                            AS DOUBLE) AS wt
-                FROM daily
+                       CASE WHEN dd - ROW_NUMBER() OVER (ORDER BY d)
+                                 <= 62
+                            THEN 1.0 / CAST(1::BIGINT <<
+                                 (dd - ROW_NUMBER() OVER (ORDER BY d))
+                                 AS DOUBLE)
+                            ELSE CAST(0.0 AS DOUBLE) END AS wt
+                FROM daily CROSS JOIN cnt
             )
             SELECT d,
                    ROUND(day_mean, 4) AS day_mean,
