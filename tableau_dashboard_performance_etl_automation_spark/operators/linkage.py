@@ -192,6 +192,9 @@ def part_fs_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         / F.greatest(F.length("na"), F.length("nb")),
         4,
     )
+    # The blocked pairs feed two actions (the m-probability
+    # aggregation and the final scored output) — materialize them once
+    # so the joins + Levenshtein don't run twice.
     flagged = cand.select(
         "ka",
         "kb",
@@ -200,28 +203,42 @@ def part_fs_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("ba") == F.col("bb")).cast("int").alias("f_brand"),
         (F.col("ta") == F.col("tb")).cast("int").alias("f_type"),
         (F.col("sa") == F.col("sb")).cast("int").alias("f_size"),
-    )
+    ).localCheckpoint()
     # u-probabilities: chance two distinct random records agree on
-    # the field — exact frequency arithmetic on the full table
-    n_tot = parts.count()
-
-    def u_of(col: str) -> float:
-        rows = (
+    # the field — exact frequency arithmetic on the full table.
+    # sum f_v(f_v-1) folds Spark-side per field; ONE job returns five
+    # scalar rows (never the per-value frequency table, which for
+    # p_name is O(N) and would grow with the corpus).
+    u_legs = [
+        parts.agg(
+            F.count(F.lit(1)).cast("bigint").alias("num")
+        ).select(F.lit("__n__").alias("field"), "num")
+    ]
+    for col in ("p_name", "p_brand", "p_type", "p_size"):
+        u_legs.append(
             parts.groupBy(col)
             .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
-            .collect()
+            .agg(
+                F.sum(F.col("c") * (F.col("c") - 1))
+                .cast("bigint")
+                .alias("num")
+            )
+            .select(F.lit(col).alias("field"), "num")
         )
-        num = sum(r.c * (r.c - 1) for r in rows)
-        return num / (n_tot * (n_tot - 1))
-
+    leg0 = u_legs[0]
+    for leg in u_legs[1:]:
+        leg0 = leg0.unionByName(leg)
+    nums = {r.field: r.num for r in leg0.collect()}
+    n_tot = nums["__n__"]
     # name-field u: chance a random pair clears the sim threshold is
     # approximated by exact-name collisions (a lower bound; constant
     # exact arithmetic, shared with the oracle)
+    denom = n_tot * (n_tot - 1)
     u = {
-        "f_name": u_of("p_name"),
-        "f_brand": u_of("p_brand"),
-        "f_type": u_of("p_type"),
-        "f_size": u_of("p_size"),
+        "f_name": nums["p_name"] / denom,
+        "f_brand": nums["p_brand"] / denom,
+        "f_type": nums["p_type"] / denom,
+        "f_size": nums["p_size"] / denom,
     }
     # m-probabilities: Laplace-smoothed agreement among proxy matches
     proxy = flagged.filter(F.col("f_name") == 1)
