@@ -831,6 +831,7 @@ class _LazyOracle(dict):
             self.update(_oracle_sql4())
             self.update(_oracle_sql5())
             self.update(_oracle_sql6())
+            self.update(_oracle_sql7())
 
     def __getitem__(self, key):  # noqa: D105
         self._fill()
@@ -2227,5 +2228,152 @@ def _oracle_sql6() -> dict[str, str]:
                                 / n_b_post)
                     END, 4) AS z
             FROM wide
+        """,
+    }
+
+
+#: Reliability-diagram bin count for the calibration audit.
+CALIB_BINS = 10
+
+#: Density→pseudo-probability scale: stopword density (~0..0.2 on
+#: this corpus) × 5, capped at 1. Chosen so the score sweeps the
+#: full [0,1] range and every decile bin is exercised.
+CALIB_DENSITY_SCALE = 5
+
+
+def quality_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration audit (reliability diagram + per-bin ECE /
+    Brier-decomposition terms) of a heuristic 'is-English'
+    pseudo-probability — the audit a curation pipeline runs before
+    thresholding any model- or rule-based quality score
+    (FineWeb-style classifier filtering assumes calibrated scores;
+    reference scope: tabjolt_email.py flags metrics on raw fixed
+    thresholds — this is the principled version of such a gate).
+
+    The audited score is stopword density scaled to [0,1]
+    (``least(stop_hits/n_words * CALIB_DENSITY_SCALE, 1)``); the
+    outcome is ``lang = 'en'``.  Uses the MIDPOINT-ECE formulation:
+    per-bin confidence is the decile midpoint ``(bin+0.5)/B`` — a
+    constant of the bin id — so every engine-side reduction is an
+    exact BIGINT (doc and outcome counts) and each emitted double is
+    one closed-form expression of integers, never a float sum (the
+    file's shared numeric contract).  Summing the term columns
+    client-side yields ECE and the Murphy reliability/resolution
+    split.  On this corpus the verdict is 'uninformative': accuracy
+    sits at the base rate in every bin while confidence sweeps
+    0.05→0.95 — exactly the pathology the audit exists to catch.
+
+    Scale shape: one scan → map-side-combinable hash aggregate onto
+    ≤ ``CALIB_BINS`` rows; grand totals are a 1-row broadcast."""
+    from tableau_dashboard_performance_etl_automation_spark.operators.textops import (
+        STOPWORDS,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    stoplist = ", ".join(f"'{w}'" for w in STOPWORDS)
+    stop_hits = F.expr(
+        f"size(filter(split(text, ' '), x -> x IN ({stoplist})))"
+    )
+    n_words = F.size(F.split(F.col("text"), " "))
+    # bin = floor(min(density*SCALE,1) * B) capped to B-1; computed
+    # as one double expression of two exact ints, identical in SQL
+    p = F.least(
+        stop_hits * float(CALIB_DENSITY_SCALE) / n_words, F.lit(1.0)
+    )
+    binned = (
+        docs.select(
+            F.least(
+                F.floor(p * CALIB_BINS), F.lit(CALIB_BINS - 1)
+            )
+            .cast("bigint")
+            .alias("bin"),
+            (F.col("lang") == "en").cast("bigint").alias("y"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("y").cast("bigint").alias("s_y"),
+        )
+    )
+    grand = F.broadcast(
+        binned.agg(
+            F.sum("n_docs").cast("bigint").alias("n_all"),
+            F.sum("s_y").cast("bigint").alias("y_all"),
+        )
+    )
+    conf = (F.col("bin") + 0.5) / CALIB_BINS
+    acc = F.col("s_y") / F.col("n_docs")
+    w = F.col("n_docs") / F.col("n_all")
+    ybar = F.col("y_all") / F.col("n_all")
+    return (
+        binned.crossJoin(grand)
+        .select(
+            "bin",
+            "n_docs",
+            F.round(conf, 4).alias("conf_mid"),
+            F.round(acc, 4).alias("acc"),
+            F.round(F.abs(conf - acc), 4).alias("abs_gap"),
+            F.round(w * F.abs(conf - acc), 6).alias("ece_term"),
+            F.round(w * (conf - acc) * (conf - acc), 6).alias(
+                "rel_term"
+            ),
+            F.round(w * (acc - ybar) * (acc - ybar), 6).alias(
+                "res_term"
+            ),
+        )
+        .orderBy("bin")
+    )
+
+
+QUERIES["quality_score_calibration"] = quality_score_calibration
+
+
+def _oracle_sql7() -> dict[str, str]:
+    from tableau_dashboard_performance_etl_automation_spark.operators.textops import (
+        _STOPLIST_SQL,
+    )
+
+    return {
+        "quality_score_calibration": f"""
+            WITH base AS (
+                SELECT CAST(LEAST(FLOOR(
+                           LEAST(len(list_filter(string_split(text, ' '),
+                                     x -> x IN ({_STOPLIST_SQL})))
+                                 * {float(CALIB_DENSITY_SCALE)}
+                                 / len(string_split(text, ' ')), 1.0)
+                           * {CALIB_BINS}),
+                           {CALIB_BINS - 1}) AS BIGINT) AS bin,
+                       CAST(lang = 'en' AS BIGINT) AS y
+                FROM documents
+            ),
+            binned AS (
+                SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                       CAST(SUM(y) AS BIGINT) AS s_y
+                FROM base GROUP BY bin
+            ),
+            grand AS (
+                SELECT CAST(SUM(n_docs) AS BIGINT) AS n_all,
+                       CAST(SUM(s_y) AS BIGINT) AS y_all
+                FROM binned
+            )
+            SELECT bin, n_docs,
+                   ROUND((bin + 0.5) / {CALIB_BINS}, 4) AS conf_mid,
+                   ROUND(s_y * 1.0 / n_docs, 4) AS acc,
+                   ROUND(ABS((bin + 0.5) / {CALIB_BINS}
+                             - s_y * 1.0 / n_docs), 4) AS abs_gap,
+                   ROUND(n_docs * 1.0 / n_all
+                         * ABS((bin + 0.5) / {CALIB_BINS}
+                               - s_y * 1.0 / n_docs), 6) AS ece_term,
+                   ROUND(n_docs * 1.0 / n_all
+                         * ((bin + 0.5) / {CALIB_BINS}
+                            - s_y * 1.0 / n_docs)
+                         * ((bin + 0.5) / {CALIB_BINS}
+                            - s_y * 1.0 / n_docs), 6) AS rel_term,
+                   ROUND(n_docs * 1.0 / n_all
+                         * (s_y * 1.0 / n_docs - y_all * 1.0 / n_all)
+                         * (s_y * 1.0 / n_docs - y_all * 1.0 / n_all),
+                         6) AS res_term
+            FROM binned CROSS JOIN grand
+            ORDER BY bin
         """,
     }
