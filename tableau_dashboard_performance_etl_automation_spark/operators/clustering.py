@@ -1243,3 +1243,123 @@ def _markov_oracle() -> str:
 
 
 ORACLE_SQL["event_markov_stationary"] = _markov_oracle()
+
+
+#: Trusted-seed stride for label propagation: docs with
+#: ``doc_id % LP_SEED_MOD == 0`` carry a trusted label.
+LP_SEED_MOD = 5
+
+#: Synchronous propagation rounds (unrolled — each is one
+#: join+aggregate stage; no driver-side iteration state).
+LP_ROUNDS = 2
+
+
+def lang_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-supervised label propagation over the MinHash near-dup
+    graph: a trusted subset of docs (``doc_id % LP_SEED_MOD == 0``)
+    seeds its ``lang`` label; each round, every still-unlabeled doc
+    with at least one labeled neighbor adopts the majority neighbor
+    label (ties → lexicographically smallest) — how a curation
+    pipeline extends expensive gold labels (human or model-audited)
+    across near-duplicate content for free.
+
+    Determinism: the vote is (count DESC, label ASC) via one
+    row_number per candidate doc; once labeled, a doc never flips.
+    Scale shape: edges come from the banded LSH equi-join (never
+    all-pairs, shared band-index memo); each round is
+    edge ⋈ labeled-frontier (hash join on doc id) → hash aggregate
+    on (doc, label) → per-doc top-1 window over ≤ |labels| rows.
+    ``LP_ROUNDS`` is a static unroll — rounds are data-independent
+    stages, so the whole thing is ONE declarative plan (AQE sizes
+    each round's shuffle; no driver loop, no checkpoint barrier
+    needed at this depth)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    edges = dedup_minhash_lsh(spark, sf_dir)
+    sym = edges.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(
+        edges.select(
+            F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+        )
+    )
+    labeled = docs.filter(
+        F.col("doc_id") % LP_SEED_MOD == 0
+    ).select(
+        "doc_id",
+        F.col("lang").alias("label"),
+        F.lit(0).cast("int").alias("labeled_round"),
+    )
+    for rnd in range(1, LP_ROUNDS + 1):
+        votes = (
+            sym.join(
+                labeled.select(
+                    F.col("doc_id").alias("src"), "label"
+                ),
+                "src",
+            )
+            .join(
+                labeled.select(F.col("doc_id").alias("dst")),
+                "dst",
+                "left_anti",
+            )
+            .groupBy(F.col("dst").alias("doc_id"), "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        w = Window.partitionBy("doc_id").orderBy(
+            F.col("c").desc(), F.col("label").asc()
+        )
+        picked = (
+            votes.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(
+                "doc_id",
+                "label",
+                F.lit(rnd).cast("int").alias("labeled_round"),
+            )
+        )
+        labeled = labeled.unionByName(picked)
+    return labeled.orderBy("doc_id")
+
+
+QUERIES["lang_label_propagation"] = lang_label_propagation
+
+
+def _lp_round_sql(prev: str, rnd: int) -> str:
+    return f"""
+        SELECT doc_id, label,
+               CAST({rnd} AS INTEGER) AS labeled_round
+        FROM (
+            SELECT s.dst AS doc_id, l.label, COUNT(*) AS c,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY s.dst
+                       ORDER BY COUNT(*) DESC, l.label ASC
+                   ) AS rn
+            FROM sym s
+            JOIN {prev} l ON s.src = l.doc_id
+            LEFT JOIN {prev} already ON s.dst = already.doc_id
+            WHERE already.doc_id IS NULL
+            GROUP BY s.dst, l.label
+        ) WHERE rn = 1
+    """
+
+
+ORACLE_SQL["lang_label_propagation"] = f"""
+    WITH pairs AS (SELECT * FROM {_PAIRS_SQL} t),
+    sym AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b, doc_a FROM pairs
+    ),
+    seeds AS (
+        SELECT doc_id, lang AS label,
+               CAST(0 AS INTEGER) AS labeled_round
+        FROM documents WHERE doc_id % {LP_SEED_MOD} = 0
+    ),
+    p1 AS ({_lp_round_sql("seeds", 1)}),
+    l1 AS (
+        SELECT * FROM seeds UNION ALL SELECT * FROM p1
+    ),
+    p2 AS ({_lp_round_sql("l1", 2)})
+    SELECT * FROM l1 UNION ALL SELECT * FROM p2
+    ORDER BY doc_id
+"""

@@ -34,3 +34,45 @@ def test_calibration_partitions_corpus_and_decomposes(spark):
     y_all = sum(r.acc * r.n_docs for r in rows)
     ybar = y_all / n_docs
     assert sum(r.res_term for r in rows) <= ybar * (1 - ybar) + 1e-6
+
+
+def test_label_propagation_invariants(spark):
+    from tableau_dashboard_performance_etl_automation_spark.operators import clustering
+    from tableau_dashboard_performance_etl_automation_spark.operators.dedup import (
+        dedup_minhash_lsh,
+    )
+
+    rows = clustering.lang_label_propagation(spark, SF).collect()
+    docs = {
+        r.doc_id: r.lang
+        for r in spark.read.parquet(f"{SF}/documents.parquet")
+        .select("doc_id", "lang")
+        .collect()
+    }
+    by_id = {}
+    for r in rows:
+        assert r.doc_id not in by_id, "doc labeled twice"
+        by_id[r.doc_id] = r
+    seeds = {d for d in docs if d % clustering.LP_SEED_MOD == 0}
+    # every seed present with its true label at round 0
+    for d in seeds:
+        assert by_id[d].label == docs[d] and by_id[d].labeled_round == 0
+    # every propagated doc must be adjacent to at least one doc
+    # labeled in an earlier round (the vote that labeled it)
+    edges = dedup_minhash_lsh(spark, SF).collect()
+    adj = {}
+    for e in edges:
+        adj.setdefault(e.doc_a, set()).add(e.doc_b)
+        adj.setdefault(e.doc_b, set()).add(e.doc_a)
+    for d, r in by_id.items():
+        if r.labeled_round == 0:
+            continue
+        assert 1 <= r.labeled_round <= clustering.LP_ROUNDS
+        nbr_rounds = [
+            by_id[n].labeled_round
+            for n in adj.get(d, ())
+            if n in by_id
+        ]
+        assert any(x < r.labeled_round for x in nbr_rounds), (
+            "propagated doc has no earlier-labeled neighbor"
+        )
