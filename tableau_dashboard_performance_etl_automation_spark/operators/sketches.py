@@ -669,3 +669,55 @@ ORACLE_SQL["kmv_type_overlap"] = f"""
     JOIN sizes sb ON sb.event_type = e.type_b
     ORDER BY type_a, type_b
 """
+
+
+#: Space-Saving summary capacity (counters per key). Any item whose
+#: true count exceeds N/SS_CAPACITY is GUARANTEED to be tracked
+#: (Metwally et al. 2005) — 128 puts that threshold inside the
+#: synthetic corpus's per-type count range, so the guarantee set is
+#: non-empty at the gate scale.
+SS_CAPACITY = 128
+
+
+def guaranteed_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type users whose EXACT count clears the Space-Saving
+    guarantee threshold ``count * SS_CAPACITY > N_type`` — the set the
+    streaming Space-Saving summary (``streaming/stateful.py:
+    spacesaving_topk_stream``) provably contains regardless of arrival
+    order; the reconciliation test checks that containment plus the
+    ``count ≤ count_hat ≤ count + err`` bounds.
+
+    Scale shape: one scan → (type, user) hash aggregate with map-side
+    combine → per-type totals re-aggregated from that compaction (no
+    second scan) joined back on the 5-value type key."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    counts = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    totals = counts.groupBy("event_type").agg(
+        F.sum("cnt").cast("bigint").alias("n_type")
+    )
+    return (
+        counts.join(F.broadcast(totals), "event_type")
+        .filter(F.col("cnt") * SS_CAPACITY > F.col("n_type"))
+        .select("event_type", "user_id", "cnt", "n_type")
+        .orderBy("event_type", F.col("cnt").desc(), "user_id")
+    )
+
+
+QUERIES["guaranteed_heavy_hitters"] = guaranteed_heavy_hitters
+
+ORACLE_SQL["guaranteed_heavy_hitters"] = f"""
+    WITH counts AS (
+        SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM events GROUP BY 1, 2
+    ),
+    totals AS (
+        SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS n_type
+        FROM counts GROUP BY 1
+    )
+    SELECT c.event_type, c.user_id, c.cnt, t.n_type
+    FROM counts c JOIN totals t USING (event_type)
+    WHERE c.cnt * {SS_CAPACITY} > t.n_type
+    ORDER BY c.event_type, c.cnt DESC, c.user_id
+"""

@@ -496,3 +496,95 @@ def cusum_drift_stream(stream: DataFrame, target_cents: int) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+SS_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("user_id", LongType()),
+        StructField("count_hat", LongType()),
+        StructField("err", LongType()),
+        StructField("n_seen", LongType()),
+    ]
+)
+
+#: Space-Saving state = the m (item, count, error) counters — fixed
+#: size regardless of how many distinct users stream through, the
+#: property that lets a top-k summary live in a state store.
+SS_STATE_SCHEMA = StructType(
+    [
+        StructField("items", ArrayType(LongType())),
+        StructField("counts", ArrayType(LongType())),
+        StructField("errs", ArrayType(LongType())),
+    ]
+)
+
+
+def _ss_update(
+    key: tuple, batches: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    """Fold each micro-batch into the per-type Space-Saving summary
+    (Metwally et al. 2005): tracked item → count++; untracked with
+    room → insert (1, 0); untracked and full → overwrite the minimum
+    counter j as (count_j + 1, count_j).  Eviction tie-break is
+    (count, user_id) ascending, so a replay in the same arrival
+    order is bit-identical.  Unlike the HLL/CMS states the summary
+    is order-DEPENDENT — the reconciliation test therefore checks
+    the structure's guarantees against exact batch counts
+    (containment of every count > N/m item; count ≤ count_hat ≤
+    count + err), not value equality."""
+    from tableau_dashboard_performance_etl_automation_spark.operators.sketches import (
+        SS_CAPACITY,
+    )
+
+    if state.exists:
+        items, counts, errs = state.get
+        d = {i: [c, e] for i, c, e in zip(items, counts, errs)}
+    else:
+        d = {}
+    for pdf in batches:
+        for uid in pdf["user_id"]:
+            uid = int(uid)
+            if uid in d:
+                d[uid][0] += 1
+            elif len(d) < SS_CAPACITY:
+                d[uid] = [1, 0]
+            else:
+                j = min(d, key=lambda k: (d[k][0], k))
+                cj = d[j][0]
+                del d[j]
+                d[uid] = [cj + 1, cj]
+    ks = sorted(d)
+    state.update(
+        ([int(k) for k in ks], [d[k][0] for k in ks], [d[k][1] for k in ks])
+    )
+    out = sorted(d.items(), key=lambda kv: (-kv[1][0], kv[0]))
+    # Space-Saving identity: every arrival increments exactly one
+    # counter (eviction replaces cj with cj+1), so sum(count_hat)
+    # == items processed — emitted as n_seen so a sink can pick the
+    # final trigger's summary without a trigger id.
+    n_seen = sum(v[0] for _, v in out)
+    yield pd.DataFrame(
+        {
+            "event_type": [key[0]] * len(out),
+            "user_id": [k for k, _ in out],
+            "count_hat": [v[0] for _, v in out],
+            "err": [v[1] for _, v in out],
+            "n_seen": [n_seen] * len(out),
+        }
+    )
+
+
+def spacesaving_topk_stream(stream: DataFrame) -> DataFrame:
+    """Streaming Space-Saving top-k: per-event-type heavy-hitter
+    summary maintained in the state store — m counters per key no
+    matter how many distinct users stream through, emitting the full
+    running summary each trigger (the final trigger's emission is
+    the drained summary)."""
+    return stream.groupBy("event_type").applyInPandasWithState(
+        _ss_update,
+        outputStructType=SS_OUTPUT_SCHEMA,
+        stateStructType=SS_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -610,3 +610,62 @@ def test_streaming_cusum_total_deviation_matches_batch(spark, sf_dir, tmp_path):
         assert (row.n_events, row.cum_dev_cents) == want[et], et
         assert row.max_neg_exc <= 0 <= row.max_pos_exc
         assert row.max_neg_exc <= row.cum_dev_cents <= row.max_pos_exc
+
+
+def test_streaming_spacesaving_guarantees_vs_exact(spark, sf_dir, tmp_path):
+    """Space-Saving is order-dependent, so the drained summary is
+    checked against its GUARANTEES on exact batch counts rather than
+    value equality: (a) sum(count_hat) == N per type, (b) every user
+    with exact count > N/m is tracked, (c) exact <= count_hat <=
+    exact + err for every tracked user."""
+    from tableau_dashboard_performance_etl_automation_spark.operators.sketches import (
+        SS_CAPACITY,
+    )
+
+    inp = _stage_stream_input(spark, sf_dir, tmp_path)
+    stream = trend.events_stream(spark, inp)
+    (
+        stateful.spacesaving_topk_stream(
+            stream.select("event_type", "user_id")
+        )
+        .writeStream.format("memory")
+        .queryName("ss_sink")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    rows = spark.table("ss_sink").collect()
+    final_n = {}
+    for r in rows:
+        final_n[r.event_type] = max(
+            final_n.get(r.event_type, 0), r.n_seen
+        )
+    summary = {
+        (r.event_type, r.user_id): (r.count_hat, r.err)
+        for r in rows
+        if r.n_seen == final_n[r.event_type]
+    }
+    exact = {
+        (r.event_type, r.user_id): r.cnt
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type", "user_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    n_type = {}
+    for (et, _), c in exact.items():
+        n_type[et] = n_type.get(et, 0) + c
+    # (a) the Space-Saving identity per type
+    for et, n in n_type.items():
+        assert final_n[et] == n, (et, final_n[et], n)
+        got = sum(c for (t, _), (c, _) in summary.items() if t == et)
+        assert got == n, (et, got, n)
+    # (b) guaranteed containment of every count > N/m user
+    for (et, uid), c in exact.items():
+        if c * SS_CAPACITY > n_type[et]:
+            assert (et, uid) in summary, (et, uid, c)
+    # (c) overcount bounds for every tracked user
+    for (et, uid), (chat, err) in summary.items():
+        true = exact.get((et, uid), 0)
+        assert true <= chat <= true + err, (et, uid, true, chat, err)
