@@ -2944,3 +2944,114 @@ ORACLE_SQL["matryoshka_truncation_fidelity"] = f"""
     FROM s
     ORDER BY m
 """
+
+
+#: Harmonic-discount DCG scale: LCM(2..TOP_K+1) so every discount
+#: term SCALE/(1+rank) is an exact integer (the file's exact-int
+#: reduction discipline applied to a ranking metric).
+NDCG_SCALE = 60
+
+#: Ideal harmonic DCG (scaled): sum of NDCG_SCALE/(1+r), r=1..TOP_K.
+NDCG_IDEAL = sum(NDCG_SCALE // (1 + r) for r in range(1, TOP_K + 1))
+
+
+def ann_lsh_ranking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality scorecard of the LSH index against the exact
+    brute-force baseline, per query: recall@k, MRR of the true
+    nearest neighbor, and harmonic-discount nDCG — the numbers that
+    decide whether an approximate index is good enough to replace
+    the exact scan (recall measures coverage; MRR/nDCG punish the
+    index for burying the best results deep in the list).
+
+    Uses the harmonic discount 1/(1+rank) instead of 1/log2(1+rank)
+    so the DCG sum is EXACT integers after scaling by
+    ``NDCG_SCALE = lcm(2..k+1)`` (a float log sum would be
+    accumulation-order dependent across engines); the ideal DCG is
+    the constant ``NDCG_IDEAL``.  MRR keeps the textbook definition
+    (reciprocal approx-rank of the exact top-1 neighbor, 0 when
+    missed) — a single rational term, no sum.
+
+    Scale shape: both inputs are the already-bounded top-k lists
+    (N_QUERIES × k rows); everything downstream is a tiny hash
+    aggregate. The expensive parts — exact scan and LSH probe — are
+    the composed operators' plans, shared via the signature memo."""
+    exact = ann_cosine_topk(spark, sf_dir).select(
+        "query_id",
+        "neighbor_id",
+        F.col("rank").alias("rank_e"),
+    )
+    approx = ann_lsh_topk(spark, sf_dir).select(
+        "query_id",
+        "neighbor_id",
+        F.col("rank").alias("rank_a"),
+    )
+    hits = exact.join(approx, ["query_id", "neighbor_id"])
+    per = hits.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hits"),
+        F.sum(
+            F.expr(f"{NDCG_SCALE} div (1 + rank_a)").cast("bigint")
+        ).alias("dcg_s"),
+        F.max(
+            F.when(F.col("rank_e") == 1, 1.0 / F.col("rank_a"))
+        ).alias("mrr_raw"),
+    )
+    all_q = exact.select("query_id").distinct()
+    return (
+        all_q.join(per, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_hits"), F.lit(0).cast("bigint")).alias(
+                "n_hits"
+            ),
+            F.round(
+                F.coalesce(F.col("n_hits"), F.lit(0)) / TOP_K, 4
+            ).alias("recall_at_k"),
+            F.round(F.coalesce(F.col("mrr_raw"), F.lit(0.0)), 4).alias(
+                "mrr"
+            ),
+            F.round(
+                F.coalesce(F.col("dcg_s"), F.lit(0)) * 1.0 / NDCG_IDEAL,
+                4,
+            ).alias("ndcg_h"),
+        )
+        .orderBy("query_id")
+    )
+
+
+QUERIES["ann_lsh_ranking_quality"] = ann_lsh_ranking_quality
+
+ORACLE_SQL["ann_lsh_ranking_quality"] = f"""
+    WITH exact AS (
+        SELECT query_id, neighbor_id, rank AS rank_e
+        FROM ({ORACLE_SQL["ann_cosine_topk"]}) t
+    ),
+    approx AS (
+        SELECT query_id, neighbor_id, rank AS rank_a
+        FROM ({ORACLE_SQL["ann_lsh_topk"]}) t
+    ),
+    hits AS (
+        SELECT e.query_id, e.rank_e, a.rank_a
+        FROM exact e
+        JOIN approx a ON a.query_id = e.query_id
+                     AND a.neighbor_id = e.neighbor_id
+    ),
+    per AS (
+        SELECT query_id,
+               CAST(COUNT(*) AS BIGINT) AS n_hits,
+               CAST(SUM({NDCG_SCALE} // (1 + rank_a)) AS BIGINT)
+                   AS dcg_s,
+               MAX(CASE WHEN rank_e = 1 THEN 1.0 / rank_a END)
+                   AS mrr_raw
+        FROM hits GROUP BY query_id
+    )
+    SELECT q.query_id,
+           CAST(COALESCE(p.n_hits, 0) AS BIGINT) AS n_hits,
+           ROUND(COALESCE(p.n_hits, 0) * 1.0 / {TOP_K}, 4)
+               AS recall_at_k,
+           ROUND(COALESCE(p.mrr_raw, 0.0), 4) AS mrr,
+           ROUND(COALESCE(p.dcg_s, 0) * 1.0 / {NDCG_IDEAL}, 4)
+               AS ndcg_h
+    FROM (SELECT DISTINCT query_id FROM exact) q
+    LEFT JOIN per p USING (query_id)
+    ORDER BY query_id
+"""

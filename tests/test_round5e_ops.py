@@ -76,3 +76,40 @@ def test_label_propagation_invariants(spark):
         assert any(x < r.labeled_round for x in nbr_rounds), (
             "propagated doc has no earlier-labeled neighbor"
         )
+
+
+def test_ann_ranking_quality_consistent_with_topk_lists(spark):
+    from tableau_dashboard_performance_etl_automation_spark.operators import similarity
+
+    rows = similarity.ann_lsh_ranking_quality(spark, SF).collect()
+    exact = similarity.ann_cosine_topk(spark, SF).collect()
+    approx = similarity.ann_lsh_topk(spark, SF).collect()
+    e_by_q, a_by_q = {}, {}
+    for r in exact:
+        e_by_q.setdefault(r.query_id, {})[r.neighbor_id] = r.rank
+    for r in approx:
+        a_by_q.setdefault(r.query_id, {})[r.neighbor_id] = r.rank
+    assert {r.query_id for r in rows} == set(e_by_q)
+    for r in rows:
+        inter = set(e_by_q[r.query_id]) & set(
+            a_by_q.get(r.query_id, {})
+        )
+        assert r.n_hits == len(inter)
+        assert abs(r.recall_at_k - len(inter) / similarity.TOP_K) < 5e-4
+        assert 0.0 <= r.mrr <= 1.0 and 0.0 <= r.ndcg_h <= 1.0
+        # perfect retrieval of the full exact list => ndcg == 1
+        if len(inter) == similarity.TOP_K and all(
+            e_by_q[r.query_id][n] == a_by_q[r.query_id][n]
+            for n in inter
+        ):
+            assert abs(r.ndcg_h - 1.0) < 5e-4 and abs(r.mrr - 1.0) < 5e-4
+        # top-1 found => mrr = 1/approx_rank of that neighbor
+        top1 = next(
+            n for n, rk in e_by_q[r.query_id].items() if rk == 1
+        )
+        want_mrr = (
+            1.0 / a_by_q[r.query_id][top1]
+            if top1 in a_by_q.get(r.query_id, {})
+            else 0.0
+        )
+        assert abs(r.mrr - want_mrr) < 5e-4
