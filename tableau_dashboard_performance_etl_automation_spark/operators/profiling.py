@@ -691,3 +691,168 @@ ORACLE_SQL["zorder_layout_stats"] = f"""
     )
     ORDER BY layout
 """
+
+
+#: Consistent-hash ring geometry: shards before/after the resize and
+#: virtual nodes per shard (vnodes smooth per-shard load to
+#: ±O(1/sqrt(V)) of uniform).
+CH_SHARDS = 8
+CH_VNODES = 16
+
+#: Hex digits of md5 used for ring/key positions (48-bit space —
+#: collision-free at any realistic vnode count, exactly replayable
+#: in DuckDB via the shared md5_hex_int idiom).
+_CH_DIGITS = 12
+
+
+def _pos48(h) -> F.Column:
+    """48-bit md5 position as two 24-bit halves combined with a
+    BIGINT multiply — a single 12-digit fold would overflow the
+    32-bit integer arithmetic in both engines (the KMV idiom)."""
+    from tableau_dashboard_performance_etl_automation_spark.functions.hashing import (
+        md5_hex_int,
+    )
+
+    half = _CH_DIGITS // 2
+    return md5_hex_int(h, 1, half).cast("bigint") * F.lit(
+        16**half
+    ) + md5_hex_int(h, 1 + half, half).cast("bigint")
+
+
+def _ring(spark: SparkSession, n_shards: int) -> DataFrame:
+    """The vnode ring for ``n_shards`` shards: position =
+    md5('ring:<shard>:<vnode>') — deterministic, engine-agnostic."""
+    ids = spark.range(n_shards * CH_VNODES)
+    h = F.md5(
+        F.concat(
+            F.lit("ring:"),
+            (F.col("id") % n_shards).cast("string"),
+            F.lit(":"),
+            (F.col("id") / n_shards).cast("bigint").cast("string"),
+        )
+    )
+    return ids.select(
+        (F.col("id") % n_shards).cast("bigint").alias("shard"),
+        _pos48(h).alias("ring_pos"),
+    )
+
+
+def _assign(docs: DataFrame, ring: DataFrame, out: str) -> DataFrame:
+    """Clockwise owner per doc: the min ring position >= the key
+    position, wrapping to the ring's global minimum. The ring is a
+    broadcast constant (S×V rows); the corpus never shuffles —
+    ownership is a per-row aggregate over the broadcast list."""
+    succ = (
+        docs.crossJoin(F.broadcast(ring))
+        .groupBy("doc_id", "key_pos")
+        .agg(
+            F.min_by(
+                F.col("shard"),
+                F.when(
+                    F.col("ring_pos") >= F.col("key_pos"),
+                    F.col("ring_pos"),
+                ),
+            ).alias("succ_shard"),
+            F.min_by(F.col("shard"), F.col("ring_pos")).alias(
+                "wrap_shard"
+            ),
+        )
+    )
+    return succ.select(
+        "doc_id",
+        "key_pos",
+        F.coalesce(F.col("succ_shard"), F.col("wrap_shard")).alias(out),
+    )
+
+
+def consistent_hash_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard movement matrix when a consistent-hash ring grows from
+    ``CH_SHARDS`` to ``CH_SHARDS + 1`` shards: per (shard_before,
+    shard_after) doc counts — the audit that proves the layout's
+    whole point, that a resize moves only ~N/(S+1) keys and every
+    mover lands on the NEW shard (a mod-S layout would reshuffle
+    nearly everything; compare ``global_shuffle_shards``).
+
+    Scale shape: the ring (S×V rows) is a broadcast constant; each
+    doc's owner under both rings is a per-row aggregate over that
+    broadcast — the corpus is scanned once and never shuffled except
+    the final tiny (S×S') count aggregate. Positions are 48-bit md5
+    integers via the shared ``md5_hex_int`` idiom, bit-replayable in
+    the oracle."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        _pos48(
+            F.md5(F.concat(F.lit("key:"), F.col("doc_id").cast("string")))
+        ).alias("key_pos"),
+    )
+    before = _assign(docs, _ring(spark, CH_SHARDS), "shard_before")
+    after = _assign(docs, _ring(spark, CH_SHARDS + 1), "shard_after")
+    return (
+        before.join(after.select("doc_id", "shard_after"), "doc_id")
+        .groupBy("shard_before", "shard_after")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .orderBy("shard_before", "shard_after")
+    )
+
+
+QUERIES["consistent_hash_rebalance"] = consistent_hash_rebalance
+
+
+def _ch_oracle() -> str:
+    from tableau_dashboard_performance_etl_automation_spark.functions.hashing import (
+        md5_hex_int_sql,
+    )
+
+    half = _CH_DIGITS // 2
+
+    def pos48(h_expr: str) -> str:
+        # two 24-bit halves combined with a BIGINT multiply — the
+        # KMV idiom; a single 12-digit fold overflows DuckDB's INT32
+        hi = md5_hex_int_sql(h_expr, 1, half)
+        lo = md5_hex_int_sql(h_expr, 1 + half, half)
+        return f"(CAST({hi} AS BIGINT) * {16 ** half} + CAST({lo} AS BIGINT))"
+
+    def ring(n: int, name: str) -> str:
+        pos = pos48(
+            "md5('ring:' || CAST(i % {n} AS VARCHAR) || ':' "
+            "|| CAST(i // {n} AS VARCHAR))".format(n=n)
+        )
+        return f"""{name} AS (
+            SELECT CAST(i % {n} AS BIGINT) AS shard,
+                   CAST({pos} AS BIGINT) AS ring_pos
+            FROM (SELECT UNNEST(range({n * CH_VNODES})) AS i)
+        )"""
+
+    key_pos = pos48("md5('key:' || CAST(doc_id AS VARCHAR))")
+
+    def assign(ring_name: str, out: str) -> str:
+        return f"""(
+            SELECT d.doc_id,
+                   COALESCE(
+                       arg_min(r.shard,
+                               CASE WHEN r.ring_pos >= d.key_pos
+                                    THEN r.ring_pos END),
+                       arg_min(r.shard, r.ring_pos)
+                   ) AS {out}
+            FROM docs d CROSS JOIN {ring_name} r
+            GROUP BY d.doc_id
+        )"""
+
+    return f"""
+        WITH {ring(CH_SHARDS, "ring_b")},
+        {ring(CH_SHARDS + 1, "ring_a")},
+        docs AS (
+            SELECT doc_id, CAST({key_pos} AS BIGINT) AS key_pos
+            FROM documents
+        ),
+        before AS (SELECT * FROM {assign("ring_b", "shard_before")} t),
+        after AS (SELECT * FROM {assign("ring_a", "shard_after")} t)
+        SELECT b.shard_before, a.shard_after,
+               CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM before b JOIN after a USING (doc_id)
+        GROUP BY 1, 2
+        ORDER BY 1, 2
+    """
+
+
+ORACLE_SQL["consistent_hash_rebalance"] = _ch_oracle()

@@ -113,3 +113,23 @@ def test_ann_ranking_quality_consistent_with_topk_lists(spark):
             else 0.0
         )
         assert abs(r.mrr - want_mrr) < 5e-4
+
+
+def test_consistent_hash_rebalance_moves_only_to_new_shard(spark):
+    from tableau_dashboard_performance_etl_automation_spark.operators import profiling
+
+    rows = profiling.consistent_hash_rebalance(spark, SF).collect()
+    n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
+    assert sum(r.n_docs for r in rows) == n_docs
+    moved = [r for r in rows if r.shard_before != r.shard_after]
+    stayed = sum(r.n_docs for r in rows if r.shard_before == r.shard_after)
+    # the consistent-hashing contract: every mover lands on the NEW
+    # shard, and the moved volume is ~N/(S+1), not ~N
+    assert all(r.shard_after == profiling.CH_SHARDS for r in moved)
+    n_moved = sum(r.n_docs for r in moved)
+    assert n_moved + stayed == n_docs
+    expect = n_docs / (profiling.CH_SHARDS + 1)
+    assert n_moved <= 3 * expect, (n_moved, expect)
+    assert all(
+        0 <= row.shard_before < profiling.CH_SHARDS for row in rows
+    )
