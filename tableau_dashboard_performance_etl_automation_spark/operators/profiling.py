@@ -719,50 +719,40 @@ def _pos48(h) -> F.Column:
     ) + md5_hex_int(h, 1 + half, half).cast("bigint")
 
 
-def _ring(spark: SparkSession, n_shards: int) -> DataFrame:
-    """The vnode ring for ``n_shards`` shards: position =
-    md5('ring:<shard>:<vnode>') — deterministic, engine-agnostic."""
-    ids = spark.range(n_shards * CH_VNODES)
-    h = F.md5(
-        F.concat(
-            F.lit("ring:"),
-            (F.col("id") % n_shards).cast("string"),
-            F.lit(":"),
-            (F.col("id") / n_shards).cast("bigint").cast("string"),
-        )
-    )
-    return ids.select(
-        (F.col("id") % n_shards).cast("bigint").alias("shard"),
-        _pos48(h).alias("ring_pos"),
-    )
+def _ring_entries(n_shards: int) -> list[tuple[int, int]]:
+    """The vnode ring for ``n_shards`` shards, sorted by position:
+    position = first 48 bits of md5('ring:<shard>:<vnode>') —
+    hashlib here, ``md5()`` in the oracle, identical bytes. S×V
+    entries: a CONSTANT, never a distributed dataset."""
+    import hashlib
+
+    out = []
+    for i in range(n_shards * CH_VNODES):
+        shard, vnode = i % n_shards, i // n_shards
+        h = hashlib.md5(f"ring:{shard}:{vnode}".encode()).hexdigest()
+        out.append((int(h[:_CH_DIGITS], 16), shard))
+    out.sort()
+    return out
 
 
-def _assign(docs: DataFrame, ring: DataFrame, out: str) -> DataFrame:
-    """Clockwise owner per doc: the min ring position >= the key
-    position, wrapping to the ring's global minimum. The ring is a
-    broadcast constant (S×V rows); the corpus never shuffles —
-    ownership is a per-row aggregate over the broadcast list."""
-    succ = (
-        docs.crossJoin(F.broadcast(ring))
-        .groupBy("doc_id", "key_pos")
-        .agg(
-            F.min_by(
-                F.col("shard"),
-                F.when(
-                    F.col("ring_pos") >= F.col("key_pos"),
-                    F.col("ring_pos"),
-                ),
-            ).alias("succ_shard"),
-            F.min_by(F.col("shard"), F.col("ring_pos")).alias(
-                "wrap_shard"
-            ),
-        )
+def _owner(key_pos: F.Column, ring: list[tuple[int, int]]) -> F.Column:
+    """Clockwise owner as a pure projection over the ring literal:
+    first entry of the (sorted) ring with position >= the key
+    position, wrapping to the ring's first entry. O(S·V) per row
+    inside whole-stage codegen — no join, no shuffle."""
+    arr = F.array(
+        *[
+            F.struct(
+                F.lit(p).alias("pos"),
+                F.lit(sh).cast("bigint").alias("shard"),
+            )
+            for p, sh in ring
+        ]
     )
-    return succ.select(
-        "doc_id",
-        "key_pos",
-        F.coalesce(F.col("succ_shard"), F.col("wrap_shard")).alias(out),
+    first_ge = F.element_at(
+        F.filter(arr, lambda r: r["pos"] >= key_pos), 1
     )
+    return F.coalesce(first_ge["shard"], F.element_at(arr, 1)["shard"])
 
 
 def consistent_hash_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -773,22 +763,28 @@ def consistent_hash_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     mover lands on the NEW shard (a mod-S layout would reshuffle
     nearly everything; compare ``global_shuffle_shards``).
 
-    Scale shape: the ring (S×V rows) is a broadcast constant; each
-    doc's owner under both rings is a per-row aggregate over that
-    broadcast — the corpus is scanned once and never shuffled except
+    Scale shape: both rings (S×V entries) are sorted LITERAL arrays
+    baked into one projection — ownership under each ring is an
+    O(S·V) scan per row inside whole-stage codegen, so the corpus is
+    read once, never joined, never shuffled; the only exchange is
     the final tiny (S×S') count aggregate. Positions are 48-bit md5
-    integers via the shared ``md5_hex_int`` idiom, bit-replayable in
-    the oracle."""
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id",
-        _pos48(
-            F.md5(F.concat(F.lit("key:"), F.col("doc_id").cast("string")))
-        ).alias("key_pos"),
+    integers (hashlib == md5() byte-for-byte), replayed in the
+    oracle via the shared two-half ``md5_hex_int`` idiom."""
+    key_pos = _pos48(
+        F.md5(F.concat(F.lit("key:"), F.col("doc_id").cast("string")))
     )
-    before = _assign(docs, _ring(spark, CH_SHARDS), "shard_before")
-    after = _assign(docs, _ring(spark, CH_SHARDS + 1), "shard_after")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", key_pos.alias("key_pos")
+    )
     return (
-        before.join(after.select("doc_id", "shard_after"), "doc_id")
+        docs.select(
+            _owner(F.col("key_pos"), _ring_entries(CH_SHARDS)).alias(
+                "shard_before"
+            ),
+            _owner(
+                F.col("key_pos"), _ring_entries(CH_SHARDS + 1)
+            ).alias("shard_after"),
+        )
         .groupBy("shard_before", "shard_after")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
         .orderBy("shard_before", "shard_after")
