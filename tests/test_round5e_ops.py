@@ -133,3 +133,32 @@ def test_consistent_hash_rebalance_moves_only_to_new_shard(spark):
     assert all(
         0 <= row.shard_before < profiling.CH_SHARDS for row in rows
     )
+
+
+def test_sorted_neighborhood_pairs_are_window_bounded(spark):
+    from tableau_dashboard_performance_etl_automation_spark.operators import linkage
+
+    rows = linkage.part_sorted_neighborhood(spark, SF).collect()
+    names = (
+        spark.read.parquet(f"{SF}/part.parquet")
+        .select("p_name")
+        .distinct()
+        .collect()
+    )
+    # rebuild the block-local sort order in python and check each
+    # pair is within the sliding window at the claimed distance
+    import collections
+
+    blocks = collections.defaultdict(list)
+    for r in names:
+        blocks[r.p_name.split(" ")[0]].append(r.p_name)
+    order = {
+        blk: {n: i for i, n in enumerate(sorted(ns))}
+        for blk, ns in blocks.items()
+    }
+    assert rows, "expected candidate pairs at this SF"
+    for r in rows:
+        pos = order[r.block]
+        assert pos[r.name_b] - pos[r.name_a] == r.window_dist
+        assert 1 <= r.window_dist < linkage.SN_WINDOW
+        assert linkage.SN_MIN_SIM <= r.name_sim <= 1.0
