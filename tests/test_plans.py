@@ -609,3 +609,24 @@ def test_hll_is_two_hash_aggregates_no_join_on_corpus(spark, sf_dir):
     assert "HashAggregate" in plan
     assert not has_cartesian_product(df)
     assert "Python" not in plan
+
+
+def test_consistent_hash_rebalance_has_no_join(spark, sf_dir):
+    from tableau_dashboard_performance_etl_automation_spark.operators import profiling
+
+    df = profiling.consistent_hash_rebalance(spark, sf_dir)
+    plan = formatted_plan(df)
+    # ownership is a ring-literal projection: the corpus must never
+    # be joined or cartesian-producted against the ring
+    assert "Join" not in plan
+    assert not has_cartesian_product(df)
+
+
+def test_sorted_neighborhood_has_no_join(spark, sf_dir):
+    from tableau_dashboard_performance_etl_automation_spark.operators import linkage
+
+    df = linkage.part_sorted_neighborhood(spark, sf_dir)
+    plan = formatted_plan(df)
+    # pair generation is lead() inside block windows, never a join
+    assert "Join" not in plan
+    assert not has_cartesian_product(df)
