@@ -81,6 +81,9 @@ PROBE_QUERIES = [
     "signup_purchase_survival",
     "value_drift_psi",
     "event_type_dow_chisq",
+    # round-5e: the Space-Saving guarantee set (events-shaped
+    # compaction + broadcast totals join)
+    "guaranteed_heavy_hitters",
     "daily_value_autocorrelation",
     # round-5b event-table shapes: sketches (fixed-state aggregates),
     # the interval attribution join, and the quasi-identifier census

@@ -124,6 +124,9 @@ def main() -> None:
     spark = get_spark("tdpe-scaleup")
     spark.sparkContext.setLogLevel("ERROR")
     from tableau_dashboard_performance_etl_automation_spark.operators import textops
+    from tableau_dashboard_performance_etl_automation_spark.operators.clustering import (
+        lang_label_propagation as _lp,
+    )
 
     ops = {
         "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
@@ -152,6 +155,12 @@ def main() -> None:
         "matryoshka_truncation_fidelity": (
             similarity.matryoshka_truncation_fidelity
         ),
+        # round-5e: label propagation rides the LSH edge list (two
+        # join+aggregate rounds over it — must track the edge count,
+        # not the corpus square); the ANN scorecard composes the
+        # exact scan (linear in corpus) with the LSH probe
+        "lang_label_propagation": _lp,
+        "ann_lsh_ranking_quality": similarity.ann_lsh_ranking_quality,
     }
     report: dict = {"base": base, "scales": {}}
     for factor in factors:
