@@ -694,3 +694,215 @@ ORACLE_SQL = {
         ORDER BY order_date, o.o_orderkey
     """,
 }
+
+
+#: Population-decile grid for the Lorenz curve (d/10 of customers).
+LORENZ_DECILES = list(range(1, 11))
+
+
+def nation_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-customer revenue within each nation —
+    the inequality/concentration audit next to the Pareto curve
+    (``customer_revenue_pareto`` answers "how many customers cover
+    X%"; the Gini collapses the whole Lorenz curve into one number
+    per nation, comparable across nations of different sizes). In a
+    training-corpus setting the same statistic over per-source token
+    counts is the "is one provider dominating the mixture" screen.
+
+    Exact rank identity without a row sort: with values sorted
+    ascending, ``G = (2·Σ i·x_i − (n+1)·Σ x_i) / (n·Σ x_i)``; a run
+    of ``cnt`` equal values occupying ranks (lo, hi] contributes
+    ``x · Σ_{i=lo+1..hi} i = x·(hi(hi+1) − lo(lo+1))/2`` regardless
+    of how ties are ordered, so the per-nation window sorts DISTINCT
+    revenue values only (the ``order_quartiles`` value-domain
+    discipline — memory bounded by the money domain, never the
+    customer count). The half cancels by accumulating ``2·Σ i·x_i``
+    directly. Rank-sum products are carried in decimal(38,0) (Spark)
+    / HUGEINT (DuckDB) — ``x·n²`` exceeds int64 past ~10⁹ customers
+    per nation — and the single final division happens once, in
+    double, on exact integer operands."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    rev = orders.groupBy("o_custkey").agg(
+        F.sum(_cents("o_totalprice")).alias("rev")
+    )
+    named = rev.join(
+        customer.select("c_custkey", "c_nationkey"),
+        rev.o_custkey == customer.c_custkey,
+    ).join(
+        F.broadcast(nation.select("n_nationkey", "n_name")),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+    )
+    comp = named.groupBy("n_name", "rev").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy("n_name").orderBy("rev")
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    cum = (
+        comp.withColumn("hi", F.sum("cnt").over(w))
+        .withColumn("lo", F.col("hi") - F.col("cnt"))
+        .withColumn(
+            "t2",  # x · (hi(hi+1) − lo(lo+1))  ==  2·Σ i·x over the run
+            dec("rev")
+            * (
+                dec("hi") * (dec("hi") + F.lit(1))
+                - dec("lo") * (dec("lo") + F.lit(1))
+            ),
+        )
+        .withColumn("units", dec("rev") * dec("cnt"))
+    )
+    agg = cum.groupBy("n_name").agg(
+        F.sum("t2").alias("si2"),
+        F.sum("units").alias("s1"),
+        F.sum("cnt").alias("n"),
+    )
+    num = F.col("si2") - (dec("n") + F.lit(1)) * F.col("s1")
+    den = dec("n") * F.col("s1")
+    return agg.select(
+        "n_name",
+        F.col("n").cast("bigint").alias("n_customers"),
+        F.round(F.col("s1").cast("double") / 100.0, 2).alias(
+            "total_revenue"
+        ),
+        F.round(num.cast("double") / den.cast("double"), 6).alias("gini"),
+    ).orderBy("n_name")
+
+
+def customer_revenue_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global Lorenz curve of customer revenue at population deciles:
+    for the poorest ``d/10`` of customers, what share of total
+    revenue do they hold? The decile table IS the curve the Gini
+    integrates — and for a data-mixture audit, the same query over
+    per-source document counts shows how flat the corpus mixture is.
+
+    Same value-domain compaction as ``customer_revenue_pareto`` but
+    cut by POPULATION rank from below rather than revenue share from
+    above: the cumulative window runs over distinct revenue values
+    ascending; decile boundary ``k = (n·d) DIV 10`` lands in exactly
+    one (lo, hi] run, and the cumulative revenue through rank k is
+    ``units_lo + (k − lo)·x`` — pure integer arithmetic because every
+    rank in the run carries the same value x. The 10-row decile grid
+    is broadcast; the only shuffles are the per-customer aggregate
+    and the distinct-value window."""
+    orders = load_table(spark, sf_dir, "orders")
+    rev = orders.groupBy("o_custkey").agg(
+        F.sum(_cents("o_totalprice")).alias("rev")
+    )
+    comp = rev.groupBy("rev").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.orderBy("rev")
+    cum = (
+        comp.withColumn("hi", F.sum("cnt").over(w))
+        .withColumn("lo", F.col("hi") - F.col("cnt"))
+        .withColumn("units", F.col("rev") * F.col("cnt"))
+        .withColumn("units_hi", F.sum(F.col("rev") * F.col("cnt")).over(w))
+        .withColumn("units_lo", F.col("units_hi") - F.col("units"))
+    )
+    totals = F.broadcast(
+        comp.agg(
+            F.sum("cnt").alias("n"),
+            F.sum(F.col("rev") * F.col("cnt")).alias("total_units"),
+        )
+    )
+    deciles = spark.createDataFrame(
+        [(d,) for d in LORENZ_DECILES], "decile INT"
+    )
+    k = F.expr("(n * decile) DIV 10")
+    return (
+        cum.crossJoin(totals)
+        .crossJoin(F.broadcast(deciles))
+        .withColumn("k", k)
+        .filter((F.col("lo") < F.col("k")) & (F.col("k") <= F.col("hi")))
+        .select(
+            "decile",
+            F.col("k").cast("bigint").alias("n_customers"),
+            F.round(F.col("k") * 100.0 / F.col("n"), 6).alias(
+                "cum_pop_pct"
+            ),
+            F.round(
+                (F.col("units_lo") + (F.col("k") - F.col("lo")) * F.col("rev"))
+                * 100.0
+                / F.col("total_units"),
+                6,
+            ).alias("cum_rev_pct"),
+        )
+        .orderBy("decile")
+    )
+
+
+QUERIES["nation_revenue_gini"] = nation_revenue_gini
+QUERIES["customer_revenue_lorenz"] = customer_revenue_lorenz
+
+ORACLE_SQL["nation_revenue_gini"] = """
+    WITH rev AS (
+        SELECT o_custkey,
+               SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS rev
+        FROM orders GROUP BY o_custkey
+    ),
+    named AS (
+        SELECT n.n_name, r.rev
+        FROM rev r
+        JOIN customer c ON r.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+    ),
+    comp AS (
+        SELECT n_name, rev, COUNT(*) AS cnt
+        FROM named GROUP BY n_name, rev
+    ),
+    cum AS (
+        SELECT n_name, rev, cnt,
+               SUM(cnt) OVER w AS hi,
+               SUM(cnt) OVER w - cnt AS lo
+        FROM comp
+        WINDOW w AS (PARTITION BY n_name ORDER BY rev
+                     ROWS UNBOUNDED PRECEDING)
+    ),
+    agg AS (
+        SELECT n_name,
+               SUM(CAST(rev AS HUGEINT)
+                   * (CAST(hi AS HUGEINT) * (hi + 1)
+                      - CAST(lo AS HUGEINT) * (lo + 1))) AS si2,
+               SUM(CAST(rev AS HUGEINT) * cnt) AS s1,
+               SUM(cnt) AS n
+        FROM cum GROUP BY n_name
+    )
+    SELECT n_name,
+           CAST(n AS BIGINT) AS n_customers,
+           ROUND(CAST(s1 AS DOUBLE) / 100.0, 2) AS total_revenue,
+           ROUND(CAST(si2 - (n + 1) * s1 AS DOUBLE)
+                 / CAST(n * s1 AS DOUBLE), 6) AS gini
+    FROM agg
+    ORDER BY n_name
+"""
+
+ORACLE_SQL["customer_revenue_lorenz"] = """
+    WITH rev AS (
+        SELECT o_custkey,
+               SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS rev
+        FROM orders GROUP BY o_custkey
+    ),
+    comp AS (SELECT rev, COUNT(*) AS cnt FROM rev GROUP BY rev),
+    cum AS (
+        SELECT rev, cnt,
+               SUM(cnt) OVER w AS hi,
+               SUM(cnt) OVER w - cnt AS lo,
+               SUM(rev * cnt) OVER w - rev * cnt AS units_lo
+        FROM comp
+        WINDOW w AS (ORDER BY rev ROWS UNBOUNDED PRECEDING)
+    ),
+    totals AS (
+        SELECT SUM(cnt) AS n, SUM(rev * cnt) AS total_units FROM comp
+    ),
+    dec AS (SELECT UNNEST([1,2,3,4,5,6,7,8,9,10]) AS decile)
+    SELECT d.decile,
+           CAST((t.n * d.decile) // 10 AS BIGINT) AS n_customers,
+           ROUND(((t.n * d.decile) // 10) * 100.0 / t.n, 6)
+               AS cum_pop_pct,
+           ROUND((c.units_lo
+                  + ((t.n * d.decile) // 10 - c.lo) * c.rev)
+                 * 100.0 / t.total_units, 6) AS cum_rev_pct
+    FROM cum c CROSS JOIN totals t CROSS JOIN dec d
+    WHERE c.lo < (t.n * d.decile) // 10
+      AND (t.n * d.decile) // 10 <= c.hi
+    ORDER BY d.decile
+"""

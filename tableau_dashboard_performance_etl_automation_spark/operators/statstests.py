@@ -832,6 +832,7 @@ class _LazyOracle(dict):
             self.update(_oracle_sql5())
             self.update(_oracle_sql6())
             self.update(_oracle_sql7())
+            self.update(_oracle_sql8())
 
     def __getitem__(self, key):  # noqa: D105
         self._fill()
@@ -2375,5 +2376,83 @@ def _oracle_sql7() -> dict[str, str]:
                          6) AS res_term
             FROM binned CROSS JOIN grand
             ORDER BY bin
+        """,
+    }
+
+
+def event_hour_mi_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise and expected mutual information between event type
+    and hour-of-day — the dependence screen one altitude above
+    ``event_type_dow_chisq``: chi-square says WHETHER the two factors
+    are independent; the PMI/MI cell table says WHERE the dependence
+    lives (which type over-indexes in which hour, in bits) and the
+    ``mi_term`` column sums to the mutual information I(type; hour).
+    For a training corpus the same shape over (source, lang) or
+    (source, quality-bin) is the mixture-dependence audit.
+
+    One (type, hour) hash aggregate over the fact table (map-side
+    combinable, ≤ |types|·24 cells), marginals re-aggregated FROM the
+    cell table (no second fact scan), grand total via a 1-row
+    broadcast. Each output row carries its own single log2 — the
+    engines never sum floats across rows, so cross-engine parity
+    holds at round-6 (the ``value_drift_psi`` discipline). The ratio
+    is assembled in double with a pinned operand order
+    ``(n_xy·1.0·N)/(n_x·1.0·n_y)`` to keep both engines' IEEE
+    rounding identical; counts never multiply in int64."""
+    e = load_table(spark, sf_dir, "events")
+    xy = e.groupBy(
+        "event_type", F.hour("ts").cast("int").alias("hr")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_xy"))
+    x = xy.groupBy("event_type").agg(F.sum("n_xy").alias("n_x"))
+    y = xy.groupBy("hr").agg(F.sum("n_xy").alias("n_y"))
+    tot = xy.agg(F.sum("n_xy").alias("n_all"))
+    ratio = (F.col("n_xy") * 1.0 * F.col("n_all")) / (
+        F.col("n_x") * 1.0 * F.col("n_y")
+    )
+    pmi = F.log2(ratio)
+    return (
+        xy.join(F.broadcast(x), "event_type")
+        .join(F.broadcast(y), "hr")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "event_type",
+            "hr",
+            "n_xy",
+            F.round(pmi, 6).alias("pmi_bits"),
+            F.round((F.col("n_xy") / F.col("n_all")) * pmi, 6).alias(
+                "mi_term"
+            ),
+        )
+        .orderBy("event_type", "hr")
+    )
+
+
+QUERIES["event_hour_mi_terms"] = event_hour_mi_terms
+
+
+def _oracle_sql8() -> dict[str, str]:
+    return {
+        "event_hour_mi_terms": """
+            WITH xy AS (
+                SELECT event_type,
+                       CAST(hour(ts) AS INTEGER) AS hr,
+                       CAST(COUNT(*) AS BIGINT) AS n_xy
+                FROM events GROUP BY event_type, hour(ts)
+            ),
+            x AS (SELECT event_type, SUM(n_xy) AS n_x
+                  FROM xy GROUP BY event_type),
+            y AS (SELECT hr, SUM(n_xy) AS n_y FROM xy GROUP BY hr),
+            tot AS (SELECT SUM(n_xy) AS n_all FROM xy)
+            SELECT xy.event_type, xy.hr, xy.n_xy,
+                   ROUND(log2((xy.n_xy * 1.0 * t.n_all)
+                              / (x.n_x * 1.0 * y.n_y)), 6) AS pmi_bits,
+                   ROUND((xy.n_xy / t.n_all)
+                         * log2((xy.n_xy * 1.0 * t.n_all)
+                                / (x.n_x * 1.0 * y.n_y)), 6) AS mi_term
+            FROM xy
+            JOIN x USING (event_type)
+            JOIN y USING (hr)
+            CROSS JOIN tot t
+            ORDER BY xy.event_type, xy.hr
         """,
     }

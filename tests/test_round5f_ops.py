@@ -1,0 +1,87 @@
+"""Invariant tests for the round-5f operators (inequality curves and
+mutual information). Value-level parity with DuckDB is the
+mirror/driver gate's job; these pin the mathematical invariants each
+operator must satisfy on ANY input."""
+
+from __future__ import annotations
+
+import math
+
+from tableau_dashboard_performance_etl_automation_spark.operators import cohorts, statstests
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_gini_matches_direct_rank_formula(spark):
+    rows = {r.n_name: r for r in cohorts.nation_revenue_gini(spark, SF).collect()}
+    # recompute per-nation Gini driver-side from raw values (sf0.001
+    # is small enough) and compare against the compaction form
+    rev = spark.sql(
+        f"""
+        SELECT n.n_name, r.rev FROM (
+            SELECT o_custkey, CAST(ROUND(SUM(o_totalprice) * 100) AS BIGINT)
+                   AS rev
+            FROM parquet.`{SF}/orders.parquet` GROUP BY o_custkey
+        ) r
+        JOIN parquet.`{SF}/customer.parquet` c ON r.o_custkey = c.c_custkey
+        JOIN parquet.`{SF}/nation.parquet` n ON c.c_nationkey = n.n_nationkey
+        """
+    ).collect()
+    by_nation: dict[str, list[int]] = {}
+    for r in rev:
+        by_nation.setdefault(r.n_name, []).append(r.rev)
+    assert set(by_nation) == set(rows)
+    total_customers = 0
+    for name, xs in by_nation.items():
+        xs.sort()
+        n, s1 = len(xs), sum(xs)
+        si = sum(i * x for i, x in enumerate(xs, start=1))
+        want = (2 * si - (n + 1) * s1) / (n * s1)
+        got = rows[name]
+        assert got.n_customers == n
+        assert abs(got.gini - want) < 5e-7
+        assert 0.0 <= got.gini < 1.0
+        total_customers += n
+    assert sum(r.n_customers for r in rows.values()) == total_customers
+
+
+def test_lorenz_curve_shape(spark):
+    rows = cohorts.customer_revenue_lorenz(spark, SF).collect()
+    assert [r.decile for r in rows] == list(range(1, 11))
+    # curve is non-decreasing, convex-ish (below the diagonal), and
+    # reaches exactly 100% at the top decile
+    prev = 0.0
+    for r in rows:
+        assert r.cum_rev_pct >= prev - 1e-9
+        assert r.cum_rev_pct <= r.cum_pop_pct + 1e-6
+        prev = r.cum_rev_pct
+    assert abs(rows[-1].cum_pop_pct - 100.0) < 1e-9
+    assert abs(rows[-1].cum_rev_pct - 100.0) < 1e-9
+    # decile boundaries are floor(n*d/10) of the customer count
+    n = rows[-1].n_customers
+    for r in rows:
+        assert r.n_customers == (n * r.decile) // 10
+
+
+def test_mi_terms_decompose_and_sum_nonnegative(spark):
+    rows = statstests.event_hour_mi_terms(spark, SF).collect()
+    n_events = spark.read.parquet(f"{SF}/events.parquet").count()
+    assert sum(r.n_xy for r in rows) == n_events
+    # each term is (p_xy)·pmi at round-6; their sum is I(X;Y) >= 0
+    mi = sum(r.mi_term for r in rows)
+    assert mi >= -1e-4
+    n_all = sum(r.n_xy for r in rows)
+    for r in rows:
+        assert abs(r.mi_term - (r.n_xy / n_all) * r.pmi_bits) < 5e-6
+    # marginal consistency: per-type mass of p_xy sums to p_x, so
+    # Σ_h 2^pmi·p_h·p_x mass stays a probability — spot-check via
+    # the identity Σ_xy p_xy = 1 (already checked) and PMI bounds:
+    # pmi <= -log2(p_x) for every cell
+    from collections import defaultdict
+
+    per_type = defaultdict(int)
+    for r in rows:
+        per_type[r.event_type] += r.n_xy
+    for r in rows:
+        p_x = per_type[r.event_type] / n_all
+        assert r.pmi_bits <= -math.log2(p_x) + 1e-6
