@@ -906,3 +906,108 @@ ORACLE_SQL["customer_revenue_lorenz"] = """
       AND (t.n * d.decile) // 10 <= c.hi
     ORDER BY d.decile
 """
+
+
+def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-weighted cohort curve (cumulative LTV): users grouped
+    by first-event week; each cell holds that cohort's purchase
+    revenue N weeks later and the running lifetime value per cohort
+    member — the money twin of ``weekly_cohort_retention`` (counts
+    say users come back; this says what they're worth when they do).
+
+    Scale shape: one per-user MIN (map-side combinable), one filtered
+    purchase projection, an equi-join on user_id (both sides hash
+    partitioned by user — co-located), a (cohort, offset) aggregate
+    over a bounded key domain, then a cumulative window whose
+    partitions are cohort weeks (bounded by the calendar, not the
+    user count). Value stays in exact integer cents through the
+    cumulative sum; the per-member division happens once per output
+    row."""
+    e = load_table(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_w")
+    )
+    sizes = firsts.groupBy("cohort_w").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.date_trunc("week", "ts").cast("date").alias("act_w"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    cells = (
+        purchases.join(firsts, "user_id")
+        .groupBy(
+            "cohort_w",
+            F.floor(F.datediff("act_w", "cohort_w") / 7)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .agg(
+            F.countDistinct("user_id").cast("bigint").alias("n_buyers"),
+            F.sum("cents").alias("cents"),
+        )
+    )
+    w = (
+        Window.partitionBy("cohort_w")
+        .orderBy("week_offset")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        cells.withColumn("cum_cents", F.sum("cents").over(w))
+        .join(F.broadcast(sizes), "cohort_w")
+        .select(
+            F.date_format("cohort_w", "yyyy-MM-dd").alias("cohort_week"),
+            "week_offset",
+            "n_buyers",
+            (F.col("cents") / 100.0).alias("period_revenue"),
+            F.round(
+                F.col("cum_cents") / 100.0 / F.col("cohort_size"), 4
+            ).alias("cum_ltv_per_user"),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+QUERIES["cohort_ltv_curve"] = cohort_ltv_curve
+
+ORACLE_SQL["cohort_ltv_curve"] = """
+    WITH firsts AS (
+        SELECT user_id,
+               CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_w
+        FROM events GROUP BY user_id
+    ),
+    sizes AS (
+        SELECT cohort_w, COUNT(*) AS cohort_size
+        FROM firsts GROUP BY cohort_w
+    ),
+    p AS (
+        SELECT e.user_id,
+               CAST(date_trunc('week', e.ts) AS DATE) AS act_w,
+               CAST(ROUND(e.value * 100) AS BIGINT) AS cents
+        FROM events e WHERE e.event_type = 'purchase'
+    ),
+    cells AS (
+        SELECT f.cohort_w,
+               CAST(FLOOR(date_diff('day', f.cohort_w, p.act_w) / 7.0)
+                    AS INTEGER) AS week_offset,
+               CAST(COUNT(DISTINCT p.user_id) AS BIGINT) AS n_buyers,
+               SUM(p.cents) AS cents
+        FROM p JOIN firsts f USING (user_id)
+        GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT cohort_w, week_offset, n_buyers, cents,
+               SUM(cents) OVER (
+                   PARTITION BY cohort_w ORDER BY week_offset
+                   ROWS UNBOUNDED PRECEDING) AS cum_cents
+        FROM cells
+    )
+    SELECT strftime(c.cohort_w, '%Y-%m-%d') AS cohort_week,
+           c.week_offset, c.n_buyers,
+           c.cents / 100.0 AS period_revenue,
+           ROUND(c.cum_cents / 100.0 / s.cohort_size, 4)
+               AS cum_ltv_per_user
+    FROM cum c JOIN sizes s USING (cohort_w)
+    ORDER BY cohort_week, week_offset
+"""

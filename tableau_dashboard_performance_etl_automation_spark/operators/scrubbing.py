@@ -182,3 +182,101 @@ ORACLE_SQL["small_cell_suppression_report"] = f"""
     GROUP BY event_type, dow, value_decade
     ORDER BY event_type, dow, value_decade
 """
+
+
+#: Right-to-erasure denylist: every ERASURE_MOD-th customer key — the
+#: deterministic stand-in for an uploaded deletion-request list.
+ERASURE_MOD = 20
+
+
+def customer_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deletion-cascade accounting for a right-to-erasure (GDPR
+    art. 17) batch: given a customer denylist, how many rows would be
+    purged from each table in the customer→orders→lineitem cascade,
+    and what share of each table that is — the dry-run report a
+    governance pipeline emits BEFORE running the destructive pass.
+
+    The denylist here is the deterministic ``c_custkey %
+    ERASURE_MOD == 0`` set (a stand-in for an uploaded request
+    file; swap the filter for a broadcast semi-join against the real
+    list). Cascade joins are the star schema's own keys: orders
+    filters on ``o_custkey`` (pushed to the scan — no join needed at
+    the orders level), lineitem semi-joins the purged order keys on
+    ``l_orderkey`` — hash-partitioned both sides, co-located, and at
+    100 TB the purged-orders side is ~1/MOD of orders so a runtime
+    bloom/broadcast applies. Totals come from per-table counts; all
+    integers, one final division per row."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+
+    purged_cust = customer.filter(
+        F.col("c_custkey") % ERASURE_MOD == 0
+    ).select("c_custkey")
+    purged_orders = orders.join(
+        purged_cust,
+        orders.o_custkey == purged_cust.c_custkey,
+        "left_semi",
+    ).select("o_orderkey")
+    purged_li = lineitem.join(
+        purged_orders,
+        lineitem.l_orderkey == purged_orders.o_orderkey,
+        "left_semi",
+    )
+
+    def _row(name: str, purged: DataFrame, total: DataFrame) -> DataFrame:
+        return purged.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_purged")
+        ).crossJoin(
+            F.broadcast(
+                total.agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
+            )
+        ).select(
+            F.lit(name).alias("table_name"), "n_purged", "n_total"
+        )
+
+    out = (
+        _row("customer", purged_cust, customer)
+        .unionByName(_row("orders", purged_orders, orders))
+        .unionByName(_row("lineitem", purged_li, lineitem))
+    )
+    return out.select(
+        "table_name",
+        "n_purged",
+        "n_total",
+        F.round(F.col("n_purged") * 100.0 / F.col("n_total"), 6).alias(
+            "purge_pct"
+        ),
+    ).orderBy("table_name")
+
+
+QUERIES["customer_erasure_audit"] = customer_erasure_audit
+
+ORACLE_SQL["customer_erasure_audit"] = f"""
+    WITH pc AS (
+        SELECT c_custkey FROM customer
+        WHERE c_custkey % {ERASURE_MOD} = 0
+    ),
+    po AS (
+        SELECT o_orderkey FROM orders
+        WHERE o_custkey IN (SELECT c_custkey FROM pc)
+    ),
+    rows_ AS (
+        SELECT 'customer' AS table_name,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM pc) AS n_purged,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM customer) AS n_total
+        UNION ALL
+        SELECT 'orders',
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM po),
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM orders)
+        UNION ALL
+        SELECT 'lineitem',
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem
+                WHERE l_orderkey IN (SELECT o_orderkey FROM po)),
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem)
+    )
+    SELECT table_name, n_purged, n_total,
+           ROUND(n_purged * 100.0 / n_total, 6) AS purge_pct
+    FROM rows_
+    ORDER BY table_name
+"""

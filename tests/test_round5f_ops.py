@@ -85,3 +85,51 @@ def test_mi_terms_decompose_and_sum_nonnegative(spark):
     for r in rows:
         p_x = per_type[r.event_type] / n_all
         assert r.pmi_bits <= -math.log2(p_x) + 1e-6
+
+
+def test_ltv_curve_reconciles_with_total_purchase_revenue(spark):
+    rows = cohorts.cohort_ltv_curve(spark, SF).collect()
+    e = spark.read.parquet(f"{SF}/events.parquet")
+    import pyspark.sql.functions as F
+
+    want = (
+        e.filter(F.col("event_type") == "purchase")
+        .agg(F.sum(F.round(F.col("value") * 100).cast("bigint")))
+        .collect()[0][0]
+    )
+    got = round(sum(r.period_revenue for r in rows) * 100)
+    assert got == want
+    # cumulative LTV is non-decreasing within each cohort
+    by_cohort: dict[str, float] = {}
+    for r in rows:
+        prev = by_cohort.get(r.cohort_week, -1.0)
+        assert r.cum_ltv_per_user >= prev - 1e-9
+        by_cohort[r.cohort_week] = r.cum_ltv_per_user
+        assert r.week_offset >= 0
+        assert r.n_buyers >= 1
+
+
+def test_erasure_audit_cascade_counts(spark):
+    from tableau_dashboard_performance_etl_automation_spark.operators import scrubbing
+
+    rows = {r.table_name: r for r in scrubbing.customer_erasure_audit(spark, SF).collect()}
+    assert set(rows) == {"customer", "orders", "lineitem"}
+    cust = spark.read.parquet(f"{SF}/customer.parquet")
+    purged = {
+        r.c_custkey
+        for r in cust.select("c_custkey").collect()
+        if r.c_custkey % scrubbing.ERASURE_MOD == 0
+    }
+    assert rows["customer"].n_purged == len(purged)
+    orders = spark.read.parquet(f"{SF}/orders.parquet").select(
+        "o_orderkey", "o_custkey"
+    ).collect()
+    purged_orders = {r.o_orderkey for r in orders if r.o_custkey in purged}
+    assert rows["orders"].n_purged == len(purged_orders)
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").select("l_orderkey").collect()
+    assert rows["lineitem"].n_purged == sum(
+        1 for r in li if r.l_orderkey in purged_orders
+    )
+    for r in rows.values():
+        assert 0 <= r.n_purged <= r.n_total
+        assert abs(r.purge_pct - r.n_purged * 100.0 / r.n_total) < 5e-7

@@ -100,6 +100,15 @@ PROBE_QUERIES = [
     "benford_price_digits",
     "nation_revenue_trend",
     "conversion_ab_ztest",
+    # round-5f inequality/dependence shapes: per-customer compaction +
+    # distinct-value windows (gini, lorenz), bounded-cell MI table
+    "nation_revenue_gini",
+    "customer_revenue_lorenz",
+    "event_hour_mi_terms",
+    # round-5f cont.: revenue-weighted cohort window, 3-level
+    # erasure-cascade semi-joins
+    "cohort_ltv_curve",
+    "customer_erasure_audit",
 ]
 
 
