@@ -630,3 +630,45 @@ def test_sorted_neighborhood_has_no_join(spark, sf_dir):
     # pair generation is lead() inside block windows, never a join
     assert "Join" not in plan
     assert not has_cartesian_product(df)
+
+
+def test_gini_window_runs_over_value_compaction(spark, sf_dir):
+    """nation_revenue_gini's per-nation cumulative window must consume
+    the (nation, revenue, count) compaction — a hash aggregate feeds
+    the window, so no task sorts a nation's raw customer set — and the
+    25-row nation dim must attach as a broadcast."""
+    from tableau_dashboard_performance_etl_automation_spark.operators import cohorts
+
+    df = cohorts.nation_revenue_gini(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert has_broadcast_hash_join(df)
+    assert _window_fed_by_aggregate(plan)
+
+
+def test_lorenz_grids_broadcast_over_compaction_window(spark, sf_dir):
+    """customer_revenue_lorenz: cumulative window over the (revenue,
+    count) compaction; the 1-row totals and 10-row decile grid attach
+    as broadcast nested-loop joins (range predicate — no equi keys),
+    never a shuffled cross product."""
+    from tableau_dashboard_performance_etl_automation_spark.operators import cohorts
+
+    df = cohorts.customer_revenue_lorenz(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    assert _window_fed_by_aggregate(plan)
+
+
+def test_erasure_audit_cascade_is_semi_joins(spark, sf_dir):
+    """customer_erasure_audit: the cascade must compile to LeftSemi
+    joins (orders against the purged-customer keys, lineitem against
+    the purged-order keys) — no row duplication anywhere — and the
+    per-table totals must ride broadcasts."""
+    from tableau_dashboard_performance_etl_automation_spark.operators import scrubbing
+
+    df = scrubbing.customer_erasure_audit(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "LeftSemi" in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
