@@ -1363,3 +1363,110 @@ ORACLE_SQL["lang_label_propagation"] = f"""
     SELECT * FROM l1 UNION ALL SELECT * FROM p2
     ORDER BY doc_id
 """
+
+
+#: k-core order (minimum within-core degree) and the fixed peel-round
+#: budget both engines unroll. 2-core drops every tree/chain appendage
+#: of the near-dup graph; 8 rounds reaches fixpoint on dedup graphs
+#: (near-cliques peel in 1-2 rounds; the pytest invariant asserts the
+#: last two rounds agree, so a non-converged corpus fails loudly
+#: rather than reporting a non-core).
+KCORE_K = 2
+KCORE_ROUNDS = 8
+
+
+def neardup_kcore_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative k-core peel of the MinHash near-dup graph: round r
+    drops every node whose degree in round r-1's edge set is below
+    ``KCORE_K``, then keeps only edges with both ends surviving; the
+    output is the peel TRAJECTORY — (round, n_nodes, n_edges) for
+    ``KCORE_ROUNDS`` rounds — whose tail rows are the 2-core size.
+    Curation meaning: isolated duplicate PAIRS (degree-1 both sides)
+    and chain appendages peel away; what survives is the dense
+    template-farm mass that aggressive cluster-level dropping should
+    target (the same edges feed ``neardup_triangles``; the core is
+    where the triangles live).
+
+    Scale shape: each round is one degree aggregate (hash, map-side
+    combinable) + two semi-joins on the node key, localCheckpoint'd
+    like :func:`connected_components` so round N never replays rounds
+    1..N-1; only the two per-round COUNTS cross to the driver. Rounds
+    are a fixed constant, so the DuckDB oracle unrolls the identical
+    peel as ``KCORE_ROUNDS`` nested CTEs — both engines compute all 8
+    rounds even after fixpoint (idempotent peels), keeping the row
+    sets identical by construction."""
+    edges = dedup_minhash_lsh(spark, sf_dir).select(
+        "doc_a", "doc_b"
+    ).localCheckpoint()
+    rows = []
+    for rnd in range(1, KCORE_ROUNDS + 1):
+        deg = (
+            edges.select(F.col("doc_a").alias("v"))
+            .unionAll(edges.select(F.col("doc_b").alias("v")))
+            .groupBy("v")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        surv = deg.filter(F.col("deg") >= KCORE_K).select("v")
+        edges = (
+            edges.join(
+                surv.select(F.col("v").alias("doc_a")), "doc_a", "left_semi"
+            )
+            .join(
+                surv.select(F.col("v").alias("doc_b")), "doc_b", "left_semi"
+            )
+            .localCheckpoint()
+        )
+        rows.append((rnd, surv.count(), edges.count()))
+    return spark.createDataFrame(
+        rows, "round INT, n_nodes BIGINT, n_edges BIGINT"
+    ).orderBy("round")
+
+
+QUERIES["neardup_kcore_rounds"] = neardup_kcore_rounds
+
+
+def _kcore_oracle() -> str:
+    """Unroll the identical peel as nested CTEs (the
+    ``_lp_round_sql`` discipline: fixed rounds → static SQL)."""
+    # every CTE is MATERIALIZED: each round references the previous
+    # edge set three times (degree census twice via the UNION ALL,
+    # filter once) — inlined, e8 would expand to 3^8 copies of the
+    # LSH pair subquery and exhaust file handles on the parquet scan
+    ctes = [
+        f"pairs AS MATERIALIZED (SELECT * FROM {_PAIRS_SQL} t)",
+        "e0 AS MATERIALIZED (SELECT doc_a, doc_b FROM pairs)",
+    ]
+    selects = []
+    for r in range(1, KCORE_ROUNDS + 1):
+        prev = f"e{r - 1}"
+        ctes.append(
+            f"""d{r} AS MATERIALIZED (
+                SELECT v, COUNT(*) AS deg FROM (
+                    SELECT doc_a AS v FROM {prev}
+                    UNION ALL SELECT doc_b FROM {prev}
+                ) GROUP BY v
+            )"""
+        )
+        ctes.append(
+            f"s{r} AS MATERIALIZED (SELECT v FROM d{r} WHERE deg >= {KCORE_K})"
+        )
+        ctes.append(
+            f"""e{r} AS MATERIALIZED (
+                SELECT e.doc_a, e.doc_b FROM {prev} e
+                WHERE e.doc_a IN (SELECT v FROM s{r})
+                  AND e.doc_b IN (SELECT v FROM s{r})
+            )"""
+        )
+        selects.append(
+            f"""SELECT {r} AS round,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM s{r}) AS n_nodes,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM e{r}) AS n_edges"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        + "\nUNION ALL\n".join(selects)
+        + "\nORDER BY round"
+    )
+
+
+ORACLE_SQL["neardup_kcore_rounds"] = _kcore_oracle()

@@ -2200,3 +2200,156 @@ ORACLE_SQL["winnow_decontaminate"] = f"""
     WHERE d.doc_id >= {DECON_BENCH_DOCS}
     ORDER BY doc_id
 """
+
+
+#: Exact-Jaccard threshold for the prefix-filter join, as an integer
+#: ratio (3/5 = 0.6) so the survival test is pure integer arithmetic.
+PREFIX_T_NUM = 3
+PREFIX_T_DEN = 5
+
+
+def dedup_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT set-similarity join (Jaccard ≥ 0.6) via prefix filtering
+    — the deterministic counterpart to ``dedup_minhash_lsh``: LSH
+    finds *probably*-similar pairs with banding-curve misses; this
+    finds *every* pair at the threshold, guaranteed, and at a cost
+    bounded by the same inverted-index discipline (the PPJoin family
+    — Chaudhuri et al. 2006 / Xiao et al. 2008 — re-expressed as
+    three DataFrame joins).
+
+    Prefix-filter guarantee: order all shingles by a single global
+    key (df ASC, shingle ASC — rarest first, which minimizes
+    candidates); if J(A,B) ≥ t, then A and B must share a shingle
+    within each one's first ``|X| − ceil(t·|X|) + 1`` shingles under
+    that order, so the candidate join runs over PREFIXES only —
+    ``ceil(3s/5) = (3s+4) DIV 5`` keeps the length integral. Each
+    candidate pair is then verified against the FULL shingle sets
+    with an exact integer intersection count, and survival is the
+    integer cross-multiplication ``inter·5 ≥ 3·(union)`` — no float
+    ever decides membership, so cross-engine parity is structural.
+
+    Scale shape: df census = one shingle hash aggregate; the per-doc
+    rank window partitions by doc_id (huge cardinality → tiny
+    partitions — the opposite of the low-cardinality window hazard);
+    the candidate join keys on PREFIX shingles, which are by
+    construction each document's rarest — the high-df shingles that
+    would fan out never enter prefixes of long docs; verification is
+    two hash equi-joins of the candidate set against the persisted
+    shingle table on the doc key. No all-pairs stage anywhere."""
+    sh = _doc_shingles(spark, sf_dir)
+    census = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    w = Window.partitionBy("doc_id").orderBy("df", "sh")
+    prefix = (
+        sh.join(census, "sh")
+        .withColumn("rk", F.row_number().over(w))
+        .join(sizes, "doc_id")
+        .filter(
+            F.col("rk")
+            <= F.col("sz")
+            - F.expr(
+                f"({PREFIX_T_NUM} * sz + {PREFIX_T_DEN - 1}) "
+                f"DIV {PREFIX_T_DEN}"
+            )
+            + 1
+        )
+        .select("doc_id", "sh")
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    inter = (
+        cand.join(sh.select(F.col("doc_id").alias("doc_a"), "sh"), "doc_a")
+        .join(
+            sh.select(F.col("doc_id").alias("doc_b"), "sh"),
+            ["doc_b", "sh"],
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b")),
+            "doc_b",
+        )
+        .filter(
+            F.col("inter") * PREFIX_T_DEN
+            >= PREFIX_T_NUM
+            * (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("inter")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+                4,
+            ).alias("jaccard"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+QUERIES["dedup_prefix_filter_pairs"] = dedup_prefix_filter_pairs
+
+ORACLE_SQL["dedup_prefix_filter_pairs"] = f"""
+    WITH {_SHINGLES_CTE},
+    census AS (
+        SELECT sh, COUNT(*) AS df FROM doc_shingles GROUP BY sh
+    ),
+    sizes AS (
+        SELECT doc_id, COUNT(*) AS sz FROM doc_shingles GROUP BY doc_id
+    ),
+    pre AS (
+        SELECT t.doc_id, t.sh FROM (
+            SELECT s.doc_id, s.sh, z.sz,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY s.doc_id ORDER BY c.df, s.sh
+                   ) AS rk
+            FROM doc_shingles s
+            JOIN census c USING (sh)
+            JOIN sizes z USING (doc_id)
+        ) t
+        WHERE t.rk <= t.sz
+                      - ({PREFIX_T_NUM} * t.sz + {PREFIX_T_DEN - 1})
+                        // {PREFIX_T_DEN}
+                      + 1
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM pre a JOIN pre b
+          ON a.sh = b.sh AND a.doc_id < b.doc_id
+    ),
+    inter AS (
+        SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
+        FROM cand c
+        JOIN doc_shingles sa
+          ON sa.doc_id = c.doc_a
+        JOIN doc_shingles sb
+          ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
+        GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT i.doc_a, i.doc_b,
+           ROUND(i.inter * 1.0
+                 / (za.sz + zb.sz - i.inter), 4) AS jaccard
+    FROM inter i
+    JOIN sizes za ON za.doc_id = i.doc_a
+    JOIN sizes zb ON zb.doc_id = i.doc_b
+    WHERE i.inter * {PREFIX_T_DEN}
+          >= {PREFIX_T_NUM} * (za.sz + zb.sz - i.inter)
+    ORDER BY i.doc_a, i.doc_b
+"""

@@ -133,3 +133,58 @@ def test_erasure_audit_cascade_counts(spark):
     for r in rows.values():
         assert 0 <= r.n_purged <= r.n_total
         assert abs(r.purge_pct - r.n_purged * 100.0 / r.n_total) < 5e-7
+
+
+def test_kcore_trajectory_matches_reference_peel(spark):
+    from tableau_dashboard_performance_etl_automation_spark.operators import clustering
+    from tableau_dashboard_performance_etl_automation_spark.operators.dedup import (
+        dedup_minhash_lsh,
+    )
+
+    rows = clustering.neardup_kcore_rounds(spark, SF).collect()
+    assert [r.round for r in rows] == list(range(1, clustering.KCORE_ROUNDS + 1))
+    # reference peel in plain python over the same LSH pair set
+    edges = {
+        (r.doc_a, r.doc_b)
+        for r in dedup_minhash_lsh(spark, SF).select("doc_a", "doc_b").collect()
+    }
+    for r in rows:
+        deg: dict[int, int] = {}
+        for a, b in edges:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        surv = {v for v, d in deg.items() if d >= clustering.KCORE_K}
+        edges = {(a, b) for a, b in edges if a in surv and b in surv}
+        assert (r.n_nodes, r.n_edges) == (len(surv), len(edges))
+    # fixpoint reached inside the round budget: last two rounds agree
+    assert (rows[-1].n_nodes, rows[-1].n_edges) == (
+        rows[-2].n_nodes,
+        rows[-2].n_edges,
+    )
+    # trajectory is monotone non-increasing
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur.n_nodes <= prev.n_nodes and cur.n_edges <= prev.n_edges
+
+
+def test_prefix_filter_join_is_complete_and_exact(spark):
+    from tableau_dashboard_performance_etl_automation_spark.operators import dedup
+
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.dedup_prefix_filter_pairs(spark, SF).collect()
+    }
+    # brute-force ALL pairs at sf0.001 — the completeness oracle the
+    # prefix filter must never miss against
+    sh_rows = dedup._doc_shingles(spark, SF).collect()
+    sets: dict[int, set] = {}
+    for r in sh_rows:
+        sets.setdefault(r.doc_id, set()).add(r.sh)
+    ids = sorted(sets)
+    want = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a] | sets[b])
+            if union and inter * dedup.PREFIX_T_DEN >= dedup.PREFIX_T_NUM * union:
+                want[(a, b)] = round(inter / union, 4)
+    assert got == want
