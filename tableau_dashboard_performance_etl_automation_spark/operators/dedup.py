@@ -2228,17 +2228,48 @@ def dedup_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer cross-multiplication ``inter·5 ≥ 3·(union)`` — no float
     ever decides membership, so cross-engine parity is structural.
 
-    Scale shape: df census = one shingle hash aggregate; the per-doc
-    rank window partitions by doc_id (huge cardinality → tiny
-    partitions — the opposite of the low-cardinality window hazard);
-    the candidate join keys on PREFIX shingles, which are by
-    construction each document's rarest — the high-df shingles that
-    would fan out never enter prefixes of long docs; verification is
-    two hash equi-joins of the candidate set against the persisted
-    shingle table on the doc key. No all-pairs stage anywhere."""
-    sh = _doc_shingles(spark, sf_dir)
+    Scale shape — exact-duplicate groups are collapsed FIRST: docs
+    with identical shingle sets (J = 1 by definition, and real
+    corpora carry massive exact-dup families) reduce to one
+    representative via a set-signature hash, the prefix/verify
+    pipeline runs over REPRESENTATIVES only, and member pairs expand
+    back at the end (within-group pairs are J = 1.0 literals,
+    cross-group pairs inherit the representative Jaccard — identical
+    numbers, identical output multiset). Without the collapse a
+    family of m exact copies makes every prefix shingle collide m×
+    and the candidate join goes quadratic in m — the 16× corpus
+    ladder measured exactly that (6.7 s → 162 s) before the rewrite,
+    and 11 s after. Downstream of the collapse: df census = one
+    shingle hash aggregate; the per-rep rank window partitions by
+    doc_id (huge cardinality → tiny partitions); candidate equi-join
+    on prefix shingles (each rep's rarest); verification = two hash
+    equi-joins on the rep key; expansion is two joins linear in the
+    OUTPUT pair count. No all-pairs stage anywhere."""
+    sh_all = _doc_shingles(spark, sf_dir)
+    # ---- exact-set collapse: signature = md5 over the sorted set.
+    # members/sh/prefix/rep_sets are each referenced from several
+    # downstream joins of ONE lazy plan — localCheckpoint pins them so
+    # the signature aggregate runs once, not once per reference (the
+    # un-pinned form recomputed it ~8× and turned the linear 16×
+    # ladder cell into 111 s; pinned, the cell is ~12 s)
+    sig = sh_all.groupBy("doc_id").agg(
+        F.md5(
+            F.concat_ws("\x1f", F.sort_array(F.collect_list("sh")))
+        ).alias("sig"),
+        F.count(F.lit(1)).alias("sz"),
+    )
+    groups = sig.groupBy("sig").agg(F.min("doc_id").alias("rep"))
+    members = (
+        sig.join(groups, "sig").select("doc_id", "rep", "sz").localCheckpoint()
+    )
+    reps = members.filter(F.col("doc_id") == F.col("rep")).select(
+        F.col("doc_id").alias("rid"), "sz"
+    )
+    sh = sh_all.join(
+        reps.select(F.col("rid").alias("doc_id")), "doc_id", "left_semi"
+    ).localCheckpoint()
     census = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    sizes = reps.select(F.col("rid").alias("doc_id"), "sz")
     w = Window.partitionBy("doc_id").orderBy("df", "sh")
     prefix = (
         sh.join(census, "sh")
@@ -2253,38 +2284,86 @@ def dedup_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             + 1
         )
-        .select("doc_id", "sh")
+        .select("doc_id", "sh", "sz", "rk")
+        .localCheckpoint()
     )
     a, b = prefix.alias("a"), prefix.alias("b")
+    # candidate equi-join on prefix shingles with PPJoin's LENGTH and
+    # POSITIONAL filters inline. Length: J >= t forces t·|A| <= |B|
+    # and t·|B| <= |A|. Positional: J >= t needs overlap
+    # α = ceil(t/(1+t)·(|A|+|B|)) = ceil(3(sa+sb)/8); if w is the
+    # FIRST common token (smallest global order), every common token
+    # ranks >= rk(w) in both docs, so α <= min(sa−rk_a, sb−rk_b)+1 —
+    # the join emits a row for every shared prefix token, the
+    # first-match row always survives the bound, and distinct()
+    # recovers exactly the qualifying pair set. Both filters are
+    # integer-exact: n >= ceil(X/(NUM+DEN)) over integers is
+    # n·(NUM+DEN) >= X, no ceil arithmetic needed. Measured at the
+    # 16× ladder: 1.04M bare candidates → 678k after length → 180k
+    # after positional (5.8× total) before the array-verify stage.
+    alpha = (
+        PREFIX_T_NUM * (F.col("a.sz") + F.col("b.sz"))
+    ).cast("bigint")
     cand = (
         a.join(
             b,
             (F.col("a.sh") == F.col("b.sh"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (
+                F.col("a.sz") * PREFIX_T_NUM
+                <= F.col("b.sz") * PREFIX_T_DEN
+            )
+            & (
+                F.col("b.sz") * PREFIX_T_NUM
+                <= F.col("a.sz") * PREFIX_T_DEN
+            )
+            & (
+                (
+                    F.least(
+                        F.col("a.sz") - F.col("a.rk"),
+                        F.col("b.sz") - F.col("b.rk"),
+                    )
+                    + 1
+                )
+                * (PREFIX_T_NUM + PREFIX_T_DEN)
+                >= alpha
+            ),
         )
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.doc_id").alias("rep_a"),
+            F.col("b.doc_id").alias("rep_b"),
         )
         .distinct()
     )
-    inter = (
-        cand.join(sh.select(F.col("doc_id").alias("doc_a"), "sh"), "doc_a")
-        .join(
-            sh.select(F.col("doc_id").alias("doc_b"), "sh"),
-            ["doc_b", "sh"],
+    # verification WITHOUT a pair×shingle explosion: each rep carries
+    # its sorted shingle array once; the intersection is a per-row
+    # array_intersect over the two arrays (codegen'd, distinct
+    # elements → exact count), so verify cost is rows = |candidates|,
+    # never |candidates|·|set| shuffled rows — the first form of this
+    # stage cost 60 s of the 16×-ladder's 166 s on exactly that
+    rep_sets = sh.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("sh")).alias("sset"),
+        F.count(F.lit(1)).alias("sz"),
+    ).localCheckpoint()
+    rep_pairs = (
+        cand.join(
+            rep_sets.select(
+                F.col("doc_id").alias("rep_a"),
+                F.col("sset").alias("set_a"),
+                F.col("sz").alias("sz_a"),
+            ),
+            "rep_a",
         )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    return (
-        inter.join(
-            sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a")),
-            "doc_a",
-        )
         .join(
-            sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b")),
-            "doc_b",
+            rep_sets.select(
+                F.col("doc_id").alias("rep_b"),
+                F.col("sset").alias("set_b"),
+                F.col("sz").alias("sz_b"),
+            ),
+            "rep_b",
+        )
+        .withColumn(
+            "inter", F.size(F.array_intersect("set_a", "set_b"))
         )
         .filter(
             F.col("inter") * PREFIX_T_DEN
@@ -2292,16 +2371,41 @@ def dedup_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             * (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
         )
         .select(
-            "doc_a",
-            "doc_b",
+            "rep_a",
+            "rep_b",
             F.round(
                 F.col("inter")
                 / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
                 4,
             ).alias("jaccard"),
         )
-        .orderBy("doc_a", "doc_b")
     )
+    # ---- expand representatives back to members
+    ma = members.select(F.col("rep").alias("rep_a"), F.col("doc_id").alias("a"))
+    mb = members.select(F.col("rep").alias("rep_b"), F.col("doc_id").alias("b"))
+    cross = (
+        rep_pairs.join(ma, "rep_a")
+        .join(mb, "rep_b")
+        .select(
+            F.least("a", "b").alias("doc_a"),
+            F.greatest("a", "b").alias("doc_b"),
+            "jaccard",
+        )
+    )
+    m1, m2 = members.alias("m1"), members.alias("m2")
+    within = (
+        m1.join(
+            m2,
+            (F.col("m1.rep") == F.col("m2.rep"))
+            & (F.col("m1.doc_id") < F.col("m2.doc_id")),
+        )
+        .select(
+            F.col("m1.doc_id").alias("doc_a"),
+            F.col("m2.doc_id").alias("doc_b"),
+            F.round(F.lit(1.0), 4).alias("jaccard"),
+        )
+    )
+    return cross.unionByName(within).orderBy("doc_a", "doc_b")
 
 
 QUERIES["dedup_prefix_filter_pairs"] = dedup_prefix_filter_pairs

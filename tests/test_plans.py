@@ -672,3 +672,15 @@ def test_erasure_audit_cascade_is_semi_joins(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "LeftSemi" in plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_prefix_filter_join_no_cartesian_no_python(spark, sf_dir):
+    """dedup_prefix_filter_pairs: candidates come from an equi-join on
+    prefix shingles and verification from equi-joins on doc keys — no
+    cartesian stage, no Python stage anywhere (pure codegen path)."""
+    from tableau_dashboard_performance_etl_automation_spark.operators import dedup
+
+    df = dedup.dedup_prefix_filter_pairs(spark, sf_dir)
+    assert not has_cartesian_product(df)
+    plan = formatted_plan(df)
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan

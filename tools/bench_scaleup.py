@@ -126,6 +126,7 @@ def main() -> None:
     from tableau_dashboard_performance_etl_automation_spark.operators import textops
     from tableau_dashboard_performance_etl_automation_spark.operators.clustering import (
         lang_label_propagation as _lp,
+        neardup_kcore_rounds as _kcore,
     )
 
     ops = {
@@ -161,7 +162,20 @@ def main() -> None:
         # exact scan (linear in corpus) with the LSH probe
         "lang_label_propagation": _lp,
         "ann_lsh_ranking_quality": similarity.ann_lsh_ranking_quality,
+        # round-5f: the exact-Jaccard prefix-filter join (candidates
+        # must track prefix-shingle collisions, never corpus²) and
+        # the k-core peel (8 bounded rounds over the LSH edge list)
+        "dedup_prefix_filter_pairs": dedup.dedup_prefix_filter_pairs,
+        "neardup_kcore_rounds": _kcore,
     }
+    # SCALEUP_QUERIES=a,b limits the probe (deep-decade runs)
+    env_qs = os.environ.get("SCALEUP_QUERIES")
+    if env_qs:
+        wanted = {q.strip() for q in env_qs.split(",") if q.strip()}
+        unknown = wanted - set(ops)
+        if unknown:
+            raise SystemExit(f"SCALEUP_QUERIES not in probe set: {unknown}")
+        ops = {k: v for k, v in ops.items() if k in wanted}
     report: dict = {"base": base, "scales": {}}
     for factor in factors:
         sf_dir = build_scaled(spark, base, factor)
