@@ -2245,47 +2245,77 @@ def dedup_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     on prefix shingles (each rep's rarest); verification = two hash
     equi-joins on the rep key; expansion is two joins linear in the
     OUTPUT pair count. No all-pairs stage anywhere."""
-    sh_all = _doc_shingles(spark, sf_dir)
-    # ---- exact-set collapse: signature = md5 over the sorted set.
-    # members/sh/prefix/rep_sets are each referenced from several
-    # downstream joins of ONE lazy plan — localCheckpoint pins them so
-    # the signature aggregate runs once, not once per reference (the
-    # un-pinned form recomputed it ~8× and turned the linear 16×
-    # ladder cell into 111 s; pinned, the cell is ~12 s)
-    sig = sh_all.groupBy("doc_id").agg(
-        F.md5(
-            F.concat_ws("\x1f", F.sort_array(F.collect_list("sh")))
-        ).alias("sig"),
-        F.count(F.lit(1)).alias("sz"),
+    import os
+
+    from tableau_dashboard_performance_etl_automation_spark.sources.warehouse import (
+        persisted_table,
     )
-    groups = sig.groupBy("sig").agg(F.min("doc_id").alias("rep"))
-    members = (
-        sig.join(groups, "sig").select("doc_id", "rep", "sz").localCheckpoint()
+
+    base = os.path.basename(sf_dir.rstrip("/")) or "root"
+    sh_all = _doc_shingles(spark, sf_dir)
+
+    # ---- exact-set collapse + prefix index, PERSISTED per corpus
+    # (the band-index discipline): signature aggregate, rep shingle
+    # sets, and the ranked prefix table are all deterministic
+    # functions of the corpus, are each referenced from several
+    # downstream joins, and at steady state the query should pay only
+    # the candidate join + verify — a fresh run rebuilds once, every
+    # later run gets disk-backed scans (an earlier localCheckpoint
+    # form pinned them per-plan but re-paid the build every session
+    # and held executor heap; measured at the 16× ladder the
+    # un-pinned form recomputed the signature aggregate ~8×: 111 s)
+    def _build_members() -> DataFrame:
+        sig = sh_all.groupBy("doc_id").agg(
+            F.md5(
+                F.concat_ws("\x1f", F.sort_array(F.collect_list("sh")))
+            ).alias("sig"),
+            F.count(F.lit(1)).alias("sz"),
+        )
+        groups = sig.groupBy("sig").agg(F.min("doc_id").alias("rep"))
+        return sig.join(groups, "sig").select("doc_id", "rep", "sz")
+
+    members = persisted_table(
+        spark, f"prefix_members/{base}", sf_dir, _build_members
     )
     reps = members.filter(F.col("doc_id") == F.col("rep")).select(
         F.col("doc_id").alias("rid"), "sz"
     )
     sh = sh_all.join(
         reps.select(F.col("rid").alias("doc_id")), "doc_id", "left_semi"
-    ).localCheckpoint()
-    census = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
-    sizes = reps.select(F.col("rid").alias("doc_id"), "sz")
-    w = Window.partitionBy("doc_id").orderBy("df", "sh")
-    prefix = (
-        sh.join(census, "sh")
-        .withColumn("rk", F.row_number().over(w))
-        .join(sizes, "doc_id")
-        .filter(
-            F.col("rk")
-            <= F.col("sz")
-            - F.expr(
-                f"({PREFIX_T_NUM} * sz + {PREFIX_T_DEN - 1}) "
-                f"DIV {PREFIX_T_DEN}"
-            )
-            + 1
+    )
+
+    def _build_rep_sets() -> DataFrame:
+        return sh.groupBy("doc_id").agg(
+            F.sort_array(F.collect_list("sh")).alias("sset"),
+            F.count(F.lit(1)).alias("sz"),
         )
-        .select("doc_id", "sh", "sz", "rk")
-        .localCheckpoint()
+
+    rep_sets = persisted_table(
+        spark, f"prefix_repsets/{base}", sf_dir, _build_rep_sets
+    )
+
+    def _build_prefix() -> DataFrame:
+        census = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+        sizes = reps.select(F.col("rid").alias("doc_id"), "sz")
+        w = Window.partitionBy("doc_id").orderBy("df", "sh")
+        return (
+            sh.join(census, "sh")
+            .withColumn("rk", F.row_number().over(w))
+            .join(sizes, "doc_id")
+            .filter(
+                F.col("rk")
+                <= F.col("sz")
+                - F.expr(
+                    f"({PREFIX_T_NUM} * sz + {PREFIX_T_DEN - 1}) "
+                    f"DIV {PREFIX_T_DEN}"
+                )
+                + 1
+            )
+            .select("doc_id", "sh", "sz", "rk")
+        )
+
+    prefix = persisted_table(
+        spark, f"prefix_index/{base}", sf_dir, _build_prefix
     )
     a, b = prefix.alias("a"), prefix.alias("b")
     # candidate equi-join on prefix shingles with PPJoin's LENGTH and
@@ -2341,10 +2371,6 @@ def dedup_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # elements → exact count), so verify cost is rows = |candidates|,
     # never |candidates|·|set| shuffled rows — the first form of this
     # stage cost 60 s of the 16×-ladder's 166 s on exactly that
-    rep_sets = sh.groupBy("doc_id").agg(
-        F.sort_array(F.collect_list("sh")).alias("sset"),
-        F.count(F.lit(1)).alias("sz"),
-    ).localCheckpoint()
     rep_pairs = (
         cand.join(
             rep_sets.select(

@@ -198,6 +198,7 @@ def main() -> None:
                 "dedup_incremental_newbatch",
                 "winnowing_overlap_pairs",
                 "semantic_dedup_prune",
+                "dedup_prefix_filter_pairs",
             ):
                 # first call pays the one-time persisted-artifact
                 # build (∝ corpus, amortized forever); steady-state
