@@ -1283,3 +1283,86 @@ ORACLE_SQL["daily_metric_unpivot"] = f"""
     )
     ORDER BY event_date, event_type
 """
+
+
+def part_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supply-concentration audit: the Herfindahl-Hirschman index of
+    each part's shipped quantity across its suppliers, rolled up per
+    brand — HHI near 10000 means single-supplier parts (procurement
+    risk), near 10000/k means k even suppliers. The Gini/Lorenz pair
+    measures inequality across customers; this is the market-
+    concentration dial across suppliers, and over a training corpus
+    the same statistic on (dataset, source) shares is the
+    single-provider-dominance screen.
+
+    Exactness: quantities are whole numbers (FLOOR-cast to BIGINT in
+    both engines — Spark truncates, DuckDB rounds, FLOOR unifies);
+    per part ``hhi = (Σq_s²·10000) DIV (Σq_s)²`` is pure integer
+    arithmetic, and the per-brand mean divides two exact integers
+    once. Scale shape: one (part, supplier) hash aggregate, one
+    per-part aggregate, one bounded per-brand rollup with a broadcast
+    part-dim join — all map-side combinable, no windows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    q = F.floor(F.col("l_quantity")).cast("bigint")
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(F.sum(q).alias("qs"))
+    per_part = ps.groupBy("l_partkey").agg(
+        F.sum(F.col("qs") * F.col("qs")).alias("sq2"),
+        F.sum("qs").alias("st"),
+        F.count(F.lit(1)).alias("n_suppliers"),
+    )
+    hhi = per_part.select(
+        "l_partkey",
+        "n_suppliers",
+        F.expr("(sq2 * 10000) DIV (st * st)").alias("hhi"),
+    )
+    return (
+        hhi.join(
+            F.broadcast(part.select("p_partkey", "p_brand")),
+            hhi.l_partkey == F.col("p_partkey"),
+        )
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+            F.round(F.sum("hhi") / F.count(F.lit(1)), 4).alias("avg_hhi"),
+            F.min("hhi").cast("bigint").alias("min_hhi"),
+            F.max("hhi").cast("bigint").alias("max_hhi"),
+            F.sum((F.col("n_suppliers") == 1).cast("bigint"))
+            .cast("bigint")
+            .alias("n_sole_sourced"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+QUERIES["part_supplier_hhi"] = part_supplier_hhi
+
+ORACLE_SQL["part_supplier_hhi"] = """
+    WITH ps AS (
+        SELECT l_partkey, l_suppkey,
+               SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS qs
+        FROM lineitem GROUP BY l_partkey, l_suppkey
+    ),
+    per_part AS (
+        SELECT l_partkey,
+               SUM(qs * qs) AS sq2,
+               SUM(qs) AS st,
+               COUNT(*) AS n_suppliers
+        FROM ps GROUP BY l_partkey
+    ),
+    hhi AS (
+        SELECT l_partkey, n_suppliers,
+               (sq2 * 10000) // (st * st) AS hhi
+        FROM per_part
+    )
+    SELECT p.p_brand,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           ROUND(SUM(h.hhi) * 1.0 / COUNT(*), 4) AS avg_hhi,
+           CAST(MIN(h.hhi) AS BIGINT) AS min_hhi,
+           CAST(MAX(h.hhi) AS BIGINT) AS max_hhi,
+           CAST(SUM(CASE WHEN h.n_suppliers = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_sole_sourced
+    FROM hhi h JOIN part p ON h.l_partkey = p.p_partkey
+    GROUP BY p.p_brand
+    ORDER BY p.p_brand
+"""

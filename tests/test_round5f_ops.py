@@ -188,3 +188,41 @@ def test_prefix_filter_join_is_complete_and_exact(spark):
             if union and inter * dedup.PREFIX_T_DEN >= dedup.PREFIX_T_NUM * union:
                 want[(a, b)] = round(inter / union, 4)
     assert got == want
+
+
+def test_multi_touch_credits_conserve_100_per_purchase(spark):
+    from tableau_dashboard_performance_etl_automation_spark.operators import asof
+
+    rows = asof.multi_touch_attribution(spark, SF).collect()
+    for r in rows:
+        assert (
+            r.only_credit + r.first_credit + r.middle_credit + r.last_credit
+            == 100 * r.n_purchases
+        )
+        assert r.n_clicks >= r.n_purchases
+    # cross-check against the raw window join: same purchase set
+    pairs = asof.purchase_click_window_join(spark, SF).collect()
+    purchases = {p.purchase_id for p in pairs}
+    assert sum(r.n_purchases for r in rows) == len(purchases)
+    assert sum(r.n_clicks for r in rows) == len(pairs)
+
+
+def test_hhi_bounds_and_sole_source(spark):
+    from tableau_dashboard_performance_etl_automation_spark.operators import (
+        relational_ext,
+    )
+
+    rows = relational_ext.part_supplier_hhi(spark, SF).collect()
+    assert rows, "no brands"
+    n_parts_total = sum(r.n_parts for r in rows)
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    assert n_parts_total == li.select("l_partkey").distinct().count()
+    for r in rows:
+        # HHI lives in (0, 10000]; integer floor-div can undershoot
+        # 10000/k by at most 1 but never exceed 10000
+        assert 0 < r.min_hhi <= r.max_hhi <= 10000
+        assert r.min_hhi - 1e-9 <= r.avg_hhi <= r.max_hhi + 1e-9
+        assert 0 <= r.n_sole_sourced <= r.n_parts
+        # a sole-sourced part has HHI exactly 10000
+        if r.n_sole_sourced == r.n_parts:
+            assert r.min_hhi == r.max_hhi == 10000
