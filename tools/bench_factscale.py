@@ -109,6 +109,9 @@ PROBE_QUERIES = [
     # erasure-cascade semi-joins
     "cohort_ltv_curve",
     "customer_erasure_audit",
+    # round-5f cont.: interval-join credit buckets, integer HHI rollup
+    "multi_touch_attribution",
+    "part_supplier_hhi",
 ]
 
 
