@@ -168,16 +168,23 @@ def multi_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     in its 1-hour lookback window — 100 to a lone click, 50/50 with
     two, 40 (first) / 20 (middles, as a pool) / 40 (last) with three
     or more — the standard marketing-mix model next to the last-click
-    single-touch (:func:`purchases_with_last_click`). Credits are
-    aggregated per POSITION BUCKET per purchase date, so every number
-    is an exact integer (no per-click splitting of the middle pool is
-    ever materialized) and ``only+first+middle+last = 100·n`` row by
-    row — the pytest invariant.
+    single-touch (:func:`purchases_with_last_click`). EVERY purchase
+    is accounted: one with no window click keeps its 100 units in the
+    ``unattributed`` bucket, so ``n_purchases`` is the day's full
+    purchase count and credits conserve against any external order
+    tally. Credits are aggregated per POSITION BUCKET per purchase
+    date, so every number is an exact integer (no per-click splitting
+    of the middle pool is ever materialized) and
+    ``unattributed+only+first+middle+last = 100·n`` row by row — the
+    pytest invariant. ``n_click_pairs`` counts (purchase, click)
+    window pairs — a click inside two purchases' windows counts for
+    each, by design.
 
     Scale shape: the same single user_id-shuffled interval join as
-    :func:`purchase_click_window_join`, one per-purchase count
-    aggregate (map-side combinable), a CASE projection, and a
-    bounded per-day rollup. No windows, no floats."""
+    :func:`purchase_click_window_join` (LEFT, so clickless purchases
+    survive), one per-purchase count aggregate (map-side combinable),
+    a CASE projection, and a bounded per-day rollup. No windows, no
+    floats."""
     e = load_table(spark, sf_dir, "events")
     p = e.filter(F.col("event_type") == "purchase").select(
         F.col("user_id"),
@@ -185,29 +192,31 @@ def multi_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").alias("purchase_id"),
     )
     c = e.filter(F.col("event_type") == "click").select(
-        F.col("user_id"),
+        F.col("user_id").alias("c_user_id"),
         F.col("ts").alias("click_ts"),
     )
     per = (
         p.join(
             c,
-            (p.user_id == c.user_id)
+            (p.user_id == F.col("c_user_id"))
             & (F.col("click_ts") <= F.col("purchase_ts"))
             & (
                 F.col("click_ts")
                 >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR")
             ),
+            "left",
         )
         .groupBy(
             "purchase_id",
             F.col("purchase_ts").cast("date").alias("d"),
         )
-        .agg(F.count(F.lit(1)).alias("m"))
+        .agg(F.count("click_ts").alias("m"))
     )
     m = F.col("m")
     credited = per.select(
         "d",
         "m",
+        F.when(m == 0, F.lit(100)).otherwise(0).alias("unattr_c"),
         F.when(m == 1, F.lit(100)).otherwise(0).alias("only_c"),
         F.when(m == 2, F.lit(50))
         .when(m >= 3, F.lit(40))
@@ -223,7 +232,8 @@ def multi_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         credited.groupBy(F.date_format("d", "yyyy-MM-dd").alias("purchase_date"))
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
-            F.sum("m").cast("bigint").alias("n_clicks"),
+            F.sum("m").cast("bigint").alias("n_click_pairs"),
+            F.sum("unattr_c").cast("bigint").alias("unattributed"),
             F.sum("only_c").cast("bigint").alias("only_credit"),
             F.sum("first_c").cast("bigint").alias("first_credit"),
             F.sum("middle_c").cast("bigint").alias("middle_credit"),
@@ -239,9 +249,9 @@ ORACLE_SQL["multi_touch_attribution"] = """
     WITH per AS (
         SELECT p.event_id AS purchase_id,
                CAST(p.ts AS DATE) AS d,
-               COUNT(*) AS m
+               COUNT(c.ts) AS m
         FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-        JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
           ON p.user_id = c.user_id
          AND c.ts <= p.ts
          AND c.ts >= p.ts - INTERVAL 1 HOUR
@@ -249,6 +259,7 @@ ORACLE_SQL["multi_touch_attribution"] = """
     ),
     credited AS (
         SELECT d, m,
+               CASE WHEN m = 0 THEN 100 ELSE 0 END AS unattr_c,
                CASE WHEN m = 1 THEN 100 ELSE 0 END AS only_c,
                CASE WHEN m = 2 THEN 50
                     WHEN m >= 3 THEN 40 ELSE 0 END AS first_c,
@@ -259,7 +270,8 @@ ORACLE_SQL["multi_touch_attribution"] = """
     )
     SELECT strftime(d, '%Y-%m-%d') AS purchase_date,
            CAST(COUNT(*) AS BIGINT) AS n_purchases,
-           CAST(SUM(m) AS BIGINT) AS n_clicks,
+           CAST(SUM(m) AS BIGINT) AS n_click_pairs,
+           CAST(SUM(unattr_c) AS BIGINT) AS unattributed,
            CAST(SUM(only_c) AS BIGINT) AS only_credit,
            CAST(SUM(first_c) AS BIGINT) AS first_credit,
            CAST(SUM(middle_c) AS BIGINT) AS middle_credit,

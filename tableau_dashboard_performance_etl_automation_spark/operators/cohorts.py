@@ -720,19 +720,27 @@ def nation_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     directly. Rank-sum products are carried in decimal(38,0) (Spark)
     / HUGEINT (DuckDB) — ``x·n²`` exceeds int64 past ~10⁹ customers
     per nation — and the single final division happens once, in
-    double, on exact integer operands."""
+    double, on exact integer operands.
+
+    Population = EVERY customer of the nation: customers with no
+    orders enter as an exact rev = 0 run (customer LEFT JOIN the
+    order aggregate). Zeros dominate real inequality — a
+    purchasers-only Gini would systematically understate
+    concentration (in TPC-H ~⅓ of customers never order)."""
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
     rev = orders.groupBy("o_custkey").agg(
         F.sum(_cents("o_totalprice")).alias("rev")
     )
-    named = rev.join(
-        customer.select("c_custkey", "c_nationkey"),
-        rev.o_custkey == customer.c_custkey,
-    ).join(
-        F.broadcast(nation.select("n_nationkey", "n_name")),
-        F.col("c_nationkey") == F.col("n_nationkey"),
+    named = (
+        customer.select("c_custkey", "c_nationkey")
+        .join(rev, customer.c_custkey == rev.o_custkey, "left")
+        .withColumn("rev", F.coalesce("rev", F.lit(0).cast("bigint")))
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
     )
     comp = named.groupBy("n_name", "rev").agg(
         F.count(F.lit(1)).alias("cnt")
@@ -765,7 +773,13 @@ def nation_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("s1").cast("double") / 100.0, 2).alias(
             "total_revenue"
         ),
-        F.round(num.cast("double") / den.cast("double"), 6).alias("gini"),
+        # explicit NULL for an all-zero population (gini undefined);
+        # engines disagree on double 0/0 (Spark Divide -> NULL,
+        # DuckDB IEEE), so the guard is spelled out in both
+        F.when(
+            F.col("s1") != 0,
+            F.round(num.cast("double") / den.cast("double"), 6),
+        ).alias("gini"),
     ).orderBy("n_name")
 
 
@@ -784,10 +798,27 @@ def customer_revenue_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``units_lo + (k − lo)·x`` — pure integer arithmetic because every
     rank in the run carries the same value x. The 10-row decile grid
     is broadcast; the only shuffles are the per-customer aggregate
-    and the distinct-value window."""
+    and the distinct-value window.
+
+    Population = ALL customers (no-order customers enter as rev = 0,
+    same rationale as :func:`nation_revenue_gini`). Precondition: a
+    decile row exists only when its boundary rank ``(n·d) DIV 10`` is
+    ≥ 1, i.e. populations under 10 customers emit fewer than 10 rows
+    (the leading deciles have an empty prefix — there is no rank-0
+    cumulative point); both engines share the arithmetic, so parity
+    holds regardless."""
     orders = load_table(spark, sf_dir, "orders")
-    rev = orders.groupBy("o_custkey").agg(
-        F.sum(_cents("o_totalprice")).alias("rev")
+    customer = load_table(spark, sf_dir, "customer")
+    rev = (
+        customer.select("c_custkey")
+        .join(
+            orders.groupBy("o_custkey").agg(
+                F.sum(_cents("o_totalprice")).alias("rev")
+            ),
+            customer.c_custkey == F.col("o_custkey"),
+            "left",
+        )
+        .withColumn("rev", F.coalesce("rev", F.lit(0).cast("bigint")))
     )
     comp = rev.groupBy("rev").agg(F.count(F.lit(1)).alias("cnt"))
     w = Window.orderBy("rev")
@@ -840,9 +871,9 @@ ORACLE_SQL["nation_revenue_gini"] = """
         FROM orders GROUP BY o_custkey
     ),
     named AS (
-        SELECT n.n_name, r.rev
-        FROM rev r
-        JOIN customer c ON r.o_custkey = c.c_custkey
+        SELECT n.n_name, COALESCE(r.rev, 0) AS rev
+        FROM customer c
+        LEFT JOIN rev r ON r.o_custkey = c.c_custkey
         JOIN nation n ON c.c_nationkey = n.n_nationkey
     ),
     comp AS (
@@ -869,17 +900,23 @@ ORACLE_SQL["nation_revenue_gini"] = """
     SELECT n_name,
            CAST(n AS BIGINT) AS n_customers,
            ROUND(CAST(s1 AS DOUBLE) / 100.0, 2) AS total_revenue,
-           ROUND(CAST(si2 - (n + 1) * s1 AS DOUBLE)
-                 / CAST(n * s1 AS DOUBLE), 6) AS gini
+           CASE WHEN s1 = 0 THEN NULL
+                ELSE ROUND(CAST(si2 - (n + 1) * s1 AS DOUBLE)
+                           / CAST(n * s1 AS DOUBLE), 6)
+           END AS gini
     FROM agg
     ORDER BY n_name
 """
 
 ORACLE_SQL["customer_revenue_lorenz"] = """
-    WITH rev AS (
+    WITH orev AS (
         SELECT o_custkey,
                SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS rev
         FROM orders GROUP BY o_custkey
+    ),
+    rev AS (
+        SELECT COALESCE(r.rev, 0) AS rev
+        FROM customer c LEFT JOIN orev r ON r.o_custkey = c.c_custkey
     ),
     comp AS (SELECT rev, COUNT(*) AS cnt FROM rev GROUP BY rev),
     cum AS (

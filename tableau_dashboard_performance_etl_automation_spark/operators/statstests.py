@@ -2400,9 +2400,14 @@ def event_hour_mi_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``(n_xy·1.0·N)/(n_x·1.0·n_y)`` to keep both engines' IEEE
     rounding identical; counts never multiply in int64."""
     e = load_table(spark, sf_dir, "events")
-    xy = e.groupBy(
-        "event_type", F.hour("ts").cast("int").alias("hr")
-    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_xy"))
+    # the cell table is <= |types|·24 rows; localCheckpoint pins it so
+    # the three marginal branches (x, y, grand total) fold the CELLS,
+    # not three more scans of the fact table
+    xy = (
+        e.groupBy("event_type", F.hour("ts").cast("int").alias("hr"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_xy"))
+        .localCheckpoint()
+    )
     x = xy.groupBy("event_type").agg(F.sum("n_xy").alias("n_x"))
     y = xy.groupBy("hr").agg(F.sum("n_xy").alias("n_y"))
     tot = xy.agg(F.sum("n_xy").alias("n_all"))
