@@ -1634,3 +1634,74 @@ ORACLE_SQL["word_bigram_kn_scores"] = f"""
     GROUP BY g.doc_id
     ORDER BY g.doc_id
 """
+
+
+def doc_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per document from language-blind string
+    counts — the readability feature of a curation pipeline (too-low
+    scores flag legalese/boilerplate, implausibly high ones flag
+    word-salad), complementing :func:`text_quality`'s
+    length/punct/stopword trio with a sentence-structure signal.
+
+    All three inputs are exact integer counts from single regex
+    passes: words = non-space runs, sentences = ``[.!?]+`` runs
+    (floored at 1 so fragment docs stay defined), syllables ≈ vowel
+    runs (``[aeiouy]+`` on the lowercased text — the standard
+    dictionary-free approximation). The score
+    ``206.835 − 1.015·(w/s) − 84.6·(syl/w)`` is assembled with a
+    pinned operand order so both engines produce the identical
+    double, rounded once.
+
+    Scale shape: a pure per-row projection — no shuffle, no UDF,
+    whole-stage codegen, parquet scan pruned to (doc_id, text);
+    pipelines with whatever reads it downstream."""
+    docs = load_table(spark, sf_dir, "documents")
+    words_n = F.size(F.expr("regexp_extract_all(text, '[^ ]+', 0)"))
+    sents_n = F.greatest(
+        F.lit(1),
+        F.size(F.expr("regexp_extract_all(text, '[.!?]+', 0)")),
+    )
+    syl_n = F.size(
+        F.expr("regexp_extract_all(lower(text), '[aeiouy]+', 0)")
+    )
+    return (
+        docs.select(
+            "doc_id",
+            words_n.cast("bigint").alias("n_words"),
+            sents_n.cast("bigint").alias("n_sentences"),
+            syl_n.cast("bigint").alias("n_syllables"),
+            F.round(
+                F.lit(206.835)
+                - F.lit(1.015) * (words_n * F.lit(1.0) / sents_n)
+                - F.lit(84.6) * (syl_n * F.lit(1.0) / words_n),
+                4,
+            ).alias("flesch"),
+        )
+        .filter(F.col("n_words") > 0)
+        .orderBy("doc_id")
+    )
+
+
+QUERIES["doc_readability"] = doc_readability
+
+ORACLE_SQL["doc_readability"] = """
+    WITH counts AS (
+        SELECT doc_id,
+               len(regexp_extract_all(text, '[^ ]+')) AS n_words,
+               GREATEST(1, len(regexp_extract_all(text, '[.!?]+')))
+                   AS n_sentences,
+               len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                   AS n_syllables
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(n_words AS BIGINT) AS n_words,
+           CAST(n_sentences AS BIGINT) AS n_sentences,
+           CAST(n_syllables AS BIGINT) AS n_syllables,
+           ROUND(206.835
+                 - 1.015 * (n_words * 1.0 / n_sentences)
+                 - 84.6 * (n_syllables * 1.0 / n_words), 4) AS flesch
+    FROM counts
+    WHERE n_words > 0
+    ORDER BY doc_id
+"""

@@ -249,3 +249,29 @@ def test_hhi_bounds_and_sole_source(spark):
         # a sole-sourced part has HHI exactly 10000
         if r.n_sole_sourced == r.n_parts:
             assert r.min_hhi == r.max_hhi == 10000
+
+
+def test_readability_counts_match_python_reference(spark):
+    import re
+
+    from tableau_dashboard_performance_etl_automation_spark.operators import textops
+
+    rows = textops.doc_readability(spark, SF).collect()
+    docs = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(f"{SF}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    }
+    got_ids = {r.doc_id for r in rows}
+    for did, text in docs.items():
+        w = len(re.findall(r"[^ ]+", text))
+        assert (did in got_ids) == (w > 0)
+    for r in rows:
+        text = docs[r.doc_id]
+        w = len(re.findall(r"[^ ]+", text))
+        s = max(1, len(re.findall(r"[.!?]+", text)))
+        syl = len(re.findall(r"[aeiouy]+", text.lower()))
+        assert (r.n_words, r.n_sentences, r.n_syllables) == (w, s, syl)
+        want = 206.835 - 1.015 * (w / s) - 84.6 * (syl / w)
+        assert abs(r.flesch - want) <= 5.0001e-5
