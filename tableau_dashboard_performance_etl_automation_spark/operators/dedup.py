@@ -2483,3 +2483,85 @@ ORACLE_SQL["dedup_prefix_filter_pairs"] = f"""
           >= {PREFIX_T_NUM} * (za.sz + zb.sz - i.inter)
     ORDER BY i.doc_a, i.doc_b
 """
+
+
+def prefix_vs_lsh_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Head-to-head of the two pair-finding strategies the engine
+    ships: the MinHash+LSH candidate set (fast, probabilistic,
+    banding-curve misses) against the prefix-filter EXACT Jaccard ≥
+    0.6 set (:func:`dedup_prefix_filter_pairs`) as ground truth — the
+    one-row scorecard that says what the LSH pipeline actually missed
+    at the threshold and how much extra it surfaced (pairs below 0.6
+    or band coincidences). This is the dedup analog of the ANN
+    retrieval scorecard (``ann_lsh_ranking_quality``): run it before
+    trusting the approximate path on a new corpus.
+
+    Scale shape: both pair sets are bounded upstream (banded
+    equi-join / verified prefix candidates); the comparison is one
+    full-outer equi-join on the pair key plus a 1-row fold. Recall is
+    one exact-integer division rounded once."""
+    exact = dedup_prefix_filter_pairs(spark, sf_dir).select(
+        "doc_a", "doc_b", F.lit(1).alias("in_exact")
+    )
+    lsh = dedup_minhash_lsh(spark, sf_dir).select(
+        "doc_a", "doc_b", F.lit(1).alias("in_lsh")
+    )
+    both = exact.join(lsh, ["doc_a", "doc_b"], "full_outer")
+    return both.agg(
+        F.sum(F.coalesce("in_exact", F.lit(0)))
+        .cast("bigint")
+        .alias("n_exact_pairs"),
+        F.sum(F.coalesce("in_lsh", F.lit(0)))
+        .cast("bigint")
+        .alias("n_lsh_pairs"),
+        F.sum(
+            (
+                F.coalesce("in_exact", F.lit(0))
+                * F.coalesce("in_lsh", F.lit(0))
+            )
+        )
+        .cast("bigint")
+        .alias("n_common"),
+        F.round(
+            F.sum(
+                F.coalesce("in_exact", F.lit(0))
+                * F.coalesce("in_lsh", F.lit(0))
+            )
+            * 1.0
+            / F.sum(F.coalesce("in_exact", F.lit(0))),
+            4,
+        ).alias("lsh_recall_at_06"),
+    )
+
+
+QUERIES["prefix_vs_lsh_agreement"] = prefix_vs_lsh_agreement
+
+
+def _agreement_oracle() -> str:
+    exact_sql = ORACLE_SQL["dedup_prefix_filter_pairs"]
+    lsh_sql = _minhash_oracle()
+    return f"""
+        WITH exact_pairs AS MATERIALIZED (
+            SELECT doc_a, doc_b FROM ({exact_sql}) t
+        ),
+        lsh_pairs AS MATERIALIZED (
+            SELECT doc_a, doc_b FROM ({lsh_sql}) t
+        ),
+        joined AS (
+            SELECT COALESCE(e.one, 0) AS in_exact,
+                   COALESCE(l.one, 0) AS in_lsh
+            FROM (SELECT doc_a, doc_b, 1 AS one FROM exact_pairs) e
+            FULL OUTER JOIN
+                 (SELECT doc_a, doc_b, 1 AS one FROM lsh_pairs) l
+            USING (doc_a, doc_b)
+        )
+        SELECT CAST(SUM(in_exact) AS BIGINT) AS n_exact_pairs,
+               CAST(SUM(in_lsh) AS BIGINT) AS n_lsh_pairs,
+               CAST(SUM(in_exact * in_lsh) AS BIGINT) AS n_common,
+               ROUND(SUM(in_exact * in_lsh) * 1.0 / SUM(in_exact), 4)
+                   AS lsh_recall_at_06
+        FROM joined
+    """
+
+
+ORACLE_SQL["prefix_vs_lsh_agreement"] = _agreement_oracle()

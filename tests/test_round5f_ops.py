@@ -275,3 +275,15 @@ def test_readability_counts_match_python_reference(spark):
         assert (r.n_words, r.n_sentences, r.n_syllables) == (w, s, syl)
         want = 206.835 - 1.015 * (w / s) - 84.6 * (syl / w)
         assert abs(r.flesch - want) <= 5.0001e-5
+
+
+def test_prefix_vs_lsh_agreement_consistency(spark):
+    from tableau_dashboard_performance_etl_automation_spark.operators import dedup
+
+    row = dedup.prefix_vs_lsh_agreement(spark, SF).collect()[0]
+    n_exact = dedup.dedup_prefix_filter_pairs(spark, SF).count()
+    n_lsh = dedup.dedup_minhash_lsh(spark, SF).count()
+    assert row.n_exact_pairs == n_exact
+    assert row.n_lsh_pairs == n_lsh
+    assert 0 <= row.n_common <= min(n_exact, n_lsh)
+    assert abs(row.lsh_recall_at_06 - row.n_common / n_exact) < 5e-5
