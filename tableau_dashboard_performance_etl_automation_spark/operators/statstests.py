@@ -833,6 +833,7 @@ class _LazyOracle(dict):
             self.update(_oracle_sql6())
             self.update(_oracle_sql7())
             self.update(_oracle_sql8())
+            self.update(_oracle_sql9())
 
     def __getitem__(self, key):  # noqa: D105
         self._fill()
@@ -2459,5 +2460,145 @@ def _oracle_sql8() -> dict[str, str]:
             JOIN y USING (hr)
             CROSS JOIN tot t
             ORDER BY xy.event_type, xy.hr
+        """,
+    }
+
+
+def quality_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile lift/capture table for the heuristic quality score —
+    the ranking-power companion of
+    :func:`quality_score_calibration` (calibration asks "do the
+    probabilities mean what they say"; lift asks "does sorting by the
+    score concentrate the positives"): docs ranked best-score-first,
+    and at each population decile the cumulative positive capture and
+    the lift over the base rate.
+
+    Exact grouped-lift semantics without a global row sort: docs
+    compact to (score, n, positives) — the score is ONE pinned-order
+    double expression of two exact ints, so both engines group and
+    order identically — the cumulative window runs over DISTINCT
+    score values descending, and a decile boundary falling inside a
+    tied run attributes that run's positives PRO-RATA (the standard
+    grouped-data lift-curve convention; any per-doc tiebreak would be
+    arbitrary). Every emitted number is one division of exact-integer
+    products: ``capture = (pos_lo·cnt + pos_run·(k−lo))·100 /
+    (cnt·pos_all)``, ``lift = (pos_lo·cnt + pos_run·(k−lo))·n /
+    (cnt·k·pos_all)`` — int64 products bounded by n², fine to ~10⁹
+    docs (decimal-widen beyond, as in ``nation_revenue_gini``)."""
+    from tableau_dashboard_performance_etl_automation_spark.operators.textops import (
+        STOPWORDS,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    stoplist = ", ".join(f"'{w}'" for w in STOPWORDS)
+    stop_hits = F.expr(
+        f"size(filter(split(text, ' '), x -> x IN ({stoplist})))"
+    )
+    n_words = F.size(F.split(F.col("text"), " "))
+    p = F.least(
+        stop_hits * float(CALIB_DENSITY_SCALE) / n_words, F.lit(1.0)
+    )
+    comp = (
+        docs.select(
+            p.alias("p"),
+            (F.col("lang") == "en").cast("bigint").alias("y"),
+        )
+        .groupBy("p")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("y").alias("pos"),
+        )
+    )
+    w = Window.orderBy(F.desc("p"))
+    cum = (
+        comp.withColumn("hi", F.sum("cnt").over(w))
+        .withColumn("lo", F.col("hi") - F.col("cnt"))
+        .withColumn("pos_hi", F.sum("pos").over(w))
+        .withColumn("pos_lo", F.col("pos_hi") - F.col("pos"))
+    )
+    totals = F.broadcast(
+        comp.agg(
+            F.sum("cnt").alias("n"), F.sum("pos").alias("pos_all")
+        )
+    )
+    deciles = spark.createDataFrame(
+        [(d,) for d in range(1, 11)], "decile INT"
+    )
+    k = F.expr("(n * decile) DIV 10")
+    scaled_pos = F.col("pos_lo") * F.col("cnt") + F.col("pos") * (
+        F.col("k") - F.col("lo")
+    )
+    return (
+        cum.crossJoin(totals)
+        .crossJoin(F.broadcast(deciles))
+        .withColumn("k", k)
+        .filter((F.col("lo") < F.col("k")) & (F.col("k") <= F.col("hi")))
+        .select(
+            "decile",
+            F.col("k").cast("bigint").alias("n_docs"),
+            F.round(
+                scaled_pos * 100.0 / (F.col("cnt") * F.col("pos_all")), 4
+            ).alias("capture_pct"),
+            F.round(
+                scaled_pos
+                * F.col("n")
+                * 1.0
+                / (F.col("cnt") * F.col("k") * F.col("pos_all")),
+                4,
+            ).alias("lift"),
+        )
+        .orderBy("decile")
+    )
+
+
+QUERIES["quality_decile_lift"] = quality_decile_lift
+
+
+def _oracle_sql9() -> dict[str, str]:
+    from tableau_dashboard_performance_etl_automation_spark.operators.textops import (
+        _STOPLIST_SQL,
+    )
+
+    return {
+        "quality_decile_lift": f"""
+            WITH base AS (
+                SELECT LEAST(len(list_filter(string_split(text, ' '),
+                                 x -> x IN ({_STOPLIST_SQL})))
+                             * {float(CALIB_DENSITY_SCALE)}
+                             / len(string_split(text, ' ')), 1.0) AS p,
+                       CAST(lang = 'en' AS BIGINT) AS y
+                FROM documents
+            ),
+            comp AS (
+                SELECT p, COUNT(*) AS cnt, SUM(y) AS pos
+                FROM base GROUP BY p
+            ),
+            cum AS (
+                SELECT p, cnt, pos,
+                       SUM(cnt) OVER w AS hi,
+                       SUM(cnt) OVER w - cnt AS lo,
+                       SUM(pos) OVER w - pos AS pos_lo
+                FROM comp
+                WINDOW w AS (ORDER BY p DESC ROWS UNBOUNDED PRECEDING)
+            ),
+            totals AS (
+                SELECT SUM(cnt) AS n, SUM(pos) AS pos_all FROM comp
+            ),
+            dec AS (SELECT UNNEST([1,2,3,4,5,6,7,8,9,10]) AS decile)
+            SELECT d.decile,
+                   CAST((t.n * d.decile) // 10 AS BIGINT) AS n_docs,
+                   ROUND((c.pos_lo * c.cnt
+                          + c.pos * ((t.n * d.decile) // 10 - c.lo))
+                         * 100.0 / (c.cnt * t.pos_all), 4)
+                       AS capture_pct,
+                   ROUND((c.pos_lo * c.cnt
+                          + c.pos * ((t.n * d.decile) // 10 - c.lo))
+                         * t.n * 1.0
+                         / (c.cnt * ((t.n * d.decile) // 10)
+                            * t.pos_all), 4) AS lift
+            FROM cum c CROSS JOIN totals t CROSS JOIN dec d
+            WHERE c.lo < (t.n * d.decile) // 10
+              AND (t.n * d.decile) // 10 <= c.hi
+            ORDER BY d.decile
         """,
     }

@@ -287,3 +287,48 @@ def test_prefix_vs_lsh_agreement_consistency(spark):
     assert row.n_lsh_pairs == n_lsh
     assert 0 <= row.n_common <= min(n_exact, n_lsh)
     assert abs(row.lsh_recall_at_06 - row.n_common / n_exact) < 5e-5
+
+
+def test_decile_lift_matches_reference_ranking(spark):
+    rows = statstests.quality_decile_lift(spark, SF).collect()
+    assert [r.decile for r in rows] == list(range(1, 11))
+    # python reference: exact grouped lift with pro-rata boundary runs
+    from tableau_dashboard_performance_etl_automation_spark.operators.textops import STOPWORDS
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "text", "lang"
+    ).collect()
+    groups: dict[float, list[int]] = {}
+    for d in docs:
+        words = d.text.split(" ")
+        p = min(
+            sum(1 for x in words if x in STOPWORDS)
+            * float(statstests.CALIB_DENSITY_SCALE)
+            / len(words),
+            1.0,
+        )
+        cnt_pos = groups.setdefault(p, [0, 0])
+        cnt_pos[0] += 1
+        cnt_pos[1] += int(d.lang == "en")
+    runs = sorted(groups.items(), key=lambda kv: -kv[0])
+    n = sum(c for _, (c, _) in runs)
+    pos_all = sum(s for _, (_, s) in runs)
+    for r in rows:
+        k = (n * r.decile) // 10
+        assert r.n_docs == k
+        lo = 0
+        pos_lo = 0.0
+        for _, (c, s) in runs:
+            if lo < k <= lo + c:
+                cum_pos = pos_lo + s * (k - lo) / c
+                break
+            lo += c
+            pos_lo += s
+        want_capture = cum_pos * 100.0 / pos_all
+        want_lift = (cum_pos / k) / (pos_all / n)
+        assert abs(r.capture_pct - want_capture) <= 5.1e-5
+        assert abs(r.lift - want_lift) <= 5.1e-5
+    # capture is monotone and hits 100% at decile 10
+    caps = [r.capture_pct for r in rows]
+    assert caps == sorted(caps)
+    assert abs(caps[-1] - 100.0) < 1e-6
