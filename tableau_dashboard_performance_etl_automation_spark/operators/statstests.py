@@ -834,6 +834,7 @@ class _LazyOracle(dict):
             self.update(_oracle_sql7())
             self.update(_oracle_sql8())
             self.update(_oracle_sql9())
+            self.update(_oracle_sql10())
 
     def __getitem__(self, key):  # noqa: D105
         self._fill()
@@ -2600,5 +2601,110 @@ def _oracle_sql9() -> dict[str, str]:
             WHERE c.lo < (t.n * d.decile) // 10
               AND (t.n * d.decile) // 10 <= c.hi
             ORDER BY d.decile
+        """,
+    }
+
+
+def returnflag_quantity_kruskal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis rank test of shipped quantity across return flags
+    — the k-group nonparametric extension of
+    :func:`quality_mannwhitney_sources` (do returned/accepted
+    lines differ systematically in lot size?). Emits one row per flag
+    with its exact tie-averaged rank sum and its H-term; client-side
+    ``H = Σ h_term − 3(N+1)`` (the file's term-column contract, like
+    the calibration's ece_terms — engines never sum floats).
+
+    Exactness: quantities live on a ~50-value integer domain, so
+    ranks come from the VALUE COMPACTION — for distinct value q
+    spanning global ranks (lo, lo+cnt], the tie-averaged rank is
+    ``(2lo + cnt + 1)/2``; carrying DOUBLED rank sums keeps
+    everything integer (``rank_sum_x2 = Σ cnt_gq·(2lo_q+cnt_q+1)``),
+    and ``h_term = 3·rank_sum_x2² / (N(N+1)·n_g)`` is one division
+    of exact int64 products (x2 ≤ 2N·N ⇒ squares need decimal past
+    ~10⁶ rows per group — widened below exactly like the Gini).
+
+    Scale shape: one (flag, quantity) hash aggregate over a bounded
+    ~3×50 cell domain, a window over ≤50 distinct values, broadcast
+    grand totals. The fact table is scanned once."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q = F.floor(F.col("l_quantity")).cast("bigint")
+    cells = li.groupBy(F.col("l_returnflag"), q.alias("q")).agg(
+        F.count(F.lit(1)).alias("cnt_gq")
+    )
+    per_q = cells.groupBy("q").agg(F.sum("cnt_gq").alias("cnt_q"))
+    wq = Window.orderBy("q")
+    ranked_q = per_q.withColumn(
+        "lo", F.sum("cnt_q").over(wq) - F.col("cnt_q")
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    joined = cells.join(ranked_q, "q").withColumn(
+        "x2_part",
+        dec("cnt_gq")
+        * (2 * F.col("lo") + F.col("cnt_q") + 1).cast("decimal(38,0)"),
+    )
+    per_g = joined.groupBy("l_returnflag").agg(
+        F.sum("cnt_gq").alias("n_g"),
+        F.sum("x2_part").alias("rank_sum_x2"),
+    )
+    totals = F.broadcast(per_q.agg(F.sum("cnt_q").alias("n_all")))
+    h_term = (
+        F.lit(3) * F.col("rank_sum_x2") * F.col("rank_sum_x2")
+    ).cast("decimal(38,0)").cast("double") / (
+        dec("n_all") * (dec("n_all") + 1) * dec("n_g")
+    ).cast(
+        "double"
+    )
+    return (
+        per_g.crossJoin(totals)
+        .select(
+            "l_returnflag",
+            F.col("n_g").cast("bigint").alias("n_rows"),
+            F.col("rank_sum_x2").cast("decimal(38,0)").alias("rank_sum_x2"),
+            F.round(h_term, 6).alias("h_term"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+QUERIES["returnflag_quantity_kruskal"] = returnflag_quantity_kruskal
+
+
+def _oracle_sql10() -> dict[str, str]:
+    return {
+        "returnflag_quantity_kruskal": """
+            WITH cells AS (
+                SELECT l_returnflag,
+                       CAST(FLOOR(l_quantity) AS BIGINT) AS q,
+                       COUNT(*) AS cnt_gq
+                FROM lineitem GROUP BY l_returnflag, FLOOR(l_quantity)
+            ),
+            per_q AS (
+                SELECT q, SUM(cnt_gq) AS cnt_q FROM cells GROUP BY q
+            ),
+            ranked_q AS (
+                SELECT q, cnt_q,
+                       SUM(cnt_q) OVER (ORDER BY q
+                           ROWS UNBOUNDED PRECEDING) - cnt_q AS lo
+                FROM per_q
+            ),
+            per_g AS (
+                SELECT c.l_returnflag,
+                       SUM(c.cnt_gq) AS n_g,
+                       SUM(CAST(c.cnt_gq AS HUGEINT)
+                           * (2 * r.lo + r.cnt_q + 1)) AS rank_sum_x2
+                FROM cells c JOIN ranked_q r USING (q)
+                GROUP BY c.l_returnflag
+            ),
+            totals AS (SELECT SUM(cnt_q) AS n_all FROM per_q)
+            SELECT g.l_returnflag,
+                   CAST(g.n_g AS BIGINT) AS n_rows,
+                   CAST(g.rank_sum_x2 AS DECIMAL(38,0)) AS rank_sum_x2,
+                   ROUND(CAST(3 * g.rank_sum_x2 * g.rank_sum_x2
+                              AS DOUBLE)
+                         / CAST(CAST(t.n_all AS HUGEINT)
+                                * (t.n_all + 1) * g.n_g AS DOUBLE),
+                         6) AS h_term
+            FROM per_g g CROSS JOIN totals t
+            ORDER BY g.l_returnflag
         """,
     }

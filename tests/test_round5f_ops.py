@@ -332,3 +332,39 @@ def test_decile_lift_matches_reference_ranking(spark):
     caps = [r.capture_pct for r in rows]
     assert caps == sorted(caps)
     assert abs(caps[-1] - 100.0) < 1e-6
+
+
+def test_kruskal_rank_sums_match_scipy_style_reference(spark):
+    rows = statstests.returnflag_quantity_kruskal(spark, SF).collect()
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").select(
+        "l_returnflag", "l_quantity"
+    ).collect()
+    vals = sorted((int(r.l_quantity), r.l_returnflag) for r in li)
+    n = len(vals)
+    # tie-averaged ranks per value
+    from collections import Counter, defaultdict
+
+    cnt = Counter(v for v, _ in vals)
+    lo = {}
+    run = 0
+    for v in sorted(cnt):
+        lo[v] = run
+        run += cnt[v]
+    rank_x2 = defaultdict(int)
+    n_g = defaultdict(int)
+    for v, g in vals:
+        rank_x2[g] += 2 * lo[v] + cnt[v] + 1
+        n_g[g] += 1
+    assert {r.l_returnflag for r in rows} == set(n_g)
+    h = 0.0
+    for r in rows:
+        assert r.n_rows == n_g[r.l_returnflag]
+        assert int(r.rank_sum_x2) == rank_x2[r.l_returnflag]
+        want_term = (
+            3 * rank_x2[r.l_returnflag] ** 2 / (n * (n + 1) * n_g[r.l_returnflag])
+        )
+        assert abs(r.h_term - want_term) <= 5.1e-7
+        h += want_term
+    # identity check: H = sum(h_term) - 3(N+1); total rank sum fixed
+    assert sum(rank_x2.values()) == n * (n + 1)
+    assert h - 3 * (n + 1) >= -1e-9
