@@ -112,6 +112,8 @@ PROBE_QUERIES = [
     # round-5f cont.: interval-join credit buckets, integer HHI rollup
     "multi_touch_attribution",
     "part_supplier_hhi",
+    # bounded (flag, quantity) compaction rank test
+    "returnflag_quantity_kruskal",
 ]
 
 

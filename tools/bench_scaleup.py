@@ -128,6 +128,9 @@ def main() -> None:
         lang_label_propagation as _lp,
         neardup_kcore_rounds as _kcore,
     )
+    from tableau_dashboard_performance_etl_automation_spark.operators.statstests import (
+        quality_decile_lift as _qlift,
+    )
 
     ops = {
         "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
@@ -167,6 +170,11 @@ def main() -> None:
         # the k-core peel (8 bounded rounds over the LSH edge list)
         "dedup_prefix_filter_pairs": dedup.dedup_prefix_filter_pairs,
         "neardup_kcore_rounds": _kcore,
+        # round-5f cont.: LSH-vs-exact agreement (composes both pair
+        # sets), per-doc readability projection, grouped lift curve
+        "prefix_vs_lsh_agreement": dedup.prefix_vs_lsh_agreement,
+        "doc_readability": textops.doc_readability,
+        "quality_decile_lift": _qlift,
     }
     # SCALEUP_QUERIES=a,b limits the probe (deep-decade runs)
     env_qs = os.environ.get("SCALEUP_QUERIES")
