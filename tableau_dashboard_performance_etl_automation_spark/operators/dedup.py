@@ -2522,14 +2522,20 @@ def prefix_vs_lsh_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("bigint")
         .alias("n_common"),
-        F.round(
-            F.sum(
-                F.coalesce("in_exact", F.lit(0))
-                * F.coalesce("in_lsh", F.lit(0))
-            )
-            * 1.0
-            / F.sum(F.coalesce("in_exact", F.lit(0))),
-            4,
+        # explicit NULL when the exact set is empty (recall
+        # undefined): Spark's 0/0 is NULL but DuckDB's IEEE double
+        # division gives NaN, so the guard is spelled out in both
+        F.when(
+            F.sum(F.coalesce("in_exact", F.lit(0))) > 0,
+            F.round(
+                F.sum(
+                    F.coalesce("in_exact", F.lit(0))
+                    * F.coalesce("in_lsh", F.lit(0))
+                )
+                * 1.0
+                / F.sum(F.coalesce("in_exact", F.lit(0))),
+                4,
+            ),
         ).alias("lsh_recall_at_06"),
     )
 
@@ -2558,8 +2564,10 @@ def _agreement_oracle() -> str:
         SELECT CAST(SUM(in_exact) AS BIGINT) AS n_exact_pairs,
                CAST(SUM(in_lsh) AS BIGINT) AS n_lsh_pairs,
                CAST(SUM(in_exact * in_lsh) AS BIGINT) AS n_common,
-               ROUND(SUM(in_exact * in_lsh) * 1.0 / SUM(in_exact), 4)
-                   AS lsh_recall_at_06
+               CASE WHEN SUM(in_exact) = 0 THEN NULL
+                    ELSE ROUND(SUM(in_exact * in_lsh) * 1.0
+                               / SUM(in_exact), 4)
+               END AS lsh_recall_at_06
         FROM joined
     """
 

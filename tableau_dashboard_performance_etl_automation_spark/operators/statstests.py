@@ -2244,6 +2244,40 @@ CALIB_BINS = 10
 CALIB_DENSITY_SCALE = 5
 
 
+def _calib_score_col() -> "F.Column":
+    """THE audited quality score as a Spark column — stopword density
+    scaled to [0,1], one pinned-order double expression of two exact
+    ints. Shared by :func:`quality_score_calibration` and
+    :func:`quality_decile_lift` so the two audits (and their oracles,
+    via :func:`_calib_score_sql`) can never silently diverge."""
+    from tableau_dashboard_performance_etl_automation_spark.operators.textops import (
+        STOPWORDS,
+    )
+
+    stoplist = ", ".join(f"'{w}'" for w in STOPWORDS)
+    stop_hits = F.expr(
+        f"size(filter(split(text, ' '), x -> x IN ({stoplist})))"
+    )
+    n_words = F.size(F.split(F.col("text"), " "))
+    return F.least(
+        stop_hits * float(CALIB_DENSITY_SCALE) / n_words, F.lit(1.0)
+    )
+
+
+def _calib_score_sql() -> str:
+    """The identical score as a DuckDB SQL fragment (over ``text``)."""
+    from tableau_dashboard_performance_etl_automation_spark.operators.textops import (
+        _STOPLIST_SQL,
+    )
+
+    return (
+        f"LEAST(len(list_filter(string_split(text, ' '), "
+        f"x -> x IN ({_STOPLIST_SQL}))) "
+        f"* {float(CALIB_DENSITY_SCALE)} "
+        f"/ len(string_split(text, ' ')), 1.0)"
+    )
+
+
 def quality_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Calibration audit (reliability diagram + per-bin ECE /
     Brier-decomposition terms) of a heuristic 'is-English'
@@ -2268,21 +2302,11 @@ def quality_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: one scan → map-side-combinable hash aggregate onto
     ≤ ``CALIB_BINS`` rows; grand totals are a 1-row broadcast."""
-    from tableau_dashboard_performance_etl_automation_spark.operators.textops import (
-        STOPWORDS,
-    )
-
     docs = load_table(spark, sf_dir, "documents")
-    stoplist = ", ".join(f"'{w}'" for w in STOPWORDS)
-    stop_hits = F.expr(
-        f"size(filter(split(text, ' '), x -> x IN ({stoplist})))"
-    )
-    n_words = F.size(F.split(F.col("text"), " "))
-    # bin = floor(min(density*SCALE,1) * B) capped to B-1; computed
-    # as one double expression of two exact ints, identical in SQL
-    p = F.least(
-        stop_hits * float(CALIB_DENSITY_SCALE) / n_words, F.lit(1.0)
-    )
+    # bin = floor(min(density*SCALE,1) * B) capped to B-1; the score
+    # is the SHARED _calib_score_col expression (one double from two
+    # exact ints, identical in SQL via _calib_score_sql)
+    p = _calib_score_col()
     binned = (
         docs.select(
             F.least(
@@ -2332,18 +2356,11 @@ QUERIES["quality_score_calibration"] = quality_score_calibration
 
 
 def _oracle_sql7() -> dict[str, str]:
-    from tableau_dashboard_performance_etl_automation_spark.operators.textops import (
-        _STOPLIST_SQL,
-    )
-
     return {
         "quality_score_calibration": f"""
             WITH base AS (
                 SELECT CAST(LEAST(FLOOR(
-                           LEAST(len(list_filter(string_split(text, ' '),
-                                     x -> x IN ({_STOPLIST_SQL})))
-                                 * {float(CALIB_DENSITY_SCALE)}
-                                 / len(string_split(text, ' ')), 1.0)
+                           {_calib_score_sql()}
                            * {CALIB_BINS}),
                            {CALIB_BINS - 1}) AS BIGINT) AS bin,
                        CAST(lang = 'en' AS BIGINT) AS y
@@ -2481,24 +2498,20 @@ def quality_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     score values descending, and a decile boundary falling inside a
     tied run attributes that run's positives PRO-RATA (the standard
     grouped-data lift-curve convention; any per-doc tiebreak would be
-    arbitrary). Every emitted number is one division of exact-integer
-    products: ``capture = (pos_lo·cnt + pos_run·(k−lo))·100 /
-    (cnt·pos_all)``, ``lift = (pos_lo·cnt + pos_run·(k−lo))·n /
-    (cnt·k·pos_all)`` — int64 products bounded by n², fine to ~10⁹
-    docs (decimal-widen beyond, as in ``nation_revenue_gini``)."""
-    from tableau_dashboard_performance_etl_automation_spark.operators.textops import (
-        STOPWORDS,
-    )
-
+    arbitrary). The pro-rata numerator ``pos_lo·cnt + pos_run·(k−lo)``
+    stays an exact int64 product (≤ n²); the lift ratio promotes to
+    double BEFORE the remaining factors multiply (``·1.0·n`` over
+    ``cnt·1.0·k·pos_all``, pinned identically in both engines) so no
+    int64 triple-product can silently wrap — exactness degrades only
+    past 2⁵³ and identically on both sides. Precondition (as
+    ``customer_revenue_lorenz``): a decile row exists only when its
+    boundary rank ``(n·d) DIV 10`` ≥ 1, so sub-10-doc corpora emit
+    fewer than 10 rows — both engines share the arithmetic, so parity
+    holds regardless. The score is the SHARED
+    :func:`_calib_score_col` expression, so this audit and the
+    calibration audit cannot silently diverge."""
     docs = load_table(spark, sf_dir, "documents")
-    stoplist = ", ".join(f"'{w}'" for w in STOPWORDS)
-    stop_hits = F.expr(
-        f"size(filter(split(text, ' '), x -> x IN ({stoplist})))"
-    )
-    n_words = F.size(F.split(F.col("text"), " "))
-    p = F.least(
-        stop_hits * float(CALIB_DENSITY_SCALE) / n_words, F.lit(1.0)
-    )
+    p = _calib_score_col()
     comp = (
         docs.select(
             p.alias("p"),
@@ -2538,13 +2551,14 @@ def quality_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "decile",
             F.col("k").cast("bigint").alias("n_docs"),
             F.round(
-                scaled_pos * 100.0 / (F.col("cnt") * F.col("pos_all")), 4
+                scaled_pos * 100.0 / (F.col("cnt") * 1.0 * F.col("pos_all")),
+                4,
             ).alias("capture_pct"),
             F.round(
                 scaled_pos
-                * F.col("n")
                 * 1.0
-                / (F.col("cnt") * F.col("k") * F.col("pos_all")),
+                * F.col("n")
+                / (F.col("cnt") * 1.0 * F.col("k") * F.col("pos_all")),
                 4,
             ).alias("lift"),
         )
@@ -2556,17 +2570,10 @@ QUERIES["quality_decile_lift"] = quality_decile_lift
 
 
 def _oracle_sql9() -> dict[str, str]:
-    from tableau_dashboard_performance_etl_automation_spark.operators.textops import (
-        _STOPLIST_SQL,
-    )
-
     return {
         "quality_decile_lift": f"""
             WITH base AS (
-                SELECT LEAST(len(list_filter(string_split(text, ' '),
-                                 x -> x IN ({_STOPLIST_SQL})))
-                             * {float(CALIB_DENSITY_SCALE)}
-                             / len(string_split(text, ' ')), 1.0) AS p,
+                SELECT {_calib_score_sql()} AS p,
                        CAST(lang = 'en' AS BIGINT) AS y
                 FROM documents
             ),
@@ -2590,12 +2597,12 @@ def _oracle_sql9() -> dict[str, str]:
                    CAST((t.n * d.decile) // 10 AS BIGINT) AS n_docs,
                    ROUND((c.pos_lo * c.cnt
                           + c.pos * ((t.n * d.decile) // 10 - c.lo))
-                         * 100.0 / (c.cnt * t.pos_all), 4)
+                         * 100.0 / (c.cnt * 1.0 * t.pos_all), 4)
                        AS capture_pct,
                    ROUND((c.pos_lo * c.cnt
                           + c.pos * ((t.n * d.decile) // 10 - c.lo))
-                         * t.n * 1.0
-                         / (c.cnt * ((t.n * d.decile) // 10)
+                         * 1.0 * t.n
+                         / (c.cnt * 1.0 * ((t.n * d.decile) // 10)
                             * t.pos_all), 4) AS lift
             FROM cum c CROSS JOIN totals t CROSS JOIN dec d
             WHERE c.lo < (t.n * d.decile) // 10
