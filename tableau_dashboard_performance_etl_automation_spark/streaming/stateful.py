@@ -588,3 +588,82 @@ def spacesaving_topk_stream(stream: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+RESERVOIR_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("source", StringType()),
+        StructField("k_rank", LongType()),
+        StructField("doc_id", LongType()),
+        StructField("lang", StringType()),
+    ]
+)
+
+RESERVOIR_STATE_SCHEMA = StructType(
+    [
+        StructField("hks", ArrayType(StringType())),
+        StructField("doc_ids", ArrayType(LongType())),
+        StructField("langs", ArrayType(StringType())),
+    ]
+)
+
+
+def _update_reservoir(
+    key: tuple, batches: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    """Keep this source's K smallest (hk, doc_id, lang) triples —
+    hash-ordered, so the reservoir is a pure set function of the
+    documents seen: arrival order, micro-batch boundaries, and
+    restarts cannot change it, which is what makes the drained state
+    EXACTLY equal to the batch twin (no reconciliation bounds needed,
+    unlike Space-Saving). Emits the current reservoir each trigger;
+    the final trigger's emission is the answer."""
+    from tableau_dashboard_performance_etl_automation_spark.operators.sampling import GROUP_K
+
+    if state.exists:
+        hks, dids, lgs = state.get
+        items = list(zip(hks, dids, lgs))
+    else:
+        items = []
+    for pdf in batches:
+        items.extend(
+            zip(pdf["hk"].tolist(), pdf["doc_id"].tolist(), pdf["lang"].tolist())
+        )
+    # md5 hex strings: lexicographic == numeric order; doc_id breaks
+    # the (practically impossible) hash tie deterministically
+    items.sort(key=lambda t: (t[0], t[1]))
+    items = items[:GROUP_K]
+    state.update(
+        (
+            [t[0] for t in items],
+            [int(t[1]) for t in items],
+            [t[2] for t in items],
+        )
+    )
+    yield pd.DataFrame(
+        {
+            "source": [key[0]] * len(items),
+            "k_rank": list(range(1, len(items) + 1)),
+            "doc_id": [int(t[1]) for t in items],
+            "lang": [t[2] for t in items],
+        }
+    )
+
+
+def reservoir_stream(stream: DataFrame) -> DataFrame:
+    """Streaming deterministic reservoir: per-source exactly-K sample
+    by smallest content-hash rank — the `applyInPandasWithState` form
+    the batch twin's docstring points at
+    (``sampling.grouped_reservoir_sample``: "a true streaming
+    reservoir would be applyInPandasWithState"). Input must carry
+    (source, doc_id, lang, hk) where hk is the SAME md5 the batch twin
+    ranks by — computed JVM-side in the stream projection, so the
+    Python hot path only merges/sorts ≤ K+batch rows per key. State
+    per key is exactly K triples regardless of corpus size."""
+    return stream.groupBy("source").applyInPandasWithState(
+        _update_reservoir,
+        outputStructType=RESERVOIR_OUTPUT_SCHEMA,
+        stateStructType=RESERVOIR_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -669,3 +669,53 @@ def test_streaming_spacesaving_guarantees_vs_exact(spark, sf_dir, tmp_path):
     for (et, uid), (chat, err) in summary.items():
         true = exact.get((et, uid), 0)
         assert true <= chat <= true + err, (et, uid, true, chat, err)
+
+
+def test_streaming_reservoir_equals_batch_sample_exactly(
+    spark, sf_dir, tmp_path
+):
+    """The drained streaming reservoir must be ROW-IDENTICAL to the
+    batch grouped_reservoir_sample: the reservoir is a pure set
+    function (K smallest md5 ranks per source), so micro-batch
+    boundaries cannot perturb it — the strongest batch/stream
+    contract in the streaming layer (exact equality, not bounds)."""
+    import pyspark.sql.functions as F
+
+    from tableau_dashboard_performance_etl_automation_spark.operators import sampling
+
+    inp = str(tmp_path / "docs_stream")
+    # several files so maxFilesPerTrigger yields real multi-batch runs
+    load_table(spark, sf_dir, "documents").repartition(4).write.parquet(inp)
+    docs_schema = spark.read.parquet(inp).schema
+    stream = (
+        spark.readStream.option("maxFilesPerTrigger", 1)
+        .schema(docs_schema)
+        .parquet(inp)
+        .select(
+            "source",
+            "doc_id",
+            "lang",
+            F.md5(
+                F.concat(F.lit("gres|"), F.col("doc_id").cast("string"))
+            ).alias("hk"),
+        )
+    )
+    (
+        stateful.reservoir_stream(stream)
+        .writeStream.format("memory")
+        .queryName("reservoir_sink")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    # update mode re-emits each key's current reservoir per trigger;
+    # later triggers overwrite earlier ranks, leaving the final state
+    last: dict = {}
+    for r in spark.table("reservoir_sink").collect():
+        last[(r.source, r.k_rank)] = (r.doc_id, r.lang)
+    want = {
+        (r.source, r.k_rank): (r.doc_id, r.lang)
+        for r in sampling.grouped_reservoir_sample(spark, sf_dir).collect()
+    }
+    assert last == want
