@@ -364,3 +364,147 @@ ORACLE_SQL = {
         ORDER BY g.event_type, event_date
     """,
 }
+
+
+#: Rolling window width (days, inclusive of the target day) for the
+#: exact rolling-percentile series.
+ROLLP_DAYS = 7
+ROLLP_Q = 0.95
+
+
+def rolling_p95_value_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT interpolated p95 of event value over a trailing 7-day
+    window, per day — the rolling twin of ``daily_p95_series``
+    (per-day p95 + max-flag) and ``rolling_value_7d`` (rolling AVG):
+    SLO dashboards want the rolling tail, and a rolling percentile
+    cannot be assembled from per-day percentiles (quantiles don't
+    merge) — it needs the window's full value DISTRIBUTION.
+
+    Scale-safe exact form: each day compacts to (cents, count) — the
+    distribution, mergeable where the quantile isn't — each day's
+    compaction fans out to the ≤``ROLLP_DAYS`` target days it serves
+    (an equi-join on the exploded offset, no range join), the window
+    multisets re-aggregate per (target, cents), and one cumulative
+    window over DISTINCT cents per target finds the two ranks that
+    type-7 interpolation touches: ``idx = q·(n−1)``, values at
+    ``⌊idx⌋``/``⌈idx⌉`` via pure integer rank arithmetic, then ONE
+    pinned-order interpolation in double — bit-identical in both
+    engines, and verified in pytest against Spark's own
+    ``percentile()`` over the raw window rows. Work per target day is
+    bounded by the value domain, never the row count."""
+    e = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    comp = (
+        e.select(F.to_date("ts").alias("d"), cents.alias("cents"))
+        .groupBy("d", "cents")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    days = comp.select("d").distinct().select(F.col("d").alias("t"))
+    fanned = comp.withColumn(
+        "t",
+        F.explode(
+            F.sequence(
+                F.col("d"), F.date_add(F.col("d"), ROLLP_DAYS - 1)
+            )
+        ),
+    ).join(days, "t", "left_semi")
+    merged = fanned.groupBy("t", "cents").agg(F.sum("cnt").alias("cnt"))
+    w = Window.partitionBy("t").orderBy("cents")
+    cum = merged.withColumn("hi", F.sum("cnt").over(w)).withColumn(
+        "lo", F.col("hi") - F.col("cnt")
+    )
+    totals = merged.groupBy("t").agg(F.sum("cnt").alias("n"))
+    idx = F.lit(ROLLP_Q) * (F.col("n") - 1)
+    j_f = F.floor(idx).cast("bigint")
+    j_c = j_f + (idx > j_f.cast("double")).cast("bigint")
+    picked = (
+        cum.join(totals, "t")
+        .withColumn("j_f", j_f)
+        .withColumn("j_c", j_c)
+        .groupBy("t", "n")
+        .agg(
+            F.max(
+                F.when(
+                    (F.col("lo") <= F.col("j_f"))
+                    & (F.col("j_f") < F.col("hi")),
+                    F.col("cents"),
+                )
+            ).alias("v_f"),
+            F.max(
+                F.when(
+                    (F.col("lo") <= F.col("j_c"))
+                    & (F.col("j_c") < F.col("hi")),
+                    F.col("cents"),
+                )
+            ).alias("v_c"),
+        )
+    )
+    frac = F.lit(ROLLP_Q) * (F.col("n") - 1) - F.floor(
+        F.lit(ROLLP_Q) * (F.col("n") - 1)
+    )
+    return picked.select(
+        F.date_format("t", "yyyy-MM-dd").alias("event_date"),
+        F.col("n").cast("bigint").alias("n_events_7d"),
+        F.round(
+            (F.col("v_f") + (F.col("v_c") - F.col("v_f")) * frac)
+            / 100.0,
+            4,
+        ).alias("p95_7d"),
+    ).orderBy("event_date")
+
+
+QUERIES["rolling_p95_value_7d"] = rolling_p95_value_7d
+
+ORACLE_SQL["rolling_p95_value_7d"] = f"""
+    WITH comp AS (
+        SELECT CAST(ts AS DATE) AS d,
+               CAST(ROUND(value * 100) AS BIGINT) AS cents,
+               COUNT(*) AS cnt
+        FROM events GROUP BY 1, 2
+    ),
+    days AS (SELECT DISTINCT d AS t FROM comp),
+    fanned AS (
+        SELECT c.d + o.o * INTERVAL 1 DAY AS t, c.cents, c.cnt
+        FROM comp c
+        CROSS JOIN (SELECT UNNEST(range(0, {ROLLP_DAYS})) AS o) o
+    ),
+    merged AS (
+        SELECT f.t, f.cents, SUM(f.cnt) AS cnt
+        FROM fanned f
+        WHERE f.t IN (SELECT t FROM days)
+        GROUP BY f.t, f.cents
+    ),
+    cum AS (
+        SELECT t, cents, cnt,
+               SUM(cnt) OVER w AS hi,
+               SUM(cnt) OVER w - cnt AS lo
+        FROM merged
+        WINDOW w AS (PARTITION BY t ORDER BY cents
+                     ROWS UNBOUNDED PRECEDING)
+    ),
+    totals AS (SELECT t, SUM(cnt) AS n FROM merged GROUP BY t),
+    picked AS (
+        SELECT c.t, x.n,
+               MAX(CASE WHEN c.lo <= FLOOR({ROLLP_Q} * (x.n - 1))
+                         AND FLOOR({ROLLP_Q} * (x.n - 1)) < c.hi
+                        THEN c.cents END) AS v_f,
+               MAX(CASE WHEN c.lo <= FLOOR({ROLLP_Q} * (x.n - 1))
+                             + CAST({ROLLP_Q} * (x.n - 1)
+                                    > FLOOR({ROLLP_Q} * (x.n - 1))
+                                    AS BIGINT)
+                         AND FLOOR({ROLLP_Q} * (x.n - 1))
+                             + CAST({ROLLP_Q} * (x.n - 1)
+                                    > FLOOR({ROLLP_Q} * (x.n - 1))
+                                    AS BIGINT) < c.hi
+                        THEN c.cents END) AS v_c
+        FROM cum c JOIN totals x USING (t)
+        GROUP BY c.t, x.n
+    )
+    SELECT strftime(CAST(t AS DATE), '%Y-%m-%d') AS event_date,
+           CAST(n AS BIGINT) AS n_events_7d,
+           ROUND((v_f + (v_c - v_f)
+                  * ({ROLLP_Q} * (n - 1) - FLOOR({ROLLP_Q} * (n - 1))))
+                 / 100.0, 4) AS p95_7d
+    FROM picked
+    ORDER BY event_date
+"""

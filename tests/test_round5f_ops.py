@@ -368,3 +368,40 @@ def test_kruskal_rank_sums_match_scipy_style_reference(spark):
     # identity check: H = sum(h_term) - 3(N+1); total rank sum fixed
     assert sum(rank_x2.values()) == n * (n + 1)
     assert h - 3 * (n + 1) >= -1e-9
+
+
+def test_rolling_p95_matches_spark_percentile_over_raw_window(spark):
+    import datetime
+
+    import pyspark.sql.functions as F
+
+    from tableau_dashboard_performance_etl_automation_spark.operators import intervals
+
+    rows = intervals.rolling_p95_value_7d(spark, SF).collect()
+    ev = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .select(
+            F.to_date("ts").alias("d"),
+            F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+        .collect()
+    )
+    by_day: dict = {}
+    for r in ev:
+        by_day.setdefault(r.d, []).append(r.cents)
+    assert {r.event_date for r in rows} == {
+        d.strftime("%Y-%m-%d") for d in by_day
+    }
+    for r in rows:
+        t = datetime.date.fromisoformat(r.event_date)
+        window = []
+        for off in range(intervals.ROLLP_DAYS):
+            window.extend(by_day.get(t - datetime.timedelta(days=off), []))
+        assert r.n_events_7d == len(window)
+        # Spark's own exact interpolated percentile as the reference
+        want = (
+            spark.createDataFrame([(c,) for c in window], "c BIGINT")
+            .agg(F.expr(f"percentile(c, {intervals.ROLLP_Q})"))
+            .collect()[0][0]
+        )
+        assert abs(r.p95_7d - round(want / 100.0, 4)) <= 5.1e-5
