@@ -114,6 +114,8 @@ PROBE_QUERIES = [
     "part_supplier_hhi",
     # bounded (flag, quantity) compaction rank test
     "returnflag_quantity_kruskal",
+    # mergeable-distribution rolling percentile (7-way fan-out join)
+    "rolling_p95_value_7d",
 ]
 
 
