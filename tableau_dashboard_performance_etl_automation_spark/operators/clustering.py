@@ -1470,3 +1470,105 @@ def _kcore_oracle() -> str:
 
 
 ORACLE_SQL["neardup_kcore_rounds"] = _kcore_oracle()
+
+
+def neardup_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbor link scoring over the MinHash near-dup graph:
+    every document pair sharing at least one neighbor, with the
+    shared-neighbor count, the neighbor-Jaccard score
+    ``|N(a) ∩ N(c)| / |N(a) ∪ N(c)|``, and an ``is_edge`` flag saying
+    whether the LSH bands already produced that pair. The
+    ``is_edge = 0`` rows are the link PREDICTIONS — "these two are
+    probably near-dups the bands happened to miss" — the recall audit
+    a dedup pipeline runs on its own candidate generator (a
+    high-scoring non-edge is a band-collision miss worth an exact
+    verify pass); the ``is_edge = 1`` rows calibrate what score range
+    real edges occupy.
+
+    Scale shape: wedge enumeration ``(a,b)+(b,c)`` over the symmetric
+    LSH edge list — the same bounded two-hop join
+    :func:`neardup_triangles` pays (fan-out capped by the band-bucket
+    caps upstream, never corpus²) — canonicalized ``a < c``, then one
+    LEFT equi-join against the edge list sets the flag, and degree
+    lookups are a broadcast of the per-node degree table (|nodes|
+    rows). Jaccard is a ratio of exact integers, rounded to 6, so the
+    ranking is cross-engine exact; ties order by the pair key."""
+    edges = dedup_minhash_lsh(spark, sf_dir).localCheckpoint()
+    sym = edges.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionAll(
+        edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    e1 = sym.select(F.col("dst").alias("b"), F.col("src").alias("a"))
+    e2 = sym.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    wedges = (
+        e1.join(e2, "b")
+        .filter(F.col("a") < F.col("c"))
+        .groupBy("a", "c")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("common"))
+    )
+    flagged = wedges.join(
+        edges.select("doc_a", "doc_b", F.lit(1).alias("is_edge")),
+        (wedges["a"] == edges["doc_a"]) & (wedges["c"] == edges["doc_b"]),
+        "left",
+    ).select(
+        "a", "c", "common", F.coalesce("is_edge", F.lit(0)).alias("is_edge")
+    )
+    da = F.broadcast(deg.select(F.col("src").alias("a"), F.col("d").alias("da")))
+    dc = F.broadcast(deg.select(F.col("src").alias("c"), F.col("d").alias("dc")))
+    return (
+        flagged.join(da, "a")
+        .join(dc, "c")
+        .select(
+            F.col("a").alias("doc_a"),
+            F.col("c").alias("doc_b"),
+            "common",
+            F.round(
+                F.col("common")
+                / (F.col("da") + F.col("dc") - F.col("common")),
+                6,
+            ).alias("neighbor_jaccard"),
+            F.col("is_edge").cast("int").alias("is_edge"),
+        )
+        .orderBy(
+            "is_edge",
+            F.col("neighbor_jaccard").desc(),
+            F.col("common").desc(),
+            "doc_a",
+            "doc_b",
+        )
+    )
+
+
+QUERIES["neardup_link_prediction"] = neardup_link_prediction
+
+ORACLE_SQL["neardup_link_prediction"] = f"""
+    WITH pairs AS (SELECT * FROM {_PAIRS_SQL} t),
+    sym AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL SELECT doc_b, doc_a FROM pairs
+    ),
+    deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM sym GROUP BY src),
+    wedges AS (
+        SELECT e1.src AS a, e2.dst AS c, CAST(COUNT(*) AS BIGINT) AS common
+        FROM sym e1
+        JOIN sym e2 ON e2.src = e1.dst
+        WHERE e1.src < e2.dst
+        GROUP BY e1.src, e2.dst
+    ),
+    flagged AS (
+        SELECT w.a, w.c, w.common,
+               CASE WHEN p.doc_a IS NULL THEN 0 ELSE 1 END AS is_edge
+        FROM wedges w
+        LEFT JOIN pairs p ON p.doc_a = w.a AND p.doc_b = w.c
+    )
+    SELECT n.a AS doc_a, n.c AS doc_b, n.common,
+           ROUND(n.common * 1.0 / (da.d + dc.d - n.common), 6)
+               AS neighbor_jaccard,
+           CAST(n.is_edge AS INT) AS is_edge
+    FROM flagged n
+    JOIN deg da ON da.src = n.a
+    JOIN deg dc ON dc.src = n.c
+    ORDER BY is_edge, neighbor_jaccard DESC, n.common DESC, doc_a, doc_b
+"""

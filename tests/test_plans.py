@@ -684,3 +684,25 @@ def test_prefix_filter_join_no_cartesian_no_python(spark, sf_dir):
     assert not has_cartesian_product(df)
     plan = formatted_plan(df)
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_link_prediction_wedge_join_no_cartesian_no_python(spark, sf_dir):
+    from tableau_dashboard_performance_etl_automation_spark.operators import clustering
+
+    df = clustering.neardup_link_prediction(spark, sf_dir)
+    plan = formatted_plan(df)
+    # wedge enumeration + anti-join must stay equi-join shaped
+    assert "CartesianProduct" not in plan
+    assert "Python" not in plan
+
+
+def test_brand_affinity_broadcasts_dims_and_totals(spark, sf_dir):
+    from tableau_dashboard_performance_etl_automation_spark.operators import relational_ext
+
+    df = relational_ext.brand_affinity_topk(spark, sf_dir)
+    plan = formatted_plan(df)
+    # part dim and the |brands|-row totals broadcast; the pair stage
+    # is an equi-join on the customer key, never a cartesian
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "Python" not in plan

@@ -1,0 +1,97 @@
+"""Invariant tests for the round-5g operators (link prediction over
+the near-dup graph, item-item brand affinity). Value-level parity
+with DuckDB is the mirror/driver gate's job; these pin the
+mathematical invariants each operator must satisfy on ANY input."""
+
+from __future__ import annotations
+
+import math
+
+from tableau_dashboard_performance_etl_automation_spark.operators import (
+    clustering,
+    dedup,
+    relational_ext,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_link_prediction_flags_edges_correctly(spark):
+    edges = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.dedup_minhash_lsh(spark, SF).collect()
+    }
+    preds = clustering.neardup_link_prediction(spark, SF).collect()
+    # adjacency: canonical a < b; is_edge agrees with the edge list
+    for p in preds:
+        assert p.doc_a < p.doc_b
+        assert p.is_edge == (1 if (p.doc_a, p.doc_b) in edges else 0)
+        assert p.common >= 1
+        assert 0.0 < p.neighbor_jaccard <= 1.0
+
+
+def test_link_prediction_scores_match_reference_recompute(spark):
+    edges = [
+        (r.doc_a, r.doc_b)
+        for r in dedup.dedup_minhash_lsh(spark, SF).collect()
+    ]
+    nbrs: dict[int, set[int]] = {}
+    for a, b in edges:
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    # every wedge-connected canonical pair, scored
+    want: dict[tuple[int, int], tuple[int, float]] = {}
+    for b, ns in nbrs.items():
+        ns_sorted = sorted(ns)
+        for i, a in enumerate(ns_sorted):
+            for c in ns_sorted[i + 1 :]:
+                common = len(nbrs[a] & nbrs[c])
+                jac = common / (len(nbrs[a]) + len(nbrs[c]) - common)
+                want[(a, c)] = (common, jac)
+    got = {
+        (p.doc_a, p.doc_b): (p.common, p.neighbor_jaccard)
+        for p in clustering.neardup_link_prediction(spark, SF).collect()
+    }
+    assert set(got) == set(want)
+    for k, (common, jac) in want.items():
+        assert got[k][0] == common
+        assert abs(got[k][1] - jac) < 5e-7
+
+
+def test_brand_affinity_ranks_contiguous_and_bounded(spark):
+    rows = relational_ext.brand_affinity_topk(spark, SF).collect()
+    assert rows, "sf0.001 has co-purchased brands"
+    by_brand: dict[str, list] = {}
+    for r in rows:
+        assert r.rec_brand != r.brand
+        assert r.co_cust >= 1
+        assert 0.0 < r.cosine <= 1.0
+        by_brand.setdefault(r.brand, []).append(r)
+    for brand, rs in by_brand.items():
+        ranks = [r.rank for r in rs]
+        assert ranks == list(range(1, len(rs) + 1))
+        assert len(rs) <= 3
+        # ranking is by (cosine desc, co desc, rec_brand asc)
+        keys = [(-r.cosine, -r.co_cust, r.rec_brand) for r in rs]
+        assert keys == sorted(keys)
+
+
+def test_brand_affinity_cosine_matches_reference_recompute(spark):
+    cb = spark.sql(
+        f"""
+        SELECT DISTINCT o.o_custkey, p.p_brand
+        FROM parquet.`{SF}/lineitem.parquet` l
+        JOIN parquet.`{SF}/orders.parquet` o ON o.o_orderkey = l.l_orderkey
+        JOIN parquet.`{SF}/part.parquet` p ON p.p_partkey = l.l_partkey
+        """
+    ).collect()
+    custs_by_brand: dict[str, set[int]] = {}
+    for r in cb:
+        custs_by_brand.setdefault(r.p_brand, set()).add(r.o_custkey)
+    for r in relational_ext.brand_affinity_topk(spark, SF).collect():
+        ca, cbr = custs_by_brand[r.brand], custs_by_brand[r.rec_brand]
+        co = len(ca & cbr)
+        assert r.co_cust == co
+        assert co <= min(len(ca), len(cbr))
+        want = co / math.sqrt(len(ca) * len(cbr))
+        assert abs(r.cosine - want) < 5e-7

@@ -1,0 +1,147 @@
+"""Spark-SQL dialect-compat sweep over the DuckDB oracle strings.
+
+Every registered query carries an ANSI-SQL oracle written for DuckDB.
+This tool feeds each oracle string to ``spark.sql(...)`` with the ten
+test tables registered as temp views, and buckets the outcome:
+
+- ``match``      — parses, runs, and the result equals the DataFrame
+                   query's own output (exact multiset after the same
+                   column-name sort the driver gate uses);
+- ``mismatch``   — runs on Spark but differs (a real dialect
+                   semantics divergence — worth reading);
+- ``error``      — Spark rejects the string (DuckDB-only syntax:
+                   ``ANTI JOIN``, ``MATERIALIZED`` CTE hints,
+                   recursive-CTE forms, list comprehensions, …).
+
+The point is evidence that the engine's *SQL entry path* (not just
+the DataFrame API) answers the same questions: a user who speaks SQL
+can run the portable subset verbatim. Usage:
+
+    python tools/sql_compat.py [sf_dir] [name ...]
+
+Writes COMPAT.md at the repo root with the bucket counts and the
+error-category histogram.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+import time
+from collections import Counter
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _norm_rows(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        vals = []
+        for i in order:
+            v = r[i]
+            if isinstance(v, float):
+                # same tolerance discipline as the driver gate: floats
+                # compare at 9 significant digits
+                v = float(f"{v:.9g}")
+            vals.append(repr(v))
+        out.append("|".join(vals))
+    return sorted(out)
+
+
+def _err_category(msg: str) -> str:
+    m = msg.splitlines()[0] if msg else "unknown"
+    for pat, cat in [
+        (r"ANTI JOIN|SEMI JOIN", "duckdb-anti/semi-join-syntax"),
+        (r"MATERIALIZED", "materialized-cte-hint"),
+        (r"RECURSIVE|recursion", "recursive-cte"),
+        (r"UNNEST|unnest", "unnest-form"),
+        (r"PARSE_SYNTAX_ERROR", "parse-error-other"),
+        (r"UNRESOLVED_ROUTINE|Undefined function|cannot resolve", "function-missing"),
+        (r"DATATYPE_MISMATCH|CAST_INVALID", "type-rules"),
+    ]:
+        if re.search(pat, msg, re.IGNORECASE):
+            return cat
+    return "other: " + m[:80]
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as entry
+    from tableau_dashboard_performance_etl_automation_spark.session import get_spark
+
+    spark = get_spark("tdpe-sql-compat")
+    spark.sparkContext.setLogLevel("ERROR")
+    for t in TABLES:
+        spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet")).createOrReplaceTempView(t)
+
+    queries = entry.queries()
+    oracles = entry.oracle_sql()
+    buckets: dict[str, list[str]] = {"match": [], "mismatch": [], "error": []}
+    err_hist: Counter = Counter()
+    t0 = time.time()
+    names = [n for n in queries if n in oracles and (not only or n in only)]
+    for i, name in enumerate(names):
+        sql = oracles[name]
+        try:
+            odf = spark.sql(sql)
+            ocols = odf.columns
+            orows = odf.collect()
+        except Exception as exc:  # noqa: BLE001 — bucketing all engine rejections
+            buckets["error"].append(name)
+            err_hist[_err_category(str(exc))] += 1
+            continue
+        sdf = queries[name](spark, sf_dir)
+        same = sorted(sdf.columns) == sorted(ocols) and _norm_rows(
+            sdf.columns, sdf.collect()
+        ) == _norm_rows(ocols, orows)
+        buckets["match" if same else "mismatch"].append(name)
+        if not same:
+            print(f"MISMATCH {name}")
+        if (i + 1) % 25 == 0:
+            print(
+                f"[{i+1}/{len(names)}] match={len(buckets['match'])} "
+                f"mismatch={len(buckets['mismatch'])} "
+                f"error={len(buckets['error'])} ({time.time()-t0:.0f}s)"
+            )
+
+    n = len(names)
+    lines = [
+        "# COMPAT — Spark-SQL portability of the oracle strings",
+        "",
+        f"Each registered query's DuckDB oracle SQL fed verbatim to "
+        f"`spark.sql(...)` over the same parquet views ({sf_dir}), "
+        f"compared (exact multiset, 9-sig-digit floats) against the "
+        f"DataFrame query's own output.",
+        "",
+        f"| bucket | count | share |",
+        f"|---|---|---|",
+    ]
+    for b in ("match", "mismatch", "error"):
+        lines.append(f"| {b} | {len(buckets[b])} | {len(buckets[b])/max(n,1):.0%} |")
+    lines += ["", "## Spark-rejection categories", ""]
+    for cat, c in err_hist.most_common():
+        lines.append(f"- {c} × {cat}")
+    if buckets["mismatch"]:
+        lines += ["", "## Mismatches (dialect semantics divergences)", ""]
+        for m in buckets["mismatch"]:
+            lines.append(f"- {m}")
+    out = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "COMPAT.md"
+    )
+    with open(out, "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    print(f"\n{len(buckets['match'])}/{n} portable-and-equal; wrote {out}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
