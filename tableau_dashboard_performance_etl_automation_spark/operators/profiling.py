@@ -735,24 +735,32 @@ def _ring_entries(n_shards: int) -> list[tuple[int, int]]:
     return out
 
 
-def _owner(key_pos: F.Column, ring: list[tuple[int, int]]) -> F.Column:
-    """Clockwise owner as a pure projection over the ring literal:
-    first entry of the (sorted) ring with position >= the key
-    position, wrapping to the ring's first entry. O(S·V) per row
-    inside whole-stage codegen — no join, no shuffle."""
-    arr = F.array(
-        *[
-            F.struct(
-                F.lit(p).alias("pos"),
-                F.lit(sh).cast("bigint").alias("shard"),
-            )
-            for p, sh in ring
-        ]
+def _ring_intervals(spark: SparkSession, ring: list[tuple[int, int]], out: str):
+    """The sorted vnode ring as a tiny OWNERSHIP-INTERVAL DataFrame
+    ``(lo, hi, <out>)``: entry_i owns ``(pos_{i-1}, pos_i]``, and keys
+    clockwise past the last vnode wrap to the first (lowest-position)
+    entry. S·V+1 rows — broadcast fodder for a range join.
+
+    This replaced a per-ROW ``F.array(struct...)`` + ``F.filter``
+    lambda fold: that form ran the lambda interpreted over every
+    (row × ring entry) pair AND re-paid Catalyst analysis of the
+    ~270-struct literal tree on every run (~3.5 s/run measured; a
+    literal-array + explode variant costs the same analysis). The
+    ``createDataFrame`` local-rows form carries the ring as DATA, not
+    as an expression tree — its one "Python" plan node is the
+    driver-side local-collection scan (ExistingRDD), not a
+    per-row Python execution stage — and the interval join is a
+    BroadcastNestedLoopJoin whose range predicate compiles into
+    whole-stage codegen."""
+    rows = []
+    prev = 0
+    for p, sh in ring:
+        rows.append((prev, p, sh))
+        prev = p + 1
+    rows.append((prev, (1 << 63) - 1, ring[0][1]))
+    return F.broadcast(
+        spark.createDataFrame(rows, f"lo bigint, hi bigint, {out} bigint")
     )
-    first_ge = F.element_at(
-        F.filter(arr, lambda r: r["pos"] >= key_pos), 1
-    )
-    return F.coalesce(first_ge["shard"], F.element_at(arr, 1)["shard"])
 
 
 def consistent_hash_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -763,27 +771,34 @@ def consistent_hash_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     mover lands on the NEW shard (a mod-S layout would reshuffle
     nearly everything; compare ``global_shuffle_shards``).
 
-    Scale shape: both rings (S×V entries) are sorted LITERAL arrays
-    baked into one projection — ownership under each ring is an
-    O(S·V) scan per row inside whole-stage codegen, so the corpus is
-    read once, never joined, never shuffled; the only exchange is
-    the final tiny (S×S') count aggregate. Positions are 48-bit md5
-    integers (hashlib == md5() byte-for-byte), replayed in the
-    oracle via the shared two-half ``md5_hex_int`` idiom."""
+    Scale shape: each ring becomes S·V+1 broadcast OWNERSHIP
+    INTERVALS (:func:`_ring_intervals`); ownership under each ring is
+    one BroadcastNestedLoopJoin range probe (codegen'd comparisons,
+    corpus read once, never shuffled); the only exchange is the final
+    tiny (S×S') count aggregate. Positions are 48-bit md5 integers
+    (hashlib == md5() byte-for-byte), replayed in the oracle via the
+    shared two-half ``md5_hex_int`` idiom."""
     key_pos = _pos48(
         F.md5(F.concat(F.lit("key:"), F.col("doc_id").cast("string")))
     )
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", key_pos.alias("key_pos")
     )
+    before = _ring_intervals(spark, _ring_entries(CH_SHARDS), "shard_before")
+    after = _ring_intervals(
+        spark, _ring_entries(CH_SHARDS + 1), "shard_after"
+    )
     return (
-        docs.select(
-            _owner(F.col("key_pos"), _ring_entries(CH_SHARDS)).alias(
-                "shard_before"
-            ),
-            _owner(
-                F.col("key_pos"), _ring_entries(CH_SHARDS + 1)
-            ).alias("shard_after"),
+        docs.join(
+            before,
+            (F.col("key_pos") >= before["lo"])
+            & (F.col("key_pos") <= before["hi"]),
+        )
+        .select("doc_id", "key_pos", "shard_before")
+        .join(
+            after,
+            (F.col("key_pos") >= after["lo"])
+            & (F.col("key_pos") <= after["hi"]),
         )
         .groupBy("shard_before", "shard_after")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))

@@ -611,15 +611,24 @@ def test_hll_is_two_hash_aggregates_no_join_on_corpus(spark, sf_dir):
     assert "Python" not in plan
 
 
-def test_consistent_hash_rebalance_has_no_join(spark, sf_dir):
+def test_consistent_hash_rebalance_broadcast_interval_probe(spark, sf_dir):
     from tableau_dashboard_performance_etl_automation_spark.operators import profiling
 
     df = profiling.consistent_hash_rebalance(spark, sf_dir)
     plan = formatted_plan(df)
-    # ownership is a ring-literal projection: the corpus must never
-    # be joined or cartesian-producted against the ring
-    assert "Join" not in plan
+    # ownership = range probe against the S·V+1 broadcast interval
+    # table (replaced the ring-literal lambda fold, which cost ~3.5 s
+    # of per-run driver analysis); the corpus side must not shuffle
+    # and the ring must arrive as a broadcast, never a shuffled join
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
     assert not has_cartesian_product(df)
+    # the ring arrives as local-collection DATA (an ExistingRDD scan
+    # mentioning "PythonRDD" — driver-side, 129/145 rows); what must
+    # NOT appear is a per-row Python execution stage
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "FlatMapGroupsInPandas" not in plan
 
 
 def test_sorted_neighborhood_has_no_join(spark, sf_dir):
