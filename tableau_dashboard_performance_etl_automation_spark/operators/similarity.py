@@ -3055,3 +3055,112 @@ ORACLE_SQL["ann_lsh_ranking_quality"] = f"""
     LEFT JOIN per p USING (query_id)
     ORDER BY query_id
 """
+
+
+#: Output size of the Mahalanobis outlier screen.
+MAHA_TOP_N = 50
+
+
+def embedding_maha_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector Mahalanobis² outlier score under a DIAGONAL
+    covariance model — ``Σ_d (x_d − μ_d)² / σ²_d`` — the standard
+    embedding-quality screen for encoder failures (NaN-ish collapse,
+    scale blowups, off-manifold junk) before vectors enter an index
+    or a training mix; the ``MAHA_TOP_N`` highest scores surface for
+    manual review with their labels.
+
+    Scale shape: posexplode to (vec_id, dim, x) micro-units; the 64-row
+    per-dim (mean, var) table comes from ONE map-side-combinable hash
+    aggregate (the :func:`embedding_dim_stats` shape) and BROADCASTS
+    into a second single pass that sums the 64 per-dim terms per
+    vector — two corpus scans, no shuffle wider than the final
+    per-vector aggregate, output bounded by ``MAHA_TOP_N``
+    (sort+limit → TakeOrdered).
+
+    Determinism: coordinates quantize to integer micro-units, so each
+    dim's (n, Σu, Σu²) are exact BIGINTs and every per-term double
+    derives from identical integers in both engines; the only
+    engine-order float reduction is the 64-term per-vector sum,
+    rounded to 4 (ranking to 6, vec_id tiebreak) — the
+    ``char_bigram_lm_scores`` discipline. Zero-variance dims
+    contribute nothing in either engine (explicit filter)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    flat = emb.select(
+        "vec_id",
+        F.posexplode("embedding").alias("dim", "x"),
+    ).select(
+        "vec_id",
+        "dim",
+        F.round(F.col("x").cast("double") * 1e6).cast("bigint").alias("u"),
+    )
+    stats = F.broadcast(
+        flat.groupBy("dim").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("u").alias("s"),
+            F.sum(F.col("u") * F.col("u")).alias("s2"),
+        )
+    )
+    # per-dim mean / variance in micro-units (doubles from exact ints)
+    mu = F.col("s") / F.col("n")
+    var_u = F.col("s2") / F.col("n") - mu * mu
+    term = (F.col("u") - mu) * (F.col("u") - mu) / var_u
+    scored = (
+        flat.join(stats, "dim")
+        .filter(var_u > 0)
+        .groupBy("vec_id")
+        .agg(F.sum(term).alias("maha_raw"))
+    )
+    return (
+        scored.join(
+            load_table(spark, sf_dir, "embeddings").select(
+                "vec_id", "label"
+            ),
+            "vec_id",
+        )
+        .select(
+            "vec_id",
+            "label",
+            F.round(F.col("maha_raw"), 4).alias("maha_sq"),
+        )
+        .orderBy(
+            F.round(F.col("maha_raw"), 6).desc(), F.col("vec_id")
+        )
+        .limit(MAHA_TOP_N)
+    )
+
+
+QUERIES["embedding_maha_outliers"] = embedding_maha_outliers
+
+ORACLE_SQL["embedding_maha_outliers"] = f"""
+    WITH flat AS (
+        SELECT vec_id,
+               CAST(i - 1 AS INTEGER) AS dim,
+               CAST(ROUND(embedding[CAST(i AS INTEGER)]::DOUBLE * 1e6)
+                    AS BIGINT) AS u
+        FROM embeddings,
+             UNNEST(generate_series(1, len(embedding))) AS t(i)
+    ),
+    stats AS (
+        SELECT dim,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(u) AS BIGINT) AS s,
+               CAST(SUM(u * u) AS BIGINT) AS s2
+        FROM flat GROUP BY dim
+    ),
+    scored AS (
+        SELECT f.vec_id,
+               SUM((f.u - s.s * 1.0 / s.n) * (f.u - s.s * 1.0 / s.n)
+                   / (s.s2 * 1.0 / s.n
+                      - (s.s * 1.0 / s.n) * (s.s * 1.0 / s.n)))
+                   AS maha_raw
+        FROM flat f
+        JOIN stats s USING (dim)
+        WHERE s.s2 * 1.0 / s.n
+              - (s.s * 1.0 / s.n) * (s.s * 1.0 / s.n) > 0
+        GROUP BY f.vec_id
+    )
+    SELECT sc.vec_id, e.label, ROUND(sc.maha_raw, 4) AS maha_sq
+    FROM scored sc JOIN embeddings e USING (vec_id)
+    ORDER BY ROUND(sc.maha_raw, 6) DESC, sc.vec_id
+    LIMIT {MAHA_TOP_N}
+"""

@@ -95,3 +95,35 @@ def test_brand_affinity_cosine_matches_reference_recompute(spark):
         assert co <= min(len(ca), len(cbr))
         want = co / math.sqrt(len(ca) * len(cbr))
         assert abs(r.cosine - want) < 5e-7
+
+
+def test_maha_outliers_match_numpy_recompute(spark):
+    import numpy as np
+
+    from tableau_dashboard_performance_etl_automation_spark.operators import similarity
+
+    vecs = {
+        r.vec_id: (np.round(np.array(r.embedding, dtype=np.float64) * 1e6), r.label)
+        for r in spark.read.parquet(f"{SF}/embeddings.parquet").collect()
+    }
+    X = np.stack([v for v, _ in vecs.values()])
+    mu = X.mean(axis=0)
+    var = (X * X).mean(axis=0) - mu * mu
+    nz = var > 0
+    scores = {
+        vid: float((((v[nz] - mu[nz]) ** 2) / var[nz]).sum())
+        for vid, (v, _) in zip(vecs, (vecs[k] for k in vecs))
+    }
+    # population property: the mean Mahalanobis^2 equals the number of
+    # live (nonzero-variance) dims exactly under population variance
+    assert abs(np.mean(list(scores.values())) - nz.sum()) < 1e-6
+
+    got = similarity.embedding_maha_outliers(spark, SF).collect()
+    assert len(got) == min(similarity.MAHA_TOP_N, len(vecs))
+    want_order = sorted(
+        scores, key=lambda k: (-round(scores[k], 6), k)
+    )[: len(got)]
+    for row, vid in zip(got, want_order):
+        assert row.vec_id == vid
+        assert abs(row.maha_sq - scores[vid]) < 1e-3
+        assert row.label == vecs[vid][1]
