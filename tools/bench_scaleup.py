@@ -202,6 +202,12 @@ def main() -> None:
                 "sec": round(time.time() - t0, 2),
                 "rows": n_rows,
             }
+            # emit the cell NOW: a deep-decade probe dying mid-factor
+            # (disk-full shuffle spill, OOM) must not lose the cells
+            # that already completed
+            print(
+                json.dumps({f"{factor}x:{name}": row[name]}), flush=True
+            )
             if name in (
                 "dedup_incremental_newbatch",
                 "winnowing_overlap_pairs",
