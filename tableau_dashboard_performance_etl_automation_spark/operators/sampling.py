@@ -1104,3 +1104,100 @@ def _es_oracle() -> str:
 
 
 ORACLE_SQL["weighted_sample_es"] = _es_oracle()
+
+
+#: Walk-forward split knobs: train fraction (by exact interpolated
+#: time percentile) and embargo gap (ms) dropped between train and
+#: test so horizon-h label leakage cannot cross the boundary (2 days
+#: here: the corpus spans 30, so the test window keeps ~4).
+EMBARGO_TRAIN_Q = 0.8
+EMBARGO_MS = 2 * 24 * 3600 * 1000
+
+
+def temporal_embargo_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Walk-forward train/test split with an EMBARGO window — the
+    time-series leakage control (de Prado's purged walk-forward):
+    train = events at or before the ``EMBARGO_TRAIN_Q`` time
+    percentile, test = events more than ``EMBARGO_MS`` past it, and
+    the embargo rows between are DROPPED so a label computed over a
+    forward horizon in train can never overlap a test input. Hash
+    splits (``dataset_split``) and group splits
+    (``leakfree_split_assign``) cannot give this guarantee: temporal
+    leakage is about adjacency in time, not identity.
+
+    Output: per (split, event_type) census — rows, distinct users,
+    exact cents — plus each split's time bounds, the audit a backtest
+    reads before trusting its out-of-sample numbers.
+
+    Scale shape: the cutoff is one exact interpolated percentile of
+    epoch-millis (the ``value_drift_psi`` pair: Spark ``percentile``
+    ↔ DuckDB ``quantile_cont``, identical doubles from identical
+    BIGINTs), broadcast as one row; assignment is a codegen'd CASE
+    per row; the census is one hash aggregate keyed on (split, type).
+    Distinct users per cell is the only expensive aggregate and it is
+    exact — at 100 TB swap in approx_count_distinct or the KMV
+    sketch (``kmv_distinct_users``) if ±2 % is acceptable."""
+    e = load_table(spark, sf_dir, "events")
+    ev = e.select(
+        F.unix_millis("ts").alias("ms"),
+        "user_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    anchor = F.broadcast(
+        ev.agg(
+            F.expr(f"percentile(ms, {EMBARGO_TRAIN_Q}D)").alias("cut_ms")
+        )
+    )
+    split = (
+        F.when(F.col("ms") <= F.col("cut_ms"), F.lit("train"))
+        .when(F.col("ms") > F.col("cut_ms") + EMBARGO_MS, F.lit("test"))
+        .otherwise(F.lit("embargo"))
+    )
+    return (
+        ev.crossJoin(anchor)
+        .select(split.alias("split"), "user_id", "event_type", "cents", "ms")
+        .filter(F.col("split") != "embargo")
+        .groupBy("split", "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+            F.sum("cents").cast("bigint").alias("total_cents"),
+            F.min("ms").cast("bigint").alias("min_ms"),
+            F.max("ms").cast("bigint").alias("max_ms"),
+        )
+        .orderBy("split", "event_type")
+    )
+
+
+QUERIES["temporal_embargo_split"] = temporal_embargo_split
+
+ORACLE_SQL["temporal_embargo_split"] = f"""
+    WITH ev AS (
+        SELECT epoch_ms(ts) AS ms,
+               user_id,
+               event_type,
+               CAST(ROUND(value * 100) AS BIGINT) AS cents
+        FROM events
+    ),
+    anchor AS (
+        SELECT quantile_cont(ms, {EMBARGO_TRAIN_Q}) AS cut_ms FROM ev
+    ),
+    tagged AS (
+        SELECT CASE WHEN ms <= cut_ms THEN 'train'
+                    WHEN ms > cut_ms + {EMBARGO_MS} THEN 'test'
+                    ELSE 'embargo' END AS split,
+               user_id, event_type, cents, ms
+        FROM ev CROSS JOIN anchor
+    )
+    SELECT split, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(SUM(cents) AS BIGINT) AS total_cents,
+           CAST(MIN(ms) AS BIGINT) AS min_ms,
+           CAST(MAX(ms) AS BIGINT) AS max_ms
+    FROM tagged
+    WHERE split <> 'embargo'
+    GROUP BY split, event_type
+    ORDER BY split, event_type
+"""

@@ -127,3 +127,33 @@ def test_maha_outliers_match_numpy_recompute(spark):
         assert row.vec_id == vid
         assert abs(row.maha_sq - scores[vid]) < 1e-3
         assert row.label == vecs[vid][1]
+
+
+def test_temporal_embargo_split_gap_and_conservation(spark):
+    from tableau_dashboard_performance_etl_automation_spark.operators import sampling
+
+    rows = sampling.temporal_embargo_split(spark, SF).collect()
+    splits = {r.split for r in rows}
+    assert splits <= {"train", "test"}
+    train_max = max(r.max_ms for r in rows if r.split == "train")
+    test_min = min(r.min_ms for r in rows if r.split == "test")
+    # the embargo guarantee: no test event within EMBARGO_MS of the
+    # last train event
+    assert test_min - train_max > sampling.EMBARGO_MS
+    # conservation: train + test + embargo == all events, and the
+    # train share respects the percentile cutoff
+    ev = spark.read.parquet(f"{SF}/events.parquet").collect()
+    n_total = len(ev)
+    n_split = sum(r.n_events for r in rows)
+    assert n_split <= n_total
+    ms = sorted(int(e.ts.timestamp() * 1000) for e in ev)
+    n_train = sum(r.n_events for r in rows if r.split == "train")
+    # exact interpolated 0.8-percentile: at least 80% of events are
+    # at or before the cutoff minus interpolation slack of one rank
+    assert abs(n_train - sampling.EMBARGO_TRAIN_Q * n_total) <= 1 + n_total * 0.01
+    n_embargo = sum(
+        1
+        for m in ms
+        if train_max < m <= test_min - 1
+    )
+    assert n_split + n_embargo == n_total
