@@ -33,12 +33,6 @@ from collections import Counter
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-TABLES = [
-    "region", "nation", "customer", "supplier", "part",
-    "orders", "lineitem", "events", "documents", "embeddings",
-]
-
-
 def _norm_rows(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = []
@@ -76,12 +70,15 @@ def main() -> None:
     only = set(sys.argv[2:])
 
     import __spark_entry__ as entry
+    from tableau_dashboard_performance_etl_automation_spark.catalog import register_views
     from tableau_dashboard_performance_etl_automation_spark.session import get_spark
 
     spark = get_spark("tdpe-sql-compat")
     spark.sparkContext.setLogLevel("ERROR")
-    for t in TABLES:
-        spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet")).createOrReplaceTempView(t)
+    # the engine's own SQL entry path: normalized views (engine confs,
+    # nanosecond-timestamp conversion) — the same catalog every
+    # DataFrame operator reads through
+    register_views(spark, sf_dir)
 
     queries = entry.queries()
     oracles = entry.oracle_sql()
