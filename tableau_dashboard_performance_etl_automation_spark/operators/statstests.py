@@ -2715,3 +2715,151 @@ def _oracle_sql10() -> dict[str, str]:
             ORDER BY g.l_returnflag
         """,
     }
+
+
+def conversion_cuped_adjusted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced A/B readout (Deng et al. 2013, WSDM —
+    "Improving the Sensitivity of Online Controlled Experiments"):
+    per-user POST-period value is adjusted by the pre-period covariate
+    ``adj = post − θ·(pre − mean_pre)`` with ``θ = cov(pre, post) /
+    var(pre)`` pooled across arms, shrinking metric variance by the
+    squared pre/post correlation — the standard trick that makes the
+    same experiment detect effects ~1/(1−ρ²)× smaller.
+
+    Pre/post split at the exact interpolated median event time (the
+    ``value_drift_psi`` percentile pair); arms replay the engine's
+    deterministic md5 split primitive (``sampling._bucket``), so the
+    whole readout is replayable.
+
+    Scale shape: ONE user-keyed hash aggregate builds the per-user
+    (arm, pre_cents, post_cents) table; everything else collapses to
+    a 1-row moment aggregate (Σpre, Σpost, Σpre², Σpost², Σpre·post
+    per arm — exact BIGINTs; at ~10⁹ users the squared sums move to
+    DECIMAL(38,0), same shape) and closed-form doubles. Output: both
+    the naive and CUPED diffs, θ, and the variance-reduction share
+    ρ², each rounded to 4/6."""
+    events = load_table(spark, sf_dir, "events")
+    ev = events.select(
+        F.unix_millis("ts").alias("ms"),
+        "user_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    anchor = F.broadcast(
+        ev.agg(F.expr("percentile(ms, 0.5D)").alias("split_ms"))
+    )
+    users = (
+        ev.crossJoin(anchor)
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(F.col("ms") <= F.col("split_ms"), F.col("cents"))
+                .otherwise(0)
+            ).cast("bigint").alias("pre"),
+            F.sum(
+                F.when(F.col("ms") > F.col("split_ms"), F.col("cents"))
+                .otherwise(0)
+            ).cast("bigint").alias("post"),
+        )
+        .select(
+            F.when(_bucket(F.col("user_id")) % 2 == 0, "A")
+            .otherwise("B")
+            .alias("arm"),
+            "pre",
+            "post",
+        )
+    )
+    is_a = F.col("arm") == "A"
+    m = users.groupBy().agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("pre").cast("bigint").alias("sp"),
+        F.sum("post").cast("bigint").alias("so"),
+        F.sum(F.col("pre") * F.col("pre")).cast("bigint").alias("spp"),
+        F.sum(F.col("post") * F.col("post")).cast("bigint").alias("soo"),
+        F.sum(F.col("pre") * F.col("post")).cast("bigint").alias("spo"),
+        F.sum(F.when(is_a, 1).otherwise(0)).cast("bigint").alias("n_a"),
+        F.sum(F.when(is_a, F.col("pre")).otherwise(0))
+        .cast("bigint")
+        .alias("sp_a"),
+        F.sum(F.when(is_a, F.col("post")).otherwise(0))
+        .cast("bigint")
+        .alias("so_a"),
+    )
+    n, sp, so = F.col("n"), F.col("sp"), F.col("so")
+    var_pre = F.col("spp") / n - (sp / n) * (sp / n)
+    var_post = F.col("soo") / n - (so / n) * (so / n)
+    cov = F.col("spo") / n - (sp / n) * (so / n)
+    theta = cov / var_pre
+    n_b = n - F.col("n_a")
+    mean_post_a = F.col("so_a") / F.col("n_a")
+    mean_post_b = (so - F.col("so_a")) / n_b
+    mean_pre_a = F.col("sp_a") / F.col("n_a")
+    mean_pre_b = (sp - F.col("sp_a")) / n_b
+    diff_naive = mean_post_b - mean_post_a
+    diff_cuped = diff_naive - theta * (mean_pre_b - mean_pre_a)
+    rho_sq = (cov * cov) / (var_pre * var_post)
+    return m.select(
+        F.col("n_a"),
+        n_b.alias("n_b"),
+        F.round(diff_naive / 100.0, 4).alias("diff_naive_usd"),
+        F.round(diff_cuped / 100.0, 4).alias("diff_cuped_usd"),
+        F.round(theta, 6).alias("theta"),
+        F.round(rho_sq, 6).alias("var_reduction"),
+    )
+
+
+QUERIES["conversion_cuped_adjusted"] = conversion_cuped_adjusted
+
+ORACLE_SQL["conversion_cuped_adjusted"] = """
+    WITH ev AS (
+        SELECT epoch_ms(ts) AS ms, user_id,
+               CAST(ROUND(value * 100) AS BIGINT) AS cents
+        FROM events
+    ),
+    anchor AS (SELECT quantile_cont(ms, 0.5) AS split_ms FROM ev),
+    users AS (
+        SELECT CASE WHEN (ascii(substr(md5(CAST(user_id AS VARCHAR)), 1, 1))
+                          * 256
+                          + ascii(substr(md5(CAST(user_id AS VARCHAR)), 2, 1)))
+                         % 100 % 2 = 0
+                    THEN 'A' ELSE 'B' END AS arm,
+               CAST(SUM(CASE WHEN ms <= split_ms THEN cents ELSE 0 END)
+                    AS BIGINT) AS pre,
+               CAST(SUM(CASE WHEN ms > split_ms THEN cents ELSE 0 END)
+                    AS BIGINT) AS post
+        FROM ev CROSS JOIN anchor
+        GROUP BY user_id
+    ),
+    m AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(pre) AS BIGINT) AS sp,
+               CAST(SUM(post) AS BIGINT) AS so,
+               CAST(SUM(pre * pre) AS BIGINT) AS spp,
+               CAST(SUM(post * post) AS BIGINT) AS soo,
+               CAST(SUM(pre * post) AS BIGINT) AS spo,
+               CAST(SUM(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_a,
+               CAST(SUM(CASE WHEN arm = 'A' THEN pre ELSE 0 END) AS BIGINT)
+                   AS sp_a,
+               CAST(SUM(CASE WHEN arm = 'A' THEN post ELSE 0 END) AS BIGINT)
+                   AS so_a
+        FROM users
+    )
+    SELECT n_a,
+           n - n_a AS n_b,
+           ROUND(((so - so_a) * 1.0 / (n - n_a) - so_a * 1.0 / n_a)
+                 / 100.0, 4) AS diff_naive_usd,
+           ROUND((((so - so_a) * 1.0 / (n - n_a) - so_a * 1.0 / n_a)
+                  - ((spo * 1.0 / n - (sp * 1.0 / n) * (so * 1.0 / n))
+                     / (spp * 1.0 / n - (sp * 1.0 / n) * (sp * 1.0 / n)))
+                    * ((sp - sp_a) * 1.0 / (n - n_a) - sp_a * 1.0 / n_a))
+                 / 100.0, 4) AS diff_cuped_usd,
+           ROUND((spo * 1.0 / n - (sp * 1.0 / n) * (so * 1.0 / n))
+                 / (spp * 1.0 / n - (sp * 1.0 / n) * (sp * 1.0 / n)), 6)
+               AS theta,
+           ROUND((spo * 1.0 / n - (sp * 1.0 / n) * (so * 1.0 / n))
+                 * (spo * 1.0 / n - (sp * 1.0 / n) * (so * 1.0 / n))
+                 / ((spp * 1.0 / n - (sp * 1.0 / n) * (sp * 1.0 / n))
+                    * (soo * 1.0 / n - (so * 1.0 / n) * (so * 1.0 / n))), 6)
+               AS var_reduction
+    FROM m
+"""

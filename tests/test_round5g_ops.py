@@ -157,3 +157,48 @@ def test_temporal_embargo_split_gap_and_conservation(spark):
         if train_max < m <= test_min - 1
     )
     assert n_split + n_embargo == n_total
+
+
+def test_cuped_matches_numpy_and_reduces_variance(spark):
+    import hashlib
+
+    import numpy as np
+
+    from tableau_dashboard_performance_etl_automation_spark.operators import statstests
+
+    ev = spark.read.parquet(f"{SF}/events.parquet").collect()
+    ms = sorted(int(e.ts.timestamp() * 1000) for e in ev)
+    split = float(np.quantile(ms, 0.5, method="linear"))
+    per_user: dict[int, list[int]] = {}
+    for e in ev:
+        t = int(e.ts.timestamp() * 1000)
+        cents = round(e.value * 100)
+        pre, post = per_user.setdefault(e.user_id, [0, 0])
+        if t <= split:
+            per_user[e.user_id][0] = pre + cents
+        else:
+            per_user[e.user_id][1] = post + cents
+    arms = {}
+    for uid in per_user:
+        h = hashlib.md5(str(uid).encode()).hexdigest()
+        arms[uid] = "A" if (ord(h[0]) * 256 + ord(h[1])) % 100 % 2 == 0 else "B"
+    pre = np.array([per_user[u][0] for u in per_user], dtype=float)
+    post = np.array([per_user[u][1] for u in per_user], dtype=float)
+    cov = (pre * post).mean() - pre.mean() * post.mean()
+    var_pre = (pre * pre).mean() - pre.mean() ** 2
+    var_post = (post * post).mean() - post.mean() ** 2
+    theta = cov / var_pre
+    a = np.array([arms[u] == "A" for u in per_user])
+    diff_naive = post[~a].mean() - post[a].mean()
+    diff_cuped = diff_naive - theta * (pre[~a].mean() - pre[a].mean())
+    rho_sq = cov * cov / (var_pre * var_post)
+
+    row = statstests.conversion_cuped_adjusted(spark, SF).collect()[0]
+    assert row.n_a == int(a.sum()) and row.n_b == int((~a).sum())
+    assert abs(row.diff_naive_usd - diff_naive / 100) < 1e-3
+    assert abs(row.diff_cuped_usd - diff_cuped / 100) < 1e-3
+    assert abs(row.theta - theta) < 1e-4
+    assert abs(row.var_reduction - rho_sq) < 1e-4
+    # CUPED's point: 0 <= rho^2 < 1, and the adjusted estimator's
+    # variance is (1 - rho^2) of the naive one by construction
+    assert 0.0 <= row.var_reduction < 1.0
