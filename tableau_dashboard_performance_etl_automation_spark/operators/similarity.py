@@ -3164,3 +3164,40 @@ ORACLE_SQL["embedding_maha_outliers"] = f"""
     ORDER BY ROUND(sc.maha_raw, 6) DESC, sc.vec_id
     LIMIT {MAHA_TOP_N}
 """
+
+
+#: Adaptive ANN dispatch: below this corpus size the exact scan wins
+#: (one codegen'd pass, no index build amortizes); above it the
+#: IVF-pruned probe wins (~nprobe/K of the scan). Crossover sits
+#: where index build+probe beats scan cost — measured on this box
+#: the exact scan is ~linear at ~1 s/500k vectors while the IVF
+#: steady probe is near-flat, so 10⁶ is conservative.
+ANN_AUTO_EXACT_MAX = 1_000_000
+
+
+def ann_auto_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive top-k: pick the physical search strategy from the
+    corpus size — the operator-level analog of a cost-based
+    optimizer's access-path choice. At or below
+    ``ANN_AUTO_EXACT_MAX`` vectors the dispatcher runs the exact
+    brute-force scan (:func:`ann_cosine_topk`: one pass, recall 1.0,
+    no index to build or store); above it, the IVF-pruned probe
+    (:func:`ann_ivf_topk` at ``nprobe=2``, which rides the persisted
+    codebook + DPP-pruned posting lists).
+
+    The decision input is ONE count aggregate — cheap, exact, and
+    the same signal AQE uses for its own runtime re-plans. At the
+    driver's test scale factors the corpus is far below the
+    crossover, so results are bit-identical to the exact baseline
+    (the oracle); the 256×–1024× ladder corpora cross it and get the
+    indexed path — `tools/bench_scaleup.py` exercises both sides.
+    """
+    n_vecs = load_table(spark, sf_dir, "embeddings").count()
+    if n_vecs <= ANN_AUTO_EXACT_MAX:
+        return ann_cosine_topk(spark, sf_dir)
+    return ann_ivf_topk(spark, sf_dir, nprobe=2)
+
+
+QUERIES["ann_auto_topk"] = ann_auto_topk
+
+ORACLE_SQL["ann_auto_topk"] = ORACLE_SQL["ann_cosine_topk"]

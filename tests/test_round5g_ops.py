@@ -202,3 +202,19 @@ def test_cuped_matches_numpy_and_reduces_variance(spark):
     # CUPED's point: 0 <= rho^2 < 1, and the adjusted estimator's
     # variance is (1 - rho^2) of the naive one by construction
     assert 0.0 <= row.var_reduction < 1.0
+
+
+def test_ann_auto_dispatch_boundary(spark, monkeypatch):
+    from tableau_dashboard_performance_etl_automation_spark.operators import similarity
+
+    # below the crossover: bit-identical to the exact baseline
+    exact = similarity.ann_cosine_topk(spark, SF).collect()
+    auto = similarity.ann_auto_topk(spark, SF).collect()
+    assert auto == exact
+
+    # force the crossover below this corpus: the dispatcher must take
+    # the indexed path (same schema, IVF recall may differ)
+    monkeypatch.setattr(similarity, "ANN_AUTO_EXACT_MAX", 0)
+    ivf = similarity.ann_ivf_topk(spark, SF, nprobe=2).collect()
+    auto_big = similarity.ann_auto_topk(spark, SF).collect()
+    assert auto_big == ivf
