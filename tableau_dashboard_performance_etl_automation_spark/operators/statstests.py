@@ -2863,3 +2863,67 @@ ORACLE_SQL["conversion_cuped_adjusted"] = """
                AS var_reduction
     FROM m
 """
+
+
+def ab_sample_ratio_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch (SRM) guardrail for the A/B split: a
+    1-dof chi-square of the observed arm sizes against the intended
+    50/50 — ``(n_a − n_b)² / n`` — with the standard 95% flag
+    (χ² > 3.841). Experimentation platforms run this before ANY
+    metric readout: an SRM means the assignment or logging pipeline
+    is biased and every downstream p-value is garbage (Fabijan et
+    al. 2019's "most important guardrail").
+
+    Arms replay the engine's md5 split primitive over distinct users;
+    the whole check is one distinct-aggregate → 1 row of exact
+    BIGINTs → one closed-form double."""
+    events = load_table(spark, sf_dir, "events")
+    users = events.select("user_id").distinct().select(
+        F.when(_bucket(F.col("user_id")) % 2 == 0, "A")
+        .otherwise("B")
+        .alias("arm")
+    )
+    m = users.groupBy().agg(
+        F.sum(F.when(F.col("arm") == "A", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_a"),
+        F.sum(F.when(F.col("arm") == "B", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_b"),
+    )
+    chi2 = (
+        (F.col("n_a") - F.col("n_b")) * (F.col("n_a") - F.col("n_b"))
+    ) / (F.col("n_a") + F.col("n_b"))
+    return m.select(
+        "n_a",
+        "n_b",
+        F.round(chi2, 6).alias("chi2"),
+        (chi2 > 3.841).cast("int").alias("srm_flag"),
+    )
+
+
+QUERIES["ab_sample_ratio_check"] = ab_sample_ratio_check
+
+ORACLE_SQL["ab_sample_ratio_check"] = """
+    WITH users AS (
+        SELECT DISTINCT user_id,
+               CASE WHEN (ascii(substr(md5(CAST(user_id AS VARCHAR)), 1, 1))
+                          * 256
+                          + ascii(substr(md5(CAST(user_id AS VARCHAR)), 2, 1)))
+                         % 100 % 2 = 0
+                    THEN 'A' ELSE 'B' END AS arm
+        FROM events
+    ),
+    m AS (
+        SELECT CAST(SUM(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_a,
+               CAST(SUM(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_b
+        FROM users
+    )
+    SELECT n_a, n_b,
+           ROUND((n_a - n_b) * (n_a - n_b) * 1.0 / (n_a + n_b), 6) AS chi2,
+           CAST(CASE WHEN (n_a - n_b) * (n_a - n_b) * 1.0 / (n_a + n_b)
+                          > 3.841 THEN 1 ELSE 0 END AS INT) AS srm_flag
+    FROM m
+"""

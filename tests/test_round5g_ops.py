@@ -218,3 +218,29 @@ def test_ann_auto_dispatch_boundary(spark, monkeypatch):
     ivf = similarity.ann_ivf_topk(spark, SF, nprobe=2).collect()
     auto_big = similarity.ann_auto_topk(spark, SF).collect()
     assert auto_big == ivf
+
+
+def test_srm_check_counts_and_identity(spark):
+    import hashlib
+
+    from tableau_dashboard_performance_etl_automation_spark.operators import statstests
+
+    users = {
+        r.user_id
+        for r in spark.read.parquet(f"{SF}/events.parquet")
+        .select("user_id")
+        .distinct()
+        .collect()
+    }
+    n_a = sum(
+        1
+        for u in users
+        if (lambda h: (ord(h[0]) * 256 + ord(h[1])) % 100 % 2 == 0)(
+            hashlib.md5(str(u).encode()).hexdigest()
+        )
+    )
+    row = statstests.ab_sample_ratio_check(spark, SF).collect()[0]
+    assert row.n_a == n_a and row.n_b == len(users) - n_a
+    want_chi2 = (row.n_a - row.n_b) ** 2 / (row.n_a + row.n_b)
+    assert abs(row.chi2 - want_chi2) < 1e-6
+    assert row.srm_flag == (1 if want_chi2 > 3.841 else 0)
