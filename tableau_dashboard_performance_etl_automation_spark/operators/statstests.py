@@ -821,10 +821,21 @@ def _oracle_sql() -> dict[str, str]:
 
 class _LazyOracle(dict):
     """Defer oracle assembly (it imports sibling modules) to first
-    access, keeping import order cycle-free."""
+    access, keeping import order cycle-free.
+
+    The fill guard is a FLAG, not ``if not self``: direct
+    ``ORACLE_SQL[name] = ...`` registrations at module scope (the
+    convention every other module uses) make the dict non-empty
+    before first access, and an emptiness guard would then silently
+    drop every lazily-assembled entry (caught by
+    ``test_queries_and_oracles_share_rotation`` when round 5g
+    appended two stats ops this way)."""
+
+    _filled = False
 
     def _fill(self) -> None:
-        if not self:
+        if not self._filled:
+            self._filled = True
             self.update(_oracle_sql())
             self.update(_oracle_sql2())
             self.update(_oracle_sql3())
