@@ -715,3 +715,17 @@ def test_brand_affinity_broadcasts_dims_and_totals(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "Python" not in plan
+
+
+def test_brand_affinity_warm_run_reads_artifact_not_facts(spark, sf_dir):
+    from tableau_dashboard_performance_etl_automation_spark.operators import relational_ext
+
+    # first call may build the persisted (customer, brand) artifact;
+    # the SECOND call's plan must read the artifact scan only — the
+    # lineitem/orders fact join exists solely inside the build
+    relational_ext.brand_affinity_topk(spark, sf_dir).count()
+    df = relational_ext.brand_affinity_topk(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "cust_brand" in plan
+    assert "lineitem" not in plan
+    assert "orders.parquet" not in plan
