@@ -132,38 +132,49 @@ def quality_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     heterogeneous-corpus curation rule (a transcript source and an
     encyclopedia source have different 'short' thresholds).
 
-    The rank is an exact integer window per source (deterministic
-    tiebreak on doc_id), so the survivor set — not just its size — is
-    cross-engine reproducible. At scale the window sort shuffles once
-    on source, the same partitioning the downstream per-source ops
-    reuse; no global sort, no percentile interpolation ambiguity.
+    The rank threshold is an exact integer (⌊n/4⌋ in (n_words,
+    doc_id) order), so the survivor set — not just its size — is
+    cross-engine reproducible.  Scale shape — NO per-row window at
+    all: every reported aggregate depends on a doc only through its
+    (source, n_words) pair, and inside the one tie group that
+    straddles the ⌊n/4⌋ cut every member shares the same n_words, so
+    the doc_id tiebreak cannot change any output.  The whole query
+    therefore folds to the (source, n_words, cnt) compaction (a
+    map-side-combining hash aggregate over a bounded count domain): a
+    cumulative window over DISTINCT word counts yields each group's
+    rank interval (lo, hi], the kept portion is
+    ``least(cnt, hi - ⌊n/4⌋)`` clamped at 0, and the per-source
+    answer is a second bounded hash aggregate.  At 100 TB the only
+    per-row work is the hash aggregate; the window sorts the value
+    domain, never the rows.
     """
     from pyspark.sql.window import Window
 
     docs = load_table(spark, sf_dir, "documents")
-    w = Window.partitionBy("source").orderBy("n_words", "doc_id")
-    wc = Window.partitionBy("source")
-    ranked = (
-        docs.select("source", "doc_id", F.size(F.split("text", " ")).alias("n_words"))
-        .withColumn("rk", F.row_number().over(w))
-        .withColumn("n", F.count(F.lit(1)).over(wc))
-        .withColumn(
-            "kept",
-            (
-                F.col("rk")
-                > F.expr(f"(n * {PCTL_DROP_NUM}) div {PCTL_DROP_DEN}")
-            ).cast("int"),
-        )
+    counts = docs.select(
+        "source", F.size(F.split("text", " ")).alias("n_words")
+    ).groupBy("source", "n_words").agg(F.count(F.lit(1)).alias("cnt"))
+    w_val = Window.partitionBy("source").orderBy("n_words")
+    cum = counts.withColumn(
+        "hi", F.sum("cnt").over(w_val).cast("bigint")
+    )
+    totals = counts.groupBy("source").agg(F.sum("cnt").alias("n"))
+    cut = F.expr(f"(n * {PCTL_DROP_NUM}) div {PCTL_DROP_DEN}")
+    kept_in_group = F.greatest(
+        F.lit(0).cast("bigint"),
+        F.least(F.col("cnt").cast("bigint"), F.col("hi") - cut),
     )
     return (
-        ranked.groupBy("source")
+        cum.join(F.broadcast(totals), "source")
+        .withColumn("kept_cnt", kept_in_group)
+        .groupBy("source")
         .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-            F.sum("kept").cast("bigint").alias("n_kept"),
-            F.min(F.when(F.col("kept") == 1, F.col("n_words")))
+            F.sum("cnt").cast("bigint").alias("n_docs"),
+            F.sum("kept_cnt").cast("bigint").alias("n_kept"),
+            F.min(F.when(F.col("kept_cnt") > 0, F.col("n_words")))
             .cast("bigint")
             .alias("min_kept_words"),
-            F.sum(F.when(F.col("kept") == 1, F.col("n_words")).otherwise(0))
+            F.sum(F.col("kept_cnt") * F.col("n_words"))
             .cast("bigint")
             .alias("kept_tokens"),
         )

@@ -376,18 +376,45 @@ def buyer_cohort_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
 def price_rank_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-10 orders per priority with dense_rank, percent_rank, and
     the LEAD gap to the next-cheaper order — the leaderboard shape
-    exercising the rank-family windows together. One window partition
-    per priority (bounded key domain), full (price, key) tiebreak so
-    every rank value is deterministic; percent_rank is an exact
-    integer ratio."""
-    orders = load_table(spark, sf_dir, "orders")
+    exercising the rank-family windows together, computed WITHOUT
+    sorting a whole priority partition in one task.
+
+    Two-phase top-k (the distributed TakeOrderedAndProject shape):
+    phase 1 keeps each physical partition's local top-11 per priority
+    — the window partitions on (priority, spark_partition_id), so no
+    task ever sorts more than its own input split; any row in the
+    GLOBAL top-11 of its priority has at most 10 rows above it
+    anywhere, hence at most 10 above it in its own split, hence
+    survives phase 1.  Phase 2 runs the real rank window over the
+    ≤ 11 × n_partitions × 5 survivors (driver-bounded, trivially
+    sorted).  dense_rank over survivors equals the true dense_rank
+    for every pos ≤ 10 row because all strictly-higher-priced rows
+    are themselves top-10 rows and therefore present; percent_rank
+    with a full (price, key) tiebreak equals (pos-1)/(n-1), with n
+    folded from a map-side hash count — no window needs the full
+    rowset.  Row 11 survives phase 1 too, so pos-10's LEAD gap is
+    exact."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_orderkey", "o_totalprice"
+    )
+    n_by_key = F.broadcast(
+        orders.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n"))
+    )
+    local_w = Window.partitionBy("o_orderpriority", "_spid").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    survivors = (
+        orders.withColumn("_spid", F.spark_partition_id())
+        .withColumn("_lrn", F.row_number().over(local_w))
+        .filter(F.col("_lrn") <= 11)
+        .drop("_spid", "_lrn")
+    )
     w = Window.partitionBy("o_orderpriority").orderBy(
         F.col("o_totalprice").desc(), F.col("o_orderkey")
     )
     return (
-        orders.withColumn("rn", F.row_number().over(w))
+        survivors.withColumn("rn", F.row_number().over(w))
         .withColumn("price_rank", F.dense_rank().over(w))
-        .withColumn("pct_rank", F.round(F.percent_rank().over(w), 6))
         .withColumn(
             "gap_to_next",
             F.round(
@@ -395,6 +422,13 @@ def price_rank_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .filter(F.col("rn") <= 10)
+        .join(n_by_key, "o_orderpriority")
+        .withColumn(
+            "pct_rank",
+            F.when(F.col("n") > 1,
+                   F.round((F.col("rn") - 1) / (F.col("n") - 1), 6))
+            .otherwise(F.lit(0.0)),
+        )
         .select(
             "o_orderpriority",
             F.col("rn").alias("pos"),

@@ -531,10 +531,20 @@ def quantile_normalized_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     clean source and a raw 0.15 from a boilerplate-heavy one mean
     different things; the 0.37-quantile means the same).
 
-    One window per source partition (shuffle on the natural source
-    key, bounded per-key state); ranks order on the ROUNDED score
-    with a doc_id tiebreak, so bucket boundaries are deterministic
-    and both engines rank identical doubles.
+    Ranks order on the ROUNDED score with a doc_id tiebreak, so
+    bucket boundaries are deterministic and both engines rank
+    identical doubles.  Scale shape — the percent_rank decomposes
+    over the VALUE domain instead of sorting each source's rows in
+    one task (the ``token_packed_bins`` discipline,
+    ``sampling.py``): the score is rounded to 4 decimals, so the
+    distinct-(source, quality) compaction is a bounded hash
+    aggregate; per-group offsets (rows strictly below each score)
+    come from a cumulative window over DISTINCT scores only; a row's
+    global row_number is offset + its rank within its tie group
+    (window partitioned by (source, quality) — state bounded by the
+    tie group, never the source partition).  With the full doc_id
+    tiebreak percent_rank ≡ (row_number-1)/(n-1), n folded from the
+    compaction — no window ever holds a source's full rowset.
     """
     docs = load_table(spark, sf_dir, "documents")
     stoplist = ", ".join(f"'{s}'" for s in STOPWORDS)
@@ -546,13 +556,35 @@ def quantile_normalized_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.round(stop_hits / F.size(words()), 4).alias("quality"),
     )
-    w = Window.partitionBy("source").orderBy(
-        F.col("quality").asc(), F.col("doc_id").asc()
+    counts = scored.groupBy("source", "quality").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w_val = (
+        Window.partitionBy("source")
+        .orderBy(F.col("quality").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "source",
+        "quality",
+        F.coalesce(F.sum("cnt").over(w_val), F.lit(0)).alias("_offset"),
+    )
+    n_by_source = counts.groupBy("source").agg(F.sum("cnt").alias("_n"))
+    tie_rn = F.row_number().over(
+        Window.partitionBy("source", "quality").orderBy("doc_id")
     )
     return (
-        scored.withColumn(
-            "q_rank", F.round(F.percent_rank().over(w), 6)
+        scored.join(F.broadcast(offsets), ["source", "quality"])
+        .withColumn("_rn", F.col("_offset") + tie_rn)
+        .join(F.broadcast(n_by_source), "source")
+        .withColumn(
+            "q_rank",
+            F.when(
+                F.col("_n") > 1,
+                F.round((F.col("_rn") - 1) / (F.col("_n") - 1), 6),
+            ).otherwise(F.lit(0.0)),
         )
+        .select("doc_id", "source", "quality", "q_rank")
         .orderBy("doc_id")
     )
 

@@ -729,3 +729,58 @@ def test_brand_affinity_warm_run_reads_artifact_not_facts(spark, sf_dir):
     assert "cust_brand" in plan
     assert "lineitem" not in plan
     assert "orders.parquet" not in plan
+
+
+def test_price_rank_gaps_topk_is_group_limited_not_full_sort(spark, sf_dir):
+    """The two-phase leaderboard rewrite: phase 1 must compile to
+    WindowGroupLimit (Partial+Final) partitioned on
+    (priority, spark_partition_id) — so only ~11 rows per group leave
+    the map side and no task ever sorts a whole priority's rows — and
+    percent_rank must be gone from the plan (computed arithmetically
+    from the broadcast per-key count instead of a full-partition
+    window)."""
+    from tableau_dashboard_performance_etl_automation_spark.operators import relational_ext
+
+    df = relational_ext.price_rank_gaps(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "WindowGroupLimit" in plan
+    assert "_spid" in plan  # local window bounded by the input split
+    assert "percent_rank" not in plan
+    assert has_broadcast_hash_join(df)  # per-key n attaches broadcast
+    assert "CartesianProduct" not in plan
+
+
+def test_quantile_normalized_quality_windows_are_tie_group_bounded(
+    spark, sf_dir
+):
+    """The value-domain percent_rank rewrite: no percent_rank window
+    survives; the cumulative-offset window runs over the
+    (source, quality) COMPACTION, and the only raw-row window is the
+    tie-group row_number — partitioned by (source, quality), never by
+    source alone, so its state is one rounded-score tie group."""
+    import re
+
+    from tableau_dashboard_performance_etl_automation_spark.operators import textops
+
+    df = textops.quantile_normalized_quality(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "percent_rank" not in plan
+    assert "CartesianProduct" not in plan
+    # every row_number windowspec includes quality in its partition
+    for spec in re.findall(r"row_number\(\) windowspecdefinition\(([^)]*)", plan):
+        assert "quality" in spec, spec
+
+
+def test_quality_percentile_filter_folds_to_value_domain(spark, sf_dir):
+    """The adaptive-quartile filter must contain NO per-row window:
+    the single window runs over the (source, n_words, count)
+    compaction (hash aggregate upstream) and row_number is absent —
+    the straddling tie group's members share one n_words value, so no
+    doc-level rank is ever materialized."""
+    from tableau_dashboard_performance_etl_automation_spark.operators import curation
+
+    df = curation.quality_percentile_filter(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "row_number" not in plan
+    assert _window_fed_by_aggregate(plan)
+    assert "CartesianProduct" not in plan
