@@ -577,8 +577,8 @@ def session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     lag/sum SQL formulation the oracle replays.
 
     Boundary semantics: ``session_window(ts, gap)`` merges an event
-    whose gap from the previous is strictly less than 30 minutes, so
-    the oracle's split rule is ``diff >= 30 min`` (note
+    whose gap from the previous is strictly less than
+    ``SESSION_GAP_MS``, so the oracle's split rule is ``diff >=`` (note
     ``user_sessionization`` uses ``>`` — both conventions exist; the
     oracle matches the engine under test). State partitions by
     ``user_id``; the window start is the session's min event time.
@@ -589,7 +589,10 @@ def session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         ec.groupBy(
-            "user_id", F.session_window("ts", "30 minutes").alias("sw")
+            "user_id",
+            F.session_window(
+                "ts", f"{SESSION_GAP_MS} milliseconds"
+            ).alias("sw"),
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
@@ -1399,7 +1402,7 @@ ORACLE_SQL = {
         ORDER BY revenue DESC, o_orderkey
         LIMIT 10
     """,
-    "session_window_stats": """
+    "session_window_stats": f"""
         WITH ordered AS (
             SELECT user_id, ts, event_id,
                    CAST(ROUND(value * 100) AS BIGINT) AS cents,
@@ -1412,7 +1415,7 @@ ORACLE_SQL = {
             SELECT *,
                    CASE WHEN prev IS NULL
                              OR epoch_us(ts) - epoch_us(prev)
-                                >= 30 * 60 * 1000000
+                                >= {SESSION_GAP_MS} * 1000
                         THEN 1 ELSE 0 END AS ns
             FROM ordered
         ),
@@ -1697,7 +1700,7 @@ ORACLE_SQL = {
         GROUP BY CAST(ts AS DATE)
         ORDER BY event_date
     """,
-    "user_sessionization": """
+    "user_sessionization": f"""
         SELECT user_id, session_id,
                COUNT(*) AS n_events,
                SUM(cents) / 1e2 AS session_value
@@ -1711,7 +1714,7 @@ ORACLE_SQL = {
                 SELECT user_id, ts, event_id, cents,
                        CASE WHEN prev_ts IS NULL
                                  OR epoch_ms(ts) - epoch_ms(prev_ts)
-                                    > 30 * 60 * 1000
+                                    > {SESSION_GAP_MS}
                             THEN 1 ELSE 0 END AS new_session
                 FROM (
                     SELECT user_id, ts, event_id,
