@@ -44,6 +44,14 @@ def main() -> None:
     # optional argv subset (debug/profiling): bench.py name [name ...]
     if len(sys.argv) > 1:
         only = set(sys.argv[1:])
+        unknown = sorted(only - queries.keys())
+        if unknown:
+            # fail loudly: a typo'd name (or a positionally-passed
+            # sf_dir path) silently intersecting to an empty dict
+            # would emit an empty timings line instead of an error
+            raise SystemExit(
+                f"bench.py: unknown query names: {unknown}"
+            )
         queries = {k: v for k, v in queries.items() if k in only}
 
     # Full untimed warm-up pass: one execution of EVERY query before

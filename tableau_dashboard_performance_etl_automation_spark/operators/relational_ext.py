@@ -1454,6 +1454,13 @@ def brand_affinity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     base = os.path.basename(sf_dir.rstrip("/")) or "root"
     cb = persisted_table(spark, f"cust_brand/{base}", sf_dir, _build_cb)
+    return _affinity_from_cb(cb)
+
+
+def _affinity_from_cb(cb: DataFrame) -> DataFrame:
+    """Shared scoring stage over the distinct (customer, brand) set:
+    customer-key pair self-join → per-pair counts → broadcast totals
+    → cosine → per-brand top-3 (see ``brand_affinity_topk``)."""
     totals = cb.groupBy("p_brand").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_cust")
     )
@@ -1507,7 +1514,58 @@ def brand_affinity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def brand_affinity_cold_bucketed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``brand_affinity_topk``'s COLD path on BUCKETED fact layouts —
+    the 100 TB answer PERF.md's round-5 section names for the
+    62–129 s orders⋈lineitem shuffle cliff measured at 256× fact.
+
+    ``brand_affinity_topk`` amortizes the fact join into a persisted
+    (customer, brand) artifact; this variant answers the remaining
+    question — what does the BUILD itself cost when it can't be
+    skipped (first run on a new corpus, artifact invalidated)?  With
+    orders and lineitem stored bucketed+sorted on the order key
+    (``sources/warehouse.bucketed_fact`` — the layout a real
+    deployment maintains for its fact tables anyway), the build join
+    reads co-located pre-sorted buckets: NO Exchange and no sort on
+    either fact side (plan-contract-tested), so the cold build is a
+    streaming merge instead of a 153.6M-row shuffle.  Downstream
+    scoring is shared with the warm path (``_affinity_from_cb``) and
+    the result is identical — same oracle."""
+    # eager checkpoint: the scoring stage references cb four times
+    # (self-join a×b + totals); without materializing, each reference
+    # would replay the whole fact join. The set is |customers|·brands-
+    # per-customer (≈290k rows at every fact factor) — tiny.
+    cb = _cold_cb_build(spark, sf_dir).localCheckpoint()
+    return _affinity_from_cb(cb)
+
+
+def _cold_cb_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distinct (customer, brand) build over BUCKETED facts —
+    exposed un-checkpointed so the plan contract can assert the
+    order-key join runs with no shuffle Exchange on either fact
+    side."""
+    from tableau_dashboard_performance_etl_automation_spark.sources.warehouse import (
+        bucketed_fact,
+    )
+
+    part = load_table(spark, sf_dir, "part")
+    orders_b = bucketed_fact(spark, sf_dir, "orders", "o_orderkey")
+    li_b = bucketed_fact(spark, sf_dir, "lineitem", "l_orderkey")
+    return (
+        li_b.join(
+            orders_b.select("o_orderkey", "o_custkey"),
+            li_b["l_orderkey"] == orders_b["o_orderkey"],
+        )
+        .join(F.broadcast(part), li_b["l_partkey"] == part["p_partkey"])
+        .select("o_custkey", "p_brand")
+        .distinct()
+    )
+
+
 QUERIES["brand_affinity_topk"] = brand_affinity_topk
+QUERIES["brand_affinity_cold_bucketed"] = brand_affinity_cold_bucketed
 
 ORACLE_SQL["brand_affinity_topk"] = """
     WITH cb AS (
@@ -1546,3 +1604,9 @@ ORACLE_SQL["brand_affinity_topk"] = """
     FROM ranked WHERE rank <= 3
     ORDER BY brand, rank
 """
+
+# identical semantics, different physical path — the cold variant
+# shares the warm path's oracle text verbatim
+ORACLE_SQL["brand_affinity_cold_bucketed"] = ORACLE_SQL[
+    "brand_affinity_topk"
+]

@@ -3174,6 +3174,27 @@ ORACLE_SQL["embedding_maha_outliers"] = f"""
 #: steady probe is near-flat, so 10⁶ is conservative.
 ANN_AUTO_EXACT_MAX = 1_000_000
 
+#: Corpus-count memo for the dispatcher — the count is a per-corpus
+#: constant, so repeat invocations (bench warm-up + timed samples)
+#: must not each pay a full-table count job at plan-construction
+#: time (round-5 ADVICE item).
+_ANN_AUTO_COUNT_CACHE: dict[tuple[str, str], int] = _register_memo({})
+
+
+def _ann_auto_exact_max() -> int:
+    """Crossover threshold, env-overridable
+    (``SPARK_GRAFT_ANN_AUTO_EXACT_MAX``) so a correctness sweep at
+    above-crossover corpora can PIN the exact path (set it huge) and
+    keep the registered exact-scan oracle valid — the dispatch is
+    explicit, not a silent data-size-dependent result change."""
+    import os
+
+    return int(
+        os.environ.get(
+            "SPARK_GRAFT_ANN_AUTO_EXACT_MAX", ANN_AUTO_EXACT_MAX
+        )
+    )
+
 
 def ann_auto_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Adaptive top-k: pick the physical search strategy from the
@@ -3185,15 +3206,23 @@ def ann_auto_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (:func:`ann_ivf_topk` at ``nprobe=2``, which rides the persisted
     codebook + DPP-pruned posting lists).
 
-    The decision input is ONE count aggregate — cheap, exact, and
-    the same signal AQE uses for its own runtime re-plans. At the
-    driver's test scale factors the corpus is far below the
-    crossover, so results are bit-identical to the exact baseline
-    (the oracle); the 256×–1024× ladder corpora cross it and get the
-    indexed path — `tools/bench_scaleup.py` exercises both sides.
+    The decision input is ONE count aggregate — cheap, exact,
+    memoized per (application, corpus), and the same signal AQE uses
+    for its own runtime re-plans. At the driver's test scale factors
+    the corpus is far below the crossover, so results are
+    bit-identical to the exact baseline (the oracle); the 256×–1024×
+    ladder corpora cross it and get the indexed path (recall < 1.0
+    BY DESIGN — the registered oracle describes the exact path only;
+    pin it above the crossover via
+    ``SPARK_GRAFT_ANN_AUTO_EXACT_MAX`` when sweeping correctness at
+    ladder scale) — `tools/bench_scaleup.py` exercises both sides.
     """
-    n_vecs = load_table(spark, sf_dir, "embeddings").count()
-    if n_vecs <= ANN_AUTO_EXACT_MAX:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    n_vecs = _ANN_AUTO_COUNT_CACHE.get(key)
+    if n_vecs is None:
+        n_vecs = load_table(spark, sf_dir, "embeddings").count()
+        _ANN_AUTO_COUNT_CACHE[key] = n_vecs
+    if n_vecs <= _ann_auto_exact_max():
         return ann_cosine_topk(spark, sf_dir)
     return ann_ivf_topk(spark, sf_dir, nprobe=2)
 

@@ -834,18 +834,28 @@ class _LazyOracle(dict):
     _filled = False
 
     def _fill(self) -> None:
-        if not self._filled:
-            self._filled = True
-            self.update(_oracle_sql())
-            self.update(_oracle_sql2())
-            self.update(_oracle_sql3())
-            self.update(_oracle_sql4())
-            self.update(_oracle_sql5())
-            self.update(_oracle_sql6())
-            self.update(_oracle_sql7())
-            self.update(_oracle_sql8())
-            self.update(_oracle_sql9())
-            self.update(_oracle_sql10())
+        if self._filled:
+            return
+        # flag is set only AFTER every builder succeeds: a builder
+        # raising (e.g. transient import error) must not leave later
+        # accesses silently serving a permanently partial dict
+        # (round-5 ADVICE item) — collect first, publish atomically
+        assembled: dict = {}
+        for builder in (
+            _oracle_sql,
+            _oracle_sql2,
+            _oracle_sql3,
+            _oracle_sql4,
+            _oracle_sql5,
+            _oracle_sql6,
+            _oracle_sql7,
+            _oracle_sql8,
+            _oracle_sql9,
+            _oracle_sql10,
+        ):
+            assembled.update(builder())
+        self.update(assembled)
+        self._filled = True
 
     def __getitem__(self, key):  # noqa: D105
         self._fill()

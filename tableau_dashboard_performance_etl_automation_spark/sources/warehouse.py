@@ -249,3 +249,58 @@ def compact_parquet(
         n_tasks = max(1, math.ceil(total / target_file_bytes))
         df.repartition(n_tasks).write.mode("overwrite").parquet(out_path)
     return n_tasks
+
+
+#: Session memo for bucketed FACT layouts (appId, sf_dir, table, key)
+#: → registered bucketed-table name.  Facts are bucketed once per
+#: session; every order-key join after that is exchange-free.  (The
+#: in-memory catalog dies with the session, so re-registration — not
+#: the data files — is what the memo guards; at 100 TB the layout
+#: lives in a real metastore and this becomes a pure lookup.)
+def _registered_fact_cache() -> dict:
+    from tableau_dashboard_performance_etl_automation_spark.memo import register
+
+    return register({})
+
+
+_FACT_BUCKET_CACHE: dict[tuple, str] = _registered_fact_cache()
+
+
+def bucketed_fact(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str,
+    key: str,
+    n_buckets: int = 16,
+) -> DataFrame:
+    """The fact table as a BUCKETED managed table, hash-distributed
+    and sorted on its join ``key`` — the stored layout a 100 TB
+    warehouse maintains for its fact tables so every key join (e.g.
+    orders⋈lineitem on the order key) reads co-located, pre-sorted
+    buckets with NO Exchange and no per-query sort.  The one-time
+    write pays the only shuffle the layout will ever do; it is
+    memoized per (application, corpus, table, key) and reused by
+    every consumer in the session.
+
+    Both sides of an intended co-located join must use the SAME
+    ``n_buckets`` (Spark only elides the exchange when bucket counts
+    match)."""
+    import os
+
+    from tableau_dashboard_performance_etl_automation_spark.catalog import load_table
+
+    import hashlib
+
+    # the FULL path feeds the name: two corpora sharing a basename
+    # (e.g. .../a/sf0.1 vs .../b/sf0.1) must not collide on one table
+    digest = hashlib.md5(
+        os.path.abspath(sf_dir).encode()
+    ).hexdigest()[:8]
+    memo_key = (spark.sparkContext.applicationId, sf_dir, table, key)
+    name = f"fact_{table}_{digest}_by_{key}".replace(".", "_")
+    if _FACT_BUCKET_CACHE.get(memo_key) != name:
+        write_bucketed(
+            load_table(spark, sf_dir, table), name, key, n_buckets
+        )
+        _FACT_BUCKET_CACHE[memo_key] = name
+    return spark.table(name)

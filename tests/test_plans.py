@@ -784,3 +784,29 @@ def test_quality_percentile_filter_folds_to_value_domain(spark, sf_dir):
     assert "row_number" not in plan
     assert _window_fed_by_aggregate(plan)
     assert "CartesianProduct" not in plan
+
+
+def test_brand_affinity_cold_build_join_has_no_fact_exchange(
+    spark, sf_dir
+):
+    """The cold (customer, brand) build over bucketed facts: with
+    non-hinted broadcasts disabled (forcing the join shape a 256×
+    corpus would force anyway), the orders⋈lineitem join must read
+    both bucketed layouts co-located — NO shuffle Exchange keyed on
+    either order key.  (The distinct() exchange on (custkey, brand)
+    and the explicit part broadcast are expected.)"""
+    from tableau_dashboard_performance_etl_automation_spark.operators import relational_ext
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = relational_ext._cold_cb_build(spark, sf_dir)
+        plan = formatted_plan(df)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "Bucketed: true" in plan
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line and "orderkey" in line:
+            raise AssertionError(
+                f"fact-side exchange found: {line.strip()}"
+            )

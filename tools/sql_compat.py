@@ -34,12 +34,24 @@ from collections import Counter
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def _norm_rows(cols, rows):
+    from decimal import Decimal
+
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = []
     for r in rows:
         vals = []
         for i in order:
             v = r[i]
+            # Spark-SQL execution of the oracle strings can return
+            # DecimalType for ROUND/literal arithmetic where the
+            # DataFrame side returns double — coerce Decimal (and the
+            # int-vs-float repr split) to float BEFORE the 9-sig-digit
+            # normalization so numerically-equal results don't land in
+            # the dialect-divergence list (round-5 ADVICE item)
+            if isinstance(v, Decimal) or (
+                isinstance(v, int) and not isinstance(v, bool)
+            ):
+                v = float(v)
             if isinstance(v, float):
                 # same tolerance discipline as the driver gate: floats
                 # compare at 9 significant digits
