@@ -43,3 +43,15 @@ def md5_hex_int_sql(h_expr: str, start: int, n_digits: int) -> str:
     for i in range(1, n_digits):
         out = f"({out} * 16 + {digit(start + i)})"
     return out
+
+
+def md5_hex_bigint(h: Column, start: int, n_digits: int) -> Column:
+    """BIGINT-accumulating twin of :func:`md5_hex_int` for folds wider
+    than 7 hex digits — the int32 variant wraps at 2³¹ (8 digits can
+    reach 2³²−1) and Spark's non-ANSI integer arithmetic wraps
+    silently instead of erroring, so wide folds MUST accumulate in
+    64-bit from the first digit."""
+    out = _digit(F.substring(h, start, 1)).cast("bigint")
+    for i in range(1, n_digits):
+        out = out * 16 + _digit(F.substring(h, start + i, 1))
+    return out

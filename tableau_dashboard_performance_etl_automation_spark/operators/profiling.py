@@ -710,7 +710,7 @@ def _pos48(h) -> F.Column:
     BIGINT multiply — a single 12-digit fold would overflow the
     32-bit integer arithmetic in both engines (the KMV idiom)."""
     from tableau_dashboard_performance_etl_automation_spark.functions.hashing import (
-        md5_hex_int,
+        md5_hex_bigint,
     )
 
     half = _CH_DIGITS // 2
@@ -867,3 +867,121 @@ def _ch_oracle() -> str:
 
 
 ORACLE_SQL["consistent_hash_rebalance"] = _ch_oracle()
+
+
+#: Hex digits of the row md5 folded into the additive checksum: 12
+#: digits = 48 bits per row, so 2⁶³/2⁴⁸ ≈ 32k-billion rows before a
+#: BIGINT sum could overflow — far past any table this engine sees.
+CHECKSUM_HEX_DIGITS = 12
+
+
+def dataset_content_checksums(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Order-independent content checksum per table — the integrity
+    fingerprint a 100 TB deployment stores next to each dataset
+    version so replication / migration / engine-swap can be verified
+    without row-by-row comparison: ``(n_rows, SUM over rows of
+    int(md5(canonical_row)[:12 hex]))``.  A sum of per-row hashes is
+    commutative and mergeable — each partition folds its partial sum
+    map-side, so the check costs one narrow scan per table and works
+    identically on any row order or partitioning (exactly why
+    content-addressed storage uses unordered hash folds).
+
+    Canonical row strings use only exactly-rendered fields (ints,
+    strings, cents) — float repr is engine-specific and never enters
+    a checksum.  The md5→int fold is the repo's cross-engine
+    ``md5_hex_int`` twin pair, so DuckDB computes the identical
+    fingerprint."""
+    from tableau_dashboard_performance_etl_automation_spark.functions.hashing import (
+        md5_hex_bigint,
+    )
+
+    def fold(df: DataFrame, name: str, canon) -> DataFrame:
+        h = F.md5(canon)
+        return df.select(
+            md5_hex_bigint(h, 1, CHECKSUM_HEX_DIGITS).alias("rh")
+        ).agg(
+            F.lit(name).alias("table_name"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("rh").cast("bigint").alias("content_checksum"),
+        )
+
+    docs = load_table(spark, sf_dir, "documents")
+    orders = load_table(spark, sf_dir, "orders")
+    # F.concat (NULL-propagating) deliberately, matching SQL's ||:
+    # a null field nulls the row hash in BOTH engines and SUM skips
+    # it identically — concat_ws's null-skipping would diverge
+    sep = F.lit("|")
+    doc_canon = F.concat(
+        F.col("doc_id").cast("string"),
+        sep,
+        F.col("source"),
+        sep,
+        F.length("text").cast("string"),
+        sep,
+        F.md5("text"),
+    )
+    ord_canon = F.concat(
+        F.col("o_orderkey").cast("string"),
+        sep,
+        F.col("o_custkey").cast("string"),
+        sep,
+        F.col("o_orderstatus"),
+        sep,
+        F.round(F.col("o_totalprice") * 100).cast("bigint").cast("string"),
+    )
+    return (
+        fold(docs, "documents", doc_canon)
+        .unionByName(fold(orders, "orders", ord_canon))
+        .orderBy("table_name")
+    )
+
+
+QUERIES["dataset_content_checksums"] = dataset_content_checksums
+
+
+def _hex_int_sql_big(h_expr: str, n_digits: int) -> str:
+    """BIGINT-accumulating variant of ``hashing.md5_hex_int_sql`` —
+    12 hex digits overflow DuckDB's default INT32 fold."""
+
+    def digit(i: int) -> str:
+        c = f"substr({h_expr}, {i}, 1)"
+        return (
+            f"(CASE WHEN {c} <= '9' THEN ascii({c}) - 48"
+            f" ELSE ascii({c}) - 87 END)"
+        )
+
+    out = f"CAST({digit(1)} AS BIGINT)"
+    for i in range(2, n_digits + 1):
+        out = f"({out} * 16 + {digit(i)})"
+    return out
+
+
+def _checksum_oracle() -> str:
+    doc_h = _hex_int_sql_big(
+        "md5(doc_id::VARCHAR || '|' || source || '|' ||"
+        " length(text)::VARCHAR || '|' || md5(text))",
+        CHECKSUM_HEX_DIGITS,
+    )
+    ord_h = _hex_int_sql_big(
+        "md5(o_orderkey::VARCHAR || '|' || o_custkey::VARCHAR || '|' ||"
+        " o_orderstatus || '|' ||"
+        " CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS VARCHAR))",
+        CHECKSUM_HEX_DIGITS,
+    )
+    return f"""
+        SELECT 'documents' AS table_name,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM({doc_h}) AS BIGINT) AS content_checksum
+        FROM documents
+        UNION ALL
+        SELECT 'orders' AS table_name,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM({ord_h}) AS BIGINT) AS content_checksum
+        FROM orders
+        ORDER BY table_name
+    """
+
+
+ORACLE_SQL["dataset_content_checksums"] = _checksum_oracle()

@@ -164,6 +164,56 @@ def event_type_counts_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Salt fan-out for the skew-safe fact⋈dim join (dim replicated ×S).
+JOIN_SALTS = 8
+
+
+def skewsafe_user_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe fact⋈dim equi-join via SALTING — the standard cure
+    when one join key holds a disproportionate share of fact rows (a
+    celebrity user, a null-ish default key) and the dim is too big or
+    the engine too old for broadcast/AQE skew handling: the fact side
+    gets a deterministic salt ``pmod(hash(event_id), S)``, the dim
+    side is replicated across all ``S`` salts (``explode`` of a
+    literal range — S× a small dim, never S× the fact), and the join
+    key becomes (user_id, salt) — each hot key's rows spread over S
+    reducers instead of one straggler task.  Result is IDENTICAL to
+    the plain join (the oracle): per-market-segment event totals.
+
+    xxhash64 keys the salt (present in both engines? no — salting
+    only needs determinism WITHIN Spark; the salt never affects
+    output, so the oracle stays the plain unsalted SQL).  At 100 TB
+    you'd pick S from the key-skew profile (``key_skew_stats``);
+    AQE's skew-join handles sort-merge skew automatically, but
+    salting remains the portable, plan-stable form — this operator
+    keeps the technique tested and its plan contracted
+    (fact-side exchange on (user_id, salt), dim exchange ≤ S×dim)."""
+    e = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    salted_fact = e.select(
+        "user_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        F.pmod(F.xxhash64("event_id"), F.lit(JOIN_SALTS))
+        .cast("int")
+        .alias("salt"),
+    )
+    salted_dim = cust.withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(JOIN_SALTS - 1)))
+    ).withColumn("salt", F.col("salt").cast("int"))
+    return (
+        salted_fact.join(salted_dim, ["user_id", "salt"])
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+            (F.sum("cents") / F.lit(100.0)).alias("total_value"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
 def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured access: parse the JSON ``props`` column with a
     declared schema (``from_json`` — JVM-side, no UDF) and aggregate
@@ -1564,6 +1614,8 @@ def _cold_cb_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+QUERIES["skewsafe_user_join"] = skewsafe_user_join
+
 QUERIES["brand_affinity_topk"] = brand_affinity_topk
 QUERIES["brand_affinity_cold_bucketed"] = brand_affinity_cold_bucketed
 
@@ -1610,3 +1662,16 @@ ORACLE_SQL["brand_affinity_topk"] = """
 ORACLE_SQL["brand_affinity_cold_bucketed"] = ORACLE_SQL[
     "brand_affinity_topk"
 ]
+
+# the salt never reaches the output: the oracle is the PLAIN join
+ORACLE_SQL["skewsafe_user_join"] = """
+    SELECT c.c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users,
+           SUM(CAST(ROUND(e.value * 100) AS BIGINT)) / 100.0
+               AS total_value
+    FROM events e
+    JOIN customer c ON c.c_custkey = e.user_id
+    GROUP BY c.c_mktsegment
+    ORDER BY c.c_mktsegment
+"""

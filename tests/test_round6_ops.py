@@ -1,0 +1,158 @@
+"""Invariant tests for the round-6 operators. Value-level parity with
+DuckDB is the mirror/driver gate's job; these pin the mathematical
+invariants each operator must satisfy on ANY input."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from tableau_dashboard_performance_etl_automation_spark.catalog import load_table
+from tableau_dashboard_performance_etl_automation_spark.operators import (
+    profiling,
+    relational_ext,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_content_checksum_is_order_independent(spark):
+    """The checksum must not depend on row order or partitioning —
+    that is its whole point (verify a copy without sorting 100 TB)."""
+    base = {
+        r.table_name: (r.n_rows, r.content_checksum)
+        for r in profiling.dataset_content_checksums(spark, SF).collect()
+    }
+    assert set(base) == {"documents", "orders"}
+    # recompute the documents fold on a shuffled/repartitioned scan
+    docs = load_table(spark, SF, "documents").repartition(7, "source")
+    sep = F.lit("|")
+    canon = F.concat(
+        F.col("doc_id").cast("string"),
+        sep,
+        F.col("source"),
+        sep,
+        F.length("text").cast("string"),
+        sep,
+        F.md5("text"),
+    )
+    from tableau_dashboard_performance_etl_automation_spark.functions.hashing import (
+        md5_hex_bigint,
+    )
+
+    got = (
+        docs.select(
+            md5_hex_bigint(
+                F.md5(canon), 1, profiling.CHECKSUM_HEX_DIGITS
+            ).alias("rh")
+        )
+        .agg(F.count(F.lit(1)), F.sum("rh"))
+        .collect()[0]
+    )
+    assert (got[0], got[1]) == base["documents"]
+
+
+def test_content_checksum_detects_single_cell_change(spark):
+    """Flipping one cell of one row must change the fingerprint."""
+    rows = profiling.dataset_content_checksums(spark, SF).collect()
+    base = {r.table_name: r.content_checksum for r in rows}
+    docs = load_table(spark, SF, "documents")
+    mutated = docs.withColumn(
+        "source",
+        F.when(F.col("doc_id") == docs.select(F.min("doc_id")).collect()[0][0],
+               F.lit("MUTATED")).otherwise(F.col("source")),
+    )
+    sep = F.lit("|")
+    canon = F.concat(
+        F.col("doc_id").cast("string"),
+        sep,
+        F.col("source"),
+        sep,
+        F.length("text").cast("string"),
+        sep,
+        F.md5("text"),
+    )
+    from tableau_dashboard_performance_etl_automation_spark.functions.hashing import (
+        md5_hex_bigint,
+    )
+
+    got = (
+        mutated.select(
+            md5_hex_bigint(
+                F.md5(canon), 1, profiling.CHECKSUM_HEX_DIGITS
+            ).alias("rh")
+        )
+        .agg(F.sum("rh"))
+        .collect()[0][0]
+    )
+    assert got != base["documents"]
+
+
+def test_md5_hex_bigint_matches_python_md5(spark):
+    """The 12-digit fold must equal int(md5[:12], 16) exactly — no
+    int32 wrap (the bug the bigint variant exists to prevent)."""
+    from tableau_dashboard_performance_etl_automation_spark.functions.hashing import (
+        md5_hex_bigint,
+    )
+
+    vals = ["alpha", "bravo", "charlie", "delta-12345"]
+    df = spark.createDataFrame([(v,) for v in vals], ["s"])
+    got = {
+        r.s: r.h
+        for r in df.select(
+            "s", md5_hex_bigint(F.md5("s"), 1, 12).alias("h")
+        ).collect()
+    }
+    for v in vals:
+        want = int(hashlib.md5(v.encode()).hexdigest()[:12], 16)
+        assert got[v] == want, v
+
+
+def test_skewsafe_join_matches_plain_join(spark):
+    """Salting must be invisible in the result: identical rows to the
+    unsalted broadcast join."""
+    plain = {
+        (r.c_mktsegment): (r.n_events, r.n_users, r.total_value)
+        for r in (
+            load_table(spark, SF, "events")
+            .join(
+                load_table(spark, SF, "customer").select(
+                    F.col("c_custkey").alias("user_id"), "c_mktsegment"
+                ),
+                "user_id",
+            )
+            .groupBy("c_mktsegment")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_events"),
+                F.countDistinct("user_id").cast("bigint").alias("n_users"),
+                (
+                    F.sum(F.round(F.col("value") * 100).cast("bigint"))
+                    / F.lit(100.0)
+                ).alias("total_value"),
+            )
+            .collect()
+        )
+    }
+    salted = {
+        (r.c_mktsegment): (r.n_events, r.n_users, r.total_value)
+        for r in relational_ext.skewsafe_user_join(spark, SF).collect()
+    }
+    assert salted == plain
+
+
+def test_skewsafe_join_spreads_hot_key_over_salts(spark):
+    """The fact side must actually carry JOIN_SALTS distinct salt
+    values (the mechanism under test), and the dim replication must
+    be exactly S× the dim — never fact-sized."""
+    e = load_table(spark, SF, "events")
+    n_salts = (
+        e.select(
+            F.pmod(
+                F.xxhash64("event_id"), F.lit(relational_ext.JOIN_SALTS)
+            ).alias("salt")
+        )
+        .distinct()
+        .count()
+    )
+    assert n_salts == relational_ext.JOIN_SALTS

@@ -116,6 +116,11 @@ PROBE_QUERIES = [
     "returnflag_quantity_kruskal",
     # mergeable-distribution rolling percentile (7-way fan-out join)
     "rolling_p95_value_7d",
+    # round-6: the two-phase leaderboard top-k (local WindowGroupLimit
+    # per split — must stay flat as per-priority row counts grow) and
+    # the zero-exchange bucketed-fact cold build
+    "price_rank_gaps",
+    "brand_affinity_cold_bucketed",
 ]
 
 

@@ -131,6 +131,9 @@ def main() -> None:
     from tableau_dashboard_performance_etl_automation_spark.operators.statstests import (
         quality_decile_lift as _qlift,
     )
+    from tableau_dashboard_performance_etl_automation_spark.operators.curation import (
+        quality_percentile_filter as _qpf,
+    )
 
     ops = {
         "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
@@ -175,6 +178,14 @@ def main() -> None:
         "prefix_vs_lsh_agreement": dedup.prefix_vs_lsh_agreement,
         "doc_readability": textops.doc_readability,
         "quality_decile_lift": _qlift,
+        # round-6: the Kneser-Ney LM (scores once per bigram TYPE —
+        # vocab²-bounded — then broadcast-joined; was the #2 heavy in
+        # BENCH_DETAIL with no trajectory) and the two rank-window
+        # rewrites (value-domain decompositions must stay flat as
+        # corpus rows grow past the value domain)
+        "word_bigram_kn_scores": textops.word_bigram_kn_scores,
+        "quantile_normalized_quality": textops.quantile_normalized_quality,
+        "quality_percentile_filter": _qpf,
     }
     # SCALEUP_QUERIES=a,b limits the probe (deep-decade runs)
     env_qs = os.environ.get("SCALEUP_QUERIES")
