@@ -710,7 +710,7 @@ def _pos48(h) -> F.Column:
     BIGINT multiply — a single 12-digit fold would overflow the
     32-bit integer arithmetic in both engines (the KMV idiom)."""
     from tableau_dashboard_performance_etl_automation_spark.functions.hashing import (
-        md5_hex_bigint,
+        md5_hex_int,
     )
 
     half = _CH_DIGITS // 2
