@@ -55,3 +55,21 @@ def md5_hex_bigint(h: Column, start: int, n_digits: int) -> Column:
     for i in range(1, n_digits):
         out = out * 16 + _digit(F.substring(h, start + i, 1))
     return out
+
+
+def md5_hex_bigint_sql(h_expr: str, start: int, n_digits: int) -> str:
+    """DuckDB twin of :func:`md5_hex_bigint` — the first digit is cast
+    to BIGINT so wide folds accumulate in 64-bit (DuckDB would
+    otherwise fold in INT32 and error/overflow past 7 digits)."""
+
+    def digit(i: int) -> str:
+        c = f"substr({h_expr}, {i}, 1)"
+        return (
+            f"(CASE WHEN {c} <= '9' THEN ascii({c}) - 48"
+            f" ELSE ascii({c}) - 87 END)"
+        )
+
+    out = f"CAST({digit(start)} AS BIGINT)"
+    for i in range(1, n_digits):
+        out = f"({out} * 16 + {digit(start + i)})"
+    return out

@@ -340,3 +340,248 @@ ORACLE_SQL["scd2_point_in_time_purchases"] = f"""
     GROUP BY h.band
     ORDER BY band
 """.replace("{duck_fmt}", _TS_FMT_DUCK)
+
+
+# ---------------------------------------------------------------------------
+# Snapshot diff + incremental aggregate maintenance — the two passes a
+# warehouse runs BETWEEN snapshots: "what changed since yesterday's
+# version" and "fold the change into the stored rollup without
+# rescanning history".
+# ---------------------------------------------------------------------------
+
+#: Deterministic next-day simulation knobs for the snapshot diff:
+#: every 97th key is deleted, every 5th surviving key gets a +10.00
+#: balance restatement, every 193rd key spawns a brand-new customer
+#: (key shifted past MAX(c_custkey)). Scaffolding, not the operator —
+#: the operator is the hash-compare diff below.
+DIFF_DELETE_MOD = 97
+DIFF_UPDATE_MOD = 5
+DIFF_INSERT_MOD = 193
+
+
+def snapshot_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-version diff — classify every key of two snapshots of
+    the customer dimension as added / removed / changed / unchanged
+    and emit one audit row per class: row count plus an
+    order-independent key checksum (the same md5-sum fold as
+    ``dataset_content_checksums``, so the diff report is itself
+    verifiable against an independently computed copy).
+
+    The operator is ONE full-outer equi-join on the snapshot key with
+    a row-content hash compare — both sides shuffle on the same key
+    (co-partitioned single exchange), only per-class aggregates
+    survive, and nothing is ever sorted.  At 100 TB this is the cheap
+    way to answer "what did the vendor's new drop actually change":
+    the alternative the fold replaces — collect both versions and
+    compare sorted dumps — is quadratic in operator pain and linear
+    in driver memory.  V2 is simulated from V1 by deterministic
+    arithmetic (see DIFF_*_MOD) so both engines construct the
+    identical pair of versions.
+    """
+    from tableau_dashboard_performance_etl_automation_spark.functions.hashing import (
+        md5_hex_bigint,
+    )
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        "c_mktsegment",
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("cents"),
+    )
+    max_key = cust.agg(F.max("c_custkey").alias("mk"))
+    v1 = cust
+    survivors = cust.filter(F.col("c_custkey") % DIFF_DELETE_MOD != 0)
+    updated = survivors.withColumn(
+        "cents",
+        F.when(
+            F.col("c_custkey") % DIFF_UPDATE_MOD == 0,
+            F.col("cents") + 1000,
+        ).otherwise(F.col("cents")),
+    )
+    inserts = (
+        cust.filter(F.col("c_custkey") % DIFF_INSERT_MOD == 0)
+        .crossJoin(F.broadcast(max_key))  # 1-row aggregate, bounded
+        .select(
+            # +1 past the max key: key 0 is its own insert source,
+            # and 0 + max would collide with the existing max key
+            (F.col("c_custkey") + F.col("mk") + 1).alias("c_custkey"),
+            "c_nationkey",
+            F.lit("NEWSEG").alias("c_mktsegment"),
+            F.lit(0).cast("bigint").alias("cents"),
+        )
+    )
+    v2 = updated.unionByName(inserts)
+
+    def hashed(df: DataFrame, tag: str) -> DataFrame:
+        sep = F.lit("|")
+        canon = F.concat(
+            F.col("c_custkey").cast("string"),
+            sep,
+            F.col("c_nationkey").cast("string"),
+            sep,
+            F.col("c_mktsegment"),
+            sep,
+            F.col("cents").cast("string"),
+        )
+        return df.select(
+            F.col("c_custkey").alias(f"key_{tag}"),
+            F.md5(canon).alias(f"rh_{tag}"),
+        )
+
+    a = hashed(v1, "a")
+    b = hashed(v2, "b")
+    diff_class = (
+        F.when(F.col("key_a").isNull(), "added")
+        .when(F.col("key_b").isNull(), "removed")
+        .when(F.col("rh_a") != F.col("rh_b"), "changed")
+        .otherwise("unchanged")
+    )
+    key = F.coalesce(F.col("key_a"), F.col("key_b"))
+    return (
+        a.join(b, a["key_a"] == b["key_b"], "full_outer")
+        .select(
+            diff_class.alias("diff_class"),
+            md5_hex_bigint(F.md5(key.cast("string")), 1, 12).alias("kh"),
+        )
+        .groupBy("diff_class")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("kh").cast("bigint").alias("key_checksum"),
+        )
+        .orderBy("diff_class")
+    )
+
+
+QUERIES["snapshot_table_diff"] = snapshot_table_diff
+
+
+def _hex12_sql(expr: str) -> str:
+    """12-hex-digit BIGINT fold of an md5 expression (DuckDB; shared
+    ``hashing.md5_hex_bigint_sql``)."""
+    from tableau_dashboard_performance_etl_automation_spark.functions.hashing import (
+        md5_hex_bigint_sql,
+    )
+
+    return md5_hex_bigint_sql(f"md5({expr})", 1, 12)
+
+
+ORACLE_SQL["snapshot_table_diff"] = f"""
+    WITH cust AS (
+        SELECT c_custkey, c_nationkey, c_mktsegment,
+               CAST(ROUND(c_acctbal * 100) AS BIGINT) AS cents
+        FROM customer
+    ),
+    v2 AS (
+        SELECT c_custkey, c_nationkey, c_mktsegment,
+               CASE WHEN c_custkey % {DIFF_UPDATE_MOD} = 0
+                    THEN cents + 1000 ELSE cents END AS cents
+        FROM cust WHERE c_custkey % {DIFF_DELETE_MOD} != 0
+        UNION ALL
+        SELECT c_custkey + (SELECT MAX(c_custkey) + 1 FROM cust),
+               c_nationkey, 'NEWSEG', CAST(0 AS BIGINT)
+        FROM cust WHERE c_custkey % {DIFF_INSERT_MOD} = 0
+    ),
+    a AS (
+        SELECT c_custkey AS key_a,
+               md5(c_custkey::VARCHAR || '|' || c_nationkey::VARCHAR
+                   || '|' || c_mktsegment || '|' || cents::VARCHAR)
+                   AS rh_a
+        FROM cust
+    ),
+    b AS (
+        SELECT c_custkey AS key_b,
+               md5(c_custkey::VARCHAR || '|' || c_nationkey::VARCHAR
+                   || '|' || c_mktsegment || '|' || cents::VARCHAR)
+                   AS rh_b
+        FROM v2
+    )
+    SELECT CASE WHEN key_a IS NULL THEN 'added'
+                WHEN key_b IS NULL THEN 'removed'
+                WHEN rh_a != rh_b THEN 'changed'
+                ELSE 'unchanged' END AS diff_class,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM({_hex12_sql("COALESCE(key_a, key_b)::VARCHAR")})
+                AS BIGINT) AS key_checksum
+    FROM a FULL OUTER JOIN b ON key_a = key_b
+    GROUP BY 1
+    ORDER BY diff_class
+"""
+
+
+#: Days of events treated as the "new batch" the stored rollup has
+#: not yet absorbed (everything later than max(ts) − this many days).
+REFRESH_DELTA_DAYS = 7
+
+
+def incremental_agg_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: refresh a stored
+    per-(event_type, day) rollup — count / value-cents sum / max —
+    by MERGING the stored partial aggregates with the new batch's
+    partial aggregates, never rescanning history rows.
+
+    The merge works because every kept statistic is a mergeable
+    state: COUNT and SUM combine by +, MAX by MAX — the algebra
+    behind every incremental-view-maintenance engine.  Here both
+    halves derive from the same parquet (base = days ≤ cutoff, delta
+    = days > cutoff, cutoff = max day − {REFRESH_DELTA_DAYS}); in
+    production the base half is a stored artifact, so the refresh
+    cost is |delta| + |rollup|, independent of history size — THE
+    property that matters when history is 100 TB and the nightly
+    delta is 100 GB.  Result provably equals the full recompute: the
+    oracle is the plain one-pass GROUP BY over all events.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    cutoff = ev.agg(
+        F.date_sub(F.max("day"), REFRESH_DELTA_DAYS).alias("cutoff")
+    )
+    tagged = ev.crossJoin(F.broadcast(cutoff))  # 1-row aggregate
+
+    def rollup(df: DataFrame) -> DataFrame:
+        return df.groupBy("event_type", "day").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum("cents").cast("bigint").alias("total_cents"),
+            F.max("cents").cast("bigint").alias("max_cents"),
+        )
+
+    base = rollup(tagged.filter(F.col("day") <= F.col("cutoff")))
+    delta = rollup(tagged.filter(F.col("day") > F.col("cutoff")))
+    return (
+        base.unionByName(delta)
+        .groupBy("event_type", "day")
+        .agg(
+            F.sum("n_events").cast("bigint").alias("n_events"),
+            F.sum("total_cents").cast("bigint").alias("total_cents"),
+            F.max("max_cents").cast("bigint").alias("max_cents"),
+        )
+        .select(
+            "event_type",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "n_events",
+            "total_cents",
+            "max_cents",
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+QUERIES["incremental_agg_refresh"] = incremental_agg_refresh
+
+# the refresh must equal the from-scratch rollup — that equality IS
+# the incremental-maintenance contract, so the oracle is the full
+# recompute (no base/delta split on the DuckDB side)
+ORACLE_SQL["incremental_agg_refresh"] = """
+    SELECT event_type,
+           strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+               AS total_cents,
+           CAST(MAX(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+               AS max_cents
+    FROM events
+    GROUP BY event_type, CAST(ts AS DATE)
+    ORDER BY event_type, day
+"""

@@ -942,20 +942,12 @@ QUERIES["dataset_content_checksums"] = dataset_content_checksums
 
 
 def _hex_int_sql_big(h_expr: str, n_digits: int) -> str:
-    """BIGINT-accumulating variant of ``hashing.md5_hex_int_sql`` —
-    12 hex digits overflow DuckDB's default INT32 fold."""
+    """BIGINT md5 fold (shared ``hashing.md5_hex_bigint_sql``)."""
+    from tableau_dashboard_performance_etl_automation_spark.functions.hashing import (
+        md5_hex_bigint_sql,
+    )
 
-    def digit(i: int) -> str:
-        c = f"substr({h_expr}, {i}, 1)"
-        return (
-            f"(CASE WHEN {c} <= '9' THEN ascii({c}) - 48"
-            f" ELSE ascii({c}) - 87 END)"
-        )
-
-    out = f"CAST({digit(1)} AS BIGINT)"
-    for i in range(2, n_digits + 1):
-        out = f"({out} * 16 + {digit(i)})"
-    return out
+    return md5_hex_bigint_sql(h_expr, 1, n_digits)
 
 
 def _checksum_oracle() -> str:

@@ -280,3 +280,98 @@ ORACLE_SQL["customer_erasure_audit"] = f"""
     FROM rows_
     ORDER BY table_name
 """
+
+
+# ---------------------------------------------------------------------------
+# Differential privacy: Laplace-noised release counts
+# ---------------------------------------------------------------------------
+
+#: ε for the Laplace mechanism (sensitivity of a per-day count under
+#: add/remove-one-EVENT neighboring is 1, so scale b = 1/ε).
+DP_EPSILON = 1.0
+
+#: Hex digits of the md5 uniform driving the noise draw (48 bits).
+_DP_HEX = 12
+
+
+def dp_noisy_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private release of the daily purchase-count
+    series via the Laplace mechanism: ``noisy = n + Lap(1/ε)``, noise
+    drawn by inverse-CDF from a deterministic md5 uniform keyed on
+    the release cell (the day), so both engines — and any re-run —
+    draw the identical noise (seeded-release discipline: the noise
+    must be fixed per release or repeated queries average it away).
+
+    Inverse CDF: with u ∈ (0,1), p = u − ½,
+    ``noise = −b · sign(p) · ln(1 − 2·|p|)``.  The uniform is
+    ``(fold48 + 0.5) / 16^12`` — the +0.5 keeps u strictly inside
+    (0,1) so the log argument never hits 0.  ``n_true`` stays in the
+    output for the calibration audit (|noisy − true| quantiles are
+    how a release is sized); the released column is ``noisy_count``.
+
+    Scale shape: one hash aggregate onto the bounded day domain, then
+    a per-row noise projection — the mechanism costs nothing beyond
+    the count query itself.  ROUND(...,4) keeps the ln() within
+    cross-engine double parity (repo-wide float discipline)."""
+    e = load_table(spark, sf_dir, "events")
+    counts = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_true"))
+        .select(F.date_format("day", "yyyy-MM-dd").alias("day"), "n_true")
+    )
+    from tableau_dashboard_performance_etl_automation_spark.functions.hashing import (
+        md5_hex_bigint,
+    )
+
+    u = (
+        md5_hex_bigint(F.md5(F.col("day")), 1, _DP_HEX).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(float(16**_DP_HEX))
+    p = u - F.lit(0.5)
+    b = F.lit(1.0 / DP_EPSILON)
+    noise = (
+        -b
+        * F.signum(p)
+        * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(p))
+    )
+    return counts.select(
+        "day",
+        "n_true",
+        F.round(F.col("n_true") + noise, 4).alias("noisy_count"),
+    ).orderBy("day")
+
+
+QUERIES["dp_noisy_daily_counts"] = dp_noisy_daily_counts
+
+
+def _dp_oracle() -> str:
+    from tableau_dashboard_performance_etl_automation_spark.functions.hashing import (
+        md5_hex_bigint_sql,
+    )
+
+    fold = md5_hex_bigint_sql("md5(day)", 1, _DP_HEX)
+    return f"""
+        WITH counts AS (
+            SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+                   CAST(COUNT(*) AS BIGINT) AS n_true
+            FROM events WHERE event_type = 'purchase'
+            GROUP BY 1
+        ),
+        withu AS (
+            SELECT day, n_true,
+                   (CAST({fold} AS DOUBLE) + 0.5)
+                       / CAST(16.0 ** {_DP_HEX} AS DOUBLE) AS u
+            FROM counts
+        )
+        SELECT day, n_true,
+               ROUND(n_true + (
+                   -(1.0 / {DP_EPSILON}) * sign(u - 0.5)
+                   * ln(1.0 - 2.0 * abs(u - 0.5))
+               ), 4) AS noisy_count
+        FROM withu
+        ORDER BY day
+    """
+
+
+ORACLE_SQL["dp_noisy_daily_counts"] = _dp_oracle()

@@ -156,3 +156,91 @@ def test_skewsafe_join_spreads_hot_key_over_salts(spark):
         .count()
     )
     assert n_salts == relational_ext.JOIN_SALTS
+
+
+def test_snapshot_diff_classes_match_construction(spark):
+    """The diff must recover exactly the add/update/delete pattern the
+    deterministic v2 construction injected."""
+    from tableau_dashboard_performance_etl_automation_spark.operators import history
+
+    rows = {
+        r.diff_class: r.n_rows
+        for r in history.snapshot_table_diff(spark, SF).collect()
+    }
+    cust = load_table(spark, SF, "customer")
+    keys = [r.c_custkey for r in cust.select("c_custkey").collect()]
+    removed = [k for k in keys if k % history.DIFF_DELETE_MOD == 0]
+    changed = [
+        k
+        for k in keys
+        if k % history.DIFF_DELETE_MOD != 0
+        and k % history.DIFF_UPDATE_MOD == 0
+    ]
+    added = [k for k in keys if k % history.DIFF_INSERT_MOD == 0]
+    assert rows.get("removed", 0) == len(removed)
+    assert rows.get("changed", 0) == len(changed)
+    assert rows.get("added", 0) == len(added)
+    assert rows.get("unchanged", 0) == len(keys) - len(removed) - len(changed)
+
+
+def test_incremental_refresh_equals_full_recompute(spark):
+    """The merge of base+delta partial aggregates must equal the
+    one-pass rollup — the incremental-maintenance contract."""
+    from tableau_dashboard_performance_etl_automation_spark.operators import history
+
+    full = (
+        load_table(spark, SF, "events")
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("total_cents"),
+            F.max(F.round(F.col("value") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("max_cents"),
+        )
+        .select(
+            "event_type",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "n_events",
+            "total_cents",
+            "max_cents",
+        )
+    )
+    want = {tuple(r) for r in full.collect()}
+    got = {
+        tuple(r)
+        for r in history.incremental_agg_refresh(spark, SF).collect()
+    }
+    assert got == want
+
+
+def test_incremental_refresh_delta_is_nonempty(spark):
+    """The cutoff must actually split the corpus — a refresh whose
+    delta is empty tests nothing."""
+    from tableau_dashboard_performance_etl_automation_spark.operators import history
+
+    ev = load_table(spark, SF, "events").select(F.to_date("ts").alias("day"))
+    mx = ev.agg(F.max("day")).collect()[0][0]
+    import datetime
+
+    cutoff = mx - datetime.timedelta(days=history.REFRESH_DELTA_DAYS)
+    n_delta = ev.filter(F.col("day") > F.lit(cutoff)).count()
+    n_base = ev.filter(F.col("day") <= F.lit(cutoff)).count()
+    assert n_delta > 0 and n_base > 0
+
+
+def test_dp_noise_is_deterministic_and_bounded(spark):
+    """Same release twice → identical noise (seeded); and the noise
+    magnitude obeys the Laplace tail: P(|X| > t/ε) = e^-t, so at
+    48-bit uniforms nothing exceeds ~33/ε — a loose sanity bound."""
+    from tableau_dashboard_performance_etl_automation_spark.operators import scrubbing
+
+    a = {r.day: r.noisy_count for r in scrubbing.dp_noisy_daily_counts(spark, SF).collect()}
+    b = {r.day: r.noisy_count for r in scrubbing.dp_noisy_daily_counts(spark, SF).collect()}
+    assert a == b
+    rows = scrubbing.dp_noisy_daily_counts(spark, SF).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert abs(r.noisy_count - r.n_true) < 34.0 / scrubbing.DP_EPSILON
