@@ -273,3 +273,96 @@ ORACLE_SQL = {
         ORDER BY source
     """,
 }
+
+
+# ---------------------------------------------------------------------------
+# Per-source quota cap (domain capping)
+# ---------------------------------------------------------------------------
+
+#: Max documents kept per source — the "cap each domain at N docs"
+#: policy large web corpora apply so no single domain dominates the
+#: mixture (the over-represented-domain failure mode).
+SOURCE_QUOTA = 15
+
+
+def source_quota_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cap every source at ``SOURCE_QUOTA`` documents, keeping a
+    deterministic md5-ordered sample (hash order ≈ uniform random,
+    but replayable: the same corpus always keeps the same docs — the
+    property that makes the cap auditable and incremental runs
+    stable). Emits the per-source audit row: docs seen / kept /
+    dropped and an order-independent checksum of the KEPT doc ids, so
+    two engines (or two runs) can prove they kept the same set.
+
+    Scale shape: rank ≤ K over ``Window.partitionBy(source)`` ordered
+    by (md5, doc_id) — Spark rewrites the rank-filter into
+    WindowGroupLimit, so each partition keeps a K-row heap map-side
+    and no per-source full sort materializes; the audit aggregate
+    then folds onto the bounded source domain."""
+    from pyspark.sql.window import Window
+
+    from tableau_dashboard_performance_etl_automation_spark.functions.hashing import (
+        md5_hex_bigint,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.md5(F.col("doc_id").cast("string")).alias("h")
+    )
+    w = Window.partitionBy("source").orderBy("h", "doc_id")
+    ranked = docs.withColumn("rk", F.row_number().over(w))
+    kept_flag = (F.col("rk") <= SOURCE_QUOTA).cast("int")
+    return (
+        ranked.select(
+            "source",
+            kept_flag.alias("kept"),
+            md5_hex_bigint(F.md5(F.col("doc_id").cast("string")), 1, 12)
+            .alias("kh"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("kept").cast("bigint").alias("n_kept"),
+            (F.count(F.lit(1)) - F.sum("kept"))
+            .cast("bigint")
+            .alias("n_dropped"),
+            F.sum(F.col("kh") * F.col("kept"))
+            .cast("bigint")
+            .alias("kept_checksum"),
+        )
+        .orderBy("source")
+    )
+
+
+QUERIES["source_quota_cap"] = source_quota_cap
+
+
+def _quota_oracle() -> str:
+    from tableau_dashboard_performance_etl_automation_spark.functions.hashing import (
+        md5_hex_bigint_sql,
+    )
+
+    fold = md5_hex_bigint_sql("md5(doc_id::VARCHAR)", 1, 12)
+    return f"""
+        WITH ranked AS (
+            SELECT source, doc_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY source
+                       ORDER BY md5(doc_id::VARCHAR), doc_id
+                   ) AS rk
+            FROM documents
+        )
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN rk <= {SOURCE_QUOTA} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_kept,
+               CAST(COUNT(*) - SUM(CASE WHEN rk <= {SOURCE_QUOTA}
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+               CAST(SUM(CASE WHEN rk <= {SOURCE_QUOTA}
+                    THEN {fold} ELSE 0 END) AS BIGINT) AS kept_checksum
+        FROM ranked
+        GROUP BY source
+        ORDER BY source
+    """
+
+
+ORACLE_SQL["source_quota_cap"] = _quota_oracle()

@@ -133,7 +133,7 @@ FS_MATCH_SIM = 0.9
 FS_TOP_N = 50
 
 
-def part_fs_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _fs_scored_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fellegi-Sunter scored record linkage over part records: each
     candidate pair gets the classic log-likelihood-ratio weight
     ``sum_f log2(m_f/u_f)`` (agree) / ``log2((1-m_f)/(1-u_f))``
@@ -159,12 +159,24 @@ def part_fs_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     parts = load_table(spark, sf_dir, "part").select(
         "p_partkey", "p_name", "p_brand", "p_type", "p_size"
     )
+    # First-name-token in BOTH composite blocking keys: brand/type/
+    # size have FIXED domains, so on a growing catalog blocks keyed
+    # only by them deepen linearly and pair volume grows
+    # QUADRATICALLY — measured on the part-replication ladder
+    # (4.26 s → 16.6 s for 4× rows, heap-OOM at 16×). Name tokens are
+    # the attribute whose domain grows with a real catalog (Heaps'
+    # law: new products, new words), so (attr, size, tok1) keeps
+    # block depth bounded; the recall cost is only pairs whose names
+    # disagree on the FIRST token yet still clear the 0.9 name-sim
+    # proxy — rare by construction (one edit in a 2-word name).
+    tok1 = F.split(F.col("p_name"), " ")[0]
     a = parts.select(
         F.col("p_partkey").alias("ka"),
         F.col("p_name").alias("na"),
         F.col("p_brand").alias("ba"),
         F.col("p_type").alias("ta"),
         F.col("p_size").alias("sa"),
+        tok1.alias("wa"),
     )
     b = parts.select(
         F.col("p_partkey").alias("kb"),
@@ -172,17 +184,20 @@ def part_fs_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_brand").alias("bb"),
         F.col("p_type").alias("tb"),
         F.col("p_size").alias("sb"),
+        tok1.alias("wb"),
     )
     pass1 = a.join(
         b,
         (F.col("ba") == F.col("bb"))
         & (F.col("sa") == F.col("sb"))
+        & (F.col("wa") == F.col("wb"))
         & (F.col("ka") < F.col("kb")),
     )
     pass2 = a.join(
         b,
         (F.col("ta") == F.col("tb"))
         & (F.col("sa") == F.col("sb"))
+        & (F.col("wa") == F.col("wb"))
         & (F.col("ka") < F.col("kb")),
     )
     cand = pass1.unionByName(pass2).dropDuplicates(["ka", "kb"])
@@ -267,27 +282,43 @@ def part_fs_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         weight = weight + F.when(F.col(f) == 1, F.lit(wa)).otherwise(
             F.lit(wd)
         )
+    return flagged.select(
+        "ka",
+        "kb",
+        "name_sim",
+        "f_brand",
+        "f_type",
+        "f_size",
+        F.round(weight, 4).alias("fs_weight"),
+    )
+
+
+def part_fs_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-``FS_TOP_N`` view of :func:`_fs_scored_pairs` (the full
+    Fellegi-Sunter docstring lives there) — the human-review queue of
+    the highest-weight candidate matches."""
     return (
-        flagged.select(
+        _fs_scored_pairs(spark, sf_dir)
+        .select(
             F.col("ka").alias("partkey_a"),
             F.col("kb").alias("partkey_b"),
             "name_sim",
             "f_brand",
             "f_type",
             "f_size",
-            F.round(weight, 4).alias("fs_weight"),
+            "fs_weight",
         )
-        .orderBy(
-            F.col("fs_weight").desc(), "partkey_a", "partkey_b"
-        )
+        .orderBy(F.col("fs_weight").desc(), "partkey_a", "partkey_b")
         .limit(FS_TOP_N)
     )
 
 
 QUERIES["part_fs_linkage"] = part_fs_linkage
 
-ORACLE_SQL["part_fs_linkage"] = f"""
-    WITH cand AS (
+#: Shared Fellegi-Sunter CTE chain (candidates, flags, u/m
+#: probabilities) — written once, consumed by both the top-N
+#: report and the golden-records clustering oracle.
+_FS_CTES = f"""cand AS (
         SELECT DISTINCT ka, kb, na, nb, ba, bb, ta, tb, sa, sb
         FROM (
             SELECT a.p_partkey AS ka, b.p_partkey AS kb,
@@ -297,6 +328,8 @@ ORACLE_SQL["part_fs_linkage"] = f"""
                    a.p_size AS sa, b.p_size AS sb
             FROM part a JOIN part b
               ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+             AND split_part(a.p_name, ' ', 1)
+                 = split_part(b.p_name, ' ', 1)
              AND a.p_partkey < b.p_partkey
             UNION ALL
             SELECT a.p_partkey, b.p_partkey, a.p_name, b.p_name,
@@ -304,6 +337,8 @@ ORACLE_SQL["part_fs_linkage"] = f"""
                    a.p_size, b.p_size
             FROM part a JOIN part b
               ON a.p_type = b.p_type AND a.p_size = b.p_size
+             AND split_part(a.p_name, ' ', 1)
+                 = split_part(b.p_name, ' ', 1)
              AND a.p_partkey < b.p_partkey
         )
     ),
@@ -342,10 +377,9 @@ ORACLE_SQL["part_fs_linkage"] = f"""
                (SUM(f_type) + 1.0) / (COUNT(*) + 2.0) AS m_type,
                (SUM(f_size) + 1.0) / (COUNT(*) + 2.0) AS m_size
         FROM flagged WHERE f_name = 1
-    )
-    SELECT ka AS partkey_a, kb AS partkey_b, name_sim,
-           f_brand, f_type, f_size,
-           ROUND(
+    )"""
+
+_FS_WEIGHT_EXPR = f"""ROUND(
              (CASE WHEN f_name = 1 THEN log2(m_name / u_name)
                    ELSE log2((1 - m_name) / (1 - u_name)) END)
            + (CASE WHEN f_brand = 1 THEN log2(m_brand / u_brand)
@@ -353,8 +387,13 @@ ORACLE_SQL["part_fs_linkage"] = f"""
            + (CASE WHEN f_type = 1 THEN log2(m_type / u_type)
                    ELSE log2((1 - m_type) / (1 - u_type)) END)
            + (CASE WHEN f_size = 1 THEN log2(m_size / u_size)
-                   ELSE log2((1 - m_size) / (1 - u_size)) END), 4)
-               AS fs_weight
+                   ELSE log2((1 - m_size) / (1 - u_size)) END), 4)"""
+
+ORACLE_SQL["part_fs_linkage"] = f"""
+    WITH {_FS_CTES}
+    SELECT ka AS partkey_a, kb AS partkey_b, name_sim,
+           f_brand, f_type, f_size,
+           {_FS_WEIGHT_EXPR} AS fs_weight
     FROM flagged CROSS JOIN u CROSS JOIN m
     ORDER BY fs_weight DESC, partkey_a, partkey_b
     LIMIT {FS_TOP_N}
@@ -469,4 +508,117 @@ ORACLE_SQL["part_sorted_neighborhood"] = f"""
                 / GREATEST(length(name_a), length(name_b)), 4)
           >= {SN_MIN_SIM}
     ORDER BY block, name_a, name_b, window_dist
+"""
+
+
+# ---------------------------------------------------------------------------
+# Golden records: entity resolution end-to-end
+# ---------------------------------------------------------------------------
+
+#: Pairs at or above this Fellegi-Sunter weight are accepted as
+#: matches and merged (picked from the weight histogram: the score
+#: distribution is strongly bimodal — agreement on name + two fields
+#: lands ≥ ~11, chance co-occurrence ≤ ~3).
+FS_GOLD_MIN = 10.0
+
+
+def part_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution end-to-end: Fellegi-Sunter scored pairs
+    (:func:`_fs_scored_pairs`) → accept matches ≥ ``FS_GOLD_MIN`` →
+    connected components over the match graph → one GOLDEN RECORD per
+    multi-member cluster with survivorship rules (representative =
+    minimum key member's name; ranges/uniques aggregated across
+    members). This is the master-data-management pipeline in one
+    operator: dedup candidates, probabilistic match, transitive
+    merge, survivor pick.
+
+    Scale shape: match pairs are block-bounded (never N²), the CC
+    fixpoint is pointer-jumped min-label propagation (O(log diameter)
+    rounds, each an equi-join — the same engine as the near-dup
+    clusters), and survivorship is one hash aggregate per cluster
+    plus one equi-join back to ``part`` for the representative's
+    attributes. Nothing in the plan holds more than a cluster's
+    members in one task."""
+    from tableau_dashboard_performance_etl_automation_spark.operators.clustering import (
+        connected_components,
+    )
+
+    edges = (
+        _fs_scored_pairs(spark, sf_dir)
+        .filter(F.col("fs_weight") >= FS_GOLD_MIN)
+        .select(F.col("ka").alias("doc_a"), F.col("kb").alias("doc_b"))
+    )
+    labels = connected_components(edges).select(
+        F.col("doc_id").alias("partkey"),
+        F.col("cluster_id").cast("bigint").alias("cluster_id"),
+    )
+    part = load_table(spark, sf_dir, "part")
+    members = labels.join(
+        part, labels["partkey"] == part["p_partkey"]
+    )
+    reps = part.select(
+        F.col("p_partkey").alias("rep_key"),
+        F.col("p_name").alias("golden_name"),
+    )
+    return (
+        members.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("cluster_size"),
+            F.countDistinct("p_brand").cast("bigint").alias("n_brands"),
+            F.min("p_size").cast("int").alias("min_size"),
+            F.max("p_size").cast("int").alias("max_size"),
+            F.round(F.max("p_retailprice"), 2).alias("max_retailprice"),
+        )
+        .join(reps, F.col("cluster_id") == F.col("rep_key"))
+        .select(
+            "cluster_id",
+            "cluster_size",
+            "golden_name",
+            "n_brands",
+            "min_size",
+            "max_size",
+            "max_retailprice",
+        )
+        .orderBy("cluster_id")
+    )
+
+
+QUERIES["part_golden_records"] = part_golden_records
+
+ORACLE_SQL["part_golden_records"] = f"""
+    WITH RECURSIVE {_FS_CTES},
+    scored AS (
+        SELECT ka, kb, {_FS_WEIGHT_EXPR} AS fs_weight
+        FROM flagged CROSS JOIN u CROSS JOIN m
+    ),
+    edges AS (
+        SELECT ka, kb FROM scored WHERE fs_weight >= {FS_GOLD_MIN}
+    ),
+    sym AS (
+        SELECT ka AS src, kb AS dst FROM edges
+        UNION
+        SELECT kb AS src, ka AS dst FROM edges
+    ),
+    reach(k, root) AS (
+        SELECT src, src FROM sym
+        UNION
+        SELECT s.src, r.root
+        FROM sym s JOIN reach r ON s.dst = r.k
+    ),
+    labels AS (
+        SELECT k AS partkey, CAST(MIN(root) AS BIGINT) AS cluster_id
+        FROM reach GROUP BY k
+    )
+    SELECT l.cluster_id,
+           CAST(COUNT(*) AS BIGINT) AS cluster_size,
+           MIN(g.p_name) AS golden_name,
+           CAST(COUNT(DISTINCT p.p_brand) AS BIGINT) AS n_brands,
+           CAST(MIN(p.p_size) AS INTEGER) AS min_size,
+           CAST(MAX(p.p_size) AS INTEGER) AS max_size,
+           ROUND(MAX(p.p_retailprice), 2) AS max_retailprice
+    FROM labels l
+    JOIN part p ON p.p_partkey = l.partkey
+    JOIN part g ON g.p_partkey = l.cluster_id
+    GROUP BY l.cluster_id
+    ORDER BY l.cluster_id
 """

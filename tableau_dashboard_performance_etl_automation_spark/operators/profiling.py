@@ -977,3 +977,88 @@ def _checksum_oracle() -> str:
 
 
 ORACLE_SQL["dataset_content_checksums"] = _checksum_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Functional-dependency audit
+# ---------------------------------------------------------------------------
+
+#: Candidate functional dependencies to audit on ``part`` — the
+#: schema-constraint half of the profile (next to the per-column
+#: census): an FD X→Y that "should" hold but has violating groups is
+#: either a data-quality defect or a wrong assumption baked into a
+#: downstream join/dedup key.
+FD_CANDIDATES = (
+    ("p_name", "p_brand"),
+    ("p_name", "p_type"),
+    ("p_brand", "p_type"),
+    ("p_type", "p_brand"),
+)
+
+
+def fd_violation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audit each candidate FD X→Y on ``part``: count LHS groups,
+    groups where COUNT(DISTINCT Y) > 1 (violations), rows trapped in
+    violating groups, and the max distinct-Y fanout.
+
+    One hash aggregate per FD onto the LHS domain (each combinable
+    map-side; rows never leave the executors), unioned into the
+    bounded report — |FDs| scans of a columnar two-column projection.
+    At 100 TB you run ALL candidate FDs in one pass by aggregating
+    (lhs → struct of per-FD distincts) per candidate; the per-FD form
+    keeps each scan two columns wide, which is the better trade until
+    the FD list outgrows the scan count."""
+    part = load_table(spark, sf_dir, "part")
+    legs = []
+    for lhs, rhs in FD_CANDIDATES:
+        g = part.groupBy(lhs).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.countDistinct(rhs).cast("bigint").alias("n_rhs"),
+        )
+        legs.append(
+            g.agg(
+                F.lit(f"{lhs}->{rhs}").alias("fd"),
+                F.count(F.lit(1)).cast("bigint").alias("n_lhs_groups"),
+                F.sum((F.col("n_rhs") > 1).cast("bigint"))
+                .cast("bigint")
+                .alias("n_violating_groups"),
+                F.sum(
+                    F.when(F.col("n_rhs") > 1, F.col("n_rows")).otherwise(0)
+                )
+                .cast("bigint")
+                .alias("n_rows_in_violations"),
+                F.max("n_rhs").cast("bigint").alias("max_fanout"),
+            )
+        )
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out.orderBy("fd")
+
+
+QUERIES["fd_violation_audit"] = fd_violation_audit
+
+
+def _fd_oracle() -> str:
+    parts = []
+    for lhs, rhs in FD_CANDIDATES:
+        parts.append(
+            f"""SELECT '{lhs}->{rhs}' AS fd,
+                   CAST(COUNT(*) AS BIGINT) AS n_lhs_groups,
+                   CAST(SUM(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_violating_groups,
+                   CAST(SUM(CASE WHEN n_rhs > 1 THEN n_rows ELSE 0 END)
+                        AS BIGINT) AS n_rows_in_violations,
+                   CAST(MAX(n_rhs) AS BIGINT) AS max_fanout
+            FROM (
+                SELECT {lhs},
+                       CAST(COUNT(*) AS BIGINT) AS n_rows,
+                       CAST(COUNT(DISTINCT {rhs}) AS BIGINT) AS n_rhs
+                FROM part GROUP BY {lhs}
+            ) g"""
+        )
+    union = " UNION ALL ".join(parts)
+    return f"SELECT * FROM ({union}) t ORDER BY fd"
+
+
+ORACLE_SQL["fd_violation_audit"] = _fd_oracle()

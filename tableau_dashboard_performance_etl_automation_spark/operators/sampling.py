@@ -1201,3 +1201,85 @@ ORACLE_SQL["temporal_embargo_split"] = f"""
     GROUP BY split, event_type
     ORDER BY split, event_type
 """
+
+
+# ---------------------------------------------------------------------------
+# Grouped k-fold assignment
+# ---------------------------------------------------------------------------
+
+#: Folds for grouped cross-validation (group = user: every event of a
+#: user lands in ONE fold, so no user's behavior leaks across folds —
+#: the grouped-CV discipline; plain row-level folds would leak).
+KFOLD_K = 5
+
+
+def user_kfold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped k-fold assignment over events: fold =
+    md5(user_id) mod K — deterministic, replayable, and
+    group-disjoint by construction (a user's fold is a pure function
+    of the id). Emits the per-fold balance audit: users, events,
+    purchases, value cents — the table you eyeball before trusting a
+    CV estimate (pathological imbalance means the hash is biased or
+    the group sizes are heavy-tailed enough to need stratified
+    grouping instead).
+
+    Scale shape: one narrow projection (fold is 8 md5 hex digits mod
+    K, no join — the assignment travels WITH each row) and one hash
+    aggregate onto the K-row domain; COUNT(DISTINCT user) partials
+    per fold. The same projection IS the production splitter: filter
+    ``fold != i`` to train."""
+    from tableau_dashboard_performance_etl_automation_spark.functions.hashing import (
+        md5_hex_int,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    # 7 hex digits: 16^7-1 < 2^31, so the int32 fold cannot overflow
+    # in either engine (DuckDB ERRORS on int32 overflow; Spark wraps)
+    fold = F.pmod(
+        md5_hex_int(F.md5(F.col("user_id").cast("string")), 1, 7),
+        F.lit(KFOLD_K),
+    ).cast("int")
+    return (
+        e.select(
+            fold.alias("fold"),
+            "user_id",
+            (F.col("event_type") == "purchase").cast("bigint").alias(
+                "is_purchase"
+            ),
+            F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+        .groupBy("fold")
+        .agg(
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum("is_purchase").cast("bigint").alias("n_purchases"),
+            F.sum("cents").cast("bigint").alias("total_cents"),
+        )
+        .orderBy("fold")
+    )
+
+
+QUERIES["user_kfold_assignment"] = user_kfold_assignment
+
+
+def _kfold_oracle() -> str:
+    from tableau_dashboard_performance_etl_automation_spark.functions.hashing import (
+        md5_hex_int_sql,
+    )
+
+    fold = md5_hex_int_sql("md5(user_id::VARCHAR)", 1, 7)
+    return f"""
+        SELECT CAST(({fold}) % {KFOLD_K} AS INTEGER) AS fold,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_purchases,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                   AS total_cents
+        FROM events
+        GROUP BY 1
+        ORDER BY fold
+    """
+
+
+ORACLE_SQL["user_kfold_assignment"] = _kfold_oracle()

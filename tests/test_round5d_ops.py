@@ -363,10 +363,15 @@ def test_fs_linkage_weights_match_bruteforce(spark):
         r.p_partkey: r
         for r in spark.read.parquet(f"{SF}/part.parquet").collect()
     }
-    # blocking invariant: every candidate shares (brand,size) or
-    # (type,size)
+    # blocking invariant: every candidate shares the first name token
+    # AND (brand,size) or (type,size)  (tok1 added round 6 — fixed
+    # domains deepen blocks quadratically on a growing catalog)
+    def tok1(p):
+        return p.p_name.split(" ")[0]
+
     for r in rows:
         a, b = parts[r.partkey_a], parts[r.partkey_b]
+        assert tok1(a) == tok1(b)
         assert (a.p_brand == b.p_brand and a.p_size == b.p_size) or (
             a.p_type == b.p_type and a.p_size == b.p_size
         )
@@ -412,8 +417,9 @@ def test_fs_linkage_weights_match_bruteforce(spark):
     for i, ka in enumerate(keys):
         for kb in keys[i + 1 :]:
             a, b = parts[ka], parts[kb]
-            if (a.p_brand == b.p_brand and a.p_size == b.p_size) or (
-                a.p_type == b.p_type and a.p_size == b.p_size
+            if tok1(a) == tok1(b) and (
+                (a.p_brand == b.p_brand and a.p_size == b.p_size)
+                or (a.p_type == b.p_type and a.p_size == b.p_size)
             ):
                 cand.add((ka, kb))
 

@@ -244,3 +244,89 @@ def test_dp_noise_is_deterministic_and_bounded(spark):
     assert len(rows) > 0
     for r in rows:
         assert abs(r.noisy_count - r.n_true) < 34.0 / scrubbing.DP_EPSILON
+
+
+def test_source_quota_cap_bounds_and_determinism(spark):
+    """Every source keeps min(quota, n_docs) docs, and the kept-set
+    checksum is stable across runs (deterministic hash order)."""
+    from tableau_dashboard_performance_etl_automation_spark.operators import curation
+
+    a = curation.source_quota_cap(spark, SF).collect()
+    b = curation.source_quota_cap(spark, SF).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    for r in a:
+        assert r.n_kept == min(curation.SOURCE_QUOTA, r.n_docs)
+        assert r.n_dropped == r.n_docs - r.n_kept
+
+
+def test_fd_audit_matches_pandas_recompute(spark):
+    """Violation counts must equal a direct per-group recompute."""
+    from tableau_dashboard_performance_etl_automation_spark.operators import profiling
+
+    part = load_table(spark, SF, "part").toPandas()
+    got = {
+        r.fd: (r.n_lhs_groups, r.n_violating_groups, r.n_rows_in_violations)
+        for r in profiling.fd_violation_audit(spark, SF).collect()
+    }
+    for lhs, rhs in profiling.FD_CANDIDATES:
+        g = part.groupby(lhs)[rhs].nunique()
+        sizes = part.groupby(lhs)[rhs].size()
+        viol = g[g > 1]
+        want = (len(g), len(viol), int(sizes[viol.index].sum()))
+        assert got[f"{lhs}->{rhs}"] == want
+
+
+def test_kfold_partitions_users_disjointly(spark):
+    """Fold counts must sum to the corpus and every user must land in
+    exactly one fold (grouped-CV contract)."""
+    from tableau_dashboard_performance_etl_automation_spark.operators import sampling
+
+    rows = sampling.user_kfold_assignment(spark, SF).collect()
+    e = load_table(spark, SF, "events")
+    assert sum(r.n_events for r in rows) == e.count()
+    assert sum(r.n_users for r in rows) == e.select("user_id").distinct().count()
+    assert {r.fold for r in rows} <= set(range(sampling.KFOLD_K))
+
+
+def test_golden_records_survivorship(spark):
+    """Clusters must be ≥2 members, transitive over accepted pairs,
+    and the golden name must be the min-key member's name."""
+    from tableau_dashboard_performance_etl_automation_spark.operators import linkage
+
+    pairs = {
+        (r.ka, r.kb)
+        for r in linkage._fs_scored_pairs(spark, SF)
+        .filter(F.col("fs_weight") >= linkage.FS_GOLD_MIN)
+        .collect()
+    }
+    # union-find reference
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    clusters: dict[int, list[int]] = {}
+    for k in parent:
+        clusters.setdefault(find(k), []).append(k)
+    want = {
+        root: sorted(ms) for root, ms in clusters.items() if len(ms) >= 1
+    }
+    got = linkage.part_golden_records(spark, SF).collect()
+    assert {r.cluster_id for r in got} == set(want)
+    part = {
+        r.p_partkey: r.p_name
+        for r in load_table(spark, SF, "part")
+        .select("p_partkey", "p_name")
+        .collect()
+    }
+    for r in got:
+        assert r.cluster_size == len(want[r.cluster_id])
+        assert r.golden_name == part[r.cluster_id]
+        assert r.cluster_size >= 2
