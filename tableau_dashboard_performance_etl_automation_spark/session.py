@@ -28,6 +28,11 @@ from pyspark.sql import SparkSession
 ENV_CPUS = "SPARK_GRAFT_CPUS"
 ENV_SHUFFLE_PARTITIONS = "SPARK_GRAFT_SHUFFLE_PARTITIONS"
 ENV_DRIVER_MEM = "SPARK_GRAFT_DRIVER_MEM"
+#: Extra JVM flags appended to the driver options (single local JVM =
+#: driver carries the executors too). Used by the bench harness to
+#: A/B JIT/GC hypotheses (e.g. -XX:ReservedCodeCacheSize) without
+#: changing engine defaults.
+ENV_EXTRA_JAVA = "SPARK_GRAFT_EXTRA_JAVA_OPTS"
 
 
 def get_spark(app_name: str = "tdpe-spark", master: str | None = None) -> SparkSession:
@@ -41,6 +46,7 @@ def get_spark(app_name: str = "tdpe-spark", master: str | None = None) -> SparkS
     cpus = os.environ.get(ENV_CPUS, "*")
     shuffle_parts = os.environ.get(ENV_SHUFFLE_PARTITIONS, "32")
     driver_mem = os.environ.get(ENV_DRIVER_MEM, "8g")
+    extra_java = os.environ.get(ENV_EXTRA_JAVA, "")
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master or f"local[{cpus}]")
@@ -75,7 +81,8 @@ def get_spark(app_name: str = "tdpe-spark", master: str | None = None) -> SparkS
         # managed-table state (bucketed tables) lives outside the repo
         .config("spark.sql.warehouse.dir", "/tmp/tdpe-warehouse")
         .config(
-            "spark.driver.extraJavaOptions", "-Dderby.system.home=/tmp/tdpe-derby"
+            "spark.driver.extraJavaOptions",
+            ("-Dderby.system.home=/tmp/tdpe-derby " + extra_java).strip(),
         )
         .config("spark.ui.enabled", "false")
         # keep stdout machine-readable: console progress bars interleave
