@@ -375,3 +375,106 @@ def _dp_oracle() -> str:
 
 
 ORACLE_SQL["dp_noisy_daily_counts"] = _dp_oracle()
+
+
+#: User-level DP: each user's counted events are capped at this many
+#: (contribution bounding). One user then shifts the whole released
+#: histogram by at most DP_USER_CAP rows (L1 sensitivity), so Laplace
+#: noise of scale DP_USER_CAP/ε per cell gives USER-level ε-DP —
+#: the stronger adjacency (add/remove a whole user, not one event).
+DP_USER_CAP = 20
+
+
+def dp_user_level_daily_counts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """User-level differentially-private daily purchase counts:
+    contribution bounding (keep each user's ``DP_USER_CAP`` earliest
+    purchase events — deterministic (ts, event_id) order) followed by
+    the Laplace mechanism at scale ``DP_USER_CAP/ε``. The companion
+    of :func:`dp_noisy_daily_counts` under the stronger user-level
+    adjacency: without the cap a single heavy user makes the
+    sensitivity — and therefore the noise — unbounded; with it the
+    noise is the provable price of hiding any ONE USER entirely.
+
+    Scale shape: the cap is ``row_number ≤ C`` over
+    ``Window.partitionBy(user_id)`` — Spark's WindowGroupLimit keeps
+    a C-row heap per user map-side (no per-user full sort
+    materializes); then one hash aggregate onto the bounded day
+    domain and the same seeded md5 inverse-CDF noise draw as the
+    event-level release (deterministic per release cell)."""
+    from pyspark.sql.window import Window
+
+    from tableau_dashboard_performance_etl_automation_spark.functions.hashing import (
+        md5_hex_bigint,
+    )
+
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    capped = (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= DP_USER_CAP)
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_capped"))
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"), "n_capped"
+        )
+    )
+    u = (
+        md5_hex_bigint(F.md5(F.col("day")), 1, _DP_HEX).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(float(16**_DP_HEX))
+    p = u - F.lit(0.5)
+    b = F.lit(float(DP_USER_CAP) / DP_EPSILON)
+    noise = -b * F.signum(p) * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(p))
+    return capped.select(
+        "day",
+        "n_capped",
+        F.round(F.col("n_capped") + noise, 4).alias("noisy_count"),
+    ).orderBy("day")
+
+
+QUERIES["dp_user_level_daily_counts"] = dp_user_level_daily_counts
+
+
+def _dp_user_oracle() -> str:
+    from tableau_dashboard_performance_etl_automation_spark.functions.hashing import (
+        md5_hex_bigint_sql,
+    )
+
+    fold = md5_hex_bigint_sql("md5(day)", 1, _DP_HEX)
+    return f"""
+        WITH capped AS (
+            SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day
+            FROM (
+                SELECT ts,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY user_id
+                           ORDER BY ts, event_id
+                       ) AS rn
+                FROM events WHERE event_type = 'purchase'
+            ) WHERE rn <= {DP_USER_CAP}
+        ),
+        counts AS (
+            SELECT day, CAST(COUNT(*) AS BIGINT) AS n_capped
+            FROM capped GROUP BY day
+        ),
+        withu AS (
+            SELECT day, n_capped,
+                   (CAST({fold} AS DOUBLE) + 0.5)
+                       / CAST(16.0 ** {_DP_HEX} AS DOUBLE) AS u
+            FROM counts
+        )
+        SELECT day, n_capped,
+               ROUND(n_capped + (
+                   -({DP_USER_CAP}.0 / {DP_EPSILON}) * sign(u - 0.5)
+                   * ln(1.0 - 2.0 * abs(u - 0.5))
+               ), 4) AS noisy_count
+        FROM withu
+        ORDER BY day
+    """
+
+
+ORACLE_SQL["dp_user_level_daily_counts"] = _dp_user_oracle()

@@ -330,3 +330,30 @@ def test_golden_records_survivorship(spark):
         assert r.cluster_size == len(want[r.cluster_id])
         assert r.golden_name == part[r.cluster_id]
         assert r.cluster_size >= 2
+
+
+def test_user_dp_cap_binds_and_noise_is_seeded(spark):
+    """n_capped must equal the true count with every user clipped at
+    DP_USER_CAP, and the noise must be deterministic per day."""
+    from tableau_dashboard_performance_etl_automation_spark.operators import scrubbing
+
+    rows = scrubbing.dp_user_level_daily_counts(spark, SF).collect()
+    again = scrubbing.dp_user_level_daily_counts(spark, SF).collect()
+    assert [tuple(r) for r in rows] == [tuple(r) for r in again]
+    # pandas recompute of the capped counts
+    e = (
+        load_table(spark, SF, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", "ts", "event_id")
+        .toPandas()
+    )
+    e = e.sort_values(["user_id", "ts", "event_id"])
+    e["rn"] = e.groupby("user_id").cumcount() + 1
+    capped = e[e.rn <= scrubbing.DP_USER_CAP]
+    want = capped.ts.dt.strftime("%Y-%m-%d").value_counts().to_dict()
+    got = {r.day: r.n_capped for r in rows}
+    assert got == want
+    # the noise obeys the Laplace tail at scale C/eps
+    bound = 34.0 * scrubbing.DP_USER_CAP / scrubbing.DP_EPSILON
+    for r in rows:
+        assert abs(r.noisy_count - r.n_capped) < bound
