@@ -238,3 +238,69 @@ ORACLE_SQL["purchase_click_attribution_final"] = f"""
     WHERE p.event_type = 'purchase'
     ORDER BY purchase_id, click_id
 """
+
+
+def purchase_click_outer_final(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Batch semantics of ``streaming.trend.purchase_click_left_join``
+    (the LEFT OUTER watermarked stream-stream interval join): every
+    purchase with its window clicks, or one NULL-padded row when the
+    user had no click in the ``ATTRIB_GAP_MIN`` window — the
+    unmatched purchases are the "organic conversion" rows an
+    attribution pipeline reports separately.
+
+    Scale shape identical to the inner twin (one shuffle on the user
+    key; range predicate inside the join); the outer rows cost
+    nothing extra — they are the probe rows that found no build
+    match. The streaming variant emits the SAME null rows, just
+    gated on watermark timeout instead of partition completion."""
+    e = load_table(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+    )
+    return (
+        p.join(
+            c,
+            (F.col("user_id") == F.col("c_user"))
+            & (F.col("click_ts") <= F.col("purchase_ts"))
+            & (
+                F.col("click_ts")
+                >= F.col("purchase_ts")
+                - F.expr(f"INTERVAL {ATTRIB_GAP_MIN} MINUTES")
+            ),
+            "left_outer",
+        )
+        .select(
+            "purchase_id",
+            "user_id",
+            "click_id",
+            F.unix_millis("purchase_ts").alias("purchase_ms"),
+            F.unix_millis("click_ts").alias("click_ms"),
+        )
+        .orderBy("purchase_id", "click_id")
+    )
+
+
+QUERIES["purchase_click_outer_final"] = purchase_click_outer_final
+
+ORACLE_SQL["purchase_click_outer_final"] = f"""
+    SELECT p.event_id AS purchase_id,
+           p.user_id AS user_id,
+           c.event_id AS click_id,
+           CAST(epoch_ms(p.ts) AS BIGINT) AS purchase_ms,
+           CAST(epoch_ms(c.ts) AS BIGINT) AS click_ms
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT OUTER JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON c.user_id = p.user_id
+     AND c.ts <= p.ts
+     AND c.ts >= p.ts - INTERVAL {ATTRIB_GAP_MIN} MINUTES
+    ORDER BY purchase_id, click_id
+"""

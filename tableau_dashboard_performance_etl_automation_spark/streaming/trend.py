@@ -226,3 +226,49 @@ def run_to_memory(
         .start()
         .awaitTermination()
     )
+
+
+def purchase_click_left_join(
+    purchases: DataFrame, clicks: DataFrame, max_gap: str = "1 hour"
+) -> DataFrame:
+    """LEFT OUTER watermarked stream-stream interval join: every
+    purchase emits — joined to the same user's preceding-``max_gap``
+    clicks when they exist, NULL-padded otherwise. The null row for
+    an unmatched purchase can only be emitted once the CLICK-side
+    watermark has passed the purchase's match window (no future click
+    can change the answer) — which is exactly why outer stream-stream
+    joins require both watermarks and a time-range join condition:
+    the engine needs a provable "no more matches" point per row to
+    avoid holding outer state forever.
+
+    Same state-bounding as the inner variant
+    (:func:`purchase_click_attribution`); the outer semantics add
+    only the timeout-triggered null emission."""
+    p = purchases.withWatermark("ts", "30 minutes").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").alias("purchase_value"),
+    )
+    c = clicks.withWatermark("ts", "30 minutes").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    return p.join(
+        c,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (
+            F.col("click_ts")
+            >= F.col("purchase_ts") - F.expr(f"INTERVAL {max_gap}")
+        ),
+        "leftOuter",
+    ).select(
+        "purchase_id",
+        "p_user",
+        "purchase_ts",
+        "purchase_value",
+        "click_id",
+        "click_ts",
+    )

@@ -791,3 +791,66 @@ def test_run_length_collapse_drops_late_batches_deterministically(
         ).collect()
     )
     assert got == want
+
+
+def test_stream_stream_outer_join_matches_batch(spark, sf_dir, tmp_path):
+    """LEFT OUTER stream-stream join: matched pairs equal the batch
+    twin exactly; null-padded (organic) purchases equal the batch
+    twin's null rows for every purchase old enough that the final
+    watermark provably closed its match window."""
+    import datetime
+
+    inp = _stage_stream_input(spark, sf_dir, tmp_path)
+    purchases = trend.events_stream(spark, inp).filter(
+        F.col("event_type") == "purchase"
+    )
+    clicks = trend.events_stream(spark, inp).filter(
+        F.col("event_type") == "click"
+    )
+    (
+        trend.purchase_click_left_join(purchases, clicks)
+        .writeStream.format("memory")
+        .queryName("outer_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    rows = spark.table("outer_sink").collect()
+    got_matched = {
+        (r.purchase_id, r.click_id) for r in rows if r.click_id is not None
+    }
+    got_null = {r.purchase_id for r in rows if r.click_id is None}
+
+    from tableau_dashboard_performance_etl_automation_spark.operators import (
+        streaming_twins,
+    )
+
+    twin = streaming_twins.purchase_click_outer_final(spark, sf_dir).collect()
+    want_matched = {
+        (r.purchase_id, r.click_id) for r in twin if r.click_id is not None
+    }
+    assert got_matched == want_matched
+
+    # watermark-closable window: the outer row is only provably
+    # emittable once the final watermark (max_ts - 30 min delay) has
+    # passed purchase_ts + gap + the click-side delay — i.e. the
+    # purchase sits at least gap + 2×delay before max_ts (plus slack
+    # for batch-boundary watermark lag)
+    max_ts = (
+        load_table(spark, sf_dir, "events").agg(F.max("ts")).collect()[0][0]
+    )
+    horizon = max_ts - datetime.timedelta(
+        minutes=streaming_twins.ATTRIB_GAP_MIN + 65
+    )
+    horizon_ms = int(horizon.replace(tzinfo=datetime.timezone.utc).timestamp() * 1000)
+    want_null_closable = {
+        r.purchase_id
+        for r in twin
+        if r.click_id is None and r.purchase_ms < horizon_ms
+    }
+    assert want_null_closable, "corpus should have organic purchases"
+    # every closable null row must have been emitted, and nothing
+    # emitted as null may contradict the batch twin
+    want_null_all = {r.purchase_id for r in twin if r.click_id is None}
+    assert want_null_closable <= got_null <= want_null_all
