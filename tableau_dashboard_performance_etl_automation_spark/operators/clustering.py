@@ -1572,3 +1572,119 @@ ORACLE_SQL["neardup_link_prediction"] = f"""
     JOIN deg dc ON dc.src = n.c
     ORDER BY is_edge, neighbor_jaccard DESC, n.common DESC, doc_a, doc_b
 """
+
+
+# ---------------------------------------------------------------------------
+# Multi-source BFS over the near-dup graph
+# ---------------------------------------------------------------------------
+
+#: BFS horizon — distances are reported exactly up to this many hops;
+#: everything farther (or disconnected) lands in the -1 bucket.
+BFS_MAX_HOPS = 4
+
+#: Seed selector: every graph node whose doc_id is divisible by this
+#: is a BFS source (deterministic multi-source seed set — the
+#: "distance to nearest labeled doc" shape, e.g. hops to the nearest
+#: human-audited duplicate). 7 ≈ a 14% audit sample of graph nodes.
+BFS_SEED_MOD = 7
+
+
+def neardup_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS over the MinHash near-dup graph: distance of
+    every graph node to the nearest seed (doc_id % BFS_SEED_MOD == 0),
+    reported as a (hop, n_docs) histogram with one ``-1`` row for
+    nodes beyond ``BFS_MAX_HOPS`` or in seedless components. The
+    "how far is everything from the audited set" primitive —
+    propagation radius for label spreading, audit coverage, or
+    contamination blast-radius questions over the duplicate graph.
+
+    Scale shape: ``BFS_MAX_HOPS`` rounds of frontier expansion — each
+    one equi-join of the (shrinking) frontier against the symmetric
+    edge list plus an anti-join against the settled set, checkpointed
+    per round like :func:`connected_components` so round N never
+    replays 1..N-1; per-round state is (node, dist), never paths.
+    The rounds are a fixed constant, so the DuckDB oracle is a
+    depth-bounded recursive CTE computing the identical MIN(depth)."""
+    edges = dedup_minhash_lsh(spark, sf_dir)
+    sym = (
+        edges.selectExpr("doc_a AS src", "doc_b AS dst")
+        .union(edges.selectExpr("doc_b AS src", "doc_a AS dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = sym.select(F.col("src").alias("doc_id")).distinct()
+    settled = (
+        nodes.filter(F.col("doc_id") % BFS_SEED_MOD == 0)
+        .withColumn("hop", F.lit(0))
+        .localCheckpoint()
+    )
+    frontier = settled
+    for h in range(1, BFS_MAX_HOPS + 1):
+        if frontier.isEmpty():
+            break
+        reached = (
+            sym.join(
+                frontier.select(F.col("doc_id").alias("src")), "src"
+            )
+            .select(F.col("dst").alias("doc_id"))
+            .distinct()
+        )
+        frontier = (
+            reached.join(settled.select("doc_id"), "doc_id", "left_anti")
+            .withColumn("hop", F.lit(h))
+            .localCheckpoint()
+        )
+        settled = settled.unionByName(frontier).localCheckpoint()
+    hist = settled.groupBy("hop").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    unreachable = (
+        nodes.join(settled.select("doc_id"), "doc_id", "left_anti")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .select(F.lit(-1).alias("hop"), "n_docs")
+        .filter(F.col("n_docs") > 0)
+    )
+    return (
+        hist.select(F.col("hop").cast("int").alias("hop"), "n_docs")
+        .unionByName(
+            unreachable.select(F.col("hop").cast("int"), "n_docs")
+        )
+        .orderBy("hop")
+    )
+
+
+QUERIES["neardup_bfs_hops"] = neardup_bfs_hops
+
+ORACLE_SQL["neardup_bfs_hops"] = f"""
+    WITH RECURSIVE
+    pairs AS (SELECT * FROM {_PAIRS_SQL} t),
+    sym AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION
+        SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS doc_id FROM sym),
+    bfs(doc_id, hop) AS (
+        SELECT doc_id, 0 FROM nodes WHERE doc_id % {BFS_SEED_MOD} = 0
+        UNION
+        SELECT s.dst, b.hop + 1
+        FROM bfs b JOIN sym s ON s.src = b.doc_id
+        WHERE b.hop < {BFS_MAX_HOPS}
+    ),
+    dist AS (
+        SELECT doc_id, MIN(hop) AS hop FROM bfs GROUP BY doc_id
+    ),
+    hist AS (
+        SELECT CAST(hop AS INTEGER) AS hop,
+               CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM dist GROUP BY hop
+        UNION ALL
+        SELECT -1, CAST(COUNT(*) AS BIGINT)
+        FROM nodes n
+        WHERE NOT EXISTS (
+            SELECT 1 FROM dist d WHERE d.doc_id = n.doc_id
+        )
+        HAVING COUNT(*) > 0
+    )
+    SELECT hop, n_docs FROM hist ORDER BY hop
+"""

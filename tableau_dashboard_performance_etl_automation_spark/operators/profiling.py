@@ -1062,3 +1062,114 @@ def _fd_oracle() -> str:
 
 
 ORACLE_SQL["fd_violation_audit"] = _fd_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Join-strategy advisor (optimizer-statistics report)
+# ---------------------------------------------------------------------------
+
+#: Join candidates audited: (name, left table, left key, right table,
+#: right key). The advisor computes the statistics a cost-based
+#: optimizer consults for these edges.
+JOIN_CANDIDATES = (
+    ("orders_customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem_orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("events_customer", "events", "user_id", "customer", "c_custkey"),
+)
+
+#: Estimated serialized row width per table (bytes) — fixed schema
+#: constants (sum of column-type sizes + per-row overhead), shared
+#: verbatim with the oracle so the estimate arithmetic is identical.
+ROW_WIDTH_BYTES = {
+    "orders": 64,
+    "customer": 72,
+    "lineitem": 96,
+    "events": 80,
+}
+
+#: Broadcast budget the advisor assumes — the session's configured
+#: autoBroadcastJoinThreshold (32 MB, session.py).
+BROADCAST_BUDGET_BYTES = 32 * 1024 * 1024
+
+
+def join_strategy_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cost-based join-strategy report for the star-schema edges: per
+    candidate join, the row counts, join-key NDVs, the estimated
+    bytes of the SMALLER side (rows × schema width), and the strategy
+    a cost-based planner should pick — ``broadcast`` when the small
+    side fits the budget, else ``shuffle`` (sort-merge/shuffled-hash;
+    both sides exchange on the key). This is the statistics layer a
+    100 TB deployment maintains as table metadata (ANALYZE TABLE) so
+    the optimizer never guesses; the report also flags key-NDV
+    asymmetry (ndv_small ≪ n_small means a many-many explosion
+    hazard the planner can't see from sizes alone).
+
+    Scale shape: one two-column aggregate per join side (COUNT +
+    COUNT DISTINCT key, map-side partials); the report is
+    |candidates| rows. Nothing joins — the advisor READS statistics,
+    it never executes the joins it advises on."""
+    legs = []
+    for name, lt, lk, rt, rk in JOIN_CANDIDATES:
+        left = load_table(spark, sf_dir, lt).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_left"),
+            F.countDistinct(lk).cast("bigint").alias("ndv_left"),
+        )
+        right = load_table(spark, sf_dir, rt).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_right"),
+            F.countDistinct(rk).cast("bigint").alias("ndv_right"),
+        )
+        wl, wr = ROW_WIDTH_BYTES[lt], ROW_WIDTH_BYTES[rt]
+        small_bytes = F.least(
+            F.col("n_left") * F.lit(wl), F.col("n_right") * F.lit(wr)
+        )
+        legs.append(
+            left.crossJoin(F.broadcast(right))  # two 1-row aggregates
+            .select(
+                F.lit(name).alias("join_name"),
+                "n_left",
+                "ndv_left",
+                "n_right",
+                "ndv_right",
+                small_bytes.cast("bigint").alias("est_small_bytes"),
+                F.when(
+                    small_bytes <= BROADCAST_BUDGET_BYTES,
+                    F.lit("broadcast"),
+                )
+                .otherwise(F.lit("shuffle"))
+                .alias("strategy"),
+            )
+        )
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out.orderBy("join_name")
+
+
+QUERIES["join_strategy_advisor"] = join_strategy_advisor
+
+
+def _advisor_oracle() -> str:
+    parts = []
+    for name, lt, lk, rt, rk in JOIN_CANDIDATES:
+        wl, wr = ROW_WIDTH_BYTES[lt], ROW_WIDTH_BYTES[rt]
+        parts.append(
+            f"""SELECT '{name}' AS join_name,
+                   l.n_left, l.ndv_left, r.n_right, r.ndv_right,
+                   CAST(LEAST(l.n_left * {wl}, r.n_right * {wr})
+                        AS BIGINT) AS est_small_bytes,
+                   CASE WHEN LEAST(l.n_left * {wl}, r.n_right * {wr})
+                             <= {BROADCAST_BUDGET_BYTES}
+                        THEN 'broadcast' ELSE 'shuffle' END AS strategy
+            FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n_left,
+                         CAST(COUNT(DISTINCT {lk}) AS BIGINT) AS ndv_left
+                  FROM {lt}) l
+            CROSS JOIN
+                 (SELECT CAST(COUNT(*) AS BIGINT) AS n_right,
+                         CAST(COUNT(DISTINCT {rk}) AS BIGINT) AS ndv_right
+                  FROM {rt}) r"""
+        )
+    union = " UNION ALL ".join(parts)
+    return f"SELECT * FROM ({union}) t ORDER BY join_name"
+
+
+ORACLE_SQL["join_strategy_advisor"] = _advisor_oracle()

@@ -357,3 +357,71 @@ def test_user_dp_cap_binds_and_noise_is_seeded(spark):
     bound = 34.0 * scrubbing.DP_USER_CAP / scrubbing.DP_EPSILON
     for r in rows:
         assert abs(r.noisy_count - r.n_capped) < bound
+
+
+def test_bfs_hops_match_python_bfs(spark):
+    """The hop histogram must equal a reference BFS over the same
+    edge list with the same seed rule."""
+    from collections import deque
+
+    from tableau_dashboard_performance_etl_automation_spark.operators import (
+        clustering,
+        dedup,
+    )
+
+    edges = [
+        (r.doc_a, r.doc_b)
+        for r in dedup.dedup_minhash_lsh(spark, SF).collect()
+    ]
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    seeds = [n for n in adj if n % clustering.BFS_SEED_MOD == 0]
+    dist = {s: 0 for s in seeds}
+    q = deque(seeds)
+    while q:
+        u = q.popleft()
+        if dist[u] >= clustering.BFS_MAX_HOPS:
+            continue
+        for v in adj[u]:
+            if v not in dist:
+                dist[v] = dist[u] + 1
+                q.append(v)
+    want: dict[int, int] = {}
+    for d in dist.values():
+        want[d] = want.get(d, 0) + 1
+    unreachable = len(adj) - len(dist)
+    if unreachable:
+        want[-1] = unreachable
+    got = {
+        r.hop: r.n_docs
+        for r in clustering.neardup_bfs_hops(spark, SF).collect()
+    }
+    assert got == want
+
+
+def test_join_advisor_counts_and_strategy(spark):
+    """Counts must equal direct table statistics and the strategy
+    must follow the broadcast budget arithmetic."""
+    from tableau_dashboard_performance_etl_automation_spark.operators import profiling
+
+    rows = {r.join_name: r for r in profiling.join_strategy_advisor(spark, SF).collect()}
+    for name, lt, lk, rt, rk in profiling.JOIN_CANDIDATES:
+        l = load_table(spark, SF, lt)
+        r_ = load_table(spark, SF, rt)
+        row = rows[name]
+        assert row.n_left == l.count()
+        assert row.ndv_left == l.select(lk).distinct().count()
+        assert row.n_right == r_.count()
+        assert row.ndv_right == r_.select(rk).distinct().count()
+        small = min(
+            row.n_left * profiling.ROW_WIDTH_BYTES[lt],
+            row.n_right * profiling.ROW_WIDTH_BYTES[rt],
+        )
+        assert row.est_small_bytes == small
+        assert row.strategy == (
+            "broadcast"
+            if small <= profiling.BROADCAST_BUDGET_BYTES
+            else "shuffle"
+        )
