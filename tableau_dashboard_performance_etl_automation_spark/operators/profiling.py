@@ -1173,3 +1173,104 @@ def _advisor_oracle() -> str:
 
 
 ORACLE_SQL["join_strategy_advisor"] = _advisor_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Range-partition planner (total-order layout)
+# ---------------------------------------------------------------------------
+
+#: Ranges for the total-order plan (= target output files of a
+#: globally sorted write / repartitionByRange).
+RANGE_PARTS = 8
+
+
+def range_partition_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plan a RANGE partitioning of lineitem by extended price — the
+    boundary table ``repartitionByRange`` / a total-order writer
+    needs: per range, its [lo, hi) cent bounds (exact k/K quantiles),
+    actual row count, and the balance ratio vs the ideal N/K. A
+    global sort at 100 TB IS this plan: compute boundaries from
+    quantiles, range-exchange once, sort within partitions — the
+    planner's quality (balance ratio ≈ 1) decides whether any reducer
+    straggles.
+
+    Scale shape: boundaries come from the VALUE-DOMAIN compaction
+    (group by cents → cumulative counts over the bounded domain — the
+    `order_quartiles` decomposition, no global row sort), and the
+    per-range counts are one more pass over the same compaction; raw
+    rows are scanned once, nothing wide ever shuffles."""
+    from pyspark.sql.window import Window
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.round(F.col("l_extendedprice") * 100)
+        .cast("bigint")
+        .alias("cents")
+    )
+    dom = li.groupBy("cents").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    w = Window.orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = dom.agg(F.sum("n").alias("total"))
+    cum = dom.withColumn("cum", F.sum("n").over(w)).crossJoin(
+        F.broadcast(tot)  # 1-row total
+    )
+    # range id of a value v: number of boundaries b_k with cum(<=v)
+    # crossing k*total/K — computed arithmetically from the cum count
+    # (identical integer arithmetic in both engines)
+    rng = F.least(
+        F.floor(
+            (F.col("cum") - 1) * RANGE_PARTS / F.col("total")
+        ).cast("int"),
+        F.lit(RANGE_PARTS - 1),
+    )
+    return (
+        cum.select(rng.alias("range_id"), "cents", "n", "total")
+        .groupBy("range_id")
+        .agg(
+            F.min("cents").cast("bigint").alias("lo_cents"),
+            F.max("cents").cast("bigint").alias("hi_cents"),
+            F.sum("n").cast("bigint").alias("n_rows"),
+            F.round(
+                F.sum("n") * F.lit(float(RANGE_PARTS)) / F.max("total"), 4
+            ).alias("balance_ratio"),
+        )
+        .orderBy("range_id")
+    )
+
+
+QUERIES["range_partition_plan"] = range_partition_plan
+
+ORACLE_SQL["range_partition_plan"] = f"""
+    WITH dom AS (
+        SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM lineitem GROUP BY 1
+    ),
+    cum AS (
+        SELECT cents, n,
+               SUM(n) OVER (ORDER BY cents
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+               (SELECT SUM(n) FROM dom) AS total
+        FROM dom
+    ),
+    tagged AS (
+        SELECT cents, n, total,
+               LEAST(
+                   CAST(FLOOR((cum - 1) * {RANGE_PARTS} * 1.0 / total)
+                        AS INTEGER),
+                   {RANGE_PARTS - 1}
+               ) AS range_id
+        FROM cum
+    )
+    SELECT range_id,
+           CAST(MIN(cents) AS BIGINT) AS lo_cents,
+           CAST(MAX(cents) AS BIGINT) AS hi_cents,
+           CAST(SUM(n) AS BIGINT) AS n_rows,
+           ROUND(SUM(n) * {RANGE_PARTS}.0 / MAX(total), 4)
+               AS balance_ratio
+    FROM tagged
+    GROUP BY range_id
+    ORDER BY range_id
+"""

@@ -478,3 +478,152 @@ def _dp_user_oracle() -> str:
 
 
 ORACLE_SQL["dp_user_level_daily_counts"] = _dp_user_oracle()
+
+
+#: k-anonymity threshold the generalization ladder must satisfy.
+K_ANON_TARGET = 5
+
+#: Generalization levels, coarsest-last: each drops the most
+#: identifying quasi-identifier of the previous level. Level 0:
+#: (nation, segment, balance-decile); level 1: (nation, segment);
+#: level 2: (segment) — the classic full-domain generalization
+#: lattice walked bottom-up until every cell reaches k.
+KANON_LEVELS = ("nation_segment_decile", "nation_segment", "segment")
+
+
+def kanon_generalization_ladder(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Full-domain generalization for k-anonymity over the customer
+    quasi-identifiers: evaluate each generalization level's cell-size
+    profile and mark the FIRST level whose minimum cell reaches
+    ``K_ANON_TARGET`` — the level a release pipeline would publish
+    at. One row per level: cells, min/max cell size, rows in
+    sub-k cells, and the chosen flag. This is the algorithmic step
+    ABOVE the suppression audit (`small_cell_suppression_report`):
+    instead of flagging violating cells, it finds the coarsening that
+    eliminates them.
+
+    Scale shape: one hash aggregate per level onto that level's
+    bounded QI domain (map-side combinable; rows never leave the
+    executors), then a bounded |levels|-row comparison. The
+    balance-decile QI derives from exact integer cents — identical
+    binning in both engines."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        (F.floor(F.round(F.col("c_acctbal") * 100).cast("bigint") / 100000))
+        .cast("int")
+        .alias("bal_k"),
+    )
+    qi_cols = {
+        "nation_segment_decile": ["c_nationkey", "c_mktsegment", "bal_k"],
+        "nation_segment": ["c_nationkey", "c_mktsegment"],
+        "segment": ["c_mktsegment"],
+    }
+    legs = []
+    for i, level in enumerate(KANON_LEVELS):
+        cells = cust.groupBy(*qi_cols[level]).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n")
+        )
+        legs.append(
+            cells.agg(
+                F.lit(i).alias("level"),
+                F.lit(level).alias("level_name"),
+                F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+                F.min("n").cast("bigint").alias("min_cell"),
+                F.max("n").cast("bigint").alias("max_cell"),
+                F.sum(
+                    F.when(F.col("n") < K_ANON_TARGET, F.col("n")).otherwise(
+                        0
+                    )
+                )
+                .cast("bigint")
+                .alias("rows_below_k"),
+            )
+        )
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy("level").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    # chosen = first satisfying level: satisfies AND no earlier level
+    # satisfied (a 3-row window — bounded by the level ladder, not data)
+    satisfied = (F.col("min_cell") >= K_ANON_TARGET).cast("int")
+    return (
+        out.withColumn("ok", satisfied)
+        .withColumn(
+            "chosen",
+            (
+                (F.col("ok") == 1)
+                & (
+                    F.coalesce(F.max("ok").over(w), F.lit(0)) == 0
+                )
+            ).cast("int"),
+        )
+        .select(
+            "level",
+            "level_name",
+            "n_cells",
+            "min_cell",
+            "max_cell",
+            "rows_below_k",
+            "chosen",
+        )
+        .orderBy("level")
+    )
+
+
+QUERIES["kanon_generalization_ladder"] = kanon_generalization_ladder
+
+ORACLE_SQL["kanon_generalization_ladder"] = f"""
+    WITH cust AS (
+        SELECT c_nationkey, c_mktsegment,
+               CAST(FLOOR(CAST(ROUND(c_acctbal * 100) AS BIGINT)
+                    / 100000) AS INTEGER) AS bal_k
+        FROM customer
+    ),
+    l0 AS (
+        SELECT 0 AS level, 'nation_segment_decile' AS level_name,
+               CAST(COUNT(*) AS BIGINT) AS n_cells,
+               CAST(MIN(n) AS BIGINT) AS min_cell,
+               CAST(MAX(n) AS BIGINT) AS max_cell,
+               CAST(SUM(CASE WHEN n < {K_ANON_TARGET} THEN n ELSE 0 END)
+                    AS BIGINT) AS rows_below_k
+        FROM (SELECT COUNT(*) AS n FROM cust
+              GROUP BY c_nationkey, c_mktsegment, bal_k)
+    ),
+    l1 AS (
+        SELECT 1, 'nation_segment', CAST(COUNT(*) AS BIGINT),
+               CAST(MIN(n) AS BIGINT), CAST(MAX(n) AS BIGINT),
+               CAST(SUM(CASE WHEN n < {K_ANON_TARGET} THEN n ELSE 0 END)
+                    AS BIGINT)
+        FROM (SELECT COUNT(*) AS n FROM cust
+              GROUP BY c_nationkey, c_mktsegment)
+    ),
+    l2 AS (
+        SELECT 2, 'segment', CAST(COUNT(*) AS BIGINT),
+               CAST(MIN(n) AS BIGINT), CAST(MAX(n) AS BIGINT),
+               CAST(SUM(CASE WHEN n < {K_ANON_TARGET} THEN n ELSE 0 END)
+                    AS BIGINT)
+        FROM (SELECT COUNT(*) AS n FROM cust GROUP BY c_mktsegment)
+    ),
+    ladder AS (
+        SELECT * FROM l0 UNION ALL SELECT * FROM l1
+        UNION ALL SELECT * FROM l2
+    )
+    SELECT level, level_name, n_cells, min_cell, max_cell,
+           rows_below_k,
+           CAST(
+               min_cell >= {K_ANON_TARGET}
+               AND COALESCE(MAX(CASE WHEN min_cell >= {K_ANON_TARGET}
+                                     THEN 1 ELSE 0 END) OVER (
+                   ORDER BY level
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) = 0 AS INTEGER) AS chosen
+    FROM ladder
+    ORDER BY level
+"""

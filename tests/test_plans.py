@@ -810,3 +810,33 @@ def test_brand_affinity_cold_build_join_has_no_fact_exchange(
             raise AssertionError(
                 f"fact-side exchange found: {line.strip()}"
             )
+
+
+def test_golden_records_warm_run_reads_label_artifact(spark, sf_dir):
+    """Warm entity-resolution runs must read the persisted
+    part_match_labels artifact — the FS candidate joins and the CC
+    fixpoint exist only inside the first-ever build for a corpus."""
+    from tableau_dashboard_performance_etl_automation_spark.operators import linkage
+
+    linkage.part_golden_records(spark, sf_dir).count()  # may build
+    df = linkage.part_golden_records(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "part_match_labels" in plan
+    # the artifact scan replaces the blocked self-join: levenshtein
+    # (the FS scorer) must be gone from the warm plan
+    assert "levenshtein" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_skewsafe_join_exchanges_on_salted_key(spark, sf_dir):
+    """The salted join's contract: the fact side exchanges on
+    (user_id, salt) — never on user_id alone — and the dim side is
+    the replicated (explode) build, so one hot user's rows spread
+    over JOIN_SALTS reducers."""
+    from tableau_dashboard_performance_etl_automation_spark.operators import relational_ext
+
+    df = relational_ext.skewsafe_user_join(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "salt" in plan
+    assert "explode" in plan.lower()
+    assert "CartesianProduct" not in plan

@@ -425,3 +425,43 @@ def test_join_advisor_counts_and_strategy(spark):
             if small <= profiling.BROADCAST_BUDGET_BYTES
             else "shuffle"
         )
+
+
+def test_kanon_ladder_chooses_first_satisfying_level(spark):
+    """chosen must mark exactly the first level with min_cell >= k
+    (or no level), and coarser levels must never have more cells."""
+    from tableau_dashboard_performance_etl_automation_spark.operators import scrubbing
+
+    rows = sorted(
+        scrubbing.kanon_generalization_ladder(spark, SF).collect(),
+        key=lambda r: r.level,
+    )
+    cells = [r.n_cells for r in rows]
+    assert cells == sorted(cells, reverse=True)
+    sat = [r.min_cell >= scrubbing.K_ANON_TARGET for r in rows]
+    chosen = [r.chosen for r in rows]
+    if any(sat):
+        first = sat.index(True)
+        assert chosen == [1 if i == first else 0 for i in range(len(rows))]
+    else:
+        assert chosen == [0] * len(rows)
+
+
+def test_range_partition_plan_is_contiguous_and_complete(spark):
+    """Ranges must tile the value domain contiguously, conserve rows,
+    and assign every value to exactly one range."""
+    from tableau_dashboard_performance_etl_automation_spark.operators import profiling
+
+    rows = sorted(
+        profiling.range_partition_plan(spark, SF).collect(),
+        key=lambda r: r.range_id,
+    )
+    li = load_table(spark, SF, "lineitem")
+    n_total = li.count()
+    assert sum(r.n_rows for r in rows) == n_total
+    for a, b in zip(rows, rows[1:]):
+        assert a.hi_cents < b.lo_cents  # disjoint, ordered
+    for r in rows:
+        assert r.lo_cents <= r.hi_cents
+        # balance: no range more than 3x ideal (ties can skew a bin)
+        assert r.balance_ratio < 3.0
