@@ -1274,3 +1274,131 @@ ORACLE_SQL["range_partition_plan"] = f"""
     GROUP BY range_id
     ORDER BY range_id
 """
+
+
+def join_order_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-ORDER advisor for the 3-table chain
+    lineitem ⋈ orders ⋈ customer: estimate each left-deep order's
+    intermediate cardinality with the textbook independence formula
+    ``|A ⋈ B| ≈ |A|·|B| / max(ndv_A(k), ndv_B(k))`` and recommend the
+    order with the smaller intermediate — the decision a cost-based
+    optimizer makes before the first byte moves, and the one that
+    matters most at 100 TB (a wrong order materializes a fact-sized
+    intermediate twice). Emits one row per candidate order with its
+    estimated intermediate and final cardinalities and a chosen flag.
+
+    Scale shape: the same one-pass per-table statistics the strategy
+    advisor reads (COUNT + per-key NDV, map-side partials); the
+    estimation itself is constant arithmetic over six scalars —
+    statistics work, not data movement."""
+    li = load_table(spark, sf_dir, "lineitem").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_li"),
+        F.countDistinct("l_orderkey").cast("bigint").alias("ndv_li_ok"),
+    )
+    orders = load_table(spark, sf_dir, "orders").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_o"),
+        F.countDistinct("o_orderkey").cast("bigint").alias("ndv_o_ok"),
+        F.countDistinct("o_custkey").cast("bigint").alias("ndv_o_ck"),
+    )
+    cust = load_table(spark, sf_dir, "customer").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_c"),
+        F.countDistinct("c_custkey").cast("bigint").alias("ndv_c_ck"),
+    )
+    stats = li.crossJoin(F.broadcast(orders)).crossJoin(
+        F.broadcast(cust)
+    )  # three 1-row aggregates
+    # double-first multiplication: a BIGINT row-count product
+    # overflows at ~9.2e18 — real at 100 TB (1e12 × 1e11 rows) — and
+    # DuckDB errors on it while Spark wraps; both sides go through
+    # double before multiplying
+    est_lo = F.floor(
+        F.col("n_li").cast("double")
+        * F.col("n_o")
+        / F.greatest("ndv_li_ok", "ndv_o_ok")
+    ).cast("bigint")
+    est_oc = F.floor(
+        F.col("n_o").cast("double")
+        * F.col("n_c")
+        / F.greatest("ndv_o_ck", "ndv_c_ck")
+    ).cast("bigint")
+    # final estimate is order-independent under the same formula:
+    # (est_lo ⋈ c on custkey) with ndv inherited from orders
+    est_final = F.floor(
+        est_lo.cast("double")
+        * F.col("n_c")
+        / F.greatest("ndv_o_ck", "ndv_c_ck")
+    ).cast("bigint")
+    orders_plan = stats.select(
+        F.lit("(lineitem*orders)*customer").alias("join_order"),
+        est_lo.alias("est_intermediate"),
+        est_final.alias("est_final"),
+    ).unionByName(
+        stats.select(
+            F.lit("lineitem*(orders*customer)").alias("join_order"),
+            est_oc.alias("est_intermediate"),
+            est_final.alias("est_final"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return (
+        orders_plan.withColumn(
+            "chosen",
+            (
+                F.col("est_intermediate")
+                == F.min("est_intermediate").over(w)
+            ).cast("int"),
+        )
+        .select("join_order", "est_intermediate", "est_final", "chosen")
+        .orderBy("join_order")
+    )
+
+
+QUERIES["join_order_advisor"] = join_order_advisor
+
+ORACLE_SQL["join_order_advisor"] = """
+    WITH li AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_li,
+               CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS ndv_li_ok
+        FROM lineitem
+    ),
+    o AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_o,
+               CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS ndv_o_ok,
+               CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS ndv_o_ck
+        FROM orders
+    ),
+    c AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_c,
+               CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS ndv_c_ck
+        FROM customer
+    ),
+    stats AS (SELECT * FROM li CROSS JOIN o CROSS JOIN c),
+    plans AS (
+        SELECT '(lineitem*orders)*customer' AS join_order,
+               CAST(FLOOR(n_li * 1.0 * n_o
+                    / GREATEST(ndv_li_ok, ndv_o_ok)) AS BIGINT)
+                   AS est_intermediate,
+               CAST(FLOOR(FLOOR(n_li * 1.0 * n_o
+                        / GREATEST(ndv_li_ok, ndv_o_ok)) * 1.0 * n_c
+                    / GREATEST(ndv_o_ck, ndv_c_ck)) AS BIGINT)
+                   AS est_final
+        FROM stats
+        UNION ALL
+        SELECT 'lineitem*(orders*customer)',
+               CAST(FLOOR(n_o * 1.0 * n_c
+                    / GREATEST(ndv_o_ck, ndv_c_ck)) AS BIGINT),
+               CAST(FLOOR(FLOOR(n_li * 1.0 * n_o
+                        / GREATEST(ndv_li_ok, ndv_o_ok)) * 1.0 * n_c
+                    / GREATEST(ndv_o_ck, ndv_c_ck)) AS BIGINT)
+        FROM stats
+    )
+    SELECT join_order, est_intermediate, est_final,
+           CAST(est_intermediate = (SELECT MIN(est_intermediate)
+                                    FROM plans) AS INTEGER) AS chosen
+    FROM plans
+    ORDER BY join_order
+"""

@@ -465,3 +465,34 @@ def test_range_partition_plan_is_contiguous_and_complete(spark):
         assert r.lo_cents <= r.hi_cents
         # balance: no range more than 3x ideal (ties can skew a bin)
         assert r.balance_ratio < 3.0
+
+
+def test_join_order_advisor_picks_smaller_intermediate(spark):
+    """Exactly one order is chosen and it has the (weakly) smaller
+    estimated intermediate; the independence-formula estimates must
+    match a direct recompute from table statistics."""
+    from tableau_dashboard_performance_etl_automation_spark.operators import profiling
+
+    rows = {r.join_order: r for r in profiling.join_order_advisor(spark, SF).collect()}
+    assert len(rows) == 2
+    li = load_table(spark, SF, "lineitem")
+    o = load_table(spark, SF, "orders")
+    c = load_table(spark, SF, "customer")
+    n_li, ndv_li = li.count(), li.select("l_orderkey").distinct().count()
+    n_o = o.count()
+    ndv_o_ok = o.select("o_orderkey").distinct().count()
+    ndv_o_ck = o.select("o_custkey").distinct().count()
+    n_c = c.count()
+    ndv_c = c.select("c_custkey").distinct().count()
+    est_lo = int(n_li * n_o / max(ndv_li, ndv_o_ok))
+    est_oc = int(n_o * n_c / max(ndv_o_ck, ndv_c))
+    a = rows["(lineitem*orders)*customer"]
+    b = rows["lineitem*(orders*customer)"]
+    assert a.est_intermediate == est_lo
+    assert b.est_intermediate == est_oc
+    assert a.est_final == b.est_final
+    chosen = [r for r in rows.values() if r.chosen == 1]
+    assert len(chosen) >= 1
+    m = min(a.est_intermediate, b.est_intermediate)
+    for r in rows.values():
+        assert (r.chosen == 1) == (r.est_intermediate == m)
