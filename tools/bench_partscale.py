@@ -39,7 +39,14 @@ from tableau_dashboard_performance_etl_automation_spark.session import get_spark
 SCALE_ROOT = "/tmp/tdpe-partscale"
 FACTORS = [1, 4, 16, 64]
 
-PROBES = ["part_fs_linkage", "part_record_linkage", "part_sorted_neighborhood"]
+PROBES = [
+    "part_fs_linkage",
+    "part_record_linkage",
+    "part_sorted_neighborhood",
+    # round-6 flagship: FS matches -> CC -> survivorship; the match
+    # labels persist per corpus, so min-of-2 reports the warm read
+    "part_golden_records",
+]
 
 
 def build_scaled(spark, base_dir: str, factor: int) -> str:
