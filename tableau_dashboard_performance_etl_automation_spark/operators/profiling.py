@@ -1402,3 +1402,100 @@ ORACLE_SQL["join_order_advisor"] = """
     FROM plans
     ORDER BY join_order
 """
+
+
+def join_estimate_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Close the cost-based-optimizer loop: for every join edge the
+    strategy advisor models, compare the textbook independence
+    estimate ``|A|·|B| / max(ndv_A, ndv_B)`` against the ACTUAL join
+    cardinality and report the q-error-style ratio (actual /
+    estimate, 4 decimals). Ratios near 1 mean the uniformity
+    assumption holds (foreign keys over uniform domains); large
+    ratios expose key skew or key-domain correlation — exactly the
+    cells where the optimizer needs histogram statistics instead of
+    NDVs, and the audit a deployment runs before trusting plan
+    choices at 100 TB.
+
+    Scale shape: the estimates reuse the one-pass per-table
+    statistics; each actual count is the join executed as a bare
+    COUNT aggregate — no payload columns, map-side partials, one
+    shuffle per edge on its key (the cheapest possible ground
+    truth)."""
+    legs = []
+    for name, lt, lk, rt, rk in JOIN_CANDIDATES:
+        lstats = load_table(spark, sf_dir, lt).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_l"),
+            F.countDistinct(lk).cast("bigint").alias("ndv_l"),
+        )
+        rstats = load_table(spark, sf_dir, rt).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_r"),
+            F.countDistinct(rk).cast("bigint").alias("ndv_r"),
+        )
+        actual = (
+            load_table(spark, sf_dir, lt)
+            .select(F.col(lk).alias("k"))
+            .join(
+                load_table(spark, sf_dir, rt).select(
+                    F.col(rk).alias("k")
+                ),
+                "k",
+            )
+            .agg(F.count(F.lit(1)).cast("bigint").alias("actual_rows"))
+        )
+        est = F.floor(
+            F.col("n_l").cast("double")
+            * F.col("n_r")
+            / F.greatest("ndv_l", "ndv_r")
+        ).cast("bigint")
+        legs.append(
+            lstats.crossJoin(F.broadcast(rstats))  # 1-row aggregates
+            .crossJoin(F.broadcast(actual))
+            .select(
+                F.lit(name).alias("join_name"),
+                est.alias("est_rows"),
+                "actual_rows",
+                F.round(
+                    F.col("actual_rows")
+                    / F.greatest(est.cast("double"), F.lit(1.0)),
+                    4,
+                ).alias("actual_over_est"),
+            )
+        )
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out.orderBy("join_name")
+
+
+QUERIES["join_estimate_accuracy"] = join_estimate_accuracy
+
+
+def _estimate_accuracy_oracle() -> str:
+    parts = []
+    for name, lt, lk, rt, rk in JOIN_CANDIDATES:
+        parts.append(
+            f"""SELECT '{name}' AS join_name,
+                   CAST(FLOOR(l.n_l * 1.0 * r.n_r
+                        / GREATEST(l.ndv_l, r.ndv_r)) AS BIGINT)
+                       AS est_rows,
+                   a.actual_rows,
+                   ROUND(a.actual_rows / GREATEST(
+                       FLOOR(l.n_l * 1.0 * r.n_r
+                             / GREATEST(l.ndv_l, r.ndv_r)), 1.0), 4)
+                       AS actual_over_est
+            FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n_l,
+                         CAST(COUNT(DISTINCT {lk}) AS BIGINT) AS ndv_l
+                  FROM {lt}) l
+            CROSS JOIN
+                 (SELECT CAST(COUNT(*) AS BIGINT) AS n_r,
+                         CAST(COUNT(DISTINCT {rk}) AS BIGINT) AS ndv_r
+                  FROM {rt}) r
+            CROSS JOIN
+                 (SELECT CAST(COUNT(*) AS BIGINT) AS actual_rows
+                  FROM {lt} a JOIN {rt} b ON a.{lk} = b.{rk}) a"""
+        )
+    union = " UNION ALL ".join(parts)
+    return f"SELECT * FROM ({union}) t ORDER BY join_name"
+
+
+ORACLE_SQL["join_estimate_accuracy"] = _estimate_accuracy_oracle()

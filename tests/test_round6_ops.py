@@ -496,3 +496,24 @@ def test_join_order_advisor_picks_smaller_intermediate(spark):
     m = min(a.est_intermediate, b.est_intermediate)
     for r in rows.values():
         assert (r.chosen == 1) == (r.est_intermediate == m)
+
+
+def test_join_estimate_accuracy_actuals_are_exact(spark):
+    """actual_rows must equal the directly executed join counts and
+    the ratio must be actual / max(est, 1)."""
+    from tableau_dashboard_performance_etl_automation_spark.operators import profiling
+
+    rows = {
+        r.join_name: r
+        for r in profiling.join_estimate_accuracy(spark, SF).collect()
+    }
+    for name, lt, lk, rt, rk in profiling.JOIN_CANDIDATES:
+        l = load_table(spark, SF, lt).select(F.col(lk).alias("k"))
+        r_ = load_table(spark, SF, rt).select(F.col(rk).alias("k"))
+        actual = l.join(r_, "k").count()
+        row = rows[name]
+        assert row.actual_rows == actual
+        assert (
+            abs(row.actual_over_est - round(actual / max(row.est_rows, 1), 4))
+            < 1e-9
+        )
