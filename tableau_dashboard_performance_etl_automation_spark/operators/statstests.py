@@ -2948,3 +2948,125 @@ ORACLE_SQL["ab_sample_ratio_check"] = """
                           > 3.841 THEN 1 ELSE 0 END AS INT) AS srm_flag
     FROM m
 """
+
+
+# ---------------------------------------------------------------------------
+# Order-statistic confidence interval for the median
+# ---------------------------------------------------------------------------
+
+#: z for the ~95% distribution-free CI on the median (binomial
+#: normal approximation of the rank bounds).
+MEDIAN_CI_Z = 1.96
+
+
+def median_confidence_interval(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Distribution-free ~95% CI for each event type's median value —
+    the classic order-statistic interval: the true median lies
+    between the order statistics at ranks
+    ``n/2 ∓ z·√n/2`` with ~95% coverage REGARDLESS of the value
+    distribution (binomial argument: each observation falls below
+    the median with p=½, so the median's rank among the sample is
+    Binomial(n, ½)). The nonparametric companion of
+    ``bootstrap_mean_tokens_ci``: no resampling, no distributional
+    assumption, exact ranks.
+
+    Scale shape: ranks come from the VALUE-DOMAIN compaction (group
+    by cents → cumulative counts over the bounded domain per type,
+    the `order_quartiles` decomposition) — three rank probes are
+    answered by the same cumulative table and no task ever sorts raw
+    rows. All rank arithmetic is exact integers; only √n is a
+    double, identical in both engines."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    dom = e.groupBy("event_type", "cents").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = dom.withColumn("cum", F.sum("cnt").over(w))
+    totals = dom.groupBy("event_type").agg(
+        F.sum("cnt").cast("bigint").alias("n")
+    )
+    half = F.col("n") / 2.0
+    spread = F.lit(MEDIAN_CI_Z) * F.sqrt(F.col("n")) / F.lit(2.0)
+    ranks = totals.select(
+        "event_type",
+        "n",
+        F.greatest(F.floor(half - spread).cast("bigint"), F.lit(1)).alias(
+            "r_lo"
+        ),
+        # median rank = ceil(n/2); upper rank capped at n
+        F.ceil(half).cast("bigint").alias("r_med"),
+        F.least(F.ceil(half + spread).cast("bigint"), F.col("n")).alias(
+            "r_hi"
+        ),
+    )
+    j = cum.join(ranks, "event_type")
+
+    def value_at(rank_col: str):
+        # smallest cents whose cumulative count reaches the rank
+        return F.min(
+            F.when(F.col("cum") >= F.col(rank_col), F.col("cents"))
+        )
+
+    return (
+        j.groupBy("event_type")
+        .agg(
+            F.max("n").alias("n"),
+            (value_at("r_lo") / 100.0).alias("ci_lo"),
+            (value_at("r_med") / 100.0).alias("median"),
+            (value_at("r_hi") / 100.0).alias("ci_hi"),
+        )
+        .select("event_type", "n", "ci_lo", "median", "ci_hi")
+        .orderBy("event_type")
+    )
+
+
+QUERIES["median_confidence_interval"] = median_confidence_interval
+
+ORACLE_SQL["median_confidence_interval"] = f"""
+    WITH e AS (
+        SELECT event_type,
+               CAST(ROUND(value * 100) AS BIGINT) AS cents
+        FROM events
+    ),
+    dom AS (
+        SELECT event_type, cents, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM e GROUP BY event_type, cents
+    ),
+    cum AS (
+        SELECT event_type, cents,
+               SUM(cnt) OVER (PARTITION BY event_type ORDER BY cents
+                              ROWS UNBOUNDED PRECEDING) AS cum
+        FROM dom
+    ),
+    ranks AS (
+        SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS n,
+               GREATEST(CAST(FLOOR(SUM(cnt) / 2.0
+                   - {MEDIAN_CI_Z} * sqrt(SUM(cnt)) / 2.0) AS BIGINT),
+                   1) AS r_lo,
+               CAST(CEIL(SUM(cnt) / 2.0) AS BIGINT) AS r_med,
+               LEAST(CAST(CEIL(SUM(cnt) / 2.0
+                   + {MEDIAN_CI_Z} * sqrt(SUM(cnt)) / 2.0) AS BIGINT),
+                   CAST(SUM(cnt) AS BIGINT)) AS r_hi
+        FROM dom GROUP BY event_type
+    )
+    SELECT c.event_type,
+           MAX(r.n) AS n,
+           MIN(CASE WHEN c.cum >= r.r_lo THEN c.cents END) / 100.0
+               AS ci_lo,
+           MIN(CASE WHEN c.cum >= r.r_med THEN c.cents END) / 100.0
+               AS median,
+           MIN(CASE WHEN c.cum >= r.r_hi THEN c.cents END) / 100.0
+               AS ci_hi
+    FROM cum c JOIN ranks r ON r.event_type = c.event_type
+    GROUP BY c.event_type
+    ORDER BY c.event_type
+"""

@@ -517,3 +517,31 @@ def test_join_estimate_accuracy_actuals_are_exact(spark):
             abs(row.actual_over_est - round(actual / max(row.est_rows, 1), 4))
             < 1e-9
         )
+
+
+def test_median_ci_brackets_true_median(spark):
+    """The interval must contain the exact median, endpoints must be
+    actual sample values at the binomial rank bounds, and the
+    interval must be ordered."""
+    import math
+
+    from tableau_dashboard_performance_etl_automation_spark.operators import statstests
+
+    rows = statstests.median_confidence_interval(spark, SF).collect()
+    vals = (
+        load_table(spark, SF, "events")
+        .select("event_type", F.round(F.col("value") * 100).cast("bigint").alias("c"))
+        .toPandas()
+    )
+    for r in rows:
+        s = sorted(vals[vals.event_type == r.event_type].c)
+        n = len(s)
+        assert r.n == n
+        half, spread = n / 2.0, statstests.MEDIAN_CI_Z * math.sqrt(n) / 2.0
+        r_lo = max(math.floor(half - spread), 1)
+        r_med = math.ceil(half)
+        r_hi = min(math.ceil(half + spread), n)
+        assert r.ci_lo == s[r_lo - 1] / 100.0
+        assert r.median == s[r_med - 1] / 100.0
+        assert r.ci_hi == s[r_hi - 1] / 100.0
+        assert r.ci_lo <= r.median <= r.ci_hi
