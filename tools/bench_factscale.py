@@ -121,6 +121,12 @@ PROBE_QUERIES = [
     # the zero-exchange bucketed-fact cold build
     "price_rank_gaps",
     "brand_affinity_cold_bucketed",
+    # round-6: value-domain range planner (flat — domain-bounded),
+    # the incremental rollup merge (linear full scan), and the
+    # salted skew-safe join (one fact shuffle on (key, salt))
+    "range_partition_plan",
+    "incremental_agg_refresh",
+    "skewsafe_user_join",
 ]
 
 
