@@ -280,3 +280,117 @@ ORACLE_SQL["multi_touch_attribution"] = """
     GROUP BY d
     ORDER BY purchase_date
 """
+
+
+#: Decay half-life bucket width (minutes): a click's weight halves
+#: every bucket — weights are EXACT powers of two (dyadic), so both
+#: engines compute bit-identical doubles with no exp()/log() parity
+#: risk.
+DECAY_BUCKET_MIN = 10
+
+#: Attribution lookback (minutes), same window as the U-shaped model.
+DECAY_WINDOW_MIN = 60
+
+
+def time_decay_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decay multi-touch attribution: each purchase splits one
+    unit of credit across its lookback-window clicks with weight
+    ``2^-(Δ // {bucket})`` — recency halves every
+    ``DECAY_BUCKET_MIN`` minutes — normalized per purchase; credit is
+    then rolled up per (purchase_date, decay bucket). The third
+    member of the attribution family (last-click → position-based →
+    time-decay), and the one marketers reach for when recency, not
+    position, drives conversion.
+
+    Determinism: weights are exact dyadic rationals (the bucket index
+    is integer FLOOR division of an exact millisecond delta), the
+    per-purchase normalizer is a sum of ≤7 such weights, and the
+    final shares are ROUND(...,4) — no transcendental functions, so
+    cross-engine parity is exact-arithmetic, not libm luck.
+
+    Scale shape: one user-key interval join (the attribution family's
+    shared shape), a per-purchase normalizer window (state = one
+    purchase's window clicks, bounded by the 60-minute lookback), and
+    a bounded (date × 7 buckets) rollup."""
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    pairs = p.join(
+        c,
+        (p.user_id == F.col("c_user_id"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (
+            F.col("click_ts")
+            >= F.col("purchase_ts")
+            - F.expr(f"INTERVAL {DECAY_WINDOW_MIN} MINUTES")
+        ),
+    )
+    delta_ms = F.unix_millis("purchase_ts") - F.unix_millis("click_ts")
+    bucket = F.floor(
+        delta_ms / F.lit(DECAY_BUCKET_MIN * 60 * 1000)
+    ).cast("int")
+    weighted = pairs.select(
+        "purchase_id",
+        F.col("purchase_ts").cast("date").alias("d"),
+        bucket.alias("decay_bucket"),
+        F.pow(F.lit(0.5), bucket.cast("double")).alias("w"),
+    )
+    norm = Window.partitionBy("purchase_id")
+    credited = weighted.withColumn(
+        "credit", F.col("w") / F.sum("w").over(norm)
+    )
+    return (
+        credited.groupBy(
+            F.date_format("d", "yyyy-MM-dd").alias("purchase_date"),
+            "decay_bucket",
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.round(F.sum("credit"), 4).alias("credit"),
+        )
+        .orderBy("purchase_date", "decay_bucket")
+    )
+
+
+QUERIES["time_decay_attribution"] = time_decay_attribution
+
+ORACLE_SQL["time_decay_attribution"] = f"""
+    WITH pairs AS (
+        SELECT p.event_id AS purchase_id,
+               CAST(p.ts AS DATE) AS d,
+               CAST(FLOOR((epoch_ms(p.ts) - epoch_ms(c.ts))
+                    / ({DECAY_BUCKET_MIN} * 60 * 1000)) AS INTEGER)
+                   AS decay_bucket
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          ON c.user_id = p.user_id
+         AND c.ts <= p.ts
+         AND c.ts >= p.ts - INTERVAL {DECAY_WINDOW_MIN} MINUTES
+    ),
+    weighted AS (
+        SELECT purchase_id, d, decay_bucket,
+               POWER(0.5, decay_bucket) AS w
+        FROM pairs
+    ),
+    credited AS (
+        SELECT d, decay_bucket,
+               w / SUM(w) OVER (PARTITION BY purchase_id) AS credit
+        FROM weighted
+    )
+    SELECT strftime(d, '%Y-%m-%d') AS purchase_date,
+           decay_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           ROUND(SUM(credit), 4) AS credit
+    FROM credited
+    GROUP BY d, decay_bucket
+    ORDER BY purchase_date, decay_bucket
+"""

@@ -545,3 +545,48 @@ def test_median_ci_brackets_true_median(spark):
         assert r.median == s[r_med - 1] / 100.0
         assert r.ci_hi == s[r_hi - 1] / 100.0
         assert r.ci_lo <= r.median <= r.ci_hi
+
+
+def test_time_decay_credit_conserves_per_day(spark):
+    """Summed credit per day must equal the number of purchases with
+    at least one window click (each such purchase distributes exactly
+    one credit unit), and weights must halve per bucket."""
+    import datetime
+
+    from tableau_dashboard_performance_etl_automation_spark.operators import asof
+
+    rows = asof.time_decay_attribution(spark, SF).collect()
+    per_day: dict[str, float] = {}
+    for r in rows:
+        per_day[r.purchase_date] = per_day.get(r.purchase_date, 0.0) + r.credit
+        assert 0 <= r.decay_bucket <= asof.DECAY_WINDOW_MIN // asof.DECAY_BUCKET_MIN
+    e = load_table(spark, SF, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("pts"), F.col("event_id").alias("pid")
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"), F.col("ts").alias("cts")
+    )
+    attributed = (
+        p.join(
+            c,
+            (F.col("user_id") == F.col("cu"))
+            & (F.col("cts") <= F.col("pts"))
+            & (
+                F.col("cts")
+                >= F.col("pts")
+                - F.expr(f"INTERVAL {asof.DECAY_WINDOW_MIN} MINUTES")
+            ),
+        )
+        .select("pid", F.date_format(F.col("pts").cast("date"), "yyyy-MM-dd").alias("d"))
+        .distinct()
+        .groupBy("d")
+        .count()
+        .collect()
+    )
+    want = {r.d: r["count"] for r in attributed}
+    assert set(per_day) == set(want)
+    for d, total in per_day.items():
+        # rounding each bucket to 4 decimals can drift the day sum by
+        # at most #buckets * 5e-5
+        assert abs(total - want[d]) < 1e-3, d
