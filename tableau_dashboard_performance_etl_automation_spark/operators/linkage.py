@@ -563,10 +563,27 @@ def part_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the match-label table is a per-corpus artifact (same discipline
     # as the LSH cluster labels): the FS scoring + CC fixpoint runs
     # once per corpus EVER, every later call reads the stored
-    # assignment — measured 6.1 s -> sub-second recurring at sf0.1
+    # assignment — measured 6.1 s -> sub-second recurring at sf0.1.
+    # The tag folds in an ALGORITHM hash (source of the scoring/
+    # blocking pipeline + FS_GOLD_MIN), not just the corpus: the
+    # labels bake in the blocking keys and threshold, so any change
+    # to that logic must invalidate the stored clusters instead of
+    # silently serving the old algorithm's output (round-6 ADVICE)
+    import hashlib
+    import inspect
+
+    algo = hashlib.md5(
+        (
+            inspect.getsource(_fs_scored_pairs)
+            + f"|FS_GOLD_MIN={FS_GOLD_MIN}"
+        ).encode()
+    ).hexdigest()[:10]
     base = os.path.basename(sf_dir.rstrip("/")) or "root"
     labels = persisted_table(
-        spark, f"part_match_labels/{base}", sf_dir, _build
+        spark,
+        f"part_match_labels/{base}",
+        f"{sf_dir}|algo={algo}",
+        _build,
     )
     part = load_table(spark, sf_dir, "part")
     members = labels.join(

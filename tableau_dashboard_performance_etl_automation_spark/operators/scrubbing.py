@@ -312,7 +312,17 @@ def dp_noisy_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one hash aggregate onto the bounded day domain, then
     a per-row noise projection — the mechanism costs nothing beyond
     the count query itself.  ROUND(...,4) keeps the ln() within
-    cross-engine double parity (repo-wide float discipline)."""
+    cross-engine double parity (repo-wide float discipline).
+
+    **DETERMINISM/PARITY MOCK — NOT A PRIVATE RELEASE.** As
+    implemented this provides NO privacy: the noise is derived
+    deterministically from ``md5(day)`` with no secret salt, so
+    anyone can recompute and subtract it exactly, and ``n_true`` is
+    emitted alongside the noised value anyway. The query exists to
+    benchmark the MECHANISM'S ARITHMETIC (inverse-CDF Laplace,
+    sensitivity scaling) bit-identically across engines. A real
+    release needs a secret, per-release random seed and must DROP
+    the true-count column."""
     e = load_table(spark, sf_dir, "events")
     counts = (
         e.filter(F.col("event_type") == "purchase")
@@ -395,7 +405,16 @@ def dp_user_level_daily_counts(
     of :func:`dp_noisy_daily_counts` under the stronger user-level
     adjacency: without the cap a single heavy user makes the
     sensitivity — and therefore the noise — unbounded; with it the
-    noise is the provable price of hiding any ONE USER entirely.
+    noise scale is what hiding any one user WOULD cost under a real
+    mechanism.
+
+    **DETERMINISM/PARITY MOCK — NOT A PRIVATE RELEASE** (same caveat
+    as :func:`dp_noisy_daily_counts`): the seeded ``md5(day)`` noise
+    is publicly recomputable and ``n_capped`` is emitted in the
+    output, so no privacy is provided as written. What this query
+    demonstrates for real is the CONTRIBUTION-BOUNDING plan shape
+    and the sensitivity arithmetic; a real release needs a secret
+    per-release seed and must drop the true-count column.
 
     Scale shape: the cap is ``row_number ≤ C`` over
     ``Window.partitionBy(user_id)`` — Spark's WindowGroupLimit keeps
@@ -485,10 +504,10 @@ K_ANON_TARGET = 5
 
 #: Generalization levels, coarsest-last: each drops the most
 #: identifying quasi-identifier of the previous level. Level 0:
-#: (nation, segment, balance-decile); level 1: (nation, segment);
+#: (nation, segment, $1000-wide balance bucket); level 1: (nation, segment);
 #: level 2: (segment) — the classic full-domain generalization
 #: lattice walked bottom-up until every cell reaches k.
-KANON_LEVELS = ("nation_segment_decile", "nation_segment", "segment")
+KANON_LEVELS = ("nation_segment_bal1k", "nation_segment", "segment")
 
 
 def kanon_generalization_ladder(
@@ -507,8 +526,9 @@ def kanon_generalization_ladder(
     Scale shape: one hash aggregate per level onto that level's
     bounded QI domain (map-side combinable; rows never leave the
     executors), then a bounded |levels|-row comparison. The
-    balance-decile QI derives from exact integer cents — identical
-    binning in both engines."""
+    balance-bucket QI (``bal_k = floor(cents/100000)``, i.e. fixed
+    $1000-wide buckets — NOT deciles) derives from exact integer
+    cents — identical binning in both engines."""
     cust = load_table(spark, sf_dir, "customer").select(
         "c_nationkey",
         "c_mktsegment",
@@ -517,7 +537,7 @@ def kanon_generalization_ladder(
         .alias("bal_k"),
     )
     qi_cols = {
-        "nation_segment_decile": ["c_nationkey", "c_mktsegment", "bal_k"],
+        "nation_segment_bal1k": ["c_nationkey", "c_mktsegment", "bal_k"],
         "nation_segment": ["c_nationkey", "c_mktsegment"],
         "segment": ["c_mktsegment"],
     }
@@ -587,7 +607,7 @@ ORACLE_SQL["kanon_generalization_ladder"] = f"""
         FROM customer
     ),
     l0 AS (
-        SELECT 0 AS level, 'nation_segment_decile' AS level_name,
+        SELECT 0 AS level, 'nation_segment_bal1k' AS level_name,
                CAST(COUNT(*) AS BIGINT) AS n_cells,
                CAST(MIN(n) AS BIGINT) AS min_cell,
                CAST(MAX(n) AS BIGINT) AS max_cell,

@@ -284,7 +284,11 @@ def bucketed_fact(
 
     Both sides of an intended co-located join must use the SAME
     ``n_buckets`` (Spark only elides the exchange when bucket counts
-    match)."""
+    match) — which is why ``n_buckets`` is part of both the memo key
+    and the table name (round-6 ADVICE item): two callers asking for
+    different bucket counts get two distinct layouts instead of the
+    second silently receiving the first's, which would reintroduce
+    the exchange the layout exists to elide."""
     import os
 
     from tableau_dashboard_performance_etl_automation_spark.catalog import load_table
@@ -296,8 +300,14 @@ def bucketed_fact(
     digest = hashlib.md5(
         os.path.abspath(sf_dir).encode()
     ).hexdigest()[:8]
-    memo_key = (spark.sparkContext.applicationId, sf_dir, table, key)
-    name = f"fact_{table}_{digest}_by_{key}".replace(".", "_")
+    memo_key = (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        table,
+        key,
+        n_buckets,
+    )
+    name = f"fact_{table}_{digest}_by_{key}_{n_buckets}b".replace(".", "_")
     if _FACT_BUCKET_CACHE.get(memo_key) != name:
         write_bucketed(
             load_table(spark, sf_dir, table), name, key, n_buckets

@@ -33,7 +33,26 @@ from collections import Counter
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-def _norm_rows(cols, rows):
+_INTEGRAL_DTYPES = {"tinyint", "smallint", "int", "bigint"}
+
+
+def _int_exact_cols(a_df, b_df) -> set:
+    """Column names whose Spark dtype is integral on BOTH sides —
+    those compare exactly (round-6 ADVICE item: blanket int→float
+    coercion made >1e9 checksums compare lossily at 9 significant
+    digits, hiding genuine low-digit divergences). Coercion to float
+    remains only where the two sides genuinely disagree on type
+    (int vs float/Decimal — the dialect split the coercion exists
+    to normalize)."""
+    da, db = dict(a_df.dtypes), dict(b_df.dtypes)
+    return {
+        c
+        for c in da
+        if da.get(c) in _INTEGRAL_DTYPES and db.get(c) in _INTEGRAL_DTYPES
+    }
+
+
+def _norm_rows(cols, rows, int_exact=frozenset()):
     from decimal import Decimal
 
     order = sorted(range(len(cols)), key=lambda i: cols[i])
@@ -42,6 +61,15 @@ def _norm_rows(cols, rows):
         vals = []
         for i in order:
             v = r[i]
+            if (
+                cols[i] in int_exact
+                and isinstance(v, int)
+                and not isinstance(v, bool)
+            ):
+                # both sides integral: exact BIGINT compare, no
+                # significant-digit bucketing
+                vals.append(repr(v))
+                continue
             # Spark-SQL execution of the oracle strings can return
             # DecimalType for ROUND/literal arithmetic where the
             # DataFrame side returns double — coerce Decimal (and the
@@ -109,9 +137,10 @@ def main() -> None:
             err_hist[_err_category(str(exc))] += 1
             continue
         sdf = queries[name](spark, sf_dir)
+        int_exact = _int_exact_cols(sdf, odf)
         same = sorted(sdf.columns) == sorted(ocols) and _norm_rows(
-            sdf.columns, sdf.collect()
-        ) == _norm_rows(ocols, orows)
+            sdf.columns, sdf.collect(), int_exact
+        ) == _norm_rows(ocols, orows, int_exact)
         buckets["match" if same else "mismatch"].append(name)
         if not same:
             print(f"MISMATCH {name}")
