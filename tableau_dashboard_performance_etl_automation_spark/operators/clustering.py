@@ -167,10 +167,85 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 PR_DAMPING = 0.85
 PR_ITERS = 5
 PR_UNIT = 1_000_000_000
-#: Hard ceiling on driver-resident rank-vector size.  The nation
-#: graph has 25 nodes; anyone pointing this at an unbounded node
-#: domain gets a loud error instead of a silent driver OOM.
+#: Ceiling on driver-resident rank-vector size.  The nation graph
+#: has 25 nodes; above this the operator DISPATCHES to the
+#: DataFrame-resident iteration (:func:`_pagerank_df_resident`)
+#: instead of holding the vector in a driver dict (round-7: the
+#: former loud guard is now a slow-path dispatch).
 PR_MAX_DRIVER_NODES = 100_000
+
+
+def _pr_max_driver_nodes() -> int:
+    """Dispatch bound, env-overridable
+    (``SPARK_GRAFT_PR_MAX_DRIVER_NODES``) so tests can force the
+    DataFrame-resident path on a small graph and prove it
+    bit-identical to the driver-dict path."""
+    import os
+
+    return int(
+        os.environ.get(
+            "SPARK_GRAFT_PR_MAX_DRIVER_NODES", PR_MAX_DRIVER_NODES
+        )
+    )
+
+
+def _pagerank_df_resident(
+    spark: SparkSession, ew: DataFrame, nodes: DataFrame, n: int
+) -> DataFrame:
+    """Weighted PageRank with the rank vector AS A DATAFRAME — the
+    unbounded-node-domain path. Per round: one equi-join of the rank
+    table into the (pre-aggregated, never-moving) edge table, one
+    map-side-combinable integer SUM onto ``dst``, one left-anti
+    aggregate for the dangling mass (a single scalar collected per
+    round — O(iters) driver traffic, not O(nodes)), and a left join
+    back onto the node table. ``localCheckpoint`` per round truncates
+    the iteration's lineage.
+
+    Bit-identical to the driver-dict path by construction: the
+    per-edge contribution is the same
+    ``FLOOR(CAST(0.85 AS DOUBLE) · r · w / out_w)`` expression, the
+    dangling share is the same Python ``int(0.85 · dangling / n)``
+    (dangling is an exact integer scalar either way), and the update
+    is the same integer addition — so dispatch changes WHERE the
+    vector lives, never the numbers. ``nodes``: one ``node BIGINT``
+    column; ``ew``: (src, dst, w, out_w)."""
+    base = int(PR_UNIT // n)
+    teleport = int((1 - PR_DAMPING) * PR_UNIT / n)
+    srcs = ew.select("src").distinct()
+    contrib = F.expr(
+        f"CAST(FLOOR(CAST({PR_DAMPING} AS DOUBLE)"
+        " * r * w / out_w) AS BIGINT)"
+    )
+    ranks = nodes.select(
+        "node", F.lit(base).cast("bigint").alias("r")
+    ).localCheckpoint()
+    for _ in range(PR_ITERS):
+        contribs = (
+            ew.join(ranks.withColumnRenamed("node", "src"), "src")
+            .groupBy("dst")
+            .agg(F.sum(contrib).alias("c"))
+        )
+        dangling = (
+            ranks.join(srcs, ranks["node"] == srcs["src"], "left_anti")
+            .agg(F.sum("r"))
+            .collect()[0][0]
+            or 0
+        )
+        dshare = int(PR_DAMPING * dangling / n)
+        ranks = (
+            nodes.join(contribs, nodes["node"] == contribs["dst"], "left")
+            .select(
+                "node",
+                (
+                    F.lit(teleport + dshare)
+                    + F.coalesce(F.col("c"), F.lit(0))
+                )
+                .cast("bigint")
+                .alias("r"),
+            )
+            .localCheckpoint()
+        )
+    return ranks
 
 
 def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -222,6 +297,11 @@ def nation_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     — same rationale as the IVF codebook: a deployed rank is computed
     once and persisted, re-deriving it per query never amortizes, and
     determinism makes the cached vector bit-identical to a recompute.
+
+    Node domains above ``PR_MAX_DRIVER_NODES`` dispatch to
+    :func:`_pagerank_df_resident` (rank vector as a DataFrame joined
+    to the edge table each round) instead of a driver dict — same
+    arithmetic, unbounded domain (round-7: formerly a loud guard).
     """
     key = (spark.sparkContext.applicationId, sf_dir)
     cached = _PR_CACHE.get(key)
@@ -235,16 +315,19 @@ def nation_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(edges.select(F.col("dst").alias("node")))
         .distinct()
     )
-    node_rows = sorted(r.node for r in nodes.collect())
+    # LIMIT bound+1 keeps the dispatch probe ONE job and caps driver
+    # memory even when the domain is huge
+    bound = _pr_max_driver_nodes()
+    probe = nodes.limit(bound + 1).collect()
+    if len(probe) > bound:
+        # unbounded node domain: rank vector stays a DataFrame —
+        # same numbers (see _pagerank_df_resident), different home
+        ranks_df = _pagerank_df_resident(spark, ew, nodes, nodes.count())
+        _PR_CACHE.clear()
+        _PR_CACHE[key] = ranks_df
+        return _pr_output(spark, sf_dir, ranks_df)
+    node_rows = sorted(r.node for r in probe)
     n = len(node_rows)
-    if n > PR_MAX_DRIVER_NODES:
-        raise ValueError(
-            f"nation_pagerank holds the rank vector on the driver; "
-            f"{n} nodes exceeds the {PR_MAX_DRIVER_NODES}-node bound. "
-            "For unbounded graphs keep ranks in a DataFrame: join "
-            "edges to the rank table on src each iteration instead "
-            "of broadcasting a driver dict."
-        )
     base = int(PR_UNIT // n)
     teleport = int((1 - PR_DAMPING) * PR_UNIT / n)
     src_set = {r.src for r in edges.select("src").distinct().collect()}
@@ -289,14 +372,20 @@ def nation_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PR_CACHE: dict[tuple[str, str], dict] = _register_memo({})
 
 
-def _pr_output(
-    spark: SparkSession, sf_dir: str, ranks: dict
-) -> DataFrame:
+def _pr_output(spark: SparkSession, sf_dir: str, ranks) -> DataFrame:
+    """``ranks``: driver dict (small-domain path) or (node, r)
+    DataFrame (DataFrame-resident path) — same downstream join."""
     nation = load_table(spark, sf_dir, "nation")
-    rdf = spark.createDataFrame(
-        [(k, v) for k, v in ranks.items()],
-        "n_nationkey BIGINT, rank_units BIGINT",
-    )
+    if isinstance(ranks, dict):
+        rdf = spark.createDataFrame(
+            [(k, v) for k, v in ranks.items()],
+            "n_nationkey BIGINT, rank_units BIGINT",
+        )
+    else:
+        rdf = ranks.select(
+            F.col("node").alias("n_nationkey"),
+            F.col("r").alias("rank_units"),
+        )
     return (
         rdf.join(
             F.broadcast(nation),
@@ -1112,8 +1201,78 @@ ORACLE_SQL["leakfree_split_assign"] = _leakfree_oracle()
 #: engines).
 MARKOV_ITERS = 8
 MARKOV_UNIT = 1_000_000_000
-#: Bound on the driver-resident transition matrix (|types|² cells).
+#: Bound on the driver-resident transition matrix (|types|² cells);
+#: above it the operator dispatches to the DataFrame-resident power
+#: iteration (:func:`_markov_df_resident`) instead of raising
+#: (round-7: guard → dispatch).
 MARKOV_MAX_CELLS = 100_000
+
+
+def _markov_max_cells() -> int:
+    """Dispatch bound, env-overridable
+    (``SPARK_GRAFT_MARKOV_MAX_CELLS``) so tests can force the
+    DataFrame-resident path on the real corpus and prove it
+    row-identical to the driver-dict path."""
+    import os
+
+    return int(
+        os.environ.get("SPARK_GRAFT_MARKOV_MAX_CELLS", MARKOV_MAX_CELLS)
+    )
+
+
+def _markov_df_resident(
+    spark: SparkSession, trans: DataFrame
+) -> DataFrame:
+    """Markov power iteration with the mass vector AS A DATAFRAME —
+    the unbounded-state-space path. The closed sub-chain restriction,
+    out-mass census, and per-cell ``(v·w) DIV out`` integer update
+    replicate the driver-dict arithmetic exactly (integer floor
+    division of non-negative BIGINTs is engine- and
+    reduction-order-independent), so dispatch changes where the
+    vector lives, not the numbers. Each round: two equi-joins of the
+    (never-moving) cell table against the |states|-row vector and
+    out tables, one hash aggregate onto ``nxt``, a left join back
+    onto the state table; ``localCheckpoint`` truncates lineage.
+
+    Overflow bound (documented, loud): ``v ≤ MARKOV_UNIT = 1e9`` so
+    ``v·w`` stays in BIGINT while any single transition cell has
+    ``w < 9.2e9`` observations — beyond that, pre-scale ``w`` (only
+    the ratio ``w/out`` matters).
+
+    Returns (event_type, stationary_micro, stationary) ordered by
+    event_type — same schema as the driver path."""
+    states = trans.select(F.col("cur").alias("t")).distinct()
+    closed = trans.join(
+        states.withColumnRenamed("t", "nxt"), "nxt", "left_semi"
+    ).localCheckpoint()
+    out = closed.groupBy("cur").agg(F.sum("w").alias("out"))
+    n_states = states.count()
+    v = states.select(
+        "t",
+        F.lit(int(MARKOV_UNIT // n_states)).cast("bigint").alias("v"),
+    ).localCheckpoint()
+    for _ in range(MARKOV_ITERS):
+        nv = (
+            closed.join(v, closed["cur"] == v["t"])
+            .join(out, "cur")
+            .groupBy("nxt")
+            .agg(F.sum(F.expr("(v * w) DIV out")).alias("nv"))
+        )
+        v = (
+            states.join(nv, states["t"] == nv["nxt"], "left")
+            .select(
+                "t",
+                F.coalesce("nv", F.lit(0)).cast("bigint").alias("v"),
+            )
+            .localCheckpoint()
+        )
+    return v.select(
+        F.col("t").alias("event_type"),
+        F.col("v").alias("stationary_micro"),
+        F.round(F.col("v") / F.lit(float(MARKOV_UNIT)), 6).alias(
+            "stationary"
+        ),
+    ).orderBy("event_type")
 
 
 def event_markov_stationary(
@@ -1128,11 +1287,12 @@ def event_markov_stationary(
 
     Scale shape: the DISTRIBUTED work is the transition census — a
     per-user lead window (each partition sorts only its own user's
-    events) into a |types|² hash aggregate. The matrix is
-    domain-bounded (guarded at ``MARKOV_MAX_CELLS``), so the power
-    iteration itself runs driver-side on exact integers, like the
-    25-node PageRank vector — with the same loud guard against
-    anyone pointing it at an unbounded state space. Mass updates are
+    events) into a |types|² hash aggregate. At bounded type domains
+    (≤ ``MARKOV_MAX_CELLS`` cells) the power iteration runs
+    driver-side on exact integers, like the 25-node PageRank vector;
+    larger state spaces DISPATCH to :func:`_markov_df_resident`
+    (mass vector as a DataFrame — same integer arithmetic, unbounded
+    domain; round-7: formerly a loud guard). Mass updates are
     ``floor(v·w/out)`` BIGINT ops — deterministic in both engines.
     Types that never appear as a transition SOURCE are excluded from
     the state space (they would silently absorb mass).
@@ -1154,14 +1314,16 @@ def event_markov_stationary(
         .groupBy("cur", "nxt")
         .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
     )
-    rows = trans.collect()
-    if len(rows) > MARKOV_MAX_CELLS:
-        raise RuntimeError(
-            f"transition matrix has {len(rows)} cells > "
-            f"{MARKOV_MAX_CELLS}; the driver-side iteration is for "
-            f"bounded type domains — use a DataFrame-resident "
-            f"iteration for unbounded state spaces"
-        )
+    # LIMIT bound+1 keeps the dispatch probe ONE job and caps driver
+    # memory: if the limit fills past the bound, the domain is large —
+    # dispatch to the DataFrame-resident path without ever collecting
+    # the full matrix
+    max_cells = _markov_max_cells()
+    rows = trans.limit(max_cells + 1).collect()
+    if len(rows) > max_cells:
+        # unbounded state space: the matrix and mass vector stay
+        # DataFrames — same numbers (see _markov_df_resident)
+        return _markov_df_resident(spark, trans)
     srcs = sorted({r.cur for r in rows})
     sset = set(srcs)
     # restrict to the closed sub-chain over source types

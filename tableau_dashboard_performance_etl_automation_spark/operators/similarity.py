@@ -3212,10 +3212,12 @@ def ann_auto_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus is far below the crossover, so results are
     bit-identical to the exact baseline (the oracle); the 256×–1024×
     ladder corpora cross it and get the indexed path (recall < 1.0
-    BY DESIGN — the registered oracle describes the exact path only;
-    pin it above the crossover via
-    ``SPARK_GRAFT_ANN_AUTO_EXACT_MAX`` when sweeping correctness at
-    ladder scale) — `tools/bench_scaleup.py` exercises both sides.
+    BY DESIGN — the registered oracle describes the exact path only,
+    and ``ORACLE_SCOPE["ann_auto_topk"]`` declares that validity
+    domain machine-readably: the parity harness pins the exact path
+    via ``SPARK_GRAFT_ANN_AUTO_EXACT_MAX`` for the hash compare and
+    exercises the live dispatch rows-only when the corpus is above
+    the crossover) — `tools/bench_scaleup.py` exercises both sides.
     """
     key = (spark.sparkContext.applicationId, sf_dir)
     n_vecs = _ANN_AUTO_COUNT_CACHE.get(key)
@@ -3230,3 +3232,26 @@ def ann_auto_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["ann_auto_topk"] = ann_auto_topk
 
 ORACLE_SQL["ann_auto_topk"] = ORACLE_SQL["ann_cosine_topk"]
+
+#: Machine-readable validity domain of the registered oracle (round-6
+#: VERDICT item): the exact-scan SQL above describes ``ann_auto_topk``
+#: only while the dispatcher takes the exact path — at or below the
+#: crossover. The parity harness (tools/check_correctness.py) reads
+#: this via ``__spark_entry__.oracle_scope()``: above the crossover it
+#: (a) re-verifies full parity with the exact path PINNED through
+#: ``pin_env`` and (b) exercises the live dispatch rows-only — so the
+#: recall<1 IVF result is never hashed against the exact oracle, and
+#: the contract is explicit instead of latently wrong.
+ORACLE_SCOPE = {
+    "ann_auto_topk": {
+        "count_sql": "SELECT COUNT(*) FROM embeddings",
+        "max_count_env": "SPARK_GRAFT_ANN_AUTO_EXACT_MAX",
+        "max_count_default": ANN_AUTO_EXACT_MAX,
+        "pin_value": str(2**62),
+        "reason": (
+            "above the crossover the dispatcher returns the IVF probe "
+            "(recall < 1.0 by design); the registered oracle describes "
+            "the exact path"
+        ),
+    }
+}

@@ -1,0 +1,110 @@
+"""Round-7 contracts: the ann_auto_topk oracle-scope declaration and
+the DataFrame-resident iteration dispatch for PageRank / Markov.
+Value-level parity with DuckDB remains the mirror/driver gate's job;
+these pin the dispatch semantics on ANY corpus."""
+
+from __future__ import annotations
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_oracle_scope_declares_ann_auto_contract(spark, monkeypatch):
+    import __spark_entry__ as entry
+    from tableau_dashboard_performance_etl_automation_spark.operators import similarity
+
+    scopes = entry.oracle_scope()
+    # every scoped query is registered, with a matching oracle
+    assert set(scopes) <= set(entry.oracle_sql())
+    sc = scopes["ann_auto_topk"]
+    # the declared env/default must be the ones the dispatcher reads —
+    # a drifted declaration would make the harness pin a dead knob
+    assert sc["max_count_env"] == "SPARK_GRAFT_ANN_AUTO_EXACT_MAX"
+    assert sc["max_count_default"] == similarity.ANN_AUTO_EXACT_MAX
+    assert int(sc["pin_value"]) > similarity.ANN_AUTO_EXACT_MAX
+
+    # OUT of scope (crossover forced below the corpus): the live
+    # dispatch is the IVF probe...
+    monkeypatch.setenv("SPARK_GRAFT_ANN_AUTO_EXACT_MAX", "0")
+    ivf = similarity.ann_ivf_topk(spark, SF, nprobe=2).collect()
+    assert similarity.ann_auto_topk(spark, SF).collect() == ivf
+    # ...and the harness's pin restores the oracle-described exact
+    # path, bit-identically — this is the hash-compare the parity
+    # gate runs above the crossover
+    monkeypatch.setenv("SPARK_GRAFT_ANN_AUTO_EXACT_MAX", sc["pin_value"])
+    exact = similarity.ann_cosine_topk(spark, SF).collect()
+    assert similarity.ann_auto_topk(spark, SF).collect() == exact
+
+
+def test_pagerank_df_resident_matches_driver_path(spark, monkeypatch):
+    from tableau_dashboard_performance_etl_automation_spark.operators import clustering
+
+    clustering._PR_CACHE.clear()
+    driver = clustering.nation_pagerank(spark, SF).collect()
+    # force the dispatch bound below the 25-node nation graph: the
+    # DataFrame-resident iteration must produce bit-identical ranks
+    clustering._PR_CACHE.clear()
+    monkeypatch.setenv("SPARK_GRAFT_PR_MAX_DRIVER_NODES", "1")
+    distributed = clustering.nation_pagerank(spark, SF).collect()
+    clustering._PR_CACHE.clear()
+    assert distributed == driver
+
+
+def test_pagerank_df_resident_synthetic_large_domain(spark):
+    """A 300-node synthetic graph (ring + hub + dangling tail) runs
+    the distributed helper directly and must equal a pure-Python
+    replica of the driver-path arithmetic."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from tableau_dashboard_performance_etl_automation_spark.operators import clustering
+
+    n_nodes = 300
+    edges = []  # (src, dst, w)
+    for i in range(n_nodes - 50):  # last 50 nodes dangle (no out-edges)
+        edges.append((i, (i + 1) % (n_nodes - 50), 10 + i % 7))
+        edges.append((i, n_nodes - 1, 3 + i % 5))  # hub in dangling set
+    edf = spark.createDataFrame(edges, "src BIGINT, dst BIGINT, w BIGINT")
+    outw = edf.groupBy("src").agg(F.sum("w").alias("out_w"))
+    ew = edf.join(outw, "src")
+    nodes = (
+        edf.select(F.col("src").alias("node"))
+        .union(edf.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    n = nodes.count()
+    got = {
+        r.node: r.r
+        for r in clustering._pagerank_df_resident(spark, ew, nodes, n).collect()
+    }
+
+    # pure-Python replica of the driver-dict semantics
+    node_list = sorted(got)
+    base = int(clustering.PR_UNIT // n)
+    teleport = int((1 - clustering.PR_DAMPING) * clustering.PR_UNIT / n)
+    out = {}
+    for s, _, w in edges:
+        out[s] = out.get(s, 0) + w
+    ranks = {v: base for v in node_list}
+    for _ in range(clustering.PR_ITERS):
+        contribs = {}
+        for s, d, w in edges:
+            c = int(
+                math.floor(clustering.PR_DAMPING * ranks[s] * w / out[s])
+            )
+            contribs[d] = contribs.get(d, 0) + c
+        dangling = sum(v for k, v in ranks.items() if k not in out)
+        dshare = int(clustering.PR_DAMPING * dangling / n)
+        ranks = {
+            v: teleport + dshare + contribs.get(v, 0) for v in node_list
+        }
+    assert got == ranks
+
+
+def test_markov_df_resident_matches_driver_path(spark, monkeypatch):
+    from tableau_dashboard_performance_etl_automation_spark.operators import clustering
+
+    driver = clustering.event_markov_stationary(spark, SF).collect()
+    monkeypatch.setenv("SPARK_GRAFT_MARKOV_MAX_CELLS", "1")
+    distributed = clustering.event_markov_stationary(spark, SF).collect()
+    assert [tuple(r) for r in distributed] == [tuple(r) for r in driver]
