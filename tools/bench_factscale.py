@@ -127,6 +127,19 @@ PROBE_QUERIES = [
     "range_partition_plan",
     "incremental_agg_refresh",
     "skewsafe_user_join",
+    # round-7: the >2s bench heavies brought under the perf-budget
+    # gate (tests/test_plans.py): TPC-H fact-fact shapes (Q9/Q20/Q21
+    # analogs), the per-(part,supp) min-cost argmin, the 3-table FK
+    # audit, per-supplier exact percentiles, and the events-shaped
+    # Markov entropy rate
+    "nation_year_profit",
+    "excess_stock_suppliers",
+    "order_last_shippers",
+    "priority_return_orders",
+    "important_parts_value",
+    "fk_integrity_audit",
+    "supplier_lead_time_percentiles",
+    "markov_entropy_rate",
 ]
 
 

@@ -126,7 +126,9 @@ def main() -> None:
     from tableau_dashboard_performance_etl_automation_spark.operators import textops
     from tableau_dashboard_performance_etl_automation_spark.operators.clustering import (
         lang_label_propagation as _lp,
+        neardup_bfs_hops as _bfs_hops,
         neardup_kcore_rounds as _kcore,
+        neardup_link_prediction as _link_pred,
     )
     from tableau_dashboard_performance_etl_automation_spark.operators.statstests import (
         quality_decile_lift as _qlift,
@@ -186,6 +188,16 @@ def main() -> None:
         "word_bigram_kn_scores": textops.word_bigram_kn_scores,
         "quantile_normalized_quality": textops.quantile_normalized_quality,
         "quality_percentile_filter": _qpf,
+        # round-7: the remaining document-shaped >2s bench heavies
+        # brought under the perf-budget gate (tests/test_plans.py):
+        # broadcast-bloom decontamination (linear scan), sub-doc
+        # block near-dup (block-shingle equi-join), and the two
+        # LSH-edge-list graph probes (common-neighbor join, bounded
+        # BFS rounds)
+        "bloom_decontaminate": dedup.bloom_decontaminate,
+        "dedup_subdoc_neardup": dedup.dedup_subdoc_neardup,
+        "neardup_link_prediction": _link_pred,
+        "neardup_bfs_hops": _bfs_hops,
     }
     # SCALEUP_QUERIES=a,b limits the probe (deep-decade runs)
     env_qs = os.environ.get("SCALEUP_QUERIES")
