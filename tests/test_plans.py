@@ -840,3 +840,41 @@ def test_skewsafe_join_exchanges_on_salted_key(spark, sf_dir):
     assert "salt" in plan
     assert "explode" in plan.lower()
     assert "CartesianProduct" not in plan
+
+
+def test_perf_budget_gate_heavies_carry_scale_evidence():
+    """Registration-time perf budget (round-7): any query whose last
+    recorded sf0.1 bench time exceeds the budget must appear in
+    PERF.md — the convention (previously manual discipline) that a
+    heavy query ships WITH its scale evidence: a ladder cell or a
+    worked cost analysis. The budget floor is 2 s with a 3×-median
+    relative guard so a globally slower machine doesn't flag the
+    whole suite (per-query means drift ~20% across boxes)."""
+    import json
+    import os
+    import statistics
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    detail = os.path.join(root, "BENCH_DETAIL.json")
+    if not os.path.exists(detail):
+        import pytest
+
+        pytest.skip("no BENCH_DETAIL.json recorded yet")
+    with open(detail) as fh:
+        timings = json.load(fh)["queries"]
+    if not timings:
+        return
+    budget = max(2.0, 3.0 * statistics.median(timings.values()))
+    with open(os.path.join(root, "PERF.md")) as fh:
+        perf = fh.read()
+    missing = sorted(
+        name
+        for name, sec in timings.items()
+        if sec > budget and name not in perf
+    )
+    assert not missing, (
+        f"queries over the {budget:.2f}s bench budget without PERF.md "
+        f"scale evidence (add a ladder cell via tools/bench_factscale.py "
+        f"or tools/bench_scaleup.py, or a worked cost analysis): "
+        f"{missing}"
+    )
