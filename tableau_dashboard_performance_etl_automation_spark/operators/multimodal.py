@@ -54,17 +54,46 @@ FRAME_SCHEMA = StructType(
 
 
 def decode_image(payload: bytes) -> "object":
-    """Decode an image payload into an HxWxC array.
+    """Decode an image payload into an HxWxC uint8 numpy array.
 
-    STUB: pillow/opencv are not available in this environment. The
-    production implementation decodes inside the ``mapInPandas``
-    batch loop (one import per executor, not per row) and returns a
-    numpy array for downstream feature extraction.
+    Decoder ladder (round 7 — formerly a pure env-gated stub):
+
+    1. Pillow, when installed (every format PIL reads);
+    2. the repo's own stdlib PNG decoder
+       (``reports.png_mini.decode_png`` — 8-bit gray/GA/RGB/RGBA,
+       all five scanline filters) for PNG payloads, so the common
+       LLM-corpus case works with NO image library in the container;
+    3. ``NotImplementedError`` for non-PNG payloads without a
+       library (JPEG/WebP entropy coding needs a real codec).
+
+    The production call site is inside the ``mapInPandas`` batch loop
+    (one import per executor, not per row), returning arrays for
+    downstream feature extraction.
     """
+    import numpy as np
+
+    try:  # pragma: no cover - environment-dependent
+        import io
+
+        from PIL import Image
+
+        return np.asarray(Image.open(io.BytesIO(payload)).convert("RGBA"))
+    except ImportError:
+        pass
+    if bytes(payload[:8]) == b"\x89PNG\r\n\x1a\n":
+        from tableau_dashboard_performance_etl_automation_spark.reports.png_mini import (
+            decode_png,
+        )
+
+        w, h, channels, samples = decode_png(bytes(payload))
+        return np.frombuffer(samples, dtype=np.uint8).reshape(
+            h, w, channels
+        )
     raise NotImplementedError(
-        "image decoding requires an image library not present in this "
-        "container; the Spark plumbing around it is real — see "
-        "extract_binary_meta/sample_frames"
+        "non-PNG image decoding requires an image library not present "
+        "in this container; PNG payloads decode via the stdlib "
+        "decoder, and the Spark plumbing (schema, batching, "
+        "partitioning) is real — see extract_binary_meta/sample_frames"
     )
 
 

@@ -194,3 +194,79 @@ def decode_png_header(data: bytes) -> tuple[int, int, int, int]:
         raise ValueError("not a PNG")
     w, h = struct.unpack(">II", data[16:24])
     return w, h, data[24], data[25]
+
+
+def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
+    """Full stdlib PNG decode → ``(width, height, channels,
+    row-major samples)`` — the read-side twin of :func:`encode_png`
+    and the real decoder behind ``multimodal.decode_image`` when no
+    image library is installed.
+
+    Supports the non-interlaced 8-bit-per-sample formats (grayscale,
+    gray+alpha, RGB, RGBA) with all five scanline filters (None /
+    Sub / Up / Average / Paeth, per the PNG spec §9) — which covers
+    every PNG this repo emits plus library-written charts like the
+    reference golden. Palette/16-bit/interlaced images raise
+    ``NotImplementedError`` (they need a real image library)."""
+    if data[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG")
+    pos, idat = 8, []
+    w = h = channels = None
+    while pos + 8 <= len(data):
+        (ln,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        chunk = data[pos + 8 : pos + 8 + ln]
+        if tag == b"IHDR":
+            w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", chunk
+            )
+            channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(ctype)
+            if depth != 8 or interlace or channels is None:
+                raise NotImplementedError(
+                    f"PNG variant not supported by the stdlib decoder "
+                    f"(depth={depth}, color_type={ctype}, "
+                    f"interlace={interlace})"
+                )
+        elif tag == b"IDAT":
+            idat.append(chunk)
+        elif tag == b"IEND":
+            break
+        pos += 12 + ln
+    if w is None:
+        raise ValueError("no IHDR chunk")
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * channels
+    if len(raw) != h * (1 + stride):
+        raise ValueError("IDAT size mismatch")
+    out = bytearray(h * stride)
+    prev = bytearray(stride)
+    pos = 0
+    for y in range(h):
+        f = raw[pos]
+        pos += 1
+        line = bytearray(raw[pos : pos + stride])
+        pos += stride
+        if f == 1:  # Sub
+            for i in range(channels, stride):
+                line[i] = (line[i] + line[i - channels]) & 0xFF
+        elif f == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif f == 3:  # Average
+            for i in range(stride):
+                a = line[i - channels] if i >= channels else 0
+                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - channels] if i >= channels else 0
+                c = prev[i - channels] if i >= channels else 0
+                b = prev[i]
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                line[i] = (line[i] + pr) & 0xFF
+        elif f != 0:
+            raise ValueError(f"unknown PNG filter {f}")
+        out[y * stride : (y + 1) * stride] = line
+        prev = line
+    return w, h, channels, bytes(out)

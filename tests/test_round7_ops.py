@@ -101,6 +101,46 @@ def test_pagerank_df_resident_synthetic_large_domain(spark):
     assert got == ranks
 
 
+def test_png_decode_roundtrip_and_reference_golden():
+    """decode_png must invert encode_png exactly, and must decode a
+    REAL library-written PNG: the reference golden chart
+    (average_time_graph.png, matplotlib output, 1000×600 RGBA with
+    mixed scanline filters incl. Paeth)."""
+    import os
+
+    from tableau_dashboard_performance_etl_automation_spark.reports import png_mini
+
+    cv = png_mini.Canvas(37, 23, bg=(255, 255, 255, 255))
+    cv.line(0, 0, 36, 22, (31, 119, 180, 255), thick=2)
+    cv.disc(18, 11, 4, (255, 0, 0, 255))
+    cv.text(2, 2, "A1", (0, 0, 0, 255))
+    data = png_mini.encode_png(cv)
+    w, h, ch, samples = png_mini.decode_png(data)
+    assert (w, h, ch) == (37, 23, 4)
+    assert samples == bytes(cv.buf)
+
+    golden = "/root/reference/average_time_graph.png"
+    if os.path.exists(golden):
+        with open(golden, "rb") as fh:
+            gdata = fh.read()
+        w, h, ch, samples = png_mini.decode_png(gdata)
+        assert (w, h, ch) == (1000, 600, 4)
+        assert len(samples) == 1000 * 600 * 4
+        # a chart raster: mostly light background, some non-white ink
+        px = memoryview(samples)
+        whiteish = sum(
+            1
+            for i in range(0, len(px), 4 * 997)  # ~600 samples
+            if px[i] > 200 and px[i + 1] > 200 and px[i + 2] > 200
+        )
+        inked = sum(
+            1
+            for i in range(0, len(px), 4 * 997)
+            if px[i] < 100 or px[i + 1] < 100
+        )
+        assert whiteish > 300 and inked > 5
+
+
 def test_markov_df_resident_matches_driver_path(spark, monkeypatch):
     from tableau_dashboard_performance_etl_automation_spark.operators import clustering
 
