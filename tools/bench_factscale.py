@@ -140,6 +140,11 @@ PROBE_QUERIES = [
     "fk_integrity_audit",
     "supplier_lead_time_percentiles",
     "markov_entropy_rate",
+    # round-7 cont.: borderline gate heavies on the fact axis — the
+    # sampled join-cardinality estimator audit and the events-shaped
+    # robust outlier rates
+    "join_estimate_accuracy",
+    "value_robust_outlier_rates",
 ]
 
 

@@ -198,6 +198,14 @@ def main() -> None:
         "dedup_subdoc_neardup": dedup.dedup_subdoc_neardup,
         "neardup_link_prediction": _link_pred,
         "neardup_bfs_hops": _bfs_hops,
+        # round-7 cont.: borderline ~2.2-2.7s heavies under the
+        # perf-budget gate — n-gram census, containment join, fused
+        # BM25+ANN ranking, kNN eval, and the minhash-vs-exact sweep
+        "boilerplate_ngram_stats": textops.boilerplate_ngram_stats,
+        "dedup_containment": dedup.dedup_containment,
+        "hybrid_rank_fusion": textops.hybrid_rank_fusion,
+        "knn_accuracy_by_label": similarity.knn_accuracy_by_label,
+        "minhash_estimate_error": dedup.minhash_estimate_error,
     }
     # SCALEUP_QUERIES=a,b limits the probe (deep-decade runs)
     env_qs = os.environ.get("SCALEUP_QUERIES")
