@@ -365,11 +365,12 @@ def nation_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _pr_output(spark, sf_dir, ranks)
 
 
-#: Session memo of the converged integer rank vector (plain dict —
-#: nothing pinned on executors), single-entry capped.
-#: Session memo — assumes sf_dir data is immutable within the
-#: application (see memo.py); registered for global invalidation.
-_PR_CACHE: dict[tuple[str, str], dict] = _register_memo({})
+#: Session memo of the converged rank vector — a plain dict on the
+#: small-domain path, a localCheckpointed (node, r) DataFrame on the
+#: DataFrame-resident path — single-entry capped. Assumes sf_dir data
+#: is immutable within the application (see memo.py); registered for
+#: global invalidation.
+_PR_CACHE: dict[tuple[str, str], object] = _register_memo({})
 
 
 def _pr_output(spark: SparkSession, sf_dir: str, ranks) -> DataFrame:
