@@ -233,24 +233,23 @@ def main() -> None:
                 "sec": round(time.time() - t0, 2),
                 "rows": n_rows,
             }
-            # emit the cell NOW: a deep-decade probe dying mid-factor
-            # (disk-full shuffle spill, OOM) must not lose the cells
-            # that already completed
+            # second run UNCONDITIONALLY (round 7; was a named-op
+            # set): the first call pays one-time costs that aren't
+            # per-query properties — persisted-artifact builds
+            # (∝ corpus, amortized forever), codegen, memo fills —
+            # and several ops acquired artifacts after the set was
+            # written. steady_sec is the recurring cost a deployment
+            # actually pays; the first-run number stays as the
+            # build-inclusive cell.
+            t1 = time.time()
+            fn(spark, sf_dir).count()
+            row[name]["steady_sec"] = round(time.time() - t1, 2)
+            # emit the cell NOW (with its steady twin): a deep-decade
+            # probe dying mid-factor (disk-full shuffle spill, OOM)
+            # must not lose the cells that already completed
             print(
                 json.dumps({f"{factor}x:{name}": row[name]}), flush=True
             )
-            if name in (
-                "dedup_incremental_newbatch",
-                "winnowing_overlap_pairs",
-                "semantic_dedup_prune",
-                "dedup_prefix_filter_pairs",
-            ):
-                # first call pays the one-time persisted-artifact
-                # build (∝ corpus, amortized forever); steady-state
-                # probes are the recurring cost
-                t1 = time.time()
-                fn(spark, sf_dir).count()
-                row[name]["steady_sec"] = round(time.time() - t1, 2)
         report["scales"][f"{factor}x"] = row
         print(json.dumps({f"{factor}x": row}), flush=True)
         # free the finished factor's memoized localCheckpoint blocks
