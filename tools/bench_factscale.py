@@ -145,6 +145,9 @@ PROBE_QUERIES = [
     # robust outlier rates
     "join_estimate_accuracy",
     "value_robust_outlier_rates",
+    # the 1.6-2.2s band noise can push over the gate budget
+    "event_type_robust_stats",
+    "lineitem_price_correlations",
 ]
 
 

@@ -206,6 +206,13 @@ def main() -> None:
         "hybrid_rank_fusion": textops.hybrid_rank_fusion,
         "knn_accuracy_by_label": similarity.knn_accuracy_by_label,
         "minhash_estimate_error": dedup.minhash_estimate_error,
+        # round-7 cont.: the 1.6-2.2s band that run-to-run noise can
+        # push over the gate budget — covered pre-emptively
+        "knn_label_vote": similarity.knn_label_vote,
+        "embedding_decontaminate": similarity.embedding_decontaminate,
+        "hard_negative_mining": similarity.hard_negative_mining,
+        "ann_cosine_topk": similarity.ann_cosine_topk,
+        "benchmark_decontaminate": dedup.benchmark_decontaminate,
     }
     # SCALEUP_QUERIES=a,b limits the probe (deep-decade runs)
     env_qs = os.environ.get("SCALEUP_QUERIES")
