@@ -3166,12 +3166,24 @@ ORACLE_SQL["embedding_maha_outliers"] = f"""
 """
 
 
-#: Adaptive ANN dispatch: below this corpus size the exact scan wins
-#: (one codegen'd pass, no index build amortizes); above it the
-#: IVF-pruned probe wins (~nprobe/K of the scan). Crossover sits
-#: where index build+probe beats scan cost — measured on this box
-#: the exact scan is ~linear at ~1 s/500k vectors while the IVF
-#: steady probe is near-flat, so 10⁶ is conservative.
+#: Adaptive ANN dispatch: at or below this corpus size the dispatcher
+#: keeps the exact scan (recall 1.0, no index to build or store);
+#: above it, the IVF-pruned probe. MEASURED at 1.024M vectors
+#: (round 7, local[32]): the exact scan costs ~345 s per query set —
+#: the higher-order-function cosine (F.aggregate/zip_with) is
+#: interpreted per element, NOT whole-stage-codegen'd, so the scan is
+#: ~50× slower than its FLOP count suggests — while the IVF probe is
+#: near-flat once built; the one-time K=1008 index build is tens of
+#: minutes at that scale. The dial is therefore WORKLOAD-dependent:
+#: repeated-query deployments should pin it lower via
+#: ``SPARK_GRAFT_ANN_AUTO_EXACT_MAX`` (the build amortizes within a
+#: handful of queries once the corpus passes ~10⁵), and one-shot
+#: scans higher. 10⁶ stays the default because exact/recall-1.0 is
+#: the safe answer when the workload is unknown. (Named round-8
+#: optimization: an Arrow-batched numpy scorer with a sequential
+#: per-dimension accumulation loop is bit-identical to the HOF fold —
+#: same IEEE add order — and removes the 50× interpretation tax from
+#: the exact path.)
 ANN_AUTO_EXACT_MAX = 1_000_000
 
 #: Corpus-count memo for the dispatcher — the count is a per-corpus
