@@ -141,6 +141,70 @@ def test_png_decode_roundtrip_and_reference_golden():
         assert whiteish > 300 and inked > 5
 
 
+def test_numpy_sequential_fold_bit_identical_to_hof_cosine(spark):
+    """Executable proof of the round-8 optimization's safety claim
+    (PERF.md "Round 7 addendum"): an Arrow/numpy scorer that
+    accumulates SEQUENTIALLY over dimensions — ``acc = acc + a_d·b_d``
+    for d = 0..D-1, vectorized over rows — performs the exact IEEE
+    operation sequence of Spark's ``F.aggregate``/``zip_with`` fold
+    (functions/vectors.py), so dot / norm / guarded cosine come out
+    bit-identical double-for-double. (np.dot would NOT: BLAS uses
+    pairwise/blocked summation with a different add order.)"""
+    import random
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from tableau_dashboard_performance_etl_automation_spark.functions.vectors import (
+        cosine,
+        dot,
+        norm,
+    )
+
+    rng = random.Random(7)
+    dim = 17
+    rows = [
+        (
+            i,
+            [rng.uniform(-1, 1) for _ in range(dim)],
+            [rng.uniform(-1, 1) for _ in range(dim)],
+        )
+        for i in range(256)
+    ]
+    rows.append((256, [0.0] * dim, [1.0] * dim))  # zero-norm guard
+    df = spark.createDataFrame(rows, "id BIGINT, a ARRAY<DOUBLE>, b ARRAY<DOUBLE>")
+    spark_out = {
+        r.id: (r.d, r.na, r.c)
+        for r in df.select(
+            "id",
+            dot(F.col("a"), F.col("b")).alias("d"),
+            norm(F.col("a")).alias("na"),
+            cosine(F.col("a"), F.col("b")).alias("c"),
+        ).collect()
+    }
+
+    A = np.array([r[1] for r in rows], dtype=np.float64)
+    B = np.array([r[2] for r in rows], dtype=np.float64)
+    n = len(rows)
+    d_acc = np.zeros(n)
+    na_acc = np.zeros(n)
+    nb_acc = np.zeros(n)
+    for k in range(dim):  # sequential over dims == the HOF fold order
+        d_acc = d_acc + A[:, k] * B[:, k]
+        na_acc = na_acc + A[:, k] * A[:, k]
+        nb_acc = nb_acc + B[:, k] * B[:, k]
+    na = np.sqrt(na_acc)
+    denom = na * np.sqrt(nb_acc)
+    for i, (rid, _, _) in enumerate(rows):
+        sd, sna, sc = spark_out[rid]
+        assert sd == d_acc[i]  # exact, not approx
+        assert sna == na[i]
+        if denom[i] == 0.0:
+            assert sc is None
+        else:
+            assert sc == d_acc[i] / denom[i]
+
+
 def test_markov_df_resident_matches_driver_path(spark, monkeypatch):
     from tableau_dashboard_performance_etl_automation_spark.operators import clustering
 
