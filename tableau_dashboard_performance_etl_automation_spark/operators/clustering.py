@@ -25,7 +25,7 @@ from pyspark.sql.window import Window
 from tableau_dashboard_performance_etl_automation_spark.catalog import load_table
 from tableau_dashboard_performance_etl_automation_spark.operators.dedup import (
     ORACLE_SQL as _DEDUP_ORACLE_SQL,
-    dedup_minhash_lsh,
+    lsh_pair_table,
 )
 from tableau_dashboard_performance_etl_automation_spark.memo import register as _register_memo
 
@@ -138,7 +138,7 @@ def _lsh_cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark,
             f"cc_labels/{base}",
             sf_dir,
-            lambda: connected_components(dedup_minhash_lsh(spark, sf_dir)),
+            lambda: connected_components(lsh_pair_table(spark, sf_dir)),
         )
         _CC_LABELS_CACHE.clear()  # single-entry cap
         _CC_LABELS_CACHE[key] = cached
@@ -603,7 +603,7 @@ def neardup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     band-bucket caps upstream (the edge list is LSH output, never
     all-pairs), and counts aggregate per node — the standard
     distributed triangle count. No windows, no driver data paths."""
-    edges = dedup_minhash_lsh(spark, sf_dir).localCheckpoint()
+    edges = lsh_pair_table(spark, sf_dir)
     e1 = edges.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
     e2 = edges.select(F.col("doc_a").alias("b"), F.col("doc_b").alias("c"))
     e3 = edges.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("c"))
@@ -655,7 +655,7 @@ def neardup_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     wedges = Σ d·(d−1)/2 (map-side combinable), triangles from the
     same bounded two-join enumeration ``neardup_triangles`` uses.
     The final ratio is one guarded division."""
-    edges = dedup_minhash_lsh(spark, sf_dir).localCheckpoint()
+    edges = lsh_pair_table(spark, sf_dir)
     sym = edges.selectExpr("doc_a AS doc_id").unionAll(
         edges.selectExpr("doc_b AS doc_id")
     )
@@ -732,7 +732,7 @@ def neardup_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     hub documents (boilerplate magnets) dominate the candidate pairs
     and deserve a stop-doc cap, a thin tail means healthy organic
     near-dups. Two bounded hash aggregates over the LSH edge list."""
-    edges = dedup_minhash_lsh(spark, sf_dir)
+    edges = lsh_pair_table(spark, sf_dir)
     sym = edges.selectExpr("doc_a AS doc_id").unionAll(
         edges.selectExpr("doc_b AS doc_id")
     )
@@ -1081,13 +1081,13 @@ def split_leakage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded (≤ |splits|²-row) aggregate.
     """
     from tableau_dashboard_performance_etl_automation_spark.operators.dedup import (
-        dedup_minhash_lsh,
+        lsh_pair_table,
     )
     from tableau_dashboard_performance_etl_automation_spark.operators.sampling import (
         _split_col,
     )
 
-    pairs = dedup_minhash_lsh(spark, sf_dir)
+    pairs = lsh_pair_table(spark, sf_dir)
     return (
         pairs.withColumn("split_a", _split_col(F.col("doc_a")))
         .withColumn("split_b", _split_col(F.col("doc_b")))
@@ -1437,7 +1437,7 @@ def lang_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     each round's shuffle; no driver loop, no checkpoint barrier
     needed at this depth)."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
-    edges = dedup_minhash_lsh(spark, sf_dir)
+    edges = lsh_pair_table(spark, sf_dir)
     sym = edges.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).unionByName(
@@ -1558,7 +1558,7 @@ def neardup_kcore_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     peel as ``KCORE_ROUNDS`` nested CTEs — both engines compute all 8
     rounds even after fixpoint (idempotent peels), keeping the row
     sets identical by construction."""
-    edges = dedup_minhash_lsh(spark, sf_dir).select(
+    edges = lsh_pair_table(spark, sf_dir).select(
         "doc_a", "doc_b"
     ).localCheckpoint()
     rows = []
@@ -1656,7 +1656,7 @@ def neardup_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     lookups are a broadcast of the per-node degree table (|nodes|
     rows). Jaccard is a ratio of exact integers, rounded to 6, so the
     ranking is cross-engine exact; ties order by the pair key."""
-    edges = dedup_minhash_lsh(spark, sf_dir).localCheckpoint()
+    edges = lsh_pair_table(spark, sf_dir)
     sym = edges.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).unionAll(
@@ -1768,7 +1768,7 @@ def neardup_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     replays 1..N-1; per-round state is (node, dist), never paths.
     The rounds are a fixed constant, so the DuckDB oracle is a
     depth-bounded recursive CTE computing the identical MIN(depth)."""
-    edges = dedup_minhash_lsh(spark, sf_dir)
+    edges = lsh_pair_table(spark, sf_dir)
     sym = (
         edges.selectExpr("doc_a AS src", "doc_b AS dst")
         .union(edges.selectExpr("doc_b AS src", "doc_a AS dst"))

@@ -204,28 +204,71 @@ def _minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+#: Session memo for the persisted LSH pair table (same discipline as
+#: ``_BANDS_CACHE``): the pair set feeds ELEVEN registered consumers
+#: (k-core, triangles, graph stats, degree histogram, link
+#: prediction, BFS, CC labels, source-overlap matrix, recall
+#: agreement, …) — re-running the band self-join + distinct per
+#: consumer never amortizes. The set is deterministic (md5-seeded
+#: minhash bands), so the loaded parquet is value-identical to a
+#: rebuild; row ORDER is not part of the contract (every consumer is
+#: a join/aggregate; the registered query re-sorts).
+_LSH_PAIRS_CACHE: dict[tuple[str, str], DataFrame] = _register_memo({})
+
+
+def lsh_pair_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNORDERED MinHash-LSH candidate pair set (doc_a < doc_b),
+    persisted per corpus as a warehouse parquet table — the graph
+    queries' shared edge list. Disk-backed scan instead of a per-query
+    band self-join or pinned ``localCheckpoint`` blocks: heap-free at
+    any corpus scale, and the edge list is exactly the table a
+    production dedup pipeline stores anyway."""
+    import os
+
+    from tableau_dashboard_performance_etl_automation_spark.sources.warehouse import (
+        persisted_table,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _LSH_PAIRS_CACHE.get(key)
+    if cached is not None:
+        return cached
+
+    def build() -> DataFrame:
+        bands = _minhash_bands(spark, sf_dir)
+        a, b = bands.alias("a"), bands.alias("b")
+        return (
+            a.join(
+                b,
+                (F.col("a.band_id") == F.col("b.band_id"))
+                & (F.col("a.band_val") == F.col("b.band_val"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+            )
+            .distinct()
+        )
+
+    base = os.path.basename(sf_dir.rstrip("/")) or "root"
+    out = persisted_table(spark, f"lsh_pairs/{base}", sf_dir, build)
+    _LSH_PAIRS_CACHE.clear()  # single-entry cap
+    _LSH_PAIRS_CACHE[key] = out
+    return out
+
+
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH candidate pairs: shingle → 8-way minhash signature
     → 4 bands of 2 → equality join on (band_id, band_value).
 
     The band join is the only pair-producing step and it's a plain
     equi-join (shuffle on band value) — no cross join at any scale.
+    The pair set itself is served from the persisted per-corpus edge
+    list (:func:`lsh_pair_table`); this registered query adds the
+    deterministic output ordering.
     """
-    bands = _minhash_bands(spark, sf_dir)
-    a, b = bands.alias("a"), bands.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .distinct()
-        .orderBy("doc_a", "doc_b")
-    )
+    return lsh_pair_table(spark, sf_dir).orderBy("doc_a", "doc_b")
 
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -843,7 +886,7 @@ def cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     a tiny aggregate on (source, source) keys, canonicalized with
     least/greatest so A↔B and B↔A land in one cell.
     """
-    pairs = dedup_minhash_lsh(spark, sf_dir)
+    pairs = lsh_pair_table(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
     a = docs.select(
         F.col("doc_id").alias("doc_a"), F.col("source").alias("src_a")
@@ -2540,7 +2583,7 @@ def prefix_vs_lsh_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = dedup_prefix_filter_pairs(spark, sf_dir).select(
         "doc_a", "doc_b", F.lit(1).alias("in_exact")
     )
-    lsh = dedup_minhash_lsh(spark, sf_dir).select(
+    lsh = lsh_pair_table(spark, sf_dir).select(
         "doc_a", "doc_b", F.lit(1).alias("in_lsh")
     )
     both = exact.join(lsh, ["doc_a", "doc_b"], "full_outer")
