@@ -35,6 +35,28 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 _INTEGRAL_DTYPES = {"tinyint", "smallint", "int", "bigint"}
 
+#: Root-caused dialect divergences (diagnosed by running the oracle
+#: text in both engines and diffing rows). These queries' DataFrame
+#: implementations DO hash-match their DuckDB oracles — the driver's
+#: actual gate — the divergence below appears only when the oracle
+#: TEXT is executed by Spark's SQL frontend.
+_KNOWN_DIVERGENCES = {
+    "order_seasonality": (
+        "EXTRACT(dow): DuckDB numbers Sunday=0..Saturday=6, Spark's "
+        "DOW field is dayofweek's Sunday=1..Saturday=7 — same row "
+        "partition, labels shifted by one"
+    ),
+    "dow_seasonal_decomposition": (
+        "EXTRACT(dow): DuckDB Sunday=0..6 vs Spark Sunday=1..7 "
+        "(same divergence as order_seasonality)"
+    ),
+    "event_hour_mi_terms": (
+        "one-ULP libm-vs-JVM Math.log difference in the MI log term "
+        "flips the 6th rounded decimal on a handful of rows (e.g. "
+        "-0.115353 vs -0.115354); values agree to ~1e-6 relative"
+    ),
+}
+
 
 def _int_exact_cols(a_df, b_df) -> set:
     """Column names whose Spark dtype is integral on BOTH sides —
@@ -171,7 +193,15 @@ def main() -> None:
     if buckets["mismatch"]:
         lines += ["", "## Mismatches (dialect semantics divergences)", ""]
         for m in buckets["mismatch"]:
-            lines.append(f"- {m}")
+            note = _KNOWN_DIVERGENCES.get(m)
+            lines.append(f"- {m}" + (f" — {note}" if note else ""))
+        unexplained = [m for m in buckets["mismatch"] if m not in _KNOWN_DIVERGENCES]
+        if unexplained:
+            lines.append("")
+            lines.append(
+                f"UNEXPLAINED: {unexplained} — diagnose and add to "
+                f"_KNOWN_DIVERGENCES in tools/sql_compat.py"
+            )
     out = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "COMPAT.md"
     )
