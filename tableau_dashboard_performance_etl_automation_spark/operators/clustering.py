@@ -1558,9 +1558,7 @@ def neardup_kcore_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     peel as ``KCORE_ROUNDS`` nested CTEs — both engines compute all 8
     rounds even after fixpoint (idempotent peels), keeping the row
     sets identical by construction."""
-    edges = lsh_pair_table(spark, sf_dir).select(
-        "doc_a", "doc_b"
-    ).localCheckpoint()
+    edges = lsh_pair_table(spark, sf_dir).select("doc_a", "doc_b")
     rows = []
     for rnd in range(1, KCORE_ROUNDS + 1):
         deg = (
@@ -1570,6 +1568,10 @@ def neardup_kcore_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("deg"))
         )
         surv = deg.filter(F.col("deg") >= KCORE_K).select("v")
+        # LAZY checkpoint: the one union-aggregate action below both
+        # materializes this round's edge set (truncating lineage for
+        # round r+1) and returns the two counts — one Spark job per
+        # round instead of three (checkpoint + count + count)
         edges = (
             edges.join(
                 surv.select(F.col("v").alias("doc_a")), "doc_a", "left_semi"
@@ -1577,9 +1579,20 @@ def neardup_kcore_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(
                 surv.select(F.col("v").alias("doc_b")), "doc_b", "left_semi"
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
-        rows.append((rnd, surv.count(), edges.count()))
+        stats = {
+            r["k"]: r["c"]
+            for r in surv.agg(F.count(F.lit(1)).alias("c"))
+            .withColumn("k", F.lit("n"))
+            .unionAll(
+                edges.agg(F.count(F.lit(1)).alias("c")).withColumn(
+                    "k", F.lit("e")
+                )
+            )
+            .collect()
+        }
+        rows.append((rnd, stats["n"], stats["e"]))
     return spark.createDataFrame(
         rows, "round INT, n_nodes BIGINT, n_edges BIGINT"
     ).orderBy("round")
