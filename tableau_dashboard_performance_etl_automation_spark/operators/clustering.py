@@ -82,7 +82,10 @@ def connected_components(edges: DataFrame, max_rounds: int = MAX_ROUNDS) -> Data
                     "cluster_id"
                 ),
             )
-            .localCheckpoint()
+            # LAZY: the changed-count action below materializes this
+            # round's labels while computing the convergence test —
+            # one job per round instead of checkpoint + count
+            .localCheckpoint(eager=False)
         )
         changed = (
             updated.alias("u")
@@ -1796,8 +1799,6 @@ def neardup_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     frontier = settled
     for h in range(1, BFS_MAX_HOPS + 1):
-        if frontier.isEmpty():
-            break
         reached = (
             sym.join(
                 frontier.select(F.col("doc_id").alias("src")), "src"
@@ -1805,12 +1806,19 @@ def neardup_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("dst").alias("doc_id"))
             .distinct()
         )
+        # LAZY checkpoints + one count per round: the count
+        # materializes this round's frontier (and, via the anti-join,
+        # the previous round's settled union — both reads of already-
+        # checkpointed parents), replacing the isEmpty probe and the
+        # two eager checkpoint jobs — one Spark job per hop
         frontier = (
             reached.join(settled.select("doc_id"), "doc_id", "left_anti")
             .withColumn("hop", F.lit(h))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
-        settled = settled.unionByName(frontier).localCheckpoint()
+        settled = settled.unionByName(frontier).localCheckpoint(eager=False)
+        if frontier.count() == 0:
+            break
     hist = settled.groupBy("hop").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs")
     )
