@@ -619,21 +619,8 @@ def minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
             for s in range(MINHASH_HASHES)
         ]
     )
-    bands = _minhash_bands(spark, sf_dir)
-    cand = (
-        bands.alias("a")
-        .join(
-            bands.alias("b"),
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-        )
-        .distinct()
-    )
+    # the candidate set IS the persisted per-corpus edge list
+    cand = lsh_pair_table(spark, sf_dir)
     matching = sum(
         (F.col(f"sa.mh{s}") == F.col(f"sb.mh{s}")).cast("int")
         for s in range(MINHASH_HASHES)
