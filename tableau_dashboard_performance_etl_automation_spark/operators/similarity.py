@@ -400,22 +400,122 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _arrow_scored_candidates(
+    corpus: DataFrame, query_rows: list, top_k: int
+):
+    """Exact-cosine top-k CANDIDATES per query via an Arrow-batched
+    numpy scorer — the round-7 removal of the HOF interpretation tax
+    (PERF.md "Round 7 addendum": ``F.aggregate``/``zip_with`` is
+    interpreted per element, ~50× the FLOP cost at 1M vectors).
+
+    Bit-identity: the scorer accumulates SEQUENTIALLY over dimensions
+    (``acc = acc + a_d·b_d``, vectorized over rows), replaying the
+    exact IEEE operation sequence of ``functions/vectors.py``'s fold —
+    pinned by tests/test_round7_ops.py::
+    test_numpy_sequential_fold_bit_identical_to_hof_cosine. The raw
+    doubles cross back to Spark, which applies the SAME round/window
+    ranking as before — no Python-side rounding anywhere.
+
+    Margin pruning (provably exact): per batch and query, keep rows
+    whose raw cosine ≥ (k-th best raw) − 1e-6. Final ranking orders by
+    ``round(cos, 6)``, and rounding moves a value by ≤ 5e-7, so any
+    discarded row satisfies round6(dropped) < round6(kept k-th)
+    STRICTLY — it can neither beat nor tie into the global top-k.
+    NULL-cosine rows (zero-norm guard) rank last by (neighbor_id asc),
+    so the smallest-id ``top_k`` of them per batch are also kept —
+    identical output even when a query has < k scorable neighbors.
+
+    Scale shape: queries are a bounded driver-side list (the codebook
+    pattern); the corpus never moves — each Arrow batch emits
+    O(queries × top_k) candidate rows, so the downstream window
+    shuffles candidates, not the corpus."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    qitems = []
+    for qid, qv in query_rows:
+        v = np.asarray(qv, dtype=np.float64)
+        acc = 0.0
+        for x in v:  # sequential self-dot == norm()'s fold order
+            acc = acc + x * x
+        qitems.append((int(qid), v, math.sqrt(acc)))
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf["neighbor_id"].to_numpy()
+            A = np.vstack(
+                [np.asarray(v, dtype=np.float64) for v in pdf["cvec"]]
+            )
+            n, dim = A.shape
+            na_acc = np.zeros(n)
+            for k in range(dim):
+                col = A[:, k]
+                na_acc = na_acc + col * col
+            na = np.sqrt(na_acc)
+            out_q: list = []
+            out_n: list = []
+            out_c: list = []
+            for qid, qv, qnorm in qitems:
+                d_acc = np.zeros(n)
+                for k in range(dim):
+                    d_acc = d_acc + A[:, k] * qv[k]
+                denom = na * qnorm
+                not_self = ids != qid
+                scorable = not_self & (denom != 0.0)
+                cos = d_acc[scorable] / denom[scorable]
+                cids = ids[scorable]
+                if len(cos) > top_k:
+                    kth = np.partition(cos, len(cos) - top_k)[
+                        len(cos) - top_k
+                    ]
+                    keep = cos >= kth - 1e-6
+                    cos, cids = cos[keep], cids[keep]
+                out_q.extend([qid] * len(cids))
+                out_n.extend(int(i) for i in cids)
+                out_c.extend(float(x) for x in cos)
+                null_ids = np.sort(ids[not_self & (denom == 0.0)])[
+                    :top_k
+                ]
+                out_q.extend([qid] * len(null_ids))
+                out_n.extend(int(i) for i in null_ids)
+                out_c.extend([None] * len(null_ids))
+            yield pd.DataFrame(
+                {
+                    "query_id": pd.Series(out_q, dtype="int64"),
+                    "neighbor_id": pd.Series(out_n, dtype="int64"),
+                    "cos": pd.Series(out_c, dtype="object"),
+                }
+            )
+
+    return corpus.mapInPandas(
+        score, "query_id BIGINT, neighbor_id BIGINT, cos DOUBLE"
+    )
+
+
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k: broadcast the query set, score every
     corpus partition locally, rank per query. The exact baseline any
-    approximate index is measured against."""
+    approximate index is measured against. Scoring runs in the
+    Arrow-batched numpy scorer (:func:`_arrow_scored_candidates`,
+    bit-identical to the HOF fold); round/rank stay JVM-side."""
     e = _emb(spark, sf_dir)
-    q = e.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec")
-    )
+    query_rows = [
+        (r["vec_id"], r["vec"])
+        for r in e.filter(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", "vec")
+        .collect()
+    ]
     c = e.select(F.col("vec_id").alias("neighbor_id"), F.col("vec").alias("cvec"))
+    scored = _arrow_scored_candidates(c, query_rows, TOP_K)
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos6").desc(), F.col("neighbor_id")
     )
     return (
-        c.crossJoin(F.broadcast(q))
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cos6", F.round(cosine(F.col("qvec"), F.col("cvec")), 6))
+        scored.withColumn("cos6", F.round(F.col("cos"), 6))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOP_K)
         .select(

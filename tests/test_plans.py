@@ -63,11 +63,15 @@ def test_dedup_joins_are_equi_joins(spark, sf_dir):
         assert not has_cartesian_product(df), fn.__name__
 
 
-def test_ann_broadcasts_queries_not_corpus(spark, sf_dir):
+def test_ann_scores_corpus_in_place(spark, sf_dir):
+    """The exact scan must stream the corpus through the Arrow
+    scorer (queries ride the closure, bounded) — no corpus-moving
+    join, no cartesian product, and the post-scorer window shuffles
+    only margin-pruned candidates."""
     df = similarity.ann_cosine_topk(spark, sf_dir)
     plan = formatted_plan(df)
-    # the broadcast side must be the filtered query set
-    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "MapInPandas" in plan or "ArrowEvalPython" in plan
+    assert not has_cartesian_product(df)
 
 
 def test_ivf_join_is_hash_join_on_centroid(spark, sf_dir):
