@@ -491,6 +491,12 @@ def _arrow_scored_candidates(
                 }
             )
 
+    # spread a few-split corpus scan across the session's parallelism
+    # (the scorer is CPU-bound; see _nearest_arrow) — no-op when the
+    # scan already has enough splits
+    par = corpus.sparkSession.sparkContext.defaultParallelism
+    if corpus.rdd.getNumPartitions() < par:
+        corpus = corpus.repartition(par)
     return corpus.mapInPandas(
         score, "query_id BIGINT, neighbor_id BIGINT, cos DOUBLE"
     )
@@ -607,32 +613,25 @@ def embedding_centroid_by_label(
 
 
 def _nearest(e: DataFrame, cent: DataFrame, nprobe: int = 1) -> DataFrame:
-    """Nearest-centroid assignment: one broadcast join against the
-    centroid set. ``nprobe=1`` (the storage assignment) is an argmax
-    expressed as ``MAX(struct(ccos, -cent_id, ...))`` — a hash
-    aggregate with map-side partial combine, so the corpus never goes
-    through a per-vector sort shuffle. ``nprobe>1`` (the query-side
-    widened search) keeps the rank window, which only ever sees the
-    tiny query set. Tie order matches the oracle's ROW_NUMBER
-    (``ccos DESC, cent_id ASC``) via the negated cent_id."""
+    """Nearest-centroid assignment. ``nprobe=1`` (the storage
+    assignment and every Lloyd round — the corpus-sized path) streams
+    the vectors through the Arrow-batched numpy scorer with the K
+    centroids riding the closure (the codebook is a bounded
+    driver-side list by construction), then keeps the original
+    round+argmax JVM-side — margin pruning inside the scorer is
+    provably exact under the 6-decimal ranking (same proof as
+    :func:`_arrow_scored_candidates`), and tie order matches the
+    oracle's ROW_NUMBER (``ccos DESC, cent_id ASC``) via the negated
+    cent_id in the ``MAX(struct(...))``. ``nprobe>1`` (the query-side
+    widened search) keeps the HOF broadcast join + rank window, which
+    only ever sees the tiny query set."""
+    if nprobe == 1:
+        return _nearest_arrow(
+            e, [(r.cent_id, r.cvec) for r in cent.collect()]
+        )
     scored = e.crossJoin(F.broadcast(cent)).withColumn(
         "ccos", F.round(cosine(F.col("vec"), F.col("cvec")), 6)
     )
-    if nprobe == 1:
-        best = scored.groupBy("vec_id").agg(
-            F.max(
-                F.struct(
-                    "ccos",
-                    (-F.col("cent_id")).alias("neg_cent"),
-                    F.col("vec").alias("v"),
-                )
-            ).alias("b")
-        )
-        return best.select(
-            "vec_id",
-            (-F.col("b.neg_cent")).alias("cent_id"),
-            F.col("b.v").alias("vec"),
-        )
     w = Window.partitionBy("vec_id").orderBy(
         F.col("ccos").desc(), F.col("cent_id")
     )
@@ -640,6 +639,130 @@ def _nearest(e: DataFrame, cent: DataFrame, nprobe: int = 1) -> DataFrame:
         scored.withColumn("crn", F.row_number().over(w))
         .filter(F.col("crn") <= nprobe)
         .select("vec_id", "cent_id", "vec")
+    )
+
+
+def _nearest_arrow(e: DataFrame, cent_rows: list) -> DataFrame:
+    """Corpus→nearest-centroid assignment via the Arrow scorer —
+    the index-build half of the round-7 HOF-tax removal (PERF.md:
+    the interpreted fold made the 1M-vector K=1008 build cost tens
+    of minutes). Sequential per-dimension accumulation replays the
+    HOF fold's IEEE order (bit-identity pinned by the round-7 test);
+    per vector, only centroids whose RAW cosine is within 1e-6 of
+    the row maximum are emitted (≥ the true rounded-argmax winner,
+    usually exactly one row), plus a single smallest-cent_id NULL
+    row when every cosine is NULL (zero norms) — replicating the
+    null-first struct ordering of the original argmax. Spark then
+    rounds and argmaxes the candidates, so the decision arithmetic
+    is unchanged."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    cents = []
+    for cid, cv in cent_rows:
+        v = np.asarray(cv, dtype=np.float64)
+        acc = 0.0
+        for x in v:  # sequential self-dot == norm()'s fold order
+            acc = acc + x * x
+        cents.append((int(cid), v, math.sqrt(acc)))
+    min_cent = min(c[0] for c in cents)
+    cent_ids = np.array([c[0] for c in cents], dtype=np.int64)
+    CV = np.vstack([c[1] for c in cents])  # C × dim, row-contiguous
+    cnorms = np.array([c[2] for c in cents], dtype=np.float64)
+    # rows per kernel chunk: the (C × m) accumulator is the working
+    # set (K=1008, m≈1024 → 8 MB, cache-resident) — bounded per task
+    # regardless of the Arrow batch size Spark hands us
+    chunk = max(64, (1 << 20) // max(1, len(cents)))
+
+    def assign(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            all_ids = pdf["vec_id"].to_numpy()
+            all_vecs = list(pdf["vec"])
+            for start in range(0, len(all_ids), chunk):
+                ids = all_ids[start : start + chunk]
+                vecs = all_vecs[start : start + chunk]
+                A = np.vstack(
+                    [np.asarray(v, dtype=np.float64) for v in vecs]
+                )
+                n, dim = A.shape
+                na_acc = np.zeros(n)
+                for k in range(dim):
+                    col = A[:, k]
+                    na_acc = na_acc + col * col
+                na = np.sqrt(na_acc)
+                # one rank-1 update per dimension: every (centroid,
+                # row) cell accumulates acc = acc + c_k·a_k in
+                # dimension order — the HOF fold's exact IEEE add
+                # sequence, vectorized over the whole C×n grid
+                # instead of C separate per-centroid passes; tmp is
+                # preallocated and ops run in-place (alloc churn at
+                # this size is measurable)
+                acc = np.zeros((len(cents), n))
+                tmp = np.empty_like(acc)
+                for k in range(dim):
+                    np.multiply(
+                        CV[:, k][:, None], A[:, k][None, :], out=tmp
+                    )
+                    np.add(acc, tmp, out=acc)
+                denom = cnorms[:, None] * na[None, :]
+                valid = denom != 0.0
+                cos = np.where(valid, acc / np.where(valid, denom, 1.0), -np.inf)
+                best = cos.max(axis=0)
+                keep = valid & (cos >= best[None, :] - 1e-6)
+                jj, ii = np.nonzero(keep)
+                out_id = [int(ids[i]) for i in ii]
+                out_cent = [int(cent_ids[j]) for j in jj]
+                out_cos: list = [float(cos[j, i]) for j, i in zip(jj, ii)]
+                out_vec = [vecs[i] for i in ii]
+                dead = np.nonzero(~valid.any(axis=0))[0]
+                for i in dead:
+                    out_id.append(int(ids[i]))
+                    out_cent.append(min_cent)
+                    out_cos.append(None)
+                    out_vec.append(vecs[i])
+                yield pd.DataFrame(
+                    {
+                        "vec_id": pd.Series(out_id, dtype="int64"),
+                        "cent_id": pd.Series(out_cent, dtype="int64"),
+                        "ccos": pd.Series(out_cos, dtype="object"),
+                        "vec": pd.Series(out_vec, dtype="object"),
+                    }
+                )
+
+    src = e.select("vec_id", "vec")
+    # the scorer is CPU-bound per row; a large corpus read from few
+    # parquet splits (1M × 64 dims ≈ 2 files at 128 MB) would pin the
+    # whole assignment on 2 cores — spread it to the session's
+    # parallelism first (one narrow pass; at real cluster scale the
+    # scan already has enough splits and this is a no-op)
+    par = e.sparkSession.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < par:
+        src = src.repartition(par)
+    scored = src.mapInPandas(
+        assign,
+        "vec_id BIGINT, cent_id BIGINT, ccos DOUBLE, vec ARRAY<DOUBLE>",
+    )
+    best = (
+        scored.withColumn("ccos6", F.round(F.col("ccos"), 6))
+        .groupBy("vec_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("ccos6").alias("ccos"),
+                    (-F.col("cent_id")).alias("neg_cent"),
+                    F.col("vec").alias("v"),
+                )
+            ).alias("b")
+        )
+    )
+    return best.select(
+        "vec_id",
+        (-F.col("b.neg_cent")).alias("cent_id"),
+        F.col("b.v").alias("vec"),
     )
 
 
@@ -3268,22 +3391,20 @@ ORACLE_SQL["embedding_maha_outliers"] = f"""
 
 #: Adaptive ANN dispatch: at or below this corpus size the dispatcher
 #: keeps the exact scan (recall 1.0, no index to build or store);
-#: above it, the IVF-pruned probe. MEASURED at 1.024M vectors
-#: (round 7, local[32]): the exact scan costs ~345 s per query set —
-#: the higher-order-function cosine (F.aggregate/zip_with) is
-#: interpreted per element, NOT whole-stage-codegen'd, so the scan is
-#: ~50× slower than its FLOP count suggests — while the IVF probe is
-#: near-flat once built; the one-time K=1008 index build is tens of
-#: minutes at that scale. The dial is therefore WORKLOAD-dependent:
-#: repeated-query deployments should pin it lower via
-#: ``SPARK_GRAFT_ANN_AUTO_EXACT_MAX`` (the build amortizes within a
-#: handful of queries once the corpus passes ~10⁵), and one-shot
-#: scans higher. 10⁶ stays the default because exact/recall-1.0 is
-#: the safe answer when the workload is unknown. (Named round-8
-#: optimization: an Arrow-batched numpy scorer with a sequential
-#: per-dimension accumulation loop is bit-identical to the HOF fold —
-#: same IEEE add order — and removes the 50× interpretation tax from
-#: the exact path.)
+#: above it, the IVF-pruned probe. RE-MEASURED at 1.024M vectors
+#: (round 7, local[32]) after the Arrow-batched numpy scorer landed
+#: (:func:`_arrow_scored_candidates` / :func:`_nearest_arrow`): the
+#: exact scan now costs **10.0 s** per query set (was ~345 s under
+#: the interpreted HOF fold — a 34× removal of the interpretation
+#: tax, bit-identical by the sequential-fold construction), and the
+#: one-time K=1008 IVF build dropped 1618 → 186 s (codebook
+#: 664 → 38 s). The crossover is therefore far above 10⁶ for
+#: one-shot scans; repeated-query deployments can still pin it lower
+#: via ``SPARK_GRAFT_ANN_AUTO_EXACT_MAX`` once the per-query 10 s
+#: exceeds the amortized probe (+build) cost for their query volume.
+#: 10⁶ stays the default: exact/recall-1.0 is the safe answer when
+#: the workload is unknown, and it is now cheap enough to be safe AND
+#: fast at this scale.
 ANN_AUTO_EXACT_MAX = 1_000_000
 
 #: Corpus-count memo for the dispatcher — the count is a per-corpus
