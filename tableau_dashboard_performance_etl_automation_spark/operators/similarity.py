@@ -1004,58 +1004,102 @@ def ann_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: identical to the exact brute force — queries
     broadcast, the corpus streams — but the scan reads int8 codes,
-    which is the point at 100 TB of embeddings."""
+    which is the point at 100 TB of embeddings. Scoring runs in an
+    Arrow-batched numpy kernel: EVERY accumulated term here is an
+    exact int64 (codes ≤ 127, 64 dims), and integer addition is
+    order-independent, so — unlike the float cosine — the dot can use
+    a plain integer matmul with no IEEE-order ceremony; the float
+    tail (one multiply, sqrt, divide on exact integers ≤ ~1.1e12,
+    all < 2^53 so the int64-product-then-cast and the
+    double-product paths are the same exact double) is the same
+    elementwise op sequence as the SQL expression. Per-batch margin
+    pruning (raw ≥ kth-best − 1e-6) is exact under the 6-decimal
+    ranking by the :func:`_arrow_scored_candidates` proof; rounding
+    and ranking stay JVM-side."""
+    import numpy as np
+    import pandas as pd
+
     e = _emb(spark, sf_dir)
-    coded = (
-        e.withColumn(
-            "scale",
-            F.expr("array_max(transform(vec, x -> abs(x)))") / F.lit(127.0),
-        )
-        .withColumn(
-            "code",
-            F.expr(
-                "transform(vec, x -> CASE WHEN scale = 0 THEN 0"
-                " ELSE CAST(floor(x / scale + 0.5) AS INT) END)"
-            ),
-        )
-        .withColumn(
-            "ssq",
-            F.expr(
-                "aggregate(code, 0L,"
-                " (a, c) -> a + CAST(c AS BIGINT) * c)"
-            ),
-        )
-        .filter(F.col("ssq") > 0)
-        .select("vec_id", "code", "ssq")
+
+    def _encode(mat):
+        """Replicates the SQL encode bitwise: scale = max|x|/127;
+        code = floor(x/scale + 0.5) (0 where scale = 0); ssq exact."""
+        scale = np.max(np.abs(mat), axis=1) / 127.0
+        safe = np.where(scale == 0.0, 1.0, scale)
+        codes = np.floor(mat / safe[:, None] + 0.5).astype(np.int64)
+        codes[scale == 0.0] = 0
+        ssq = (codes * codes).sum(axis=1)
+        return codes, ssq
+
+    q_rows = (
+        e.filter(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", "vec")
+        .collect()
     )
-    q = coded.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("code").alias("qcode"),
-        F.col("ssq").alias("qssq"),
+    qmat = np.vstack(
+        [np.asarray(r["vec"], dtype=np.float64) for r in q_rows]
+    )
+    qcodes, qssq = _encode(qmat)
+    qids = np.array([int(r["vec_id"]) for r in q_rows], dtype=np.int64)
+    live = qssq > 0  # the coded CTE's ssq > 0 filter, query side
+    qcodes, qssq, qids = qcodes[live], qssq[live], qids[live]
+    qssq_f = qssq.astype(np.float64)
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf["vec_id"].to_numpy()
+            A = np.vstack(
+                [np.asarray(v, dtype=np.float64) for v in pdf["vec"]]
+            )
+            codes, ssq = _encode(A)
+            keep_c = ssq > 0
+            ids, codes, ssq = ids[keep_c], codes[keep_c], ssq[keep_c]
+            if len(ids) == 0:
+                continue
+            idot = codes @ qcodes.T  # exact int64, order-free
+            denom = np.sqrt(
+                ssq[:, None].astype(np.float64) * qssq_f[None, :]
+            )
+            qcos = idot / denom
+            out_q: list = []
+            out_n: list = []
+            out_c: list = []
+            for j in range(len(qids)):
+                qid = int(qids[j])
+                mask = ids != qid
+                col = qcos[mask, j]
+                nid = ids[mask]
+                if len(col) > TOP_K:
+                    kth = np.partition(col, len(col) - TOP_K)[
+                        len(col) - TOP_K
+                    ]
+                    m2 = col >= kth - 1e-6
+                    col, nid = col[m2], nid[m2]
+                out_q.extend([qid] * len(nid))
+                out_n.extend(int(i) for i in nid)
+                out_c.extend(float(x) for x in col)
+            yield pd.DataFrame(
+                {
+                    "query_id": pd.Series(out_q, dtype="int64"),
+                    "neighbor_id": pd.Series(out_n, dtype="int64"),
+                    "qcos": pd.Series(out_c, dtype="float64"),
+                }
+            )
+
+    src = e.select("vec_id", "vec")
+    par = spark.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < par:
+        src = src.repartition(par)
+    scored = src.mapInPandas(
+        score, "query_id BIGINT, neighbor_id BIGINT, qcos DOUBLE"
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("qcos6").desc(), F.col("neighbor_id")
     )
-    idot = F.expr(
-        "aggregate(zip_with(qcode, code, (x, y) -> CAST(x AS BIGINT) * y),"
-        " 0L, (a, v) -> a + v)"
-    )
     return (
-        coded.select(
-            F.col("vec_id").alias("neighbor_id"), "code", "ssq"
-        )
-        .crossJoin(F.broadcast(q))
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn(
-            "qcos6",
-            F.round(
-                idot
-                / F.sqrt(
-                    (F.col("qssq") * F.col("ssq")).cast("double")
-                ),
-                6,
-            ),
-        )
+        scored.withColumn("qcos6", F.round(F.col("qcos"), 6))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOP_K)
         .select(
