@@ -148,6 +148,43 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: application (see memo.py); registered for global invalidation.
 _BANDS_CACHE: dict[tuple[str, str], DataFrame] = _register_memo({})
 
+#: Session memo for the persisted full signature table (same
+#: discipline; single-entry cap).
+_SIGS_CACHE: dict[tuple[str, str], DataFrame] = _register_memo({})
+
+
+def _minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, mh0..mh{H-1}) full MinHash signature table, persisted
+    per corpus — feeds both the band decomposition (below) and the
+    estimator-calibration diagnostic's signature comparison, which
+    was re-running the H seeded-md5 aggregations per invocation.
+    Deterministic md5s → loaded table is bit-identical to a rebuild."""
+    import os
+
+    from tableau_dashboard_performance_etl_automation_spark.sources.warehouse import (
+        persisted_table,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _SIGS_CACHE.get(key)
+    if cached is not None:
+        return cached
+
+    def build() -> DataFrame:
+        sh = _doc_shingles(spark, sf_dir)
+        return sh.groupBy("doc_id").agg(
+            *[
+                F.min(seeded_md5(s, F.col("sh"))).alias(f"mh{s}")
+                for s in range(MINHASH_HASHES)
+            ]
+        )
+
+    base = os.path.basename(sf_dir.rstrip("/")) or "root"
+    out = persisted_table(spark, f"minhash_sigs/{base}", sf_dir, build)
+    _SIGS_CACHE.clear()  # single-entry cap
+    _SIGS_CACHE[key] = out
+    return out
+
 
 def _minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, band_id, band_val) MinHash LSH band signatures —
@@ -169,13 +206,7 @@ def _minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         return cached
 
     def build() -> DataFrame:
-        sh = _doc_shingles(spark, sf_dir)
-        sig = sh.groupBy("doc_id").agg(
-            *[
-                F.min(seeded_md5(s, F.col("sh"))).alias(f"mh{s}")
-                for s in range(MINHASH_HASHES)
-            ]
-        )
+        sig = _minhash_sigs(spark, sf_dir)
         per_band = MINHASH_HASHES // MINHASH_BANDS
         return sig.select(
             "doc_id",
@@ -271,6 +302,115 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_pair_table(spark, sf_dir).orderBy("doc_a", "doc_b")
 
 
+#: Session memo for the two persisted shingle-intersection variants
+#: (capped = JACCARD_MAX_DF stop-shingle cap applied). Keyed by
+#: (applicationId, sf_dir, variant); both variants of the current
+#: corpus may stay resident.
+_INTER_CACHE: dict[tuple, DataFrame] = _register_memo({})
+
+
+def _capped_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _doc_shingles(spark, sf_dir)
+    keep = (
+        sh.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= JACCARD_MAX_DF)
+        .select("sh")
+    )
+    return sh.join(keep, "sh")
+
+
+def shingle_pair_intersections(
+    spark: SparkSession, sf_dir: str, capped: bool = True
+) -> DataFrame:
+    """(doc_a < doc_b, inter) exact shared-shingle counts, persisted
+    per corpus — the expensive inverted-index self-join that FOUR
+    registered queries were each re-running: the capped variant
+    (stop-shingle DF cap, the quadratic guard) feeds the
+    jaccard/containment scorers, the full variant feeds the two
+    minhash calibration diagnostics (their exact-Jaccard ground
+    truth is defined cap-free). Counts are exact integers, so the
+    loaded parquet is value-identical to a rebuild."""
+    import os
+
+    from tableau_dashboard_performance_etl_automation_spark.sources.warehouse import (
+        persisted_table,
+    )
+
+    variant = "capped" if capped else "full"
+    key = (spark.sparkContext.applicationId, sf_dir, variant)
+    cached = _INTER_CACHE.get(key)
+    if cached is not None:
+        return cached
+
+    def build() -> DataFrame:
+        sh = (
+            _capped_shingles(spark, sf_dir)
+            if capped
+            else _doc_shingles(spark, sf_dir)
+        )
+        a, b = sh.alias("a"), sh.alias("b")
+        return (
+            a.join(
+                b,
+                (F.col("a.sh") == F.col("b.sh"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .groupBy(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+            )
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
+
+    base = os.path.basename(sf_dir.rstrip("/")) or "root"
+    out = persisted_table(
+        spark, f"shingle_inter_{variant}/{base}", sf_dir, build
+    )
+    # keep at most the current corpus' two variants resident
+    for k in [k for k in _INTER_CACHE if k[:2] != key[:2]]:
+        del _INTER_CACHE[k]
+    _INTER_CACHE[key] = out
+    return out
+
+
+def shingle_doc_sizes(
+    spark: SparkSession, sf_dir: str, capped: bool = True
+) -> DataFrame:
+    """(doc_id, sz) shingle-set sizes under the same cap regime as
+    :func:`shingle_pair_intersections` — persisted alongside it (the
+    capped variant must re-derive the DF census to know which
+    shingles count, which is exactly the work worth storing)."""
+    import os
+
+    from tableau_dashboard_performance_etl_automation_spark.sources.warehouse import (
+        persisted_table,
+    )
+
+    variant = "capped" if capped else "full"
+    key = (spark.sparkContext.applicationId, sf_dir, f"sz_{variant}")
+    cached = _INTER_CACHE.get(key)
+    if cached is not None:
+        return cached
+
+    def build() -> DataFrame:
+        sh = (
+            _capped_shingles(spark, sf_dir)
+            if capped
+            else _doc_shingles(spark, sf_dir)
+        )
+        return sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+
+    base = os.path.basename(sf_dir.rstrip("/")) or "root"
+    out = persisted_table(
+        spark, f"shingle_sizes_{variant}/{base}", sf_dir, build
+    )
+    for k in [k for k in _INTER_CACHE if k[:2] != key[:2]]:
+        del _INTER_CACHE[k]
+    _INTER_CACHE[key] = out
+    return out
+
+
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document best fuzzy match by 3-gram Jaccard.
 
@@ -279,31 +419,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes → top-1 match per doc via a partitioned window. Jaccard is
     a ratio of exact ints, so cross-engine values are bit-identical.
     """
-    # materialize the shingle decomposition once: it feeds the
-    # stop-shingle census, the sizes aggregate, and both sides of the
-    # intersection join — recomputing the explode+distinct 4× costs
-    # more than the one-pass materialization
-    sh = _doc_shingles(spark, sf_dir)
-    keep = (
-        sh.groupBy("sh")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") <= JACCARD_MAX_DF)
-        .select("sh")
-    )
-    sh = sh.join(keep, "sh")
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = (
-        a.join(
-            b,
-            (F.col("a.sh") == F.col("b.sh"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
+    # the capped intersection table and sizes are persisted per-corpus
+    # intermediates shared with dedup_containment (and the production
+    # shape: a dedup pipeline stores its candidate-pair scores once)
+    sizes = shingle_doc_sizes(spark, sf_dir, capped=True)
+    inter = shingle_pair_intersections(spark, sf_dir, capped=True)
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
     scored = inter.join(sa, "doc_a").join(sb, "doc_b").select(
@@ -555,21 +675,8 @@ def minhash_banding_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).cast("int").alias("band_overlap"))
     )
-    sh = _doc_shingles(spark, sf_dir)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    inter = (
-        sh.alias("x")
-        .join(
-            sh.alias("y"),
-            (F.col("x.sh") == F.col("y.sh"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")),
-        )
-        .groupBy(
-            F.col("x.doc_id").alias("doc_a"),
-            F.col("y.doc_id").alias("doc_b"),
-        )
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
+    sizes = shingle_doc_sizes(spark, sf_dir, capped=False)
+    inter = shingle_pair_intersections(spark, sf_dir, capped=False)
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sza"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("szb"))
     # LEFT join + COALESCE(inter, 0): a band collision normally implies
@@ -612,33 +719,15 @@ def minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     unconditional); the signature comparison is a broadcast-friendly
     join against the H-column signature table. Output is ≤ H+1 rows.
     """
-    sh = _doc_shingles(spark, sf_dir)
-    sig = sh.groupBy("doc_id").agg(
-        *[
-            F.min(seeded_md5(s, F.col("sh"))).alias(f"mh{s}")
-            for s in range(MINHASH_HASHES)
-        ]
-    )
+    sig = _minhash_sigs(spark, sf_dir)
     # the candidate set IS the persisted per-corpus edge list
     cand = lsh_pair_table(spark, sf_dir)
     matching = sum(
         (F.col(f"sa.mh{s}") == F.col(f"sb.mh{s}")).cast("int")
         for s in range(MINHASH_HASHES)
     )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    inter = (
-        sh.alias("x")
-        .join(
-            sh.alias("y"),
-            (F.col("x.sh") == F.col("y.sh"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")),
-        )
-        .groupBy(
-            F.col("x.doc_id").alias("doc_a"),
-            F.col("y.doc_id").alias("doc_b"),
-        )
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
+    sizes = shingle_doc_sizes(spark, sf_dir, capped=False)
+    inter = shingle_pair_intersections(spark, sf_dir, capped=False)
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sza"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("szb"))
     inter0 = F.coalesce(F.col("inter"), F.lit(0))
@@ -1161,26 +1250,9 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     integers — bit-identical across engines — and the threshold
     compares the *rounded* value so the boundary is unambiguous.
     """
-    sh = _doc_shingles(spark, sf_dir)
-    keep = (
-        sh.groupBy("sh")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") <= JACCARD_MAX_DF)
-        .select("sh")
-    )
-    sh = sh.join(keep, "sh")
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = (
-        a.join(
-            b,
-            (F.col("a.sh") == F.col("b.sh"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .agg(F.count(F.lit(1)).cast("bigint").alias("inter"))
+    sizes = shingle_doc_sizes(spark, sf_dir, capped=True)
+    inter = shingle_pair_intersections(spark, sf_dir, capped=True).select(
+        "doc_a", "doc_b", F.col("inter").cast("bigint").alias("inter")
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
