@@ -148,6 +148,12 @@ PROBE_QUERIES = [
     # the 1.6-2.2s band noise can push over the gate budget
     "event_type_robust_stats",
     "lineitem_price_correlations",
+    # round-7 cont.: two more borderline-band queries that run noise
+    # pushed over the budget in a full-bench sample — the CMS-verified
+    # heavy-hitter census (events-shaped fixed-width sketch + exact
+    # confirm join) and the per-(part) min-cost supplier argmin
+    "heavy_hitter_users_cms",
+    "min_cost_supplier",
 ]
 
 
