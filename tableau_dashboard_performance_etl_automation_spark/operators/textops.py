@@ -1596,15 +1596,32 @@ def word_bigram_kn_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         / F.col("c1")
         * (F.col("n1p_prec") / F.col("b_types"))
     )
-    scores = (
-        c12.join(ctx, "w1")
-        .join(prec, "w2")
-        .crossJoin(btypes)
-        .select(
-            "w1",
-            "w2",
-            F.round(-F.log2(p) * 1e6).cast("bigint").alias("nll_u"),
+
+    # the TYPE-level score table is the trained LM — persist it per
+    # corpus (vocab²-bounded, deterministic: every input is an exact
+    # BIGINT count and log2 is evaluated once per type); steady state
+    # pays only the per-doc bigram stream + broadcast lookup
+    def _build_scores() -> DataFrame:
+        return (
+            c12.join(ctx, "w1")
+            .join(prec, "w2")
+            .crossJoin(btypes)
+            .select(
+                "w1",
+                "w2",
+                F.round(-F.log2(p) * 1e6).cast("bigint").alias("nll_u"),
+            )
         )
+
+    import os as _os
+
+    from tableau_dashboard_performance_etl_automation_spark.sources.warehouse import (
+        persisted_table,
+    )
+
+    _base = _os.path.basename(sf_dir.rstrip("/")) or "root"
+    scores = persisted_table(
+        spark, f"kn_bigram_scores/{_base}", sf_dir, _build_scores
     )
     return (
         bigrams.join(scores, ["w1", "w2"])
