@@ -2639,17 +2639,23 @@ def returnflag_quantity_kruskal(spark: SparkSession, sf_dir: str) -> DataFrame:
     :func:`quality_mannwhitney_sources` (do returned/accepted
     lines differ systematically in lot size?). Emits one row per flag
     with its exact tie-averaged rank sum and its H-term; client-side
-    ``H = Σ h_term − 3(N+1)`` (the file's term-column contract, like
-    the calibration's ece_terms — engines never sum floats).
+    ``H = (Σ h_term_e6)/10⁶ − 3(N+1)`` (the file's term-column
+    contract, like the calibration's ece_terms — engines never sum
+    floats).
 
     Exactness: quantities live on a ~50-value integer domain, so
     ranks come from the VALUE COMPACTION — for distinct value q
     spanning global ranks (lo, lo+cnt], the tie-averaged rank is
     ``(2lo + cnt + 1)/2``; carrying DOUBLED rank sums keeps
     everything integer (``rank_sum_x2 = Σ cnt_gq·(2lo_q+cnt_q+1)``),
-    and ``h_term = 3·rank_sum_x2² / (N(N+1)·n_g)`` is one division
-    of exact int64 products (x2 ≤ 2N·N ⇒ squares need decimal past
-    ~10⁶ rows per group — widened below exactly like the Gini).
+    and ``h_term_e6 = round(3·rank_sum_x2²·10⁶ / (N(N+1)·n_g))`` is
+    emitted as an EXACT half-up-rounded integer — the division is
+    ``(2·num + den) div (2·den)`` entirely in decimal(38,0), so no
+    double ever exists on either engine and there is no half-ULP
+    rounding boundary for Spark's BigDecimal vs DuckDB's libm to
+    disagree on (the exact failure class COMPAT.md root-caused for
+    event_hour_mi_terms; x2 ≤ 2N² ⇒ num ≤ 1.2e34·(N/6e6)⁴ fits
+    decimal(38,0) through ~sf10).
 
     Scale shape: one (flag, quantity) hash aggregate over a bounded
     ~3×50 cell domain, a window over ≤50 distinct values, broadcast
@@ -2675,20 +2681,27 @@ def returnflag_quantity_kruskal(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("x2_part").alias("rank_sum_x2"),
     )
     totals = F.broadcast(per_q.agg(F.sum("cnt_q").alias("n_all")))
-    h_term = (
-        F.lit(3) * F.col("rank_sum_x2") * F.col("rank_sum_x2")
-    ).cast("decimal(38,0)").cast("double") / (
-        dec("n_all") * (dec("n_all") + 1) * dec("n_g")
-    ).cast(
-        "double"
+    num = (
+        F.lit(3).cast("decimal(38,0)")
+        * F.col("rank_sum_x2")
+        * F.col("rank_sum_x2")
+        * F.lit(1000000).cast("decimal(38,0)")
     )
+    den = dec("n_all") * (dec("n_all") + 1) * dec("n_g")
     return (
         per_g.crossJoin(totals)
         .select(
             "l_returnflag",
             F.col("n_g").cast("bigint").alias("n_rows"),
             F.col("rank_sum_x2").cast("decimal(38,0)").alias("rank_sum_x2"),
-            F.round(h_term, 6).alias("h_term"),
+            num.alias("num_e6"),
+            den.alias("den"),
+        )
+        .select(
+            "l_returnflag",
+            "n_rows",
+            "rank_sum_x2",
+            F.expr("(2 * num_e6 + den) div (2 * den)").alias("h_term_e6"),
         )
         .orderBy("l_returnflag")
     )
@@ -2727,11 +2740,13 @@ def _oracle_sql10() -> dict[str, str]:
             SELECT g.l_returnflag,
                    CAST(g.n_g AS BIGINT) AS n_rows,
                    CAST(g.rank_sum_x2 AS DECIMAL(38,0)) AS rank_sum_x2,
-                   ROUND(CAST(3 * g.rank_sum_x2 * g.rank_sum_x2
-                              AS DOUBLE)
-                         / CAST(CAST(t.n_all AS HUGEINT)
-                                * (t.n_all + 1) * g.n_g AS DOUBLE),
-                         6) AS h_term
+                   CAST((2 * (3 * g.rank_sum_x2 * g.rank_sum_x2
+                              * 1000000::HUGEINT)
+                         + (CAST(t.n_all AS HUGEINT)
+                            * (t.n_all + 1) * g.n_g))
+                        // (2 * (CAST(t.n_all AS HUGEINT)
+                                 * (t.n_all + 1) * g.n_g))
+                        AS BIGINT) AS h_term_e6
             FROM per_g g CROSS JOIN totals t
             ORDER BY g.l_returnflag
         """,

@@ -360,11 +360,11 @@ def test_kruskal_rank_sums_match_scipy_style_reference(spark):
     for r in rows:
         assert r.n_rows == n_g[r.l_returnflag]
         assert int(r.rank_sum_x2) == rank_x2[r.l_returnflag]
-        want_term = (
-            3 * rank_x2[r.l_returnflag] ** 2 / (n * (n + 1) * n_g[r.l_returnflag])
-        )
-        assert abs(r.h_term - want_term) <= 5.1e-7
-        h += want_term
+        num = 3 * rank_x2[r.l_returnflag] ** 2 * 1_000_000
+        den = n * (n + 1) * n_g[r.l_returnflag]
+        # exact half-up e6 quantization — no float anywhere
+        assert r.h_term_e6 == (2 * num + den) // (2 * den)
+        h += num / 1e6 / den
     # identity check: H = sum(h_term) - 3(N+1); total rank sum fixed
     assert sum(rank_x2.values()) == n * (n + 1)
     assert h - 3 * (n + 1) >= -1e-9
