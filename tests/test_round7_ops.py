@@ -8,31 +8,54 @@ from __future__ import annotations
 SF = "/root/testdata/sf0.001"
 
 
-def test_oracle_scope_declares_ann_auto_contract(spark, monkeypatch):
+def test_ann_auto_oracle_is_corpus_invariant(spark, monkeypatch):
+    """Round-8 rework of the round-7 ORACLE_SCOPE contract: the
+    registered oracle now folds the COUNT(*) dispatch into the SQL
+    itself, so BOTH sides of the crossover are hash-comparable at any
+    corpus size and the pin-the-exact-path side channel is gone."""
+    import duckdb
+
     import __spark_entry__ as entry
     from tableau_dashboard_performance_etl_automation_spark.operators import similarity
 
-    scopes = entry.oracle_scope()
-    # every scoped query is registered, with a matching oracle
-    assert set(scopes) <= set(entry.oracle_sql())
-    sc = scopes["ann_auto_topk"]
-    # the declared env/default must be the ones the dispatcher reads —
-    # a drifted declaration would make the harness pin a dead knob
-    assert sc["max_count_env"] == "SPARK_GRAFT_ANN_AUTO_EXACT_MAX"
-    assert sc["max_count_default"] == similarity.ANN_AUTO_EXACT_MAX
-    assert int(sc["pin_value"]) > similarity.ANN_AUTO_EXACT_MAX
+    # the side channel is deleted — the driver never read it
+    assert not hasattr(entry, "oracle_scope")
+    assert not hasattr(similarity, "ORACLE_SCOPE")
+    # baked-in oracle carries both branches gated on the corpus count
+    sql = entry.oracle_sql()["ann_auto_topk"]
+    assert "UNION ALL" in sql and str(similarity.ANN_AUTO_EXACT_MAX) in sql
 
-    # OUT of scope (crossover forced below the corpus): the live
-    # dispatch is the IVF probe...
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"'{SF}/embeddings.parquet'"
+    )
+
+    def _run(sql_text):
+        return [tuple(r) for r in con.sql(sql_text).fetchall()]
+
+    # BELOW the crossover (the default here): live dispatch is the
+    # exact scan and the oracle's first branch reproduces it
+    live = [tuple(r) for r in similarity.ann_auto_topk(spark, SF).collect()]
+    exact = [
+        tuple(r) for r in similarity.ann_cosine_topk(spark, SF).collect()
+    ]
+    assert live == exact
+    assert sorted(_run(sql)) == sorted(live)
+
+    # ABOVE the crossover (forced to 0): live dispatch is the IVF
+    # nprobe=2 probe, and the re-baked oracle's second branch
+    # reproduces THAT — full value parity, no rows-only fallback
     monkeypatch.setenv("SPARK_GRAFT_ANN_AUTO_EXACT_MAX", "0")
-    ivf = similarity.ann_ivf_topk(spark, SF, nprobe=2).collect()
-    assert similarity.ann_auto_topk(spark, SF).collect() == ivf
-    # ...and the harness's pin restores the oracle-described exact
-    # path, bit-identically — this is the hash-compare the parity
-    # gate runs above the crossover
-    monkeypatch.setenv("SPARK_GRAFT_ANN_AUTO_EXACT_MAX", sc["pin_value"])
-    exact = similarity.ann_cosine_topk(spark, SF).collect()
-    assert similarity.ann_auto_topk(spark, SF).collect() == exact
+    ivf = [
+        tuple(r)
+        for r in similarity.ann_ivf_topk(spark, SF, nprobe=2).collect()
+    ]
+    live_hi = [
+        tuple(r) for r in similarity.ann_auto_topk(spark, SF).collect()
+    ]
+    assert live_hi == ivf
+    assert sorted(_run(similarity._ann_auto_oracle())) == sorted(ivf)
 
 
 def test_pagerank_df_resident_matches_driver_path(spark, monkeypatch):

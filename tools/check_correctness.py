@@ -110,7 +110,6 @@ def main() -> int:
 
     queries = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
-    scopes = getattr(entry_mod, "oracle_scope", dict)() or {}
     failures = []
     checked = 0
     for name, fn in queries.items():
@@ -118,42 +117,6 @@ def main() -> int:
             continue
         checked += 1
         t0 = time.time()
-        # Oracle-scope contract: when the corpus is outside the
-        # registered oracle's declared validity domain (e.g.
-        # ann_auto_topk above its exact/IVF crossover), hash-compare
-        # with the oracle-described path PINNED via the declared env,
-        # and additionally exercise the live (unpinned) dispatch
-        # rows-only — never hash a recall<1 result against an exact
-        # oracle.
-        scope, pin = scopes.get(name), None
-        if scope is not None:
-            import os
-
-            n_corpus = con.sql(scope["count_sql"]).fetchone()[0]
-            max_n = int(
-                os.environ.get(
-                    scope["max_count_env"],
-                    scope["max_count_default"],
-                )
-            )
-            if n_corpus > max_n:
-                try:
-                    live_rows = fn(spark, sf_dir).count()
-                except Exception as exc:  # noqa: BLE001
-                    print(f"FAIL {name}: live-dispatch error: {exc}")
-                    failures.append(name)
-                    continue
-                print(
-                    f"SCOPE {name}: corpus {n_corpus} > crossover "
-                    f"{max_n} ({scope['reason']}); live dispatch ran "
-                    f"rows-only ({live_rows} rows) — hash compare "
-                    f"below uses the pinned oracle path"
-                )
-                pin = (
-                    scope["max_count_env"],
-                    os.environ.get(scope["max_count_env"]),
-                )
-                os.environ[pin[0]] = scope["pin_value"]
         try:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
@@ -163,15 +126,6 @@ def main() -> int:
             print(f"FAIL {name}: spark error: {exc}")
             failures.append(name)
             continue
-        finally:
-            if pin is not None:
-                import os
-
-                env_name, old = pin
-                if old is None:
-                    os.environ.pop(env_name, None)
-                else:
-                    os.environ[env_name] = old
         if name not in oracles:
             print(f"PASS {name}: rows-only check, {len(srows)} rows "
                   f"({time.time()-t0:.1f}s)")
