@@ -41,8 +41,79 @@ META_SCHEMA = StructType(
         StructField("doc_id", LongType()),
         StructField("byte_len", LongType()),
         StructField("content_sig", StringType()),
+        StructField("img_w", IntegerType()),
+        StructField("img_h", IntegerType()),
+        StructField("img_channels", IntegerType()),
     ]
 )
+
+#: JPEG frame-header (SOFn) markers that carry dimensions — all of
+#: C0..CF except C4 (DHT), C8 (JPG extension) and CC (DAC), per
+#: ITU-T T.81 table B.1.
+_JPEG_SOF = {
+    0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+    0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF,
+}
+
+#: PNG color type → samples per pixel (grayscale, RGB, palette,
+#: gray+alpha, RGBA).
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+#: Segment-walk iteration cap — a sane header never needs more than
+#: a few dozen segments before SOF; the cap bounds a corrupt stream.
+_JPEG_WALK_MAX = 64
+
+
+def image_dims(payload: bytes) -> "tuple[int, int, int] | None":
+    """(width, height, channels) from the image HEADER only — no
+    pixel decode, no image library (round-7 VERDICT item 4: metadata
+    extraction is what ``multimodal_binary_meta`` semantics need, and
+    headers are stdlib-parseable even where entropy-coded pixels are
+    not).
+
+    PNG: IHDR is mandatory-first (bytes 17-24 hold the big-endian
+    width/height, byte 26 the color type). JPEG: walk the segment
+    chain from SOI — each non-standalone marker carries a 2-byte
+    big-endian length including itself — until an SOFn frame header
+    (height @ +5, width @ +7, component count @ +9), stopping at
+    SOS/EOI. Returns ``None`` for anything else (text payloads, audio,
+    truncated headers): the caller emits NULL metadata columns.
+
+    The DuckDB twin (:data:`_IMG_DIMS_CTES`) replays the identical
+    walk over ``hex(payload)`` with a recursive CTE, so the parity
+    gate covers real image payloads, not just the NULL path."""
+    b = bytes(payload)
+    if b[:8] == b"\x89PNG\r\n\x1a\n" and len(b) >= 26:
+        w = int.from_bytes(b[16:20], "big")
+        h = int.from_bytes(b[20:24], "big")
+        ch = _PNG_CHANNELS.get(b[25])
+        return None if ch is None else (w, h, ch)
+    if b[:2] == b"\xff\xd8":
+        pos, it = 2, 0  # 0-based offset of the next marker
+        while it < _JPEG_WALK_MAX and pos + 2 <= len(b):
+            it += 1
+            if b[pos] != 0xFF:
+                return None
+            m = b[pos + 1]
+            if m == 0xFF:  # fill byte before the marker proper
+                pos += 1
+                continue
+            if m == 0x01 or 0xD0 <= m <= 0xD7:  # standalone markers
+                pos += 2
+                continue
+            if m in (0xDA, 0xD9):  # SOS/EOI: no frame header seen
+                return None
+            if pos + 4 > len(b):
+                return None
+            seg_len = int.from_bytes(b[pos + 2 : pos + 4], "big")
+            if m in _JPEG_SOF:
+                if pos + 10 > len(b):
+                    return None
+                h = int.from_bytes(b[pos + 5 : pos + 7], "big")
+                w = int.from_bytes(b[pos + 7 : pos + 9], "big")
+                return (w, h, b[pos + 9])
+            pos += 2 + seg_len
+    return None
 
 FRAME_SCHEMA = StructType(
     [
@@ -64,7 +135,10 @@ def decode_image(payload: bytes) -> "object":
        all five scanline filters) for PNG payloads, so the common
        LLM-corpus case works with NO image library in the container;
     3. ``NotImplementedError`` for non-PNG payloads without a
-       library (JPEG/WebP entropy coding needs a real codec).
+       library (JPEG/WebP entropy coding needs a real codec). The
+       gate covers PIXEL decode only — header metadata (width,
+       height, channels) parses stdlib-side for both PNG and JPEG
+       via :func:`image_dims`.
 
     The production call site is inside the ``mapInPandas`` batch loop
     (one import per executor, not per row), returning arrays for
@@ -111,12 +185,22 @@ def with_binary_payload(docs: DataFrame) -> DataFrame:
 
 def _meta_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
+        dims = [image_dims(bytes(b)) for b in pdf["payload"]]
         yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"],
                 "byte_len": pdf["payload"].map(len).astype("int64"),
                 "content_sig": pdf["payload"].map(
                     lambda b: hashlib.md5(bytes(b)).hexdigest()
+                ),
+                "img_w": pd.array(
+                    [d[0] if d else None for d in dims], dtype="Int32"
+                ),
+                "img_h": pd.array(
+                    [d[1] if d else None for d in dims], dtype="Int32"
+                ),
+                "img_channels": pd.array(
+                    [d[2] if d else None for d in dims], dtype="Int32"
                 ),
             }
         )
@@ -201,8 +285,14 @@ def resize_thumbnails(payloads: DataFrame, side: int = 8) -> DataFrame:
 
 def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Oracle-checkable end of the plumbing: byte length + content
-    digest per payload, computed in Python over Arrow batches and
-    matched against DuckDB's blob functions."""
+    digest + header-parsed image dimensions per payload, computed in
+    Python over Arrow batches and matched against DuckDB's blob
+    functions plus the recursive-CTE header walk
+    (:func:`_img_dims_sql`). On the text corpus the dim columns are
+    NULL — but the oracle PARSES rather than hardcodes NULL, so the
+    same SQL is the twin for real PNG/JPEG payloads
+    (tests/test_multimodal_dims.py runs both sides on actual image
+    bytes)."""
     docs = load_table(spark, sf_dir, "documents")
     return extract_binary_meta(with_binary_payload(docs)).orderBy("doc_id")
 
@@ -364,6 +454,81 @@ def multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _img_dims_sql(src: str) -> str:
+    """DuckDB CTE block replaying :func:`image_dims` over
+    ``{src}(doc_id, hx)`` where ``hx = hex(payload)`` — emits
+    ``img_dims(doc_id, img_w, img_h, img_channels)`` with one row per
+    payload whose header parses (PNG IHDR slice; JPEG segment walk as
+    a recursive CTE stepping marker→marker until SOFn, with the same
+    stop/skip/length-guard rules and 64-step cap as the Python side).
+    The caller's ``WITH`` must be ``WITH RECURSIVE``. Byte b (1-based)
+    lives at hex chars (b-1)*2+1..+2; the walk position ``pos`` is the
+    1-based byte index of the current marker."""
+    sof = "'C0','C1','C2','C3','C5','C6','C7','C9','CA','CB','CD','CE','CF'"
+    standalone = "'01','D0','D1','D2','D3','D4','D5','D6','D7'"
+    return f"""
+        pdims AS (
+            SELECT doc_id,
+                   CAST(concat('0x', substr(hx, 33, 8)) AS INTEGER)
+                       AS img_w,
+                   CAST(concat('0x', substr(hx, 41, 8)) AS INTEGER)
+                       AS img_h,
+                   CASE substr(hx, 51, 2)
+                        WHEN '00' THEN 1 WHEN '02' THEN 3
+                        WHEN '03' THEN 1 WHEN '04' THEN 2
+                        WHEN '06' THEN 4 END AS img_channels
+            FROM {src}
+            WHERE substr(hx, 1, 16) = '89504E470D0A1A0A'
+              AND length(hx) >= 52
+              AND substr(hx, 51, 2) IN ('00','02','03','04','06')
+        ),
+        jwalk AS (
+            SELECT doc_id, hx, 3 AS pos, 0 AS it
+            FROM {src} WHERE substr(hx, 1, 4) = 'FFD8'
+            UNION ALL
+            SELECT doc_id, hx,
+                   CASE
+                     WHEN substr(hx, pos * 2 + 1, 2) = 'FF'
+                         THEN pos + 1
+                     WHEN substr(hx, pos * 2 + 1, 2)
+                          IN ({standalone}) THEN pos + 2
+                     -- truncated length field => TRY_CAST NULL =>
+                     -- jump past every guard, ending the walk (the
+                     -- Python side returns None there too)
+                     ELSE pos + 2 + COALESCE(TRY_CAST(concat('0x',
+                              substr(hx, (pos + 1) * 2 + 1, 4))
+                              AS INTEGER), 1000000000)
+                   END AS pos,
+                   it + 1 AS it
+            FROM jwalk
+            WHERE it < {_JPEG_WALK_MAX}
+              AND (pos + 1) * 2 <= length(hx)
+              AND substr(hx, (pos - 1) * 2 + 1, 2) = 'FF'
+              AND substr(hx, pos * 2 + 1, 2)
+                  NOT IN ('DA','D9',{sof})
+        ),
+        jsof AS (
+            SELECT doc_id,
+                   CAST(concat('0x', substr(hx, (pos + 6) * 2 + 1, 4))
+                        AS INTEGER) AS img_w,
+                   CAST(concat('0x', substr(hx, (pos + 4) * 2 + 1, 4))
+                        AS INTEGER) AS img_h,
+                   CAST(concat('0x', substr(hx, (pos + 8) * 2 + 1, 2))
+                        AS INTEGER) AS img_channels
+            FROM jwalk
+            WHERE (pos + 1) * 2 <= length(hx)
+              AND substr(hx, (pos - 1) * 2 + 1, 2) = 'FF'
+              AND substr(hx, pos * 2 + 1, 2) IN ({sof})
+              AND (pos + 9) * 2 <= length(hx)
+            QUALIFY ROW_NUMBER() OVER (
+                PARTITION BY doc_id ORDER BY pos) = 1
+        ),
+        img_dims AS (
+            SELECT * FROM pdims UNION ALL SELECT * FROM jsof
+        )
+    """
+
+
 QUERIES = {
     "multimodal_shard_packing": multimodal_shard_packing,
     "multimodal_content_dedup": multimodal_content_dedup,
@@ -482,11 +647,16 @@ ORACLE_SQL = {
         FROM f CROSS JOIN idx
         ORDER BY doc_id, frame_idx
     """,
-    "multimodal_binary_meta": """
-        SELECT doc_id,
-               octet_length(encode(text)) AS byte_len,
-               md5(text) AS content_sig
-        FROM documents
-        ORDER BY doc_id
+    "multimodal_binary_meta": f"""
+        WITH RECURSIVE pl AS (
+            SELECT doc_id, hex(encode(text)) AS hx FROM documents
+        ),
+        {_img_dims_sql("pl")}
+        SELECT d.doc_id,
+               octet_length(encode(d.text)) AS byte_len,
+               md5(d.text) AS content_sig,
+               i.img_w, i.img_h, i.img_channels
+        FROM documents d LEFT JOIN img_dims i USING (doc_id)
+        ORDER BY d.doc_id
     """,
 }
