@@ -65,3 +65,33 @@ def guarded_pct_diff(avg_col: Column, cur_col: Column, decimals: int = 4) -> Col
         ),
         decimals,
     )
+
+
+def dow_sunday0_sql(date_expr: str) -> str:
+    """Engine-neutral day-of-week SQL (0=Sunday..6=Saturday) via
+    Zeller's congruence — pure EXTRACT/FLOOR/% integer arithmetic
+    that parses AND means the same thing in DuckDB and Spark SQL.
+
+    ``EXTRACT(dow ...)`` is a dialect trap: DuckDB numbers Sunday=0,
+    Spark's DAYOFWEEK field Sunday=1, so an oracle using either reads
+    differently when replayed through ``spark.sql`` (COMPAT.md
+    round-7 "Mismatches"). Zeller sidesteps the field-name divergence
+    entirely: with q=day, m=month (Jan/Feb counted as 13/14 of the
+    previous year), K=year%100, J=year//100,
+    ``h = (q + ⌊13(m+1)/5⌋ + K + ⌊K/4⌋ + ⌊J/4⌋ + 5J) mod 7`` gives
+    h=0 Saturday, so Sunday0 = (h+6) mod 7. All intermediates are
+    small positive integers; ``FLOOR(a/b)`` and ``%`` agree across
+    both engines on this domain."""
+    y = f"EXTRACT(year FROM {date_expr})"
+    m = f"EXTRACT(month FROM {date_expr})"
+    q = f"EXTRACT(day FROM {date_expr})"
+    mz = f"(CASE WHEN {m} < 3 THEN {m} + 12 ELSE {m} END)"
+    yz = f"(CASE WHEN {m} < 3 THEN {y} - 1 ELSE {y} END)"
+    k = f"({yz} % 100)"
+    j = f"CAST(FLOOR({yz} / 100) AS BIGINT)"
+    h = (
+        f"({q} + CAST(FLOOR((13 * ({mz} + 1)) / 5) AS BIGINT)"
+        f" + {k} + CAST(FLOOR({k} / 4) AS BIGINT)"
+        f" + CAST(FLOOR({j} / 4) AS BIGINT) + 5 * {j})"
+    )
+    return f"CAST(({h} % 7 + 6) % 7 AS INTEGER)"

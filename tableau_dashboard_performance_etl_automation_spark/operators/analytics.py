@@ -23,6 +23,9 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 
 from tableau_dashboard_performance_etl_automation_spark.catalog import load_table
+from tableau_dashboard_performance_etl_automation_spark.functions.expressions import (
+    dow_sunday0_sql,
+)
 
 
 def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1163,11 +1166,13 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
-    "order_seasonality": """
+    "order_seasonality": f"""
+        -- dow via Zeller's congruence (dow_sunday0_sql): identical
+        -- numbering when replayed through spark.sql, unlike
+        -- EXTRACT(dow) whose Sunday differs per dialect (COMPAT.md)
         SELECT CAST(EXTRACT(month FROM o_orderdate) AS INTEGER)
                    AS month_of_year,
-               CAST(EXTRACT(dow FROM o_orderdate) AS INTEGER)
-                   AS day_of_week,
+               {dow_sunday0_sql("o_orderdate")} AS day_of_week,
                CAST(COUNT(*) AS BIGINT) AS n_orders,
                ROUND(SUM(o_totalprice), 2) AS revenue
         FROM orders

@@ -24,6 +24,9 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 
 from tableau_dashboard_performance_etl_automation_spark.catalog import load_table
+from tableau_dashboard_performance_etl_automation_spark.functions.expressions import (
+    dow_sunday0_sql,
+)
 from tableau_dashboard_performance_etl_automation_spark.functions.text import words
 from tableau_dashboard_performance_etl_automation_spark.operators.sampling import (
     _bucket,
@@ -1404,7 +1407,7 @@ def _oracle_sql2() -> dict[str, str]:
             FROM s
             ORDER BY lag
         """,
-        "dow_seasonal_decomposition": """
+        "dow_seasonal_decomposition": f"""
             WITH daily AS (
                 SELECT CAST(ts AS DATE) AS d,
                        CAST(COUNT(*) AS BIGINT) AS n,
@@ -1412,7 +1415,8 @@ def _oracle_sql2() -> dict[str, str]:
                 FROM events GROUP BY 1
             ),
             q AS (
-                SELECT CAST(EXTRACT(dow FROM d) AS INTEGER) AS dow,
+                -- Zeller dow (engine-neutral; see dow_sunday0_sql)
+                SELECT {dow_sunday0_sql("d")} AS dow,
                        CAST(ROUND(s * 1e4 / n) AS BIGINT) AS mu
                 FROM daily
             ),
