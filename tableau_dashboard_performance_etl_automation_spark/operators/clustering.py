@@ -23,6 +23,9 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 
 from tableau_dashboard_performance_etl_automation_spark.catalog import load_table
+from tableau_dashboard_performance_etl_automation_spark.sources.warehouse import (
+    corpus_slug,
+)
 from tableau_dashboard_performance_etl_automation_spark.operators.dedup import (
     ORACLE_SQL as _DEDUP_ORACLE_SQL,
     lsh_pair_table,
@@ -136,7 +139,7 @@ def _lsh_cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     cached = _CC_LABELS_CACHE.get(key)
     if cached is None:
-        base = os.path.basename(sf_dir.rstrip("/")) or "root"
+        base = corpus_slug(sf_dir)
         cached = persisted_table(
             spark,
             f"cc_labels/{base}",

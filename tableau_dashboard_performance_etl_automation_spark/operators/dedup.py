@@ -25,6 +25,9 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 
 from tableau_dashboard_performance_etl_automation_spark.catalog import load_table
+from tableau_dashboard_performance_etl_automation_spark.sources.warehouse import (
+    corpus_slug,
+)
 from tableau_dashboard_performance_etl_automation_spark.functions.text import (
     seeded_md5,
     shingles_sql_duckdb,
@@ -100,7 +103,7 @@ def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .distinct()
             )
 
-        base = os.path.basename(sf_dir.rstrip("/")) or "root"
+        base = corpus_slug(sf_dir)
         cached = persisted_table(
             spark, f"doc_shingles/{base}", sf_dir, build
         )
@@ -179,7 +182,7 @@ def _minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         )
 
-    base = os.path.basename(sf_dir.rstrip("/")) or "root"
+    base = corpus_slug(sf_dir)
     out = persisted_table(spark, f"minhash_sigs/{base}", sf_dir, build)
     _SIGS_CACHE.clear()  # single-entry cap
     _SIGS_CACHE[key] = out
@@ -228,7 +231,7 @@ def _minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("band"),
         ).select("doc_id", "band.band_id", "band.band_val")
 
-    base = os.path.basename(sf_dir.rstrip("/")) or "root"
+    base = corpus_slug(sf_dir)
     out = persisted_table(spark, f"minhash_bands/{base}", sf_dir, build)
     _BANDS_CACHE.clear()  # single-entry cap
     _BANDS_CACHE[key] = out
@@ -282,7 +285,7 @@ def lsh_pair_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct()
         )
 
-    base = os.path.basename(sf_dir.rstrip("/")) or "root"
+    base = corpus_slug(sf_dir)
     out = persisted_table(spark, f"lsh_pairs/{base}", sf_dir, build)
     _LSH_PAIRS_CACHE.clear()  # single-entry cap
     _LSH_PAIRS_CACHE[key] = out
@@ -363,7 +366,7 @@ def shingle_pair_intersections(
             .agg(F.count(F.lit(1)).alias("inter"))
         )
 
-    base = os.path.basename(sf_dir.rstrip("/")) or "root"
+    base = corpus_slug(sf_dir)
     out = persisted_table(
         spark, f"shingle_inter_{variant}/{base}", sf_dir, build
     )
@@ -401,7 +404,7 @@ def shingle_doc_sizes(
         )
         return sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
 
-    base = os.path.basename(sf_dir.rstrip("/")) or "root"
+    base = corpus_slug(sf_dir)
     out = persisted_table(
         spark, f"shingle_sizes_{variant}/{base}", sf_dir, build
     )
@@ -630,7 +633,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     bits = simhash_fingerprint_bits(docs.count())
-    base = os.path.basename(sf_dir.rstrip("/")) or "root"
+    base = corpus_slug(sf_dir)
     sig = persisted_table(
         spark,
         f"simhash_sigs/{base}",
@@ -2076,7 +2079,7 @@ def _winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    base = _os.path.basename(sf_dir.rstrip("/")) or "root"
+    base = corpus_slug(sf_dir)
     return persisted_table(
         spark, f"winnow_fp/k{WINNOW_K}w{WINNOW_W}/{base}", sf_dir, build
     )
@@ -2501,7 +2504,7 @@ def dedup_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         persisted_table,
     )
 
-    base = os.path.basename(sf_dir.rstrip("/")) or "root"
+    base = corpus_slug(sf_dir)
     sh_all = _doc_shingles(spark, sf_dir)
 
     # ---- exact-set collapse + prefix index, PERSISTED per corpus

@@ -29,6 +29,9 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 
 from tableau_dashboard_performance_etl_automation_spark.catalog import load_table
+from tableau_dashboard_performance_etl_automation_spark.sources.warehouse import (
+    corpus_slug,
+)
 
 
 def part_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -578,7 +581,7 @@ def part_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
             + f"|FS_GOLD_MIN={FS_GOLD_MIN}"
         ).encode()
     ).hexdigest()[:10]
-    base = os.path.basename(sf_dir.rstrip("/")) or "root"
+    base = corpus_slug(sf_dir)
     labels = persisted_table(
         spark,
         f"part_match_labels/{base}",

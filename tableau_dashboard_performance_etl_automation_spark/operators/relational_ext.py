@@ -16,6 +16,9 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 
 from tableau_dashboard_performance_etl_automation_spark.catalog import load_table
+from tableau_dashboard_performance_etl_automation_spark.sources.warehouse import (
+    corpus_slug,
+)
 from tableau_dashboard_performance_etl_automation_spark.functions.skew import (
     salted_count,
 )
@@ -1502,7 +1505,7 @@ def brand_affinity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct()
         )
 
-    base = os.path.basename(sf_dir.rstrip("/")) or "root"
+    base = corpus_slug(sf_dir)
     cb = persisted_table(spark, f"cust_brand/{base}", sf_dir, _build_cb)
     return _affinity_from_cb(cb)
 

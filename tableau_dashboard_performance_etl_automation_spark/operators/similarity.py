@@ -26,6 +26,9 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 
 from tableau_dashboard_performance_etl_automation_spark.catalog import load_table
+from tableau_dashboard_performance_etl_automation_spark.sources.warehouse import (
+    corpus_slug,
+)
 from tableau_dashboard_performance_etl_automation_spark.functions.vectors import (
     as_double_array,
     cosine,
@@ -185,7 +188,7 @@ def _persisted_band_signatures(
         persisted_table,
     )
 
-    base = os.path.basename(sf_dir.rstrip("/")) or "root"
+    base = corpus_slug(sf_dir)
     return persisted_table(
         spark,
         f"emb_band_sigs/{base}",
@@ -417,10 +420,13 @@ def _arrow_scored_candidates(
     ranking as before — no Python-side rounding anywhere.
 
     Margin pruning (provably exact): per batch and query, keep rows
-    whose raw cosine ≥ (k-th best raw) − 1e-6. Final ranking orders by
-    ``round(cos, 6)``, and rounding moves a value by ≤ 5e-7, so any
-    discarded row satisfies round6(dropped) < round6(kept k-th)
-    STRICTLY — it can neither beat nor tie into the global top-k.
+    whose raw cosine ≥ (k-th best raw) − 2e-6. The margin is twice
+    what the rounding argument needs (round-8 ADVICE): ``kth - 2e-6``
+    evaluated in float64 can round up past its decimal value by at
+    most one ulp, so every dropped row still has a raw gap > 1e-6;
+    final ranking orders by ``round(cos, 6)`` and rounding moves a
+    value by ≤ 5e-7, so round6(dropped) < round6(kept k-th) STRICTLY
+    — it can neither beat nor tie into the global top-k.
     NULL-cosine rows (zero-norm guard) rank last by (neighbor_id asc),
     so the smallest-id ``top_k`` of them per batch are also kept —
     identical output even when a query has < k scorable neighbors.
@@ -472,7 +478,7 @@ def _arrow_scored_candidates(
                     kth = np.partition(cos, len(cos) - top_k)[
                         len(cos) - top_k
                     ]
-                    keep = cos >= kth - 1e-6
+                    keep = cos >= kth - 2e-6
                     cos, cids = cos[keep], cids[keep]
                 out_q.extend([qid] * len(cids))
                 out_n.extend(int(i) for i in cids)
@@ -648,8 +654,9 @@ def _nearest_arrow(e: DataFrame, cent_rows: list) -> DataFrame:
     the interpreted fold made the 1M-vector K=1008 build cost tens
     of minutes). Sequential per-dimension accumulation replays the
     HOF fold's IEEE order (bit-identity pinned by the round-7 test);
-    per vector, only centroids whose RAW cosine is within 1e-6 of
-    the row maximum are emitted (≥ the true rounded-argmax winner,
+    per vector, only centroids whose RAW cosine is within 2e-6 of
+    the row maximum are emitted (the ulp-safe margin — see
+    :func:`_arrow_scored_candidates`) (≥ the true rounded-argmax winner,
     usually exactly one row), plus a single smallest-cent_id NULL
     row when every cosine is NULL (zero norms) — replicating the
     null-first struct ordering of the original argmax. Spark then
@@ -712,7 +719,7 @@ def _nearest_arrow(e: DataFrame, cent_rows: list) -> DataFrame:
                 valid = denom != 0.0
                 cos = np.where(valid, acc / np.where(valid, denom, 1.0), -np.inf)
                 best = cos.max(axis=0)
-                keep = valid & (cos >= best[None, :] - 1e-6)
+                keep = valid & (cos >= best[None, :] - 2e-6)
                 jj, ii = np.nonzero(keep)
                 out_id = [int(ids[i]) for i in ii]
                 out_cent = [int(cent_ids[j]) for j in jj]
@@ -844,9 +851,7 @@ def _artifact_name(base: str, sf_dir: str) -> str:
     """Per-corpus artifact subdirectory (e.g. ``ivf_codebook/sf0.01``)
     so codebooks for different sf_dirs coexist instead of overwriting
     each other; the full-path tag check still guards collisions."""
-    import os
-
-    return f"{base}/{os.path.basename(sf_dir.rstrip('/')) or 'root'}"
+    return f"{base}/{corpus_slug(sf_dir)}"
 
 
 def _codebook(spark: SparkSession, sf_dir: str, e: DataFrame) -> DataFrame:
@@ -1036,6 +1041,14 @@ def ann_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "vec")
         .collect()
     )
+    if not q_rows:
+        # empty/tiny corpus: no query vectors — the SQL pipeline this
+        # kernel replaced returned an empty result, not a vstack error
+        return spark.createDataFrame(
+            [],
+            "query_id BIGINT, neighbor_id BIGINT, "
+            "qcosine DOUBLE, rank INT",
+        )
     qmat = np.vstack(
         [np.asarray(r["vec"], dtype=np.float64) for r in q_rows]
     )
@@ -1075,7 +1088,7 @@ def ann_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                     kth = np.partition(col, len(col) - TOP_K)[
                         len(col) - TOP_K
                     ]
-                    m2 = col >= kth - 1e-6
+                    m2 = col >= kth - 2e-6
                     col, nid = col[m2], nid[m2]
                 out_q.extend([qid] * len(nid))
                 out_n.extend(int(i) for i in nid)

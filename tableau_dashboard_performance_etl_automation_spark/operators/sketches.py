@@ -22,6 +22,9 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
 from tableau_dashboard_performance_etl_automation_spark.catalog import load_table
+from tableau_dashboard_performance_etl_automation_spark.sources.warehouse import (
+    corpus_slug,
+)
 from tableau_dashboard_performance_etl_automation_spark.functions.hashing import (
     md5_hex_int,
     md5_hex_int_sql,
@@ -215,7 +218,7 @@ def _kmv_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "event_type", h48.alias("h")
             ).distinct()
 
-        base = os.path.basename(sf_dir.rstrip("/")) or "root"
+        base = corpus_slug(sf_dir)
         cached = persisted_table(
             spark, f"kmv_hashed/{base}", sf_dir, build
         )

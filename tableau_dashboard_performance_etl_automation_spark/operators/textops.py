@@ -15,6 +15,9 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 
 from tableau_dashboard_performance_etl_automation_spark.catalog import load_table
+from tableau_dashboard_performance_etl_automation_spark.sources.warehouse import (
+    corpus_slug,
+)
 from tableau_dashboard_performance_etl_automation_spark.functions.text import (
     shingles_sql_duckdb,
     word_shingles,
@@ -433,7 +436,7 @@ def _doc_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n"))
         )
 
-    _base = _os.path.basename(sf_dir.rstrip("/")) or "root"
+    _base = corpus_slug(sf_dir)
     return persisted_table(spark, f"char_bigrams/{_base}", sf_dir, _build_dbg)
 
 
@@ -1619,7 +1622,7 @@ def word_bigram_kn_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         persisted_table,
     )
 
-    _base = _os.path.basename(sf_dir.rstrip("/")) or "root"
+    _base = corpus_slug(sf_dir)
     scores = persisted_table(
         spark, f"kn_bigram_scores/{_base}", sf_dir, _build_scores
     )

@@ -126,6 +126,24 @@ def save_artifact(df: DataFrame, name: str, tag: str) -> None:
     _ARTIFACT_META_PATHS.add(path)
 
 
+def corpus_slug(sf_dir: str) -> str:
+    """Artifact-name component for per-corpus persisted tables:
+    basename PLUS an 8-hex md5 of the absolute path — the same scheme
+    ``bucketed_fact`` uses — so two corpora sharing a basename
+    (``a/sf0.1`` vs ``b/sf0.1``) land on distinct artifact paths.
+    The full-path meta tag already prevented WRONG data; without the
+    digest, alternating between same-basename corpora forced a full
+    artifact rebuild on every switch (round-8 ADVICE item)."""
+    import hashlib
+    import os
+
+    base = os.path.basename(sf_dir.rstrip("/")) or "root"
+    digest = hashlib.md5(
+        os.path.abspath(sf_dir).encode()
+    ).hexdigest()[:8]
+    return f"{base}_{digest}"
+
+
 def persisted_table(
     spark: SparkSession,
     name: str,

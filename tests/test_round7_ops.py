@@ -235,3 +235,25 @@ def test_markov_df_resident_matches_driver_path(spark, monkeypatch):
     monkeypatch.setenv("SPARK_GRAFT_MARKOV_MAX_CELLS", "1")
     distributed = clustering.event_markov_stationary(spark, SF).collect()
     assert [tuple(r) for r in distributed] == [tuple(r) for r in driver]
+
+
+def test_ann_int8_topk_empty_query_set_returns_empty(spark, tmp_path):
+    """Round-8 ADVICE: an embeddings table with no vec_id below
+    N_QUERIES must yield an empty result (the replaced SQL pipeline's
+    behavior), not a np.vstack ValueError at plan-build time."""
+    from pyspark.sql import functions as F
+
+    from tableau_dashboard_performance_etl_automation_spark.operators import similarity
+
+    p = str(tmp_path / "sf")
+    spark.createDataFrame(
+        [(similarity.N_QUERIES + 7, 0, [0.1, 0.2])],
+        "vec_id LONG, label INT, embedding ARRAY<FLOAT>",
+    ).write.parquet(f"{p}/embeddings.parquet")
+    out = similarity.ann_int8_topk(spark, p)
+    assert out.count() == 0
+    assert out.columns == ["query_id", "neighbor_id", "qcosine", "rank"]
+    # dtypes match the non-empty path so unions/oracle compares hold
+    assert [f.dataType.simpleString() for f in out.schema.fields] == [
+        "bigint", "bigint", "double", "int",
+    ]

@@ -296,3 +296,18 @@ def test_invalidate_session_memos_revokes_artifact_trust(spark):
     out = wh.persisted_table(spark, name, "t", build)
     assert calls == [1, 1]  # trust revoked -> rebuilt
     assert [r.v for r in out.collect()] == [2]
+
+
+def test_corpus_slug_distinguishes_same_basename_corpora(tmp_path):
+    """Round-8 ADVICE: a/sf0.1 and b/sf0.1 must land on different
+    artifact paths (alternating corpora previously rebuild-thrashed
+    on one shared path; the meta tag only prevented WRONG data)."""
+    from tableau_dashboard_performance_etl_automation_spark.sources.warehouse import corpus_slug
+
+    a = tmp_path / "a" / "sf0.1"
+    b = tmp_path / "b" / "sf0.1"
+    sa, sb = corpus_slug(str(a)), corpus_slug(str(b))
+    assert sa != sb
+    assert sa.startswith("sf0.1_") and sb.startswith("sf0.1_")
+    # stable across trailing-slash spelling
+    assert corpus_slug(str(a) + "/") == sa
