@@ -75,6 +75,16 @@ def read_partitioned(spark: SparkSession, path: str) -> DataFrame:
 #: tiny meta stamp forces a rebuild without touching the data files.
 _ARTIFACT_META_PATHS: set[str] = set()
 
+#: Wall-seconds spent building each persisted artifact (first build
+#: in this process, keyed by artifact name — the corpus slug is part
+#: of the name). bench.py emits this next to the warm per-query
+#: timings so steady-state numbers carry their amortized build cost
+#: in plain sight. Builds NEST (lsh_pairs builds bands builds sigs
+#: builds shingles), so an outer artifact's wall INCLUDES its
+#: dependencies' first builds — read the deepest chain's largest
+#: entry as the true end-to-end cold cost, not the sum.
+BUILD_LOG: dict[str, float] = {}
+
 
 def _artifact_path(spark: SparkSession, name: str) -> str:
     warehouse_dir = spark.conf.get("spark.sql.warehouse.dir", "")
@@ -176,6 +186,7 @@ def persisted_table(
     reads it). Single-writer-per-corpus is the deployment assumption,
     as with any unmanaged warehouse path."""
     import shutil
+    import time
 
     path = _artifact_path(spark, name)
     meta_path = _artifact_path(spark, name + "_meta")
@@ -185,12 +196,20 @@ def persisted_table(
         # between the overwrite and the new stamp must leave the
         # artifact untrusted for every tag
         shutil.rmtree(meta_path, ignore_errors=True)
+        t0 = time.time()
         writer = build().write.mode("overwrite")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(path)
         save_artifact(
             spark.createDataFrame([(1,)], "ok INT"), name + "_meta", tag
+        )
+        # first-build ledger: bench.py reports these alongside the
+        # warm per-query timings so a persisted-artifact consumer's
+        # steady-state number can't be read as hiding the build cost
+        # (round-7 VERDICT item 7)
+        BUILD_LOG[name] = round(
+            BUILD_LOG.get(name, 0.0) + (time.time() - t0), 3
         )
     _ARTIFACT_META_PATHS.add(meta_path)
     return spark.read.parquet(path)
@@ -327,8 +346,14 @@ def bucketed_fact(
     )
     name = f"fact_{table}_{digest}_by_{key}_{n_buckets}b".replace(".", "_")
     if _FACT_BUCKET_CACHE.get(memo_key) != name:
+        import time
+
+        t0 = time.time()
         write_bucketed(
             load_table(spark, sf_dir, table), name, key, n_buckets
         )
         _FACT_BUCKET_CACHE[memo_key] = name
+        BUILD_LOG[name] = round(
+            BUILD_LOG.get(name, 0.0) + (time.time() - t0), 3
+        )
     return spark.table(name)
