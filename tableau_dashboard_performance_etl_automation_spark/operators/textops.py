@@ -1616,8 +1616,6 @@ def word_bigram_kn_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    import os as _os
-
     from tableau_dashboard_performance_etl_automation_spark.sources.warehouse import (
         persisted_table,
     )
@@ -1626,13 +1624,35 @@ def word_bigram_kn_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     scores = persisted_table(
         spark, f"kn_bigram_scores/{_base}", sf_dir, _build_scores
     )
+
+    # round-8 squeeze (VERDICT item 6): the per-doc consumer used to
+    # RE-PAY the corpus explode + (w1,w2) score shuffle on every run.
+    # Persist the SCORED per-doc stream — (doc_id, cnt, nll_u) with
+    # in-doc repetition compacted by the count — next to the score
+    # table; steady state is then ONE hash aggregate over a narrow
+    # 3-column parquet scan (no explode, no join). Exactness is
+    # unchanged: Σcnt ≡ per-token count, Σ cnt·nll_u ≡ per-token sum,
+    # all BIGINTs.
+    def _build_doc_scores() -> DataFrame:
+        per_doc = bigrams.groupBy("doc_id", "w1", "w2").agg(
+            F.count(F.lit(1)).cast("bigint").alias("cnt")
+        )
+        return per_doc.join(scores, ["w1", "w2"]).select(
+            "doc_id", "cnt", "nll_u"
+        )
+
+    doc_scores = persisted_table(
+        spark, f"kn_doc_scores/{_base}", sf_dir, _build_doc_scores
+    )
     return (
-        bigrams.join(scores, ["w1", "w2"])
-        .groupBy("doc_id")
+        doc_scores.groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.sum("cnt").cast("bigint").alias("n_bigrams"),
             F.round(
-                F.sum("nll_u") / F.count(F.lit(1)) / 1e6, 4
+                F.sum(F.col("cnt") * F.col("nll_u"))
+                / F.sum("cnt")
+                / 1e6,
+                4,
             ).alias("kn_avg_nll_bits"),
         )
         .orderBy("doc_id")
