@@ -1088,17 +1088,25 @@ def supplier_lead_time_percentiles(
     exact integer day counts, plus mean) — the SLA scorecard a
     procurement dashboard ranks suppliers by.
 
-    Scale shape: orders⋈lineitem is the one genuine fact-fact
-    shuffle (both sides hash on orderkey — at warehouse scale this
-    is the join you bucket both tables on, sources/warehouse.py);
-    the supplier dimension broadcasts; the percentile aggregate
-    groups on s_suppkey with integer day values, so interpolation
-    is cross-engine deterministic. At 100 TB the exact percentile
-    becomes ``percentile_approx`` (mergeable sketch) — the exact
-    form is the oracle-checkable baseline.
+    Scale shape: orders⋈lineitem reads the BUCKETED fact layouts
+    (``sources/warehouse.bucketed_fact`` — both sides stored
+    bucketed+sorted on the order key, the layout a deployment
+    maintains for its fact tables anyway, shared with
+    ``brand_affinity_cold_bucketed``), so the one genuine fact-fact
+    join runs with NO shuffle Exchange on either side (round-8; was
+    a full two-sided hash shuffle every run). The supplier dimension
+    broadcasts; the percentile aggregate groups on s_suppkey with
+    integer day values, so interpolation is cross-engine
+    deterministic. At 100 TB the exact percentile becomes
+    ``percentile_approx`` (mergeable sketch) — the exact form is the
+    oracle-checkable baseline.
     """
-    orders = load_table(spark, sf_dir, "orders")
-    li = load_table(spark, sf_dir, "lineitem")
+    from tableau_dashboard_performance_etl_automation_spark.sources.warehouse import (
+        bucketed_fact,
+    )
+
+    orders = bucketed_fact(spark, sf_dir, "orders", "o_orderkey")
+    li = bucketed_fact(spark, sf_dir, "lineitem", "l_orderkey")
     supp = load_table(spark, sf_dir, "supplier")
     lead = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)

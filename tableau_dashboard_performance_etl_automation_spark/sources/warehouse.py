@@ -38,7 +38,7 @@ def write_bucketed(
     df: DataFrame,
     table_name: str,
     bucket_col: str,
-    n_buckets: int = 16,
+    n_buckets: int = 32,
 ) -> None:
     """Persist as a bucketed managed table: rows are hash-distributed
     into ``n_buckets`` files by ``bucket_col`` at write time, so joins
@@ -308,7 +308,7 @@ def bucketed_fact(
     sf_dir: str,
     table: str,
     key: str,
-    n_buckets: int = 16,
+    n_buckets: int = 32,
 ) -> DataFrame:
     """The fact table as a BUCKETED managed table, hash-distributed
     and sorted on its join ``key`` — the stored layout a 100 TB
