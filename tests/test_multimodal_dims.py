@@ -121,3 +121,67 @@ def test_binary_meta_dims_parity_spark_vs_duckdb(spark):
     """
     for doc_id, w, h, ch in con.sql(sql).fetchall():
         assert (w, h, ch) == got[doc_id][:3], doc_id
+
+
+def test_image_dims_vs_sql_twin_property(tmp_path):
+    """Property check: on RANDOM (often malformed) JPEG-ish payloads,
+    the Python segment walk and the DuckDB recursive-CTE twin agree
+    row-for-row — including truncations, bogus lengths, fill bytes,
+    standalone markers, and early SOS. No Spark needed: the twin runs
+    on a registered pandas frame of raw bytes."""
+    import random
+    import struct
+
+    import duckdb
+    import pandas as pd
+
+    rng = random.Random(0xD135)
+    payloads = []
+    for i in range(160):
+        out = bytearray(b"\xff\xd8")
+        for _ in range(rng.randrange(0, 6)):
+            kind = rng.random()
+            if kind < 0.15:
+                out += b"\xff"  # stray fill byte
+            elif kind < 0.3:
+                out += bytes([0xFF, rng.choice([0x01, 0xD0, 0xD5, 0xD7])])
+            elif kind < 0.45:  # bogus/hostile length field
+                out += bytes([0xFF, 0xDB]) + struct.pack(
+                    ">H", rng.choice([0, 1, 2, 65535])
+                )
+            else:  # well-formed filler segment
+                body = bytes(rng.randrange(256) for _ in range(rng.randrange(0, 12)))
+                out += bytes([0xFF, rng.choice([0xDB, 0xE0, 0xE1, 0xC4])])
+                out += struct.pack(">H", len(body) + 2) + body
+        if rng.random() < 0.7:  # sometimes a real SOF
+            sof = rng.choice([0xC0, 0xC2, 0xC9])
+            w, h, nc = rng.randrange(1, 5000), rng.randrange(1, 5000), rng.choice([1, 3, 4])
+            body = struct.pack(">BHHB", 8, h, w, nc) + bytes(3 * nc)
+            out += bytes([0xFF, sof]) + struct.pack(">H", len(body) + 2) + body
+        if rng.random() < 0.5:
+            out += b"\xff\xda\x00\x04\x01\x00" + bytes([rng.randrange(256)])
+        if rng.random() < 0.3:  # random truncation
+            out = out[: rng.randrange(2, max(3, len(out)))]
+        payloads.append((i, bytes(out)))
+
+    want = {i: multimodal.image_dims(p) for i, p in payloads}
+    con = duckdb.connect()
+    con.register(
+        "fixture",
+        pd.DataFrame(
+            {"doc_id": [i for i, _ in payloads],
+             "payload": [p for _, p in payloads]}
+        ),
+    )
+    sql = f"""
+        WITH RECURSIVE pl AS (
+            SELECT doc_id, hex(payload) AS hx FROM fixture
+        ),
+        {multimodal._img_dims_sql("pl")}
+        SELECT f.doc_id, i.img_w, i.img_h, i.img_channels
+        FROM fixture f LEFT JOIN img_dims i USING (doc_id)
+        ORDER BY f.doc_id
+    """
+    for doc_id, w, h, ch in con.sql(sql).fetchall():
+        got = None if w is None else (w, h, ch)
+        assert got == want[doc_id], (doc_id, got, want[doc_id])
