@@ -278,10 +278,38 @@ def neardup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     is 1-(1-p^r)^b with p = 1 - arccos(c)/π — the standard banding
     trade, documented rather than hidden.
     """
+    # round-8: the VERIFIED pair table is a deterministic per-corpus
+    # artifact (the embedding analog of dedup's lsh_pairs) — persist
+    # it so steady state is a parquet scan + sort instead of
+    # re-paying the bucket self-join and the interpreted cosine folds
+    # on every run. The build plan (exposed as
+    # :func:`_neardup_pair_build` for the plan-contract test) replays
+    # the original query exactly.
+    from tableau_dashboard_performance_etl_automation_spark.sources.warehouse import (
+        persisted_table,
+    )
+
+    pairs = persisted_table(
+        spark,
+        f"emb_neardup_pairs/{corpus_slug(sf_dir)}",
+        sf_dir,
+        lambda: _neardup_pair_build(spark, sf_dir),
+    )
+    return pairs.orderBy("vec_a", "vec_b")
+
+
+def _neardup_pair_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The un-persisted near-dup pair plan: LSH-bucket equi-join
+    candidate generation + exact-cosine confirm (see
+    :func:`neardup_embedding_cosine` for the scale argument).
+    tests/test_plans.py audits THIS plan — no cartesian product, no
+    label blocking — since the registered query's steady state is
+    just the artifact scan."""
     e = _emb(spark, sf_dir)
     raw = load_table(spark, sf_dir, "embeddings")
-    # One COUNT(*) job (parquet metadata aggregate) prices the dial;
-    # the oracle recomputes the identical width from COUNT(*).
+    # One COUNT(*) job (parquet metadata aggregate) prices the
+    # dial; the oracle recomputes the identical width from
+    # COUNT(*).
     bits = lsh_band_bits(raw.count())
     sigs = _persisted_band_signatures(spark, sf_dir, raw, bits)
     cand = (
@@ -298,9 +326,10 @@ def neardup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    # Precompute each vector's norm once (O(n) folds) instead of per
-    # pair; dot/(norm_a*norm_b) evaluates the exact same doubles as
-    # the inline cosine, so the oracle comparison is unaffected.
+    # Precompute each vector's norm once (O(n) folds) instead of
+    # per pair; dot/(norm_a*norm_b) evaluates the exact same
+    # doubles as the inline cosine, so the oracle comparison is
+    # unaffected.
     en = e.withColumn("nrm", norm(F.col("vec")))
     a = en.select(
         F.col("vec_id").alias("vec_a"),
@@ -318,15 +347,17 @@ def neardup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "cos",
             F.round(
-                F.when(F.col("na") * F.col("nb") == 0, F.lit(None)).otherwise(
-                    dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+                F.when(
+                    F.col("na") * F.col("nb") == 0, F.lit(None)
+                ).otherwise(
+                    dot(F.col("va"), F.col("vb"))
+                    / (F.col("na") * F.col("nb"))
                 ),
                 4,
             ),
         )
         .filter(F.col("cos") >= NEARDUP_COSINE)
         .select("vec_a", "vec_b", F.col("cos").alias("cosine"))
-        .orderBy("vec_a", "vec_b")
     )
 
 

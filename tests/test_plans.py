@@ -82,8 +82,10 @@ def test_ivf_join_is_hash_join_on_centroid(spark, sf_dir):
 def test_neardup_blocks_on_lsh_not_label(spark, sf_dir):
     """Candidate generation must be an equi-join on (band, sig) —
     never an all-pairs join inside a fixed-cardinality block like
-    ``label`` (the round-1 scale hazard)."""
-    df = similarity.neardup_embedding_cosine(spark, sf_dir)
+    ``label`` (the round-1 scale hazard). Round 8 persists the
+    verified pairs, so the contract is audited on the BUILD plan
+    (the registered query's steady state is the artifact scan)."""
+    df = similarity._neardup_pair_build(spark, sf_dir)
     assert not has_cartesian_product(df)
     plan = formatted_plan(df)
     assert "label" not in plan  # blocking key is the LSH signature
