@@ -1223,12 +1223,31 @@ def market_basket_brand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     totals and the order count are broadcast-sized aggregates. Lift is
     a ratio of exact integer counts (pair_orders · n_orders /
     (orders_a · orders_b)), so the ranking is cross-engine exact."""
-    li = load_table(spark, sf_dir, "lineitem")
-    part = load_table(spark, sf_dir, "part")
-    ob = (
-        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
-        .select("l_orderkey", "p_brand")
-        .distinct()
+    # round-8: the distinct (order, brand) set is the only full-fact
+    # pass and is referenced three times downstream (totals, order
+    # count, self-join) — persist it per corpus (the cust_brand
+    # pattern below), so steady state runs entirely off the compact
+    # basket table.
+    def _build_ob() -> DataFrame:
+        li = load_table(spark, sf_dir, "lineitem")
+        part = load_table(spark, sf_dir, "part")
+        return (
+            li.join(
+                F.broadcast(part), li["l_partkey"] == part["p_partkey"]
+            )
+            .select("l_orderkey", "p_brand")
+            .distinct()
+        )
+
+    from tableau_dashboard_performance_etl_automation_spark.sources.warehouse import (
+        persisted_table,
+    )
+
+    ob = persisted_table(
+        spark,
+        f"order_brands/{corpus_slug(sf_dir)}",
+        sf_dir,
+        _build_ob,
     )
     totals = ob.groupBy("p_brand").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_orders_brand")
