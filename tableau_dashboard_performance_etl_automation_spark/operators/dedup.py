@@ -2050,8 +2050,6 @@ def _winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     (measured 4× the extraction cost at sf0.1), and the stored
     fingerprint index is the production shape for repeated
     plagiarism/overlap probes anyway."""
-    import os as _os
-
     from tableau_dashboard_performance_etl_automation_spark.sources.warehouse import (
         persisted_table,
     )

@@ -409,8 +409,6 @@ def _doc_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     512× corpus decade the compaction is ~10⁸⁺ rows and pinning it as
     checkpoint blocks OOM'd a 48g heap; a disk-backed scan costs zero
     heap and later sessions reuse the build."""
-    import os as _os
-
     from tableau_dashboard_performance_etl_automation_spark.sources.warehouse import (
         persisted_table,
     )
