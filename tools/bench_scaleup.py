@@ -213,6 +213,9 @@ def main() -> None:
         "hard_negative_mining": similarity.hard_negative_mining,
         "ann_cosine_topk": similarity.ann_cosine_topk,
         "benchmark_decontaminate": dedup.benchmark_decontaminate,
+        # round-8: the persisted verified-pair table (steady state is
+        # an artifact scan; first sample per factor carries the build)
+        "neardup_embedding_cosine": similarity.neardup_embedding_cosine,
     }
     # SCALEUP_QUERIES=a,b limits the probe (deep-decade runs)
     env_qs = os.environ.get("SCALEUP_QUERIES")
