@@ -2653,13 +2653,19 @@ def returnflag_quantity_kruskal(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``(2lo + cnt + 1)/2``; carrying DOUBLED rank sums keeps
     everything integer (``rank_sum_x2 = Σ cnt_gq·(2lo_q+cnt_q+1)``),
     and ``h_term_e6 = round(3·rank_sum_x2²·10⁶ / (N(N+1)·n_g))`` is
-    emitted as an EXACT half-up-rounded integer — the division is
-    ``(2·num + den) div (2·den)`` entirely in decimal(38,0), so no
-    double ever exists on either engine and there is no half-ULP
-    rounding boundary for Spark's BigDecimal vs DuckDB's libm to
-    disagree on (the exact failure class COMPAT.md root-caused for
-    event_hour_mi_terms; x2 ≤ 2N² ⇒ num ≤ 1.2e34·(N/6e6)⁴ fits
-    decimal(38,0) through ~sf10).
+    emitted as an EXACT half-up-rounded integer entirely in
+    decimal(38,0) — no double ever exists on either engine, so there
+    is no half-ULP rounding boundary for Spark's BigDecimal vs
+    DuckDB's libm to disagree on (the exact failure class COMPAT.md
+    root-caused for event_hour_mi_terms). The division runs in TWO
+    exact stages so the 10⁶ quantizer never multiplies the full
+    square: with ``t = 3·rs²``, ``q = t div den``, ``r = t mod
+    den``, the result is ``q·10⁶ + (2·r·10⁶ + den) div (2·den)`` —
+    identical to one-shot half-up rounding because q·10⁶ is integer,
+    while the largest intermediate is t = 3·rs² ≤ 12N⁴, inside
+    decimal(38,0)/HUGEINT up to N ≈ 1.7e9 lineitem rows (~sf280;
+    the one-stage 2·t·10⁶ form overflowed at the 256× ladder's
+    153.6M rows).
 
     Scale shape: one (flag, quantity) hash aggregate over a bounded
     ~3×50 cell domain, a window over ≤50 distinct values, broadcast
@@ -2685,11 +2691,10 @@ def returnflag_quantity_kruskal(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("x2_part").alias("rank_sum_x2"),
     )
     totals = F.broadcast(per_q.agg(F.sum("cnt_q").alias("n_all")))
-    num = (
+    t = (
         F.lit(3).cast("decimal(38,0)")
         * F.col("rank_sum_x2")
         * F.col("rank_sum_x2")
-        * F.lit(1000000).cast("decimal(38,0)")
     )
     den = dec("n_all") * (dec("n_all") + 1) * dec("n_g")
     return (
@@ -2698,14 +2703,17 @@ def returnflag_quantity_kruskal(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_returnflag",
             F.col("n_g").cast("bigint").alias("n_rows"),
             F.col("rank_sum_x2").cast("decimal(38,0)").alias("rank_sum_x2"),
-            num.alias("num_e6"),
+            t.alias("t"),
             den.alias("den"),
         )
         .select(
             "l_returnflag",
             "n_rows",
             "rank_sum_x2",
-            F.expr("(2 * num_e6 + den) div (2 * den)").alias("h_term_e6"),
+            F.expr(
+                "(t div den) * 1000000"
+                " + (2 * (t % den) * 1000000 + den) div (2 * den)"
+            ).alias("h_term_e6"),
         )
         .orderBy("l_returnflag")
     )
@@ -2740,19 +2748,22 @@ def _oracle_sql10() -> dict[str, str]:
                 FROM cells c JOIN ranked_q r USING (q)
                 GROUP BY c.l_returnflag
             ),
-            totals AS (SELECT SUM(cnt_q) AS n_all FROM per_q)
-            SELECT g.l_returnflag,
-                   CAST(g.n_g AS BIGINT) AS n_rows,
-                   CAST(g.rank_sum_x2 AS DECIMAL(38,0)) AS rank_sum_x2,
-                   CAST((2 * (3 * g.rank_sum_x2 * g.rank_sum_x2
-                              * 1000000::HUGEINT)
-                         + (CAST(t.n_all AS HUGEINT)
-                            * (t.n_all + 1) * g.n_g))
-                        // (2 * (CAST(t.n_all AS HUGEINT)
-                                 * (t.n_all + 1) * g.n_g))
-                        AS BIGINT) AS h_term_e6
-            FROM per_g g CROSS JOIN totals t
-            ORDER BY g.l_returnflag
+            totals AS (SELECT SUM(cnt_q) AS n_all FROM per_q),
+            terms AS (
+                SELECT g.l_returnflag, g.n_g, g.rank_sum_x2,
+                       3 * g.rank_sum_x2 * g.rank_sum_x2 AS tt,
+                       CAST(t.n_all AS HUGEINT)
+                           * (t.n_all + 1) * g.n_g AS den
+                FROM per_g g CROSS JOIN totals t
+            )
+            SELECT l_returnflag,
+                   CAST(n_g AS BIGINT) AS n_rows,
+                   CAST(rank_sum_x2 AS DECIMAL(38,0)) AS rank_sum_x2,
+                   CAST((tt // den) * 1000000
+                        + (2 * (tt % den) * 1000000 + den)
+                          // (2 * den) AS BIGINT) AS h_term_e6
+            FROM terms
+            ORDER BY l_returnflag
         """,
     }
 
