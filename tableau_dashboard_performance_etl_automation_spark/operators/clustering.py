@@ -1544,6 +1544,27 @@ KCORE_K = 2
 KCORE_ROUNDS = 8
 
 
+#: Collected-edge-list bound for the k-core driver path: 1M edges is
+#: ~16 MB of id pairs — far under any driver heap, far over every
+#: test/bench corpus; the distributed loop covers everything bigger.
+KCORE_MAX_DRIVER_EDGES = 1_000_000
+
+
+def _kcore_max_driver_edges() -> int:
+    """Dispatch bound, env-overridable
+    (``SPARK_GRAFT_KCORE_MAX_DRIVER_EDGES``) so tests can force the
+    distributed path on a small graph and prove it bit-identical to
+    the driver path (the ``_pr_max_driver_nodes`` discipline)."""
+    import os
+
+    return int(
+        os.environ.get(
+            "SPARK_GRAFT_KCORE_MAX_DRIVER_EDGES",
+            KCORE_MAX_DRIVER_EDGES,
+        )
+    )
+
+
 def neardup_kcore_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iterative k-core peel of the MinHash near-dup graph: round r
     drops every node whose degree in round r-1's edge set is below
@@ -1563,8 +1584,32 @@ def neardup_kcore_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     are a fixed constant, so the DuckDB oracle unrolls the identical
     peel as ``KCORE_ROUNDS`` nested CTEs — both engines compute all 8
     rounds even after fixpoint (idempotent peels), keeping the row
-    sets identical by construction."""
+    sets identical by construction.
+
+    Dispatch (round 8, the :func:`nation_pagerank` pattern): the LSH
+    edge list is pair-mass, not corpus-mass — a few thousand rows at
+    sf0.1, ~100k at the 256× decade — so below
+    ``KCORE_MAX_DRIVER_EDGES`` the peel runs as plain Python dicts on
+    the collected edge list (integer degree counts: bit-identical by
+    construction) instead of paying 8 Spark job launches to count a
+    driver-sized table; above the bound the distributed
+    semi-join/checkpoint loop takes over unchanged."""
     edges = lsh_pair_table(spark, sf_dir).select("doc_a", "doc_b")
+    n_edges = edges.count()
+    if n_edges <= _kcore_max_driver_edges():
+        pairs = [(r["doc_a"], r["doc_b"]) for r in edges.collect()]
+        rows = []
+        for rnd in range(1, KCORE_ROUNDS + 1):
+            deg: dict = {}
+            for a, b in pairs:
+                deg[a] = deg.get(a, 0) + 1
+                deg[b] = deg.get(b, 0) + 1
+            surv = {v for v, d in deg.items() if d >= KCORE_K}
+            pairs = [(a, b) for a, b in pairs if a in surv and b in surv]
+            rows.append((rnd, len(surv), len(pairs)))
+        return spark.createDataFrame(
+            rows, "round INT, n_nodes BIGINT, n_edges BIGINT"
+        ).orderBy("round")
     rows = []
     for rnd in range(1, KCORE_ROUNDS + 1):
         deg = (
