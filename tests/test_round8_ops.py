@@ -116,3 +116,42 @@ def test_kcore_driver_path_matches_distributed(spark, monkeypatch):
     distributed = clustering.neardup_kcore_rounds(spark, SF).collect()
     assert distributed == driver
     assert len(driver) == clustering.KCORE_ROUNDS
+
+
+def test_zeller_dow_sql_century_boundaries():
+    """Zeller handles the Gregorian century rules (1900 non-leap,
+    2000 leap) — events data may drift decades from the TPC-H span."""
+    import datetime
+
+    import duckdb
+
+    from tableau_dashboard_performance_etl_automation_spark.functions.expressions import (
+        dow_sunday0_sql,
+    )
+
+    con = duckdb.connect()
+    expr = dow_sunday0_sql("d")
+    for start in ("1899-12-25", "1999-12-25", "2099-12-25"):
+        rows = con.sql(
+            f"SELECT d, {expr} AS z FROM (SELECT DATE '{start}'"
+            " + INTERVAL (i) DAY AS d FROM range(70) t(i))"
+        ).fetchall()
+        for d, z in rows:
+            dd = d.date() if isinstance(d, datetime.datetime) else d
+            assert z == (dd.weekday() + 1) % 7, dd
+
+
+def test_kruskal_two_stage_division_fuzz():
+    """The two-stage exact division (q·10⁶ + rounded remainder term)
+    must equal one-shot half-up rounding for every (t, den) — the
+    identity that lets 3·rs² stay inside decimal(38,0) at the 256×
+    fact decade."""
+    import random
+
+    rng = random.Random(8)
+    for _ in range(20000):
+        t = rng.randrange(0, 10**38)
+        den = rng.randrange(1, 10**30)
+        one = (2 * t * 10**6 + den) // (2 * den)
+        q, r = divmod(t, den)
+        assert one == q * 10**6 + (2 * r * 10**6 + den) // (2 * den)
