@@ -2653,11 +2653,17 @@ def returnflag_quantity_kruskal(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``(2lo + cnt + 1)/2``; carrying DOUBLED rank sums keeps
     everything integer (``rank_sum_x2 = Σ cnt_gq·(2lo_q+cnt_q+1)``),
     and ``h_term_e6 = round(3·rank_sum_x2²·10⁶ / (N(N+1)·n_g))`` is
-    emitted as an EXACT half-up-rounded integer entirely in
+    computed as an EXACT half-up-rounded integer entirely in
     decimal(38,0) — no double ever exists on either engine, so there
     is no half-ULP rounding boundary for Spark's BigDecimal vs
     DuckDB's libm to disagree on (the exact failure class COMPAT.md
-    root-caused for event_hour_mi_terms). The division runs in TWO
+    root-caused for event_hour_mi_terms). The OUTPUT columns are all
+    BIGINT/STRING: ``rank_sum_x2 = Σ cnt·(2lo+cnt+1) ≤ N·(2N+1)``
+    fits BIGINT up to N ≈ 2.1e9 lineitem rows (~sf350) — the
+    decimal(38,0) arithmetic stays strictly internal, because a
+    DECIMAL output cell is rendered differently by Spark's Decimal
+    vs DuckDB's HUGEINT in the driver's hasher (the round-7/8
+    driver-red root cause: values identical, cell text not). The division runs in TWO
     exact stages so the 10⁶ quantizer never multiplies the full
     square: with ``t = 3·rs²``, ``q = t div den``, ``r = t mod
     den``, the result is ``q·10⁶ + (2·r·10⁶ + den) div (2·den)`` —
@@ -2702,7 +2708,7 @@ def returnflag_quantity_kruskal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "l_returnflag",
             F.col("n_g").cast("bigint").alias("n_rows"),
-            F.col("rank_sum_x2").cast("decimal(38,0)").alias("rank_sum_x2"),
+            F.col("rank_sum_x2").cast("bigint").alias("rank_sum_x2"),
             t.alias("t"),
             den.alias("den"),
         )
@@ -2758,7 +2764,7 @@ def _oracle_sql10() -> dict[str, str]:
             )
             SELECT l_returnflag,
                    CAST(n_g AS BIGINT) AS n_rows,
-                   CAST(rank_sum_x2 AS DECIMAL(38,0)) AS rank_sum_x2,
+                   CAST(rank_sum_x2 AS BIGINT) AS rank_sum_x2,
                    CAST((tt // den) * 1000000
                         + (2 * (tt % den) * 1000000 + den)
                           // (2 * den) AS BIGINT) AS h_term_e6
