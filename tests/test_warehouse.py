@@ -311,3 +311,60 @@ def test_corpus_slug_distinguishes_same_basename_corpora(tmp_path):
     assert sa.startswith("sf0.1_") and sb.startswith("sf0.1_")
     # stable across trailing-slash spelling
     assert corpus_slug(str(a) + "/") == sa
+
+
+def test_bucketed_fact_reuses_files_across_sessions(spark, sf_dir, tmp_path):
+    """Round-8 VERDICT item 4: a fresh session must NOT rewrite the
+    bucketed fact layout — it re-registers an external bucketed table
+    over the stamped files. Simulated end-to-end in one process by
+    dropping the catalog entry (the only thing a session restart
+    loses) while preserving the data files and the meta stamp, then
+    dispatching through ``bucketed_fact`` again."""
+    import os
+    import shutil
+
+    from tableau_dashboard_performance_etl_automation_spark.sources.warehouse import (
+        BUILD_LOG,
+        _FACT_BUCKET_CACHE,
+        _artifact_path,
+        bucketed_fact,
+    )
+
+    sf = sf_dir
+    df1 = bucketed_fact(spark, sf, "supplier", "s_suppkey", n_buckets=8)
+    name = [
+        n for k, n in _FACT_BUCKET_CACHE.items()
+        if k[2] == "supplier" and k[4] == 8
+    ][0]
+    want = df1.count()
+    built_secs = BUILD_LOG.get(name)
+    assert built_secs is not None  # first call paid the build
+
+    # simulate a session restart: catalog entry gone, files + stamp
+    # survive. DROP on the managed table would delete the files, so
+    # stash them first and restore after the drop.
+    data_dir = _artifact_path(spark, name)
+    meta_dir = _artifact_path(spark, name + "_meta")
+    stash = str(tmp_path / "stash")
+    shutil.copytree(data_dir, os.path.join(stash, name))
+    spark.sql(f"DROP TABLE {name}")
+    assert not os.path.exists(data_dir)  # managed drop removed data
+    assert os.path.exists(meta_dir)  # stamp untouched by the drop
+    shutil.copytree(os.path.join(stash, name), data_dir)
+    for k in [k for k, n in _FACT_BUCKET_CACHE.items() if n == name]:
+        del _FACT_BUCKET_CACHE[k]
+
+    df2 = bucketed_fact(spark, sf, "supplier", "s_suppkey", n_buckets=8)
+    # no rebuild: BUILD_LOG unchanged, content identical
+    assert BUILD_LOG.get(name) == built_secs
+    assert df2.count() == want
+    assert df2.exceptAll(df1).count() == 0
+    # the re-registered layout still elides the shuffle
+    agg = df2.groupBy("s_suppkey").count()
+    plan = formatted_plan(agg)
+    assert "hashpartitioning" not in plan
+    assert "Bucketed: true" in plan
+
+    # third dispatch: stamped AND registered -> pure lookup, no DDL
+    df3 = bucketed_fact(spark, sf, "supplier", "s_suppkey", n_buckets=8)
+    assert df3.count() == want
