@@ -289,10 +289,12 @@ def neardup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         persisted_table,
     )
 
+    # tag carries the dials (round-8 ADVICE): a threshold or banding
+    # change must invalidate the pair table, not silently reuse it
     pairs = persisted_table(
         spark,
         f"emb_neardup_pairs/{corpus_slug(sf_dir)}",
-        sf_dir,
+        f"{sf_dir}|cos={NEARDUP_COSINE}|bands={LSH_BANDS}",
         lambda: _neardup_pair_build(spark, sf_dir),
     )
     return pairs.orderBy("vec_a", "vec_b")
@@ -1049,7 +1051,7 @@ def ann_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     all < 2^53 so the int64-product-then-cast and the
     double-product paths are the same exact double) is the same
     elementwise op sequence as the SQL expression. Per-batch margin
-    pruning (raw ≥ kth-best − 1e-6) is exact under the 6-decimal
+    pruning (raw ≥ kth-best − 2e-6) is exact under the 6-decimal
     ranking by the :func:`_arrow_scored_candidates` proof; rounding
     and ranking stay JVM-side."""
     import numpy as np

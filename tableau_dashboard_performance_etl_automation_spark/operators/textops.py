@@ -1619,8 +1619,11 @@ def word_bigram_kn_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     _base = corpus_slug(sf_dir)
+    # tag carries the KN dial (round-8 ADVICE): a discount change
+    # must invalidate the trained score tables, not silently reuse
+    _kn_tag = f"{sf_dir}|d={KN_DISCOUNT}"
     scores = persisted_table(
-        spark, f"kn_bigram_scores/{_base}", sf_dir, _build_scores
+        spark, f"kn_bigram_scores/{_base}", _kn_tag, _build_scores
     )
 
     # round-8 squeeze (VERDICT item 6): the per-doc consumer used to
@@ -1640,7 +1643,7 @@ def word_bigram_kn_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     doc_scores = persisted_table(
-        spark, f"kn_doc_scores/{_base}", sf_dir, _build_doc_scores
+        spark, f"kn_doc_scores/{_base}", _kn_tag, _build_doc_scores
     )
     return (
         doc_scores.groupBy("doc_id")
