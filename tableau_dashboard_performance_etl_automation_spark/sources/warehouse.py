@@ -85,6 +85,13 @@ _ARTIFACT_META_PATHS: set[str] = set()
 #: entry as the true end-to-end cold cost, not the sum.
 BUILD_LOG: dict[str, float] = {}
 
+#: Append-only artifact event stream: ``(name, event)`` with event in
+#: {"hit", "build", "register"}.  bench.py snapshots the length around
+#: each timed query so a driver-run cache MISS (rebuild inside a timed
+#: window) is diagnosable from BENCH_DETAIL instead of showing up only
+#: as an unexplained slow sample (round-8 VERDICT item 3).
+ARTIFACT_EVENTS: list[tuple[str, str]] = []
+
 
 def _artifact_path(spark: SparkSession, name: str) -> str:
     warehouse_dir = spark.conf.get("spark.sql.warehouse.dir", "")
@@ -191,6 +198,7 @@ def persisted_table(
     path = _artifact_path(spark, name)
     meta_path = _artifact_path(spark, name + "_meta")
     meta = load_artifact(spark, name + "_meta", tag)
+    ARTIFACT_EVENTS.append((name, "hit" if meta is not None else "build"))
     if meta is None:
         # revoke any stale stamp BEFORE touching the data: a crash
         # between the overwrite and the new stamp must leave the
@@ -236,6 +244,10 @@ def load_artifact(spark: SparkSession, name: str, tag: str) -> DataFrame | None:
     if tags != [tag]:
         return None
     _ARTIFACT_META_PATHS.add(_artifact_path(spark, name))
+    if not name.endswith("_meta"):
+        # direct loads (codebooks etc.); persisted_table/bucketed_fact
+        # log their own hit/build on the _meta probe instead
+        ARTIFACT_EVENTS.append((name, "hit"))
     return df.drop("_artifact_tag")
 
 
@@ -363,6 +375,14 @@ def bucketed_fact(
         tag = os.path.abspath(sf_dir)
         stamped = load_artifact(spark, name + "_meta", tag) is not None
         registered = spark.catalog.tableExists(name)
+        ARTIFACT_EVENTS.append(
+            (
+                name,
+                "hit"
+                if (stamped and registered)
+                else ("register" if stamped else "build"),
+            )
+        )
         if stamped and not registered:
             # fresh session, trusted files on disk: metadata-only
             register_bucketed_location(spark, name, key, n_buckets)
