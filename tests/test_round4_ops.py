@@ -79,7 +79,10 @@ def test_nation_pagerank_conserves_rank_mass(spark, sf_dir):
 
 
 def test_ann_lsh_topk_broadcasts_queries_no_cartesian(spark, sf_dir):
-    df = similarity.ann_lsh_topk(spark, sf_dir)
+    # round-9: the registered query's steady state is an artifact
+    # scan + window; the plan contract audits the exposed BUILD plan
+    # (broadcast probe join, no cartesian), like _neardup_pair_build
+    df = similarity._lsh_scored_build(spark, sf_dir)
     assert not has_cartesian_product(df)
     plan = formatted_plan(df)
     assert "BroadcastExchange" in plan
@@ -91,6 +94,9 @@ def test_ann_lsh_topk_broadcasts_queries_no_cartesian(spark, sf_dir):
         or "MapInPandas" in plan
         or "emb_band_sigs" in plan
     )
+    # the registered query itself must not re-pay candidate generation
+    steady = formatted_plan(similarity.ann_lsh_topk(spark, sf_dir))
+    assert "lsh_topk_scores" in steady
 
 
 def test_ann_lsh_topk_recall_against_bruteforce(spark, sf_dir):
@@ -111,10 +117,14 @@ def test_ann_lsh_topk_recall_against_bruteforce(spark, sf_dir):
 
 
 def test_subdoc_neardup_no_cartesian_and_caps_buckets(spark, sf_dir):
-    df = dedup.dedup_subdoc_neardup(spark, sf_dir)
+    # round-9: steady state scans the persisted pair table; the plan
+    # contract audits the exposed BUILD plan
+    df = dedup._subdoc_pair_build(spark, sf_dir)
     assert not has_cartesian_product(df)
-    rows = df.collect()
+    rows = dedup.dedup_subdoc_neardup(spark, sf_dir).collect()
     assert all(r.doc_a < r.doc_b for r in rows)
+    steady = formatted_plan(dedup.dedup_subdoc_neardup(spark, sf_dir))
+    assert "subdoc_pair_counts" in steady
 
 
 def test_subdoc_neardup_catches_edited_boilerplate(spark, sf_dir):

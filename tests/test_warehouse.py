@@ -330,12 +330,21 @@ def test_bucketed_fact_reuses_files_across_sessions(spark, sf_dir, tmp_path):
         bucketed_fact,
     )
 
+    import hashlib
+
     sf = sf_dir
+    # clean slate: a stamp left by a PREVIOUS session would short-
+    # circuit the build this test wants to observe
+    digest = hashlib.md5(os.path.abspath(sf).encode()).hexdigest()[:8]
+    name = f"fact_supplier_{digest}_by_s_suppkey_8b"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    shutil.rmtree(_artifact_path(spark, name), ignore_errors=True)
+    shutil.rmtree(_artifact_path(spark, name + "_meta"), ignore_errors=True)
+    for k in [k for k, n in list(_FACT_BUCKET_CACHE.items()) if n == name]:
+        del _FACT_BUCKET_CACHE[k]
+    BUILD_LOG.pop(name, None)
+
     df1 = bucketed_fact(spark, sf, "supplier", "s_suppkey", n_buckets=8)
-    name = [
-        n for k, n in _FACT_BUCKET_CACHE.items()
-        if k[2] == "supplier" and k[4] == 8
-    ][0]
     want = df1.count()
     built_secs = BUILD_LOG.get(name)
     assert built_secs is not None  # first call paid the build

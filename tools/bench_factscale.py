@@ -154,6 +154,14 @@ PROBE_QUERIES = [
     # confirm join) and the per-(part) min-cost supplier argmin
     "heavy_hitter_users_cms",
     "min_cost_supplier",
+    # round-9: the driver-bench heavies the round-8 verdict flagged
+    # without ladder cells — the orders profiler (one full-scan
+    # aggregate), the events winsorizer (percentile pair + clamp
+    # aggregate), and the CDC upsert (orders-derived change stream
+    # merged onto the customer dim)
+    "profile_orders",
+    "winsorized_event_stats",
+    "cdc_upsert_customers",
 ]
 
 

@@ -216,6 +216,16 @@ def main() -> None:
         # round-8: the persisted verified-pair table (steady state is
         # an artifact scan; first sample per factor carries the build)
         "neardup_embedding_cosine": similarity.neardup_embedding_cosine,
+        # round-9: the remaining verdict-flagged heavies without
+        # ladder cells — the BM25 posting-list scorer, the OOV census
+        # (both linear document scans with broadcast vocab), and the
+        # two ANN index probes whose steady state is now a persisted
+        # scored-candidate scan (first sample per factor carries the
+        # index + score build)
+        "bm25_ranked_docs": textops.bm25_ranked_docs,
+        "oov_rate_by_source": textops.oov_rate_by_source,
+        "ann_lsh_topk": similarity.ann_lsh_topk,
+        "ann_pq_topk": similarity.ann_pq_topk,
     }
     # SCALEUP_QUERIES=a,b limits the probe (deep-decade runs)
     env_qs = os.environ.get("SCALEUP_QUERIES")
