@@ -1941,56 +1941,137 @@ def _subvectors(e: DataFrame) -> DataFrame:
     neighbors as the exact cosine baseline. The norm comes from an
     EXACT integer sum of squared micro-units (order-independent),
     then one sqrt+divide — deterministic doubles in both engines;
-    zero vectors are excluded by the same guard everywhere."""
-    normed = (
-        e.withColumn(
-            "ssq",
-            F.expr(
-                "aggregate(vec, 0L, (a, x) ->"
-                " a + CAST(round(x * 1e6) AS BIGINT)"
-                " * CAST(round(x * 1e6) AS BIGINT))"
-            ),
-        )
-        .filter(F.col("ssq") > 0)
-        .withColumn(
-            "nvec", F.expr("transform(vec, x -> x * 1e6 / sqrt(ssq))")
-        )
-    )
-    slices = F.array(
-        *[
-            F.struct(
-                F.lit(m).alias("m"),
-                F.expr(
-                    f"slice(nvec, {m * PQ_SUBDIM + 1}, {PQ_SUBDIM})"
-                ).alias("sv"),
+    zero vectors are excluded by the same guard everywhere.
+
+    Round-9 Arrow kernel: the HOF form (aggregate-fold ssq +
+    transform normalize + 8 struct slices, interpreted per element)
+    cost ~2.4 ms/vector and dominated the PQ index build (77 s of a
+    168 s build at 32k vectors — PERF.md round 9). The kernel
+    replays it exactly: ssq is the same order-free integer µ²-unit
+    sum, each normalized component is the same two-op IEEE sequence
+    ``(x·1e6)/sqrt(ssq)`` (np.sqrt and Math.sqrt are both correctly
+    rounded), and the slices are pure reshapes. Pinned bit-identical
+    to the HOF plan by tests/test_round9_ops.py."""
+    import numpy as np
+    import pandas as pd
+
+    def split(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf["vec_id"].to_numpy()
+            A = np.vstack(
+                [np.asarray(v, dtype=np.float64) for v in pdf["vec"]]
             )
-            for m in range(PQ_M)
-        ]
-    )
-    return normed.select("vec_id", F.explode(slices).alias("s")).select(
-        "vec_id", "s.m", "s.sv"
+            q = _round_e6_i64(A)
+            ssq = (q * q).sum(axis=1)
+            keep = ssq > 0
+            ids, A, ssq = ids[keep], A[keep], ssq[keep]
+            if len(ids) == 0:
+                continue
+            nvec = (A * 1e6) / np.sqrt(ssq.astype(np.float64))[:, None]
+            out_id: list = []
+            out_m: list = []
+            out_sv: list = []
+            for m in range(PQ_M):
+                sl = nvec[:, m * PQ_SUBDIM : (m + 1) * PQ_SUBDIM]
+                out_id.extend(int(i) for i in ids)
+                out_m.extend([m] * len(ids))
+                out_sv.extend(list(row) for row in sl)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pd.Series(out_id, dtype="int64"),
+                    "m": pd.Series(out_m, dtype="int32"),
+                    "sv": pd.Series(out_sv, dtype="object"),
+                }
+            )
+
+    return e.select("vec_id", "vec").mapInPandas(
+        split, "vec_id BIGINT, m INT, sv ARRAY<DOUBLE>"
     )
 
 
-def _pq_assign(sub: DataFrame, cb: DataFrame) -> DataFrame:
+def _round_e6_i64(arr):
+    """HALF-UP round of ``arr * 1e6`` to int64 — numpy replay of the
+    engines' ``CAST(round(x * 1e6) AS BIGINT)`` (away-from-zero at
+    the half, unlike numpy's banker's ``np.round``). Pinned
+    bit-identical to the HOF form on real data by
+    tests/test_round9_ops.py."""
+    import numpy as np
+
+    v = arr * 1e6
+    return np.where(v >= 0, np.floor(v + 0.5), np.ceil(v - 0.5)).astype(
+        np.int64
+    )
+
+
+def _pq_assign(sub: DataFrame, cb_rows: list) -> DataFrame:
     """Nearest codebook entry per (vec_id, m) by L2² — computed in
     EXACT integer micro-units (both the subvector and the centroid
     are quantized with the same ROUND before differencing), so the
     distance is an integer and the argmin (with cent_id tiebreak)
-    cannot diverge between engines at float ulps."""
-    dist = F.expr(
-        "aggregate(zip_with(sv, cvec,"
-        " (x, c) -> CAST(round(x * 1e6) AS BIGINT)"
-        " - CAST(round(c * 1e6) AS BIGINT)),"
-        " 0L, (a, v) -> a + v * v)"
-    )
-    w = Window.partitionBy("vec_id", "m").orderBy("dist", "cent_id")
-    return (
-        sub.join(F.broadcast(cb), "m")
-        .withColumn("dist", dist)
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "m", "cent_id", "dist")
+    cannot diverge between engines at float ulps.
+
+    Round-9 Arrow kernel: the prior form broadcast-joined every
+    (vec_id, m) row against all K centroids and ran a row_number
+    window over the n·M·K expansion — an interpreted HOF per row
+    plus a corpus-scale shuffle, which dominated the PQ build
+    (171 s at 32k vectors, PERF.md round 9). The kernel holds the
+    K×M codebook in the task closure (driver-sized by contract),
+    computes the same integer µ²-unit distances vectorized (integer
+    addition is order-free, so the HOF fold and the numpy sum are
+    the same exact value), and takes the first minimum over
+    centroids sorted by cent_id — exactly the (dist, cent_id)
+    tiebreak. No join, no window, no shuffle: one narrow Arrow map."""
+    import numpy as np
+    import pandas as pd
+
+    by_m: dict = {}
+    for m, cid, cvec in cb_rows:
+        by_m.setdefault(int(m), []).append((int(cid), list(cvec)))
+    cents = {}
+    for m, lst in by_m.items():
+        lst.sort()  # cent_id ascending → argmin's first-min tiebreak
+        ids = np.array([c for c, _ in lst], dtype=np.int64)
+        C = _round_e6_i64(np.array([v for _, v in lst], dtype=np.float64))
+        cents[m] = (ids, C)
+
+    def assign(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out_vid: list = []
+            out_m: list = []
+            out_cid: list = []
+            out_d: list = []
+            for m, g in pdf.groupby("m"):
+                ids, C = cents[int(m)]
+                Q = _round_e6_i64(
+                    np.vstack(
+                        [
+                            np.asarray(v, dtype=np.float64)
+                            for v in g["sv"]
+                        ]
+                    )
+                )
+                diff = Q[:, None, :] - C[None, :, :]
+                d = np.einsum("nkd,nkd->nk", diff, diff)
+                j = d.argmin(axis=1)  # first min == lowest cent_id
+                out_vid.extend(int(x) for x in g["vec_id"])
+                out_m.extend([int(m)] * len(g))
+                out_cid.extend(int(x) for x in ids[j])
+                out_d.extend(int(x) for x in d[np.arange(len(j)), j])
+            yield pd.DataFrame(
+                {
+                    "vec_id": pd.Series(out_vid, dtype="int64"),
+                    "m": pd.Series(out_m, dtype="int32"),
+                    "cent_id": pd.Series(out_cid, dtype="int64"),
+                    "dist": pd.Series(out_d, dtype="int64"),
+                }
+            )
+
+    return sub.mapInPandas(
+        assign, "vec_id BIGINT, m INT, cent_id BIGINT, dist BIGINT"
     )
 
 
@@ -2009,10 +2090,7 @@ def _train_pq(spark: SparkSession, sub: DataFrame) -> list:
         for r in sub.filter(F.col("vec_id") < PQ_K).collect()
     ]
     for _ in range(PQ_ITERS):
-        cb = spark.createDataFrame(
-            cb_rows, "m INT, cent_id BIGINT, cvec ARRAY<DOUBLE>"
-        )
-        asg = _pq_assign(train, cb)
+        asg = _pq_assign(train, cb_rows)
         quant = (
             asg.join(train, ["vec_id", "m"])
             .select(
@@ -2143,13 +2221,10 @@ def _pq_scored_build(spark: SparkSession, sf_dir: str) -> DataFrame:
             return cb_holder["rows"]
 
         def _build_codes() -> DataFrame:
-            cb = spark.createDataFrame(
-                _cb_rows(), "m INT, cent_id BIGINT, cvec ARRAY<DOUBLE>"
-            )
             sub = cb_holder.get("sub")
             if sub is None:
                 sub = _subvectors(e).localCheckpoint()
-            return _pq_assign(sub, cb).select(
+            return _pq_assign(sub, _cb_rows()).select(
                 "vec_id", "m", F.col("cent_id").alias("code")
             )
 

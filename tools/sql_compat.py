@@ -146,6 +146,7 @@ def main() -> None:
     oracles = entry.oracle_sql()
     buckets: dict[str, list[str]] = {"match": [], "mismatch": [], "error": []}
     err_hist: Counter = Counter()
+    err_detail: dict[str, tuple] = {}
     t0 = time.time()
     names = [n for n in queries if n in oracles and (not only or n in only)]
     for i, name in enumerate(names):
@@ -156,7 +157,9 @@ def main() -> None:
             orows = odf.collect()
         except Exception as exc:  # noqa: BLE001 — bucketing all engine rejections
             buckets["error"].append(name)
-            err_hist[_err_category(str(exc))] += 1
+            cat = _err_category(str(exc))
+            err_hist[cat] += 1
+            err_detail[name] = (cat, str(exc).splitlines()[0][:200])
             continue
         sdf = queries[name](spark, sf_dir)
         int_exact = _int_exact_cols(sdf, odf)
@@ -207,6 +210,18 @@ def main() -> None:
     )
     with open(out, "w") as fh:
         fh.write("\n".join(lines) + "\n")
+    # per-name rejection detail (category + first error line) beside
+    # the histogram, so "is a portable spelling free here?" is
+    # answerable without re-running the sweep
+    import json
+
+    detail_out = out.replace("COMPAT.md", "COMPAT_ERRORS.json")
+    with open(detail_out, "w") as fh:
+        json.dump(
+            {k: {"category": c, "error": e} for k, (c, e) in sorted(err_detail.items())},
+            fh,
+            indent=1,
+        )
     print(f"\n{len(buckets['match'])}/{n} portable-and-equal; wrote {out}")
     spark.stop()
 
