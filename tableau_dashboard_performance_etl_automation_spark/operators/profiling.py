@@ -85,8 +85,8 @@ def _profile_oracle() -> str:
         if kind == "num":
             lo = f"ROUND(CAST(MIN({col}) AS DOUBLE), 4)"
             hi = f"ROUND(CAST(MAX({col}) AS DOUBLE), 4)"
-            slo = "CAST(NULL AS VARCHAR)"
-            shi = "CAST(NULL AS VARCHAR)"
+            slo = "CAST(NULL AS STRING)"
+            shi = "CAST(NULL AS STRING)"
         elif kind == "ts":
             lo = "CAST(NULL AS DOUBLE)"
             hi = "CAST(NULL AS DOUBLE)"
@@ -825,8 +825,8 @@ def _ch_oracle() -> str:
 
     def ring(n: int, name: str) -> str:
         pos = pos48(
-            "md5('ring:' || CAST(i % {n} AS VARCHAR) || ':' "
-            "|| CAST(i // {n} AS VARCHAR))".format(n=n)
+            "md5('ring:' || CAST(i % {n} AS STRING) || ':' "
+            "|| CAST(i // {n} AS STRING))".format(n=n)
         )
         return f"""{name} AS (
             SELECT CAST(i % {n} AS BIGINT) AS shard,
@@ -834,7 +834,7 @@ def _ch_oracle() -> str:
             FROM (SELECT UNNEST(range({n * CH_VNODES})) AS i)
         )"""
 
-    key_pos = pos48("md5('key:' || CAST(doc_id AS VARCHAR))")
+    key_pos = pos48("md5('key:' || CAST(doc_id AS STRING))")
 
     def assign(ring_name: str, out: str) -> str:
         return f"""(
@@ -959,7 +959,7 @@ def _checksum_oracle() -> str:
     ord_h = _hex_int_sql_big(
         "md5(o_orderkey::VARCHAR || '|' || o_custkey::VARCHAR || '|' ||"
         " o_orderstatus || '|' ||"
-        " CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS VARCHAR))",
+        " CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS STRING))",
         CHECKSUM_HEX_DIGITS,
     )
     return f"""

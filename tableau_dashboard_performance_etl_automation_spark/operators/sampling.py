@@ -448,13 +448,13 @@ QUERIES = {
 }
 
 _BUCKET_SQL = (
-    "(ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) * 256"
-    " + ascii(substr(md5(CAST(doc_id AS VARCHAR)), 2, 1))) % 100"
+    "(ascii(substr(md5(CAST(doc_id AS STRING)), 1, 1)) * 256"
+    " + ascii(substr(md5(CAST(doc_id AS STRING)), 2, 1))) % 100"
 )
 
 def bucket_sql(id_expr: str) -> str:
     """DuckDB twin of :func:`_bucket` over an arbitrary id expr."""
-    h = f"md5(CAST({id_expr} AS VARCHAR))"
+    h = f"md5(CAST({id_expr} AS STRING))"
     return (
         f"(ascii(substr({h}, 1, 1)) * 256"
         f" + ascii(substr({h}, 2, 1))) % 100"
@@ -483,7 +483,7 @@ def _hex4_sql(prefix: str, id_expr: str) -> str:
         md5_hex_int_sql,
     )
 
-    h = f"md5('{prefix}' || CAST({id_expr} AS VARCHAR))"
+    h = f"md5('{prefix}' || CAST({id_expr} AS STRING))"
     return md5_hex_int_sql(h, 1, 4)
 
 
@@ -534,7 +534,7 @@ ORACLE_SQL = {
             SELECT source, doc_id, lang,
                    CAST(ROW_NUMBER() OVER (
                        PARTITION BY source
-                       ORDER BY md5('gres|' || CAST(doc_id AS VARCHAR))
+                       ORDER BY md5('gres|' || CAST(doc_id AS STRING))
                    ) AS INTEGER) AS k_rank
             FROM documents
         )
@@ -547,7 +547,7 @@ ORACLE_SQL = {
                    AS sample_rank
         FROM (
             SELECT doc_id, lang,
-                   md5('sample|' || CAST(doc_id AS VARCHAR)) AS hk
+                   md5('sample|' || CAST(doc_id AS STRING)) AS hk
             FROM documents
             ORDER BY hk
             LIMIT {SAMPLE_N}
@@ -625,7 +625,7 @@ ORACLE_SQL = {
     "global_shuffle_shards": f"""
         WITH h AS (
             SELECT doc_id,
-                   md5(CAST(doc_id AS VARCHAR) || ':{SHUFFLE_SEED}') AS h
+                   md5(CAST(doc_id AS STRING) || ':{SHUFFLE_SEED}') AS h
             FROM documents
         ),
         ranked AS (
@@ -690,7 +690,7 @@ QUERIES["shard_skew_report"] = shard_skew_report
 ORACLE_SQL["shard_skew_report"] = f"""
     WITH h AS (
         SELECT doc_id,
-               md5(CAST(doc_id AS VARCHAR) || ':{SHUFFLE_SEED}') AS h
+               md5(CAST(doc_id AS STRING) || ':{SHUFFLE_SEED}') AS h
         FROM documents
     ),
     ranked AS (
@@ -907,8 +907,8 @@ def _boot_u_sql() -> str:
         md5_hex_int_sql,
     )
 
-    h = ("md5('boot|' || CAST(r.rep AS VARCHAR) || '|'"
-         " || CAST(t.doc_id AS VARCHAR))")
+    h = ("md5('boot|' || CAST(r.rep AS STRING) || '|'"
+         " || CAST(t.doc_id AS STRING))")
     return md5_hex_int_sql(h, 1, 4)
 
 
@@ -1082,7 +1082,7 @@ def _es_oracle() -> str:
         md5_hex_int_sql,
     )
 
-    h = "md5('es|' || CAST(doc_id AS VARCHAR))"
+    h = "md5('es|' || CAST(doc_id AS STRING))"
     hi = md5_hex_int_sql(h, 1, 6)
     lo = md5_hex_int_sql(h, 7, 6)
     return f"""

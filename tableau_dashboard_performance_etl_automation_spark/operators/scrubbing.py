@@ -371,7 +371,7 @@ def _dp_oracle() -> str:
         withu AS (
             SELECT day, n_true,
                    (CAST({fold} AS DOUBLE) + 0.5)
-                       / CAST(16.0 ** {_DP_HEX} AS DOUBLE) AS u
+                       / CAST(power(16.0, {_DP_HEX}) AS DOUBLE) AS u
             FROM counts
         )
         SELECT day, n_true,
@@ -483,7 +483,7 @@ def _dp_user_oracle() -> str:
         withu AS (
             SELECT day, n_capped,
                    (CAST({fold} AS DOUBLE) + 0.5)
-                       / CAST(16.0 ** {_DP_HEX} AS DOUBLE) AS u
+                       / CAST(power(16.0, {_DP_HEX}) AS DOUBLE) AS u
             FROM counts
         )
         SELECT day, n_capped,

@@ -1472,8 +1472,8 @@ _LSH_SIGS_CTES = f"""
         hyper AS (
             SELECT h,
                    list_transform(range({EMB_DIM}), d ->
-                       CASE WHEN substr(md5(CAST(h AS VARCHAR) || '|'
-                                         || CAST(d AS VARCHAR)), 1, 1) >= '8'
+                       CASE WHEN substr(md5(CAST(h AS STRING) || '|'
+                                         || CAST(d AS STRING)), 1, 1) >= '8'
                             THEN 1e0 ELSE -1e0 END) AS hvec
             FROM (SELECT unnest(range(
                      {LSH_BANDS} * (SELECT bits FROM params))) AS h)
@@ -2986,7 +2986,7 @@ def _cluster_sample_oracle() -> str:
                    e.label AS label,
                    ROW_NUMBER() OVER (
                        PARTITION BY a.cent_id
-                       ORDER BY md5('cbs|' || CAST(a.vec_id AS VARCHAR)),
+                       ORDER BY md5('cbs|' || CAST(a.vec_id AS STRING)),
                                 a.vec_id
                    ) AS pick_rank
             FROM assign a

@@ -114,7 +114,7 @@ def heavy_hitter_users_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _bucket_sql(row: int, key: str) -> str:
-    h = f"md5('{row}|' || CAST({key} AS VARCHAR))"
+    h = f"md5('{row}|' || CAST({key} AS STRING))"
     return md5_hex_int_sql(h, 1, 2)
 
 
@@ -284,10 +284,10 @@ def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["kmv_distinct_users"] = kmv_distinct_users
 
 _KMV_HI_SQL = md5_hex_int_sql(
-    "md5(CAST(user_id AS VARCHAR))", 1, _KMV_HALF_DIGITS
+    "md5(CAST(user_id AS STRING))", 1, _KMV_HALF_DIGITS
 )
 _KMV_LO_SQL = md5_hex_int_sql(
-    "md5(CAST(user_id AS VARCHAR))", 1 + _KMV_HALF_DIGITS, _KMV_HALF_DIGITS
+    "md5(CAST(user_id AS STRING))", 1 + _KMV_HALF_DIGITS, _KMV_HALF_DIGITS
 )
 
 ORACLE_SQL["kmv_distinct_users"] = f"""
@@ -412,7 +412,7 @@ def hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["hll_distinct_users"] = hll_distinct_users
 
-_HLL_H = "md5(CAST(user_id AS VARCHAR))"
+_HLL_H = "md5(CAST(user_id AS STRING))"
 _HLL_REG_SQL = f"({md5_hex_int_sql(_HLL_H, 1, 2)} % {HLL_M})"
 _HLL_W_SQL = (
     f"(CAST({md5_hex_int_sql(_HLL_H, 3, 4)} AS BIGINT) * 65536"

@@ -714,9 +714,9 @@ def _oracle_sql() -> dict[str, str]:
                        MAX(CASE WHEN event_type = 'purchase'
                                 THEN 1 ELSE 0 END) AS converted,
                        CASE WHEN (ascii(substr(md5(
-                                      CAST(user_id AS VARCHAR)), 1, 1)) * 256
+                                      CAST(user_id AS STRING)), 1, 1)) * 256
                                   + ascii(substr(md5(
-                                      CAST(user_id AS VARCHAR)), 2, 1)))
+                                      CAST(user_id AS STRING)), 2, 1)))
                                  % 100 % 2 = 0
                             THEN 'A' ELSE 'B' END AS arm
                 FROM events GROUP BY user_id
@@ -1305,7 +1305,7 @@ def _oracle_sql2() -> dict[str, str]:
         "benford_price_digits": """
             WITH digits AS (
                 SELECT CAST(substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT)
-                                        AS VARCHAR), 1, 1) AS INTEGER)
+                                        AS STRING), 1, 1) AS INTEGER)
                            AS digit,
                        CAST(COUNT(*) AS BIGINT) AS obs
                 FROM orders
@@ -2182,9 +2182,9 @@ def _oracle_sql6() -> dict[str, str]:
             ),
             per_user AS (
                 SELECT CASE WHEN (ascii(substr(md5(
-                               CAST(user_id AS VARCHAR)), 1, 1)) * 256
+                               CAST(user_id AS STRING)), 1, 1)) * 256
                              + ascii(substr(md5(
-                               CAST(user_id AS VARCHAR)), 2, 1)))
+                               CAST(user_id AS STRING)), 2, 1)))
                             % 100 % 2 = 0
                        THEN 'A' ELSE 'B' END AS arm,
                        CASE WHEN CAST(ts AS DATE) <= pivot_d
@@ -2874,9 +2874,9 @@ ORACLE_SQL["conversion_cuped_adjusted"] = """
     ),
     anchor AS (SELECT quantile_cont(ms, 0.5) AS split_ms FROM ev),
     users AS (
-        SELECT CASE WHEN (ascii(substr(md5(CAST(user_id AS VARCHAR)), 1, 1))
+        SELECT CASE WHEN (ascii(substr(md5(CAST(user_id AS STRING)), 1, 1))
                           * 256
-                          + ascii(substr(md5(CAST(user_id AS VARCHAR)), 2, 1)))
+                          + ascii(substr(md5(CAST(user_id AS STRING)), 2, 1)))
                          % 100 % 2 = 0
                     THEN 'A' ELSE 'B' END AS arm,
                CAST(SUM(CASE WHEN ms <= split_ms THEN cents ELSE 0 END)
@@ -2964,9 +2964,9 @@ QUERIES["ab_sample_ratio_check"] = ab_sample_ratio_check
 ORACLE_SQL["ab_sample_ratio_check"] = """
     WITH users AS (
         SELECT DISTINCT user_id,
-               CASE WHEN (ascii(substr(md5(CAST(user_id AS VARCHAR)), 1, 1))
+               CASE WHEN (ascii(substr(md5(CAST(user_id AS STRING)), 1, 1))
                           * 256
-                          + ascii(substr(md5(CAST(user_id AS VARCHAR)), 2, 1)))
+                          + ascii(substr(md5(CAST(user_id AS STRING)), 2, 1)))
                          % 100 % 2 = 0
                     THEN 'A' ELSE 'B' END AS arm
         FROM events

@@ -51,7 +51,7 @@ KEY_NOT_ILIKE = "%click%"
 # expressions below. The anchor scalar subquery is the deterministic
 # stand-in for CURRENT_DATE.
 _ANCHOR_DATE_SQL = "(SELECT MAX(CAST(ts AS DATE)) FROM events)"
-_TS_MS_SQL = "CAST(epoch_ms(ts) AS VARCHAR)"
+_TS_MS_SQL = "CAST(epoch_ms(ts) AS STRING)"
 _KEY_FILTER_SQL = (
     "event_type ILIKE '%e%' AND event_type NOT ILIKE '%click%'"
 )

@@ -112,7 +112,7 @@ def _norm_rows(cols, rows, int_exact=frozenset()):
 
 
 def _err_category(msg: str) -> str:
-    m = msg.splitlines()[0] if msg else "unknown"
+    m = next((l for l in msg.splitlines() if l.strip()), "unknown")
     for pat, cat in [
         (r"ANTI JOIN|SEMI JOIN", "duckdb-anti/semi-join-syntax"),
         (r"MATERIALIZED", "materialized-cte-hint"),
@@ -159,7 +159,10 @@ def main() -> None:
             buckets["error"].append(name)
             cat = _err_category(str(exc))
             err_hist[cat] += 1
-            err_detail[name] = (cat, str(exc).splitlines()[0][:200])
+            first = next(
+                (l for l in str(exc).splitlines() if l.strip()), "unknown"
+            )
+            err_detail[name] = (cat, first[:200])
             continue
         sdf = queries[name](spark, sf_dir)
         int_exact = _int_exact_cols(sdf, odf)
