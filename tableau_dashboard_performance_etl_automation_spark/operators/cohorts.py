@@ -540,8 +540,8 @@ ORACLE_SQL = {
         cum AS (
             SELECT rev, cnt,
                    SUM(rev * cnt) OVER w AS units_end,
-                   SUM(rev * cnt) OVER w - rev * cnt AS units_start,
-                   SUM(cnt) OVER w - cnt AS cnt_above
+                   (SUM(rev * cnt) OVER w) - rev * cnt AS units_start,
+                   (SUM(cnt) OVER w) - cnt AS cnt_above
             FROM comp
             WINDOW w AS (ORDER BY rev DESC ROWS UNBOUNDED PRECEDING)
         ),
@@ -883,7 +883,7 @@ ORACLE_SQL["nation_revenue_gini"] = """
     cum AS (
         SELECT n_name, rev, cnt,
                SUM(cnt) OVER w AS hi,
-               SUM(cnt) OVER w - cnt AS lo
+               (SUM(cnt) OVER w) - cnt AS lo
         FROM comp
         WINDOW w AS (PARTITION BY n_name ORDER BY rev
                      ROWS UNBOUNDED PRECEDING)
@@ -922,8 +922,8 @@ ORACLE_SQL["customer_revenue_lorenz"] = """
     cum AS (
         SELECT rev, cnt,
                SUM(cnt) OVER w AS hi,
-               SUM(cnt) OVER w - cnt AS lo,
-               SUM(rev * cnt) OVER w - rev * cnt AS units_lo
+               (SUM(cnt) OVER w) - cnt AS lo,
+               (SUM(rev * cnt) OVER w) - rev * cnt AS units_lo
         FROM comp
         WINDOW w AS (ORDER BY rev ROWS UNBOUNDED PRECEDING)
     ),

@@ -341,13 +341,13 @@ def _quota_oracle() -> str:
         md5_hex_bigint_sql,
     )
 
-    fold = md5_hex_bigint_sql("md5(doc_id::VARCHAR)", 1, 12)
+    fold = md5_hex_bigint_sql("md5(doc_id::STRING)", 1, 12)
     return f"""
         WITH ranked AS (
             SELECT source, doc_id,
                    ROW_NUMBER() OVER (
                        PARTITION BY source
-                       ORDER BY md5(doc_id::VARCHAR), doc_id
+                       ORDER BY md5(doc_id::STRING), doc_id
                    ) AS rk
             FROM documents
         )

@@ -483,15 +483,15 @@ ORACLE_SQL["snapshot_table_diff"] = f"""
     ),
     a AS (
         SELECT c_custkey AS key_a,
-               md5(c_custkey::VARCHAR || '|' || c_nationkey::VARCHAR
-                   || '|' || c_mktsegment || '|' || cents::VARCHAR)
+               md5(c_custkey::STRING || '|' || c_nationkey::STRING
+                   || '|' || c_mktsegment || '|' || cents::STRING)
                    AS rh_a
         FROM cust
     ),
     b AS (
         SELECT c_custkey AS key_b,
-               md5(c_custkey::VARCHAR || '|' || c_nationkey::VARCHAR
-                   || '|' || c_mktsegment || '|' || cents::VARCHAR)
+               md5(c_custkey::STRING || '|' || c_nationkey::STRING
+                   || '|' || c_mktsegment || '|' || cents::STRING)
                    AS rh_b
         FROM v2
     )
@@ -500,7 +500,7 @@ ORACLE_SQL["snapshot_table_diff"] = f"""
                 WHEN rh_a != rh_b THEN 'changed'
                 ELSE 'unchanged' END AS diff_class,
            CAST(COUNT(*) AS BIGINT) AS n_rows,
-           CAST(SUM({_hex12_sql("COALESCE(key_a, key_b)::VARCHAR")})
+           CAST(SUM({_hex12_sql("COALESCE(key_a, key_b)::STRING")})
                 AS BIGINT) AS key_checksum
     FROM a FULL OUTER JOIN b ON key_a = key_b
     GROUP BY 1

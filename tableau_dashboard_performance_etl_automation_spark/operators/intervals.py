@@ -477,7 +477,7 @@ ORACLE_SQL["rolling_p95_value_7d"] = f"""
     cum AS (
         SELECT t, cents, cnt,
                SUM(cnt) OVER w AS hi,
-               SUM(cnt) OVER w - cnt AS lo
+               (SUM(cnt) OVER w) - cnt AS lo
         FROM merged
         WINDOW w AS (PARTITION BY t ORDER BY cents
                      ROWS UNBOUNDED PRECEDING)

@@ -952,12 +952,12 @@ def _hex_int_sql_big(h_expr: str, n_digits: int) -> str:
 
 def _checksum_oracle() -> str:
     doc_h = _hex_int_sql_big(
-        "md5(doc_id::VARCHAR || '|' || source || '|' ||"
-        " length(text)::VARCHAR || '|' || md5(text))",
+        "md5(doc_id::STRING || '|' || source || '|' ||"
+        " length(text)::STRING || '|' || md5(text))",
         CHECKSUM_HEX_DIGITS,
     )
     ord_h = _hex_int_sql_big(
-        "md5(o_orderkey::VARCHAR || '|' || o_custkey::VARCHAR || '|' ||"
+        "md5(o_orderkey::STRING || '|' || o_custkey::STRING || '|' ||"
         " o_orderstatus || '|' ||"
         " CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS STRING))",
         CHECKSUM_HEX_DIGITS,

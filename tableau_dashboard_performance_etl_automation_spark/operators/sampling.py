@@ -1267,7 +1267,7 @@ def _kfold_oracle() -> str:
         md5_hex_int_sql,
     )
 
-    fold = md5_hex_int_sql("md5(user_id::VARCHAR)", 1, 7)
+    fold = md5_hex_int_sql("md5(user_id::STRING)", 1, 7)
     return f"""
         SELECT CAST(({fold}) % {KFOLD_K} AS INTEGER) AS fold,
                CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,

@@ -2609,8 +2609,8 @@ def _oracle_sql9() -> dict[str, str]:
             cum AS (
                 SELECT p, cnt, pos,
                        SUM(cnt) OVER w AS hi,
-                       SUM(cnt) OVER w - cnt AS lo,
-                       SUM(pos) OVER w - pos AS pos_lo
+                       (SUM(cnt) OVER w) - cnt AS lo,
+                       (SUM(pos) OVER w) - pos AS pos_lo
                 FROM comp
                 WINDOW w AS (ORDER BY p DESC ROWS UNBOUNDED PRECEDING)
             ),
