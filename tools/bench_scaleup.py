@@ -223,6 +223,7 @@ def main() -> None:
         # scored-candidate scan (first sample per factor carries the
         # index + score build)
         "bm25_ranked_docs": textops.bm25_ranked_docs,
+        "dsir_target_scores": textops.dsir_target_scores,
         "oov_rate_by_source": textops.oov_rate_by_source,
         "ann_lsh_topk": similarity.ann_lsh_topk,
         "ann_pq_topk": similarity.ann_pq_topk,
