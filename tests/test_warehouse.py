@@ -377,3 +377,55 @@ def test_bucketed_fact_reuses_files_across_sessions(spark, sf_dir, tmp_path):
     # third dispatch: stamped AND registered -> pure lookup, no DDL
     df3 = bucketed_fact(spark, sf, "supplier", "s_suppkey", n_buckets=8)
     assert df3.count() == want
+
+
+def test_persisted_table_events_tags_and_trust(spark, sf_dir, tmp_path):
+    """Round-9 infrastructure contracts in one flow: (1) a first
+    build logs a 'build' event and BUILD_LOG entry; (2) a re-read
+    logs 'hit' (trust-memoized — no meta job needed); (3) a TAG
+    change (dial moved) invalidates and rebuilds rather than
+    silently reusing; (4) invalidate_session_memos revokes the trust
+    memo AND the stamp, forcing a rebuild."""
+    from tableau_dashboard_performance_etl_automation_spark.memo import (
+        invalidate_session_memos,
+    )
+    from tableau_dashboard_performance_etl_automation_spark.sources.warehouse import (
+        ARTIFACT_EVENTS,
+        BUILD_LOG,
+        persisted_table,
+    )
+
+    name = "evt_probe/unit"
+    builds = []
+
+    def build():
+        builds.append(1)
+        return spark.range(5).withColumnRenamed("id", "v")
+
+    def events_since(n0):
+        return [e for nm, e in ARTIFACT_EVENTS[n0:] if nm == name]
+
+    n0 = len(ARTIFACT_EVENTS)
+    df = persisted_table(spark, name, "tag|dial=1", build)
+    assert df.count() == 5
+    assert events_since(n0) == ["build"]
+    assert builds == [1]
+    assert name in BUILD_LOG
+
+    n1 = len(ARTIFACT_EVENTS)
+    persisted_table(spark, name, "tag|dial=1", build).count()
+    assert events_since(n1) == ["hit"]
+    assert builds == [1]  # no rebuild
+
+    # dial change -> tag change -> rebuild, never silent reuse
+    n2 = len(ARTIFACT_EVENTS)
+    persisted_table(spark, name, "tag|dial=2", build).count()
+    assert events_since(n2) == ["build"]
+    assert builds == [1, 1]
+
+    # global invalidation revokes stamp AND trust memo
+    invalidate_session_memos()
+    n3 = len(ARTIFACT_EVENTS)
+    persisted_table(spark, name, "tag|dial=2", build).count()
+    assert events_since(n3) == ["build"]
+    assert builds == [1, 1, 1]
