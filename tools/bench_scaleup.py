@@ -136,6 +136,9 @@ def main() -> None:
     from tableau_dashboard_performance_etl_automation_spark.operators.curation import (
         quality_percentile_filter as _qpf,
     )
+    from tableau_dashboard_performance_etl_automation_spark.operators.sampling import (
+        bootstrap_mean_tokens_ci as _bootstrap_ci,
+    )
 
     ops = {
         "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
@@ -224,6 +227,7 @@ def main() -> None:
         # index + score build)
         "bm25_ranked_docs": textops.bm25_ranked_docs,
         "dsir_target_scores": textops.dsir_target_scores,
+        "bootstrap_mean_tokens_ci": _bootstrap_ci,
         "oov_rate_by_source": textops.oov_rate_by_source,
         "ann_lsh_topk": similarity.ann_lsh_topk,
         "ann_pq_topk": similarity.ann_pq_topk,
