@@ -618,7 +618,18 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _exact_scored_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The un-persisted brute-force scoring plan — broadcast query
     set, Arrow-batched numpy scorer over every corpus partition (see
-    :func:`ann_cosine_topk`); the plan audit reads THIS."""
+    :func:`ann_cosine_topk`); the plan audit reads THIS.
+
+    Determinism note: the scorer's per-batch margin prune keeps a
+    candidate SUPERSET whose exact membership depends on batch
+    composition (partitioning), so two sessions may persist slightly
+    different candidate sets — but every set provably contains the
+    global top-k (the 2e-6 margin proof in
+    :func:`_arrow_scored_candidates`), and each row's cosine is a
+    pinned sequential fold, so the RANKED OUTPUT the registered
+    query derives is invariant. The stronger loaded==rebuilt
+    bit-identity holds for the kept rows' values, just not for which
+    sub-threshold extras ride along."""
     e = _emb(spark, sf_dir)
     query_rows = [
         (r["vec_id"], r["vec"])
