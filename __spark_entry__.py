@@ -84,6 +84,44 @@ def _driver_green() -> set[str]:
     return set(_green_rounds())
 
 
+_STALE_CACHE: set[str] | None = None
+
+
+def _stale_green_names() -> set[str]:
+    """Green queries whose implementation changed since their last
+    driver-green round (VERDICT r9 #1: rework-aware rotation).
+
+    ``GREEN_DIGESTS.json`` (maintained by ``tools/update_green_digests.py``,
+    run at round start BEFORE code changes so the working tree still
+    matches the driver-tested tree) records each query's source digest
+    at its last green.  A green query whose *current* digest mismatches
+    — or that has no recorded digest — is treated as unchecked and
+    re-enters the 50-slot window ahead of fresh greens."""
+    global _STALE_CACHE
+    if _STALE_CACHE is not None:
+        return _STALE_CACHE
+    import json
+    import os
+
+    from tableau_dashboard_performance_etl_automation_spark.digests import (
+        registry_digests,
+    )
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        with open(os.path.join(here, "GREEN_DIGESTS.json")) as fh:
+            recorded = json.load(fh)
+    except (OSError, ValueError):
+        recorded = {}
+    current = registry_digests(_raw_queries(), _raw_oracles())
+    _STALE_CACHE = {
+        name
+        for name in _green_rounds()
+        if recorded.get(name, {}).get("digest") != current.get(name)
+    }
+    return _STALE_CACHE
+
+
 def _ledger_order() -> dict[str, int]:
     """Registration order, read from ``QUERY_LEDGER.json`` — an
     append-only list of query names in the order they were first
@@ -104,17 +142,24 @@ def _ledger_order() -> dict[str, int]:
 
 
 def _rotated(full: dict) -> dict:
-    """Unchecked-first ordering: entries with no driver-green row
-    lead, sorted longest-waiting first (earliest ledger position);
-    names not yet in the ledger are by definition the newest and sort
-    last among the unchecked. Green entries form the tail ordered
-    LONGEST-UNVERIFIED first (earliest last-green round, then ledger
-    position) — so when unchecked < 50, the free slots of the
-    driver's window re-verify the stalest green queries. With the
-    driver checking the first 50, every query earns its driver row
-    within two rounds of being registered and greens keep cycling
-    back for re-verification."""
+    """Unchecked-first ordering, in three groups:
+
+    0. never-driver-green — longest-waiting first (earliest ledger
+       position); names not yet in the ledger are by definition the
+       newest and sort last among the unchecked;
+    1. green but REWORKED since (source digest mismatch vs
+       ``GREEN_DIGESTS.json``) — stalest green round first, so a
+       rework re-enters the checked window the very next round
+       instead of waiting out the staleness queue (VERDICT r9 #1);
+    2. fresh greens, LONGEST-UNVERIFIED first (earliest last-green
+       round, then ledger position) — when groups 0+1 < 50, the free
+       slots of the driver's window re-verify the stalest greens.
+
+    With the driver checking the first 50, every query earns its
+    driver row within two rounds of being registered or reworked, and
+    greens keep cycling back for re-verification."""
     green = _green_rounds()
+    stale = _stale_green_names()
     order = _ledger_order()
     unseen = len(order)
     # name tiebreak: ledger-unseen entries (all equally new until
@@ -123,7 +168,7 @@ def _rotated(full: dict) -> dict:
     ranked = sorted(
         full,
         key=lambda k: (
-            k in green,
+            (0 if k not in green else (1 if k in stale else 2)),
             green.get(k, 0),
             order.get(k, unseen),
             k,
@@ -144,8 +189,7 @@ def entry(spark: SparkSession) -> DataFrame:
     return tabjolt.q_regressions(spark, _SMOKE_SF_DIR)
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
+def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     out.update(tabjolt.QUERIES)
     out.update(analytics.QUERIES)
@@ -171,11 +215,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(profiling.QUERIES)
     out.update(cohorts.QUERIES)
     out.update(textstats.QUERIES)
-    return _rotated(out)
+    return out
 
 
-def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable ANSI SQL twin for each entry in ``queries()``."""
+def _raw_oracles() -> dict[str, str]:
     out: dict[str, str] = {}
     out.update(tabjolt.ORACLE_SQL)
     out.update(analytics.ORACLE_SQL)
@@ -201,4 +244,14 @@ def oracle_sql() -> dict[str, str]:
     out.update(profiling.ORACLE_SQL)
     out.update(cohorts.ORACLE_SQL)
     out.update(textstats.ORACLE_SQL)
-    return _rotated(out)
+    return out
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """One entry per implemented operator from SURVEY.md §2."""
+    return _rotated(_raw_queries())
+
+
+def oracle_sql() -> dict[str, str]:
+    """DuckDB-runnable ANSI SQL twin for each entry in ``queries()``."""
+    return _rotated(_raw_oracles())

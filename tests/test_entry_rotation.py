@@ -46,13 +46,18 @@ def test_ledger_has_no_duplicates_or_strays():
 
 def test_rotation_unchecked_lead_in_ledger_order_then_green_tail():
     green = entry_mod._driver_green()
+    stale = entry_mod._stale_green_names()
     order = {n: i for i, n in enumerate(_ledger())}
     keys = list(entry_mod.queries())
     unchecked = [k for k in keys if k not in green]
-    tail = keys[len(unchecked):]
-    # unchecked precede all green entries
-    assert keys[: len(unchecked)] == unchecked
-    assert all(k in green for k in tail)
+    reworked = [k for k in keys if k in green and k in stale]
+    head = keys[: len(unchecked)]
+    mid = keys[len(unchecked): len(unchecked) + len(reworked)]
+    tail = keys[len(unchecked) + len(reworked):]
+    # never-green precede reworked greens precede fresh greens
+    assert head == unchecked
+    assert mid == reworked
+    assert all(k in green and k not in stale for k in tail)
     # among unchecked: registration order (newest last)
     positions = [order[k] for k in unchecked]
     assert positions == sorted(positions), (
@@ -70,17 +75,69 @@ def test_green_tail_reverifies_longest_unverified_first():
     """Re-verification cadence: when unchecked < 50, the driver's
     free window slots must fill with the STALEST green queries —
     green tail ordered by (last-green round asc, ledger position
-    asc). Pins the invariant so it can't silently rot back to
-    registration-order-only (which would starve early queries of
-    re-verification once the ledger grows)."""
+    asc) within each of the reworked/fresh groups. Pins the invariant
+    so it can't silently rot back to registration-order-only (which
+    would starve early queries of re-verification once the ledger
+    grows)."""
     rounds = entry_mod._green_rounds()
+    stale = entry_mod._stale_green_names()
     order = {n: i for i, n in enumerate(_ledger())}
     keys = list(entry_mod.queries())
-    tail = [k for k in keys if k in rounds]
-    ranks = [(rounds[k], order.get(k, len(order)), k) for k in tail]
-    assert ranks == sorted(ranks), (
-        "green tail not longest-unverified first"
+    for group in (
+        [k for k in keys if k in rounds and k in stale],
+        [k for k in keys if k in rounds and k not in stale],
+    ):
+        ranks = [(rounds[k], order.get(k, len(order)), k) for k in group]
+        assert ranks == sorted(ranks), (
+            "green group not longest-unverified first"
+        )
+
+
+def test_reworked_greens_promoted_by_digest_mismatch():
+    """VERDICT r9 #1: a green query whose source digest no longer
+    matches GREEN_DIGESTS.json must re-enter the checked window ahead
+    of fresh greens. The three round-9 reworks were seeded as
+    invalidated; they must occupy the head of the window until the
+    driver re-verifies them (after which tools/update_green_digests.py
+    restamps and this test's expectation adjusts to the empty set)."""
+    green = entry_mod._driver_green()
+    stale = entry_mod._stale_green_names()
+    assert stale <= green, "stale set must be a subset of greens"
+    keys = list(entry_mod.queries())
+    window = set(keys[:50])
+    assert stale <= window, (
+        f"reworked greens escaped the 50-slot window: {stale - window}"
     )
+
+
+def test_digest_is_deterministic_and_source_sensitive():
+    from tableau_dashboard_performance_etl_automation_spark.digests import (
+        query_digest,
+    )
+    from tableau_dashboard_performance_etl_automation_spark.operators import (
+        textops,
+    )
+
+    fn = textops.QUERIES["hybrid_rank_fusion"]
+    sql = textops.ORACLE_SQL["hybrid_rank_fusion"]
+    d1 = query_digest("hybrid_rank_fusion", fn, sql)
+    d2 = query_digest("hybrid_rank_fusion", fn, sql)
+    assert d1 == d2 and d1.startswith("sha256:")
+    # oracle text is part of the digest
+    assert query_digest("hybrid_rank_fusion", fn, sql + " ") != d1
+    # name is part of the digest
+    assert query_digest("other", fn, sql) != d1
+
+
+def test_green_digests_sidecar_covers_all_greens():
+    """Every driver-green query must have a sidecar stamp — a missing
+    stamp silently promotes it forever. Run
+    `python tools/update_green_digests.py` at round start."""
+    with open(os.path.join(ROOT, "GREEN_DIGESTS.json")) as fh:
+        side = json.load(fh)
+    greens = entry_mod._driver_green()
+    missing = greens - set(side)
+    assert not missing, f"greens without digest stamp: {sorted(missing)}"
 
 
 def test_green_rounds_reads_latest_round():
