@@ -96,20 +96,65 @@ def main() -> None:
 
     slug = corpus_slug(sf_dir)
     digest = slug.rsplit("_", 1)[-1]  # fact tables carry digest only
+
+    # Current-dial suffixes per artifact family, harvested from the
+    # warm query pass above: every artifact trusted (or built) there
+    # recorded its (name, tag) in the trust cache, and the dial part
+    # of a tag — everything after the corpus path — is
+    # corpus-independent. An on-disk artifact stamped with a dial
+    # suffix no current query would accept is STALE (left by an old
+    # dial setting); fully reading it would be pure wasted warm-up
+    # I/O, so it is skipped and reported (round-9 ADVICE).
+    live_suffixes: dict[str, set] = {}
+    for _app, nm, tag in warehouse._ARTIFACT_TRUST:
+        family = nm.split("/", 1)[0]
+        live_suffixes.setdefault(family, set()).add(
+            tag.split("|", 1)[1] if "|" in tag else ""
+        )
+
+    def _meta_tag_suffix(meta_dir: str) -> "str | None":
+        """Dial suffix stamped in an artifact's _meta dir, or None if
+        unreadable (pyarrow skips _SUCCESS/_-prefixed files)."""
+        try:
+            import pyarrow.parquet as pq
+
+            tags = (
+                pq.read_table(meta_dir, columns=["_artifact_tag"])
+                .column("_artifact_tag")
+                .to_pylist()
+            )
+            if not tags:
+                return None
+            tag = tags[0]
+            return tag.split("|", 1)[1] if "|" in tag else ""
+        except Exception:
+            return None
+
     wdir = spark.conf.get("spark.sql.warehouse.dir", "")
     if wdir.startswith("file:"):
         wdir = wdir[len("file:") :]
     warmed_artifacts = []
+    stale_skipped = []
     for root, dirs, _files in os.walk(wdir):
         for d in list(dirs):
             p = os.path.join(root, d)
             if (slug in d or digest in d) and not d.endswith("_meta"):
                 dirs.remove(d)  # don't descend into parquet layout
+                rel = os.path.relpath(p, wdir)
+                family = rel.split(os.sep, 1)[0]
+                if family in live_suffixes:
+                    suffix = _meta_tag_suffix(p + "_meta")
+                    if suffix is None or suffix not in live_suffixes[family]:
+                        # no/unreadable stamp, or stamped under OLD
+                        # dials: the timed run would rebuild anyway —
+                        # reading the bytes warms nothing useful
+                        stale_skipped.append(rel)
+                        continue
                 try:
                     spark.read.parquet(p).write.format("noop").mode(
                         "overwrite"
                     ).save()
-                    warmed_artifacts.append(os.path.relpath(p, wdir))
+                    warmed_artifacts.append(rel)
                 except Exception:
                     pass  # half-written/foreign dir: queries rebuild
 
@@ -180,7 +225,13 @@ def main() -> None:
             "artifact_builds": timed_builds,
             "warmup_artifact_builds": warm_builds,
             "warmed_artifacts": warmed_artifacts,
+            "stale_artifacts_skipped": stale_skipped,
             "artifact_events": artifact_events,
+            # labeling contract (round-9 ADVICE): per-query numbers
+            # are WARM steady-state (min-of-2 after an untimed JIT +
+            # artifact-file warm-up); one-time/cold costs are the
+            # first_sample and artifact_builds fields, not the cells
+            "timing_basis": "warm steady-state min-of-2; cold costs in first_sample/artifact_builds",
             "sf": sf_val,
         }
     )

@@ -1544,9 +1544,13 @@ KCORE_K = 2
 KCORE_ROUNDS = 8
 
 
-#: Collected-edge-list bound for the k-core driver path: 1M edges is
-#: ~16 MB of id pairs — far under any driver heap, far over every
-#: test/bench corpus; the distributed loop covers everything bigger.
+#: Collected-edge-list bound for the k-core driver path: 1M edges
+#: arrives as two Arrow int64 columns (~16 MB on the wire) and lands
+#: as a Python list of 2-tuples of ints — ~100-150 MB of driver heap
+#: at the bound (tuples, not Row objects; measured order-of-magnitude,
+#: not the old "~16 MB" claim) — acceptable on any real driver, far
+#: over every test/bench corpus; the distributed loop covers
+#: everything bigger.
 KCORE_MAX_DRIVER_EDGES = 1_000_000
 
 
@@ -1597,7 +1601,13 @@ def neardup_kcore_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = lsh_pair_table(spark, sf_dir).select("doc_a", "doc_b")
     n_edges = edges.count()
     if n_edges <= _kcore_max_driver_edges():
-        pairs = [(r["doc_a"], r["doc_b"]) for r in edges.collect()]
+        # Arrow transfer + plain int 2-tuples, not collect()'s Row
+        # objects (round-9 ADVICE: Rows cost ~10x the heap); n_edges
+        # is reused as the round-0 edge count instead of len()-ing
+        # the freshly built list.
+        pdf = edges.toPandas()
+        pairs = list(zip(pdf["doc_a"].tolist(), pdf["doc_b"].tolist()))
+        assert len(pairs) == n_edges
         rows = []
         for rnd in range(1, KCORE_ROUNDS + 1):
             deg: dict = {}

@@ -86,6 +86,11 @@ def image_dims(payload: bytes) -> "tuple[int, int, int] | None":
     if b[:8] == b"\x89PNG\r\n\x1a\n" and len(b) >= 26:
         w = int.from_bytes(b[16:20], "big")
         h = int.from_bytes(b[20:24], "big")
+        # PNG caps dimensions at 2^31-1 (high bit reserved); a corrupt
+        # header declaring more would also overflow the Int32 output
+        # column — NULL it on BOTH engines (SQL twin guards the same).
+        if w >= 1 << 31 or h >= 1 << 31:
+            return None
         ch = _PNG_CHANNELS.get(b[25])
         return None if ch is None else (w, h, ch)
     if b[:2] == b"\xff\xd8":
@@ -468,11 +473,16 @@ def _img_dims_sql(src: str) -> str:
     standalone = "'01','D0','D1','D2','D3','D4','D5','D6','D7'"
     return f"""
         pdims AS (
+            -- TRY_CAST via BIGINT + < 2^31 guards: a corrupt header
+            -- declaring width/height beyond Int32 must NULL out (drop
+            -- the row, like the Python side's `return None`) instead
+            -- of raising and failing the whole query (round-9 ADVICE:
+            -- the JPEG walk already had exactly this treatment)
             SELECT doc_id,
-                   CAST(concat('0x', substr(hx, 33, 8)) AS INTEGER)
-                       AS img_w,
-                   CAST(concat('0x', substr(hx, 41, 8)) AS INTEGER)
-                       AS img_h,
+                   CAST(TRY_CAST(concat('0x', substr(hx, 33, 8))
+                        AS BIGINT) AS INTEGER) AS img_w,
+                   CAST(TRY_CAST(concat('0x', substr(hx, 41, 8))
+                        AS BIGINT) AS INTEGER) AS img_h,
                    CASE substr(hx, 51, 2)
                         WHEN '00' THEN 1 WHEN '02' THEN 3
                         WHEN '03' THEN 1 WHEN '04' THEN 2
@@ -481,6 +491,10 @@ def _img_dims_sql(src: str) -> str:
             WHERE substr(hx, 1, 16) = '89504E470D0A1A0A'
               AND length(hx) >= 52
               AND substr(hx, 51, 2) IN ('00','02','03','04','06')
+              AND TRY_CAST(concat('0x', substr(hx, 33, 8)) AS BIGINT)
+                  < 2147483648
+              AND TRY_CAST(concat('0x', substr(hx, 41, 8)) AS BIGINT)
+                  < 2147483648
         ),
         jwalk AS (
             SELECT doc_id, hx, 3 AS pos, 0 AS it

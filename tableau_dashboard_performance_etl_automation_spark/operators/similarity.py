@@ -2007,13 +2007,24 @@ def _round_e6_i64(arr):
     engines' ``CAST(round(x * 1e6) AS BIGINT)`` (away-from-zero at
     the half, unlike numpy's banker's ``np.round``). Pinned
     bit-identical to the HOF form on real data by
-    tests/test_round9_ops.py."""
+    tests/test_round9_ops.py.
+
+    Implemented on the EXACT fractional part (round-9 ADVICE): the
+    old ``floor(v + 0.5)`` emulation can carry v over an integer
+    boundary when v sits within half an ulp below x.5 (the
+    JDK-8010430 class of fp-addition bugs), diverging from the
+    engines' round-on-the-exact-binary-value. ``v - floor(v)`` (and
+    the mirrored ``ceil(v) - v``) is exact in IEEE-754 at these
+    magnitudes, so ``frac >= 0.5`` decides the half exactly as
+    BigDecimal HALF_UP does on the double's full decimal expansion."""
     import numpy as np
 
     v = arr * 1e6
-    return np.where(v >= 0, np.floor(v + 0.5), np.ceil(v - 0.5)).astype(
-        np.int64
-    )
+    fl = np.floor(v)
+    cl = np.ceil(v)
+    pos = fl + (v - fl >= 0.5)
+    neg = cl - (cl - v >= 0.5)
+    return np.where(v >= 0, pos, neg).astype(np.int64)
 
 
 def _pq_assign(sub: DataFrame, cb_rows: list) -> DataFrame:
@@ -3720,6 +3731,15 @@ def _ann_auto_exact_max() -> int:
     )
 
 
+#: The env knob is read ONCE, at import, into this pin — and BOTH the
+#: live dispatcher (:func:`ann_auto_topk`) and the registered oracle
+#: (:func:`_ann_auto_oracle`, baked below at module import) consume
+#: it, so a post-import env change can never diverge the two (round-9
+#: ADVICE: the dispatcher used to re-read the env per call while the
+#: oracle baked it at import). Set-before-launch remains the contract.
+_ANN_AUTO_EXACT_MAX_PINNED = _ann_auto_exact_max()
+
+
 def ann_auto_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Adaptive top-k: pick the physical search strategy from the
     corpus size — the operator-level analog of a cost-based
@@ -3744,7 +3764,7 @@ def ann_auto_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     if n_vecs is None:
         n_vecs = load_table(spark, sf_dir, "embeddings").count()
         _ANN_AUTO_COUNT_CACHE[key] = n_vecs
-    if n_vecs <= _ann_auto_exact_max():
+    if n_vecs <= _ANN_AUTO_EXACT_MAX_PINNED:
         return ann_cosine_topk(spark, sf_dir)
     return ann_ivf_topk(spark, sf_dir, nprobe=2)
 
@@ -3759,10 +3779,11 @@ def _ann_auto_oracle() -> str:
     corpus count the engine's dispatcher reads, so the oracle
     describes the LIVE path at ANY scale factor and the old
     ``ORACLE_SCOPE`` pin-the-exact-path side channel (which the
-    round driver never read) is gone. The crossover constant is
-    baked at import via :func:`_ann_auto_exact_max`, matching a
-    deployment that sets the env knob before launch."""
-    xmax = _ann_auto_exact_max()
+    round driver never read) is gone. The crossover constant is the
+    import-time pin ``_ANN_AUTO_EXACT_MAX_PINNED`` — the SAME value
+    the live dispatcher consumes, so the two agree by construction
+    (set the env knob before launch)."""
+    xmax = _ANN_AUTO_EXACT_MAX_PINNED
     return f"""
         WITH ncorp AS (SELECT COUNT(*) AS c FROM embeddings)
         SELECT * FROM ({ORACLE_SQL["ann_cosine_topk"]}) exact_path

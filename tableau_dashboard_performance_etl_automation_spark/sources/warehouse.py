@@ -399,6 +399,22 @@ def bucketed_fact(
         tag = os.path.abspath(sf_dir)
         stamped = load_artifact(spark, name + "_meta", tag) is not None
         registered = spark.catalog.tableExists(name)
+        if stamped and not registered:
+            # round-9 ADVICE: the stamp can outlive the data (DROP
+            # TABLE on the managed table deletes the files but not
+            # the stamp) — registering over a missing/empty location
+            # would raise PATH_NOT_FOUND. Revoke the stale stamp and
+            # fall through to a rebuild instead.
+            data_path = _artifact_path(spark, name)
+            has_parts = os.path.isdir(data_path) and any(
+                f.startswith("part-") for f in os.listdir(data_path)
+            )
+            if not has_parts:
+                shutil.rmtree(
+                    _artifact_path(spark, name + "_meta"),
+                    ignore_errors=True,
+                )
+                stamped = False
         ARTIFACT_EVENTS.append(
             (
                 name,

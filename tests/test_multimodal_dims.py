@@ -61,6 +61,12 @@ FIXTURE = [
     (8, b"plain text payload, not an image at all", None),
     (9, b"\xff\xd8" + b"\xff\xdb\x00\x02" + b"\xff\xd9", None),  # no SOF
     (10, b"\x89PNG\r\n\x1a\n" + b"\x00" * 4, None),  # truncated PNG
+    # corrupt headers declaring dims >= 2^31: must NULL out on both
+    # engines (Python would overflow Int32; SQL CAST would raise) —
+    # round-9 ADVICE #3 / VERDICT next-round #4
+    (11, _png(2**31, 32, 2), None),
+    (12, _png(32, 2**32 - 1, 6), None),
+    (13, _png(2**31 - 1, 1, 0), (2**31 - 1, 1, 1)),  # max legal dim
 ]
 
 

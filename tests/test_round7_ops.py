@@ -43,10 +43,21 @@ def test_ann_auto_oracle_is_corpus_invariant(spark, monkeypatch):
     assert live == exact
     assert sorted(_run(sql)) == sorted(live)
 
-    # ABOVE the crossover (forced to 0): live dispatch is the IVF
-    # nprobe=2 probe, and the re-baked oracle's second branch
-    # reproduces THAT — full value parity, no rows-only fallback
+    # a post-import ENV change must affect NEITHER side — the knob is
+    # pinned at import so dispatcher and oracle cannot skew (round-9
+    # ADVICE #2); set-before-launch is the contract
     monkeypatch.setenv("SPARK_GRAFT_ANN_AUTO_EXACT_MAX", "0")
+    still_exact = [
+        tuple(r) for r in similarity.ann_auto_topk(spark, SF).collect()
+    ]
+    assert still_exact == exact
+    assert str(similarity._ANN_AUTO_EXACT_MAX_PINNED) in similarity._ann_auto_oracle()
+
+    # ABOVE the crossover (pin forced to 0 — flips BOTH the live
+    # dispatcher and a fresh oracle bake together, by construction):
+    # live dispatch is the IVF nprobe=2 probe, and the re-baked
+    # oracle's second branch reproduces THAT — full value parity
+    monkeypatch.setattr(similarity, "_ANN_AUTO_EXACT_MAX_PINNED", 0)
     ivf = [
         tuple(r)
         for r in similarity.ann_ivf_topk(spark, SF, nprobe=2).collect()

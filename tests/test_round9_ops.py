@@ -33,6 +33,37 @@ def test_round_e6_half_up_matches_spark_round(spark):
     assert got == want
 
 
+def test_round_e6_exact_half_up_on_binary_value():
+    """Round-9 ADVICE: the old ``floor(v + 0.5)`` emulation carries v
+    over an integer boundary when v sits within half an ulp below x.5
+    (JDK-8010430 class: floor(0.49999999999999994 + 0.5) == 1, but
+    BigDecimal HALF_UP of that double's exact value is 0). The
+    rewritten kernel must agree with decimal ROUND_HALF_UP on the
+    double's EXACT binary expansion for every v = arr*1e6 — checked
+    here on a dense grid around halves plus random magnitudes, with
+    the decimal module as the independent oracle."""
+    import decimal
+    import random
+
+    import numpy as np
+
+    rng = random.Random(0x9E6)
+    arrs = [k / 2e6 for k in range(-41, 42)]  # exact ±half µ-units
+    arrs += [rng.uniform(-s, s) for s in (1e-6, 1e-3, 1.0, 1e6) for _ in range(200)]
+    # ulp-neighbors of half-µ points: the boundary the old form broke on
+    for k in range(-9, 10):
+        base = np.float64(k / 2e6)
+        arrs += [float(np.nextafter(base, -1)), float(np.nextafter(base, 1))]
+    a = np.array(arrs, dtype=np.float64)
+    got = similarity._round_e6_i64(a)
+    for x, g in zip(a, got):
+        # Decimal(float) is the double's EXACT binary expansion —
+        # the same value BigDecimal(double) sees engine-side
+        v = decimal.Decimal(float(np.float64(x) * 1e6))
+        want = int(v.quantize(decimal.Decimal(1), rounding=decimal.ROUND_HALF_UP))
+        assert g == want, (float(x), float(np.float64(x) * 1e6), g, want)
+
+
 def test_pq_assign_kernel_bit_identical_to_hof(spark, sf_dir):
     """The round-9 Arrow kernel replays the broadcast-join + window
     argmin exactly: same integer µ²-unit distance (integer addition

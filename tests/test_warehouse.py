@@ -429,3 +429,48 @@ def test_persisted_table_events_tags_and_trust(spark, sf_dir, tmp_path):
     persisted_table(spark, name, "tag|dial=2", build).count()
     assert events_since(n3) == ["build"]
     assert builds == [1, 1, 1]
+
+
+def test_bucketed_fact_rebuilds_when_stamp_outlives_data(spark, sf_dir):
+    """Round-9 ADVICE (warehouse.py bucketed_fact): DROP TABLE on the
+    managed bucketed table deletes the data files but NOT the meta
+    stamp. The next cold dispatch used to hit the 'stamped and not
+    registered' branch and die in register_bucketed_location's
+    parquet read (PATH_NOT_FOUND); it must instead revoke the stale
+    stamp and rebuild."""
+    import hashlib
+    import os
+    import shutil
+
+    from tableau_dashboard_performance_etl_automation_spark.sources.warehouse import (
+        BUILD_LOG,
+        _FACT_BUCKET_CACHE,
+        _artifact_path,
+        bucketed_fact,
+    )
+
+    sf = sf_dir
+    digest = hashlib.md5(os.path.abspath(sf).encode()).hexdigest()[:8]
+    name = f"fact_region_{digest}_by_r_regionkey_4b"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    shutil.rmtree(_artifact_path(spark, name), ignore_errors=True)
+    shutil.rmtree(_artifact_path(spark, name + "_meta"), ignore_errors=True)
+    for k in [k for k, n in list(_FACT_BUCKET_CACHE.items()) if n == name]:
+        del _FACT_BUCKET_CACHE[k]
+    BUILD_LOG.pop(name, None)
+
+    df1 = bucketed_fact(spark, sf, "region", "r_regionkey", n_buckets=4)
+    want = df1.count()
+    first_build = BUILD_LOG[name]
+
+    # the asymmetry: managed drop removes data, stamp survives
+    spark.sql(f"DROP TABLE {name}")
+    assert not os.path.exists(_artifact_path(spark, name))
+    assert os.path.exists(_artifact_path(spark, name + "_meta"))
+    for k in [k for k, n in list(_FACT_BUCKET_CACHE.items()) if n == name]:
+        del _FACT_BUCKET_CACHE[k]
+
+    # must NOT raise; must rebuild (BUILD_LOG accumulates) and serve rows
+    df2 = bucketed_fact(spark, sf, "region", "r_regionkey", n_buckets=4)
+    assert df2.count() == want
+    assert BUILD_LOG[name] > first_build  # a second build was paid

@@ -218,7 +218,10 @@ def main() -> None:
     # answerable without re-running the sweep
     import json
 
-    detail_out = out.replace("COMPAT.md", "COMPAT_ERRORS.json")
+    # sibling path derived structurally — string-replace on the
+    # report filename would silently alias detail_out to out (and
+    # overwrite the markdown with JSON) if the name ever changed
+    detail_out = os.path.join(os.path.dirname(out), "COMPAT_ERRORS.json")
     with open(detail_out, "w") as fh:
         json.dump(
             {k: {"category": c, "error": e} for k, (c, e) in sorted(err_detail.items())},
