@@ -1321,7 +1321,7 @@ ORACLE_SQL = {
                    END AS z_score
             FROM trail
         )
-        SELECT strftime(d, '%Y-%m-%d') AS event_date,
+        SELECT CAST(d AS STRING) AS event_date,
                n,
                ROUND(day_mean, 4) AS mean_value,
                z_score,
@@ -1334,8 +1334,8 @@ ORACLE_SQL = {
     "decayed_event_scores": f"""
         WITH per_day AS (
             SELECT event_type,
-                   date_diff('day', CAST(ts AS DATE),
-                             (SELECT MAX(CAST(ts AS DATE)) FROM events))
+                   CAST((SELECT MAX(CAST(ts AS DATE)) FROM events)
+                        - CAST(ts AS DATE) AS BIGINT)
                        AS age_days,
                    CAST(COUNT(*) AS BIGINT) AS n,
                    SUM(CAST(ROUND(value * 100) AS BIGINT)) AS cents
@@ -1357,13 +1357,13 @@ ORACLE_SQL = {
         WITH daily AS (
             SELECT CAST(ts AS DATE) AS d,
                    CAST(COUNT(*) AS BIGINT) AS n_events,
-                   ROUND(quantile_cont(
-                       CAST(ROUND(value * 100) AS BIGINT), 0.95
+                   ROUND(percentile_cont(0.95) WITHIN GROUP (
+                       ORDER BY CAST(ROUND(value * 100) AS BIGINT)
                    ) / 100.0, 4) AS p95
             FROM events
             GROUP BY d
         )
-        SELECT strftime(d, '%Y-%m-%d') AS event_date,
+        SELECT CAST(d AS STRING) AS event_date,
                n_events,
                p95,
                CASE WHEN MAX(p95) OVER (
@@ -1895,12 +1895,12 @@ ORACLE_SQL["daily_value_twap"] = """
 
 ORACLE_SQL["user_activity_span"] = """
     SELECT user_id,
-           strftime(MIN(d), '%Y-%m-%d') AS first_date,
-           strftime(MAX(d), '%Y-%m-%d') AS last_date,
+           CAST(MIN(d) AS STRING) AS first_date,
+           CAST(MAX(d) AS STRING) AS last_date,
            CAST(COUNT(DISTINCT d) AS BIGINT) AS active_days,
-           CAST(date_diff('day', MIN(d), MAX(d)) + 1 AS BIGINT)
+           CAST(CAST(MAX(d) - MIN(d) AS BIGINT) + 1 AS BIGINT)
                AS span_days,
-           CAST(date_diff('day', MIN(d), MAX(d)) + 1
+           CAST(CAST(MAX(d) - MIN(d) AS BIGINT) + 1
                 - COUNT(DISTINCT d) AS BIGINT) AS gap_days
     FROM (SELECT user_id, CAST(ts AS DATE) AS d FROM events)
     GROUP BY user_id

@@ -589,14 +589,15 @@ ORACLE_SQL = {
         SELECT md5(text) AS content_sig,
                CAST(COUNT(*) AS BIGINT) AS n_copies,
                MIN(doc_id) AS keep_id,
-               CAST(MIN(octet_length(encode(text))) AS BIGINT) AS byte_len
+               CAST(MIN(CAST(bit_length(text)/8 AS BIGINT)) AS BIGINT)
+                   AS byte_len
         FROM documents
         GROUP BY 1
         ORDER BY content_sig
     """,
     "multimodal_shard_packing": f"""
         WITH hx AS (
-            SELECT octet_length(encode(text)) AS nb,
+            SELECT CAST(bit_length(text)/8 AS BIGINT) AS nb,
                    md5(text) AS h
             FROM documents
         ),

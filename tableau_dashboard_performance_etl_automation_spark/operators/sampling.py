@@ -583,7 +583,8 @@ ORACLE_SQL = {
     """,
     "approx_value_percentiles": """
         SELECT event_type,
-               ROUND(quantile_cont(CAST(ROUND(value * 100) AS BIGINT), 0.50)
+               ROUND(percentile_cont(0.50) WITHIN GROUP (
+                         ORDER BY CAST(ROUND(value * 100) AS BIGINT))
                      / 100.0, 4) AS exact_p50,
                COUNT(*) AS n_events,
                TRUE AS estimate_ok
@@ -610,9 +611,12 @@ ORACLE_SQL = {
     """,
     "value_percentiles": """
         SELECT event_type,
-               ROUND(quantile_cont(cents, 0.50) / 100.0, 4) AS p50,
-               ROUND(quantile_cont(cents, 0.90) / 100.0, 4) AS p90,
-               ROUND(quantile_cont(cents, 0.99) / 100.0, 4) AS p99,
+               ROUND(percentile_cont(0.50) WITHIN GROUP (ORDER BY cents)
+                     / 100.0, 4) AS p50,
+               ROUND(percentile_cont(0.90) WITHIN GROUP (ORDER BY cents)
+                     / 100.0, 4) AS p90,
+               ROUND(percentile_cont(0.99) WITHIN GROUP (ORDER BY cents)
+                     / 100.0, 4) AS p99,
                COUNT(*) AS n_events
         FROM (
             SELECT event_type,

@@ -55,6 +55,13 @@ _KNOWN_DIVERGENCES = {
         "flips the 6th rounded decimal on a handful of rows (e.g. "
         "-0.115353 vs -0.115354); values agree to ~1e-6 relative"
     ),
+    "decayed_event_scores": (
+        "double summation order: SUM(cents/100.0 * pow(0.5, age/7)) "
+        "accumulates in a different partition order under the SQL-text "
+        "plan than the DataFrame plan; pre-ROUND sums agree to ~3e-8 "
+        "relative but ROUND(,4) exposes the 4th decimal (e.g. "
+        "34417.6317 vs 34417.6328)"
+    ),
 }
 
 
