@@ -1809,6 +1809,8 @@ def bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _bloom_decon_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The un-persisted Bloom probe + exact-calibration plan (see
     :func:`bloom_decontaminate`); the plan audit reads THIS."""
+    from functools import reduce
+
     from tableau_dashboard_performance_etl_automation_spark.functions.hashing import (
         md5_hex_int,
     )
@@ -1832,41 +1834,38 @@ def _bloom_decon_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
         return side.select("*", *pos_cols)
 
-    bits = F.broadcast(
-        positions(bench)
+    # The filter's bit space is 16^BLOOM_BITS_HEX = 4096 positions, so
+    # the set-bit list is driver-sized BY CONSTRUCTION (and the bench
+    # set is a fixed absolute doc count besides): collect it once per
+    # build and evaluate membership map-side as an InSet. The previous
+    # form exploded every probe shingle ×BLOOM_HASHES into a position
+    # join + a (doc_id, sh) re-aggregation — two corpus-sized shuffles
+    # that went superlinear past the spill threshold at the 1024×
+    # decade (PERF.md round 10: 164.9 s at 256× → 1486.6 s at 1024×);
+    # this is the getbit-bitmask fix sketched there, spelled as InSet.
+    set_bits = sorted(
+        r.pos
+        for r in positions(bench)
         .select(
             F.explode(
                 F.array(*[F.col(f"p{s}") for s in range(BLOOM_HASHES)])
             ).alias("pos")
         )
         .distinct()
-        .withColumn("set_bit", F.lit(1))
+        .collect()
     )
-    probe_pos = (
-        positions(sh.filter(F.col("doc_id") >= DECON_BENCH_DOCS))
-        .select(
-            "doc_id",
-            "sh",
-            F.explode(
-                F.array_distinct(
-                    F.array(*[F.col(f"p{s}") for s in range(BLOOM_HASHES)])
-                )
-            ).alias("pos"),
+    all_set = (
+        reduce(
+            lambda a, b: a & b,
+            [F.col(f"p{s}").isin(set_bits) for s in range(BLOOM_HASHES)],
         )
+        if set_bits
+        else F.lit(False)
     )
-    per_shingle = (
-        probe_pos.join(bits, "pos", "left")
-        .groupBy("doc_id", "sh")
-        .agg(
-            (
-                F.count(F.lit(1))
-                == F.sum(F.coalesce(F.col("set_bit"), F.lit(0)))
-            )
-            .cast("int")
-            .alias("bloom_hit")
-        )
-    )
-    exact = bench.withColumn("exact_hit", F.lit(1))
+    per_shingle = positions(
+        sh.filter(F.col("doc_id") >= DECON_BENCH_DOCS)
+    ).select("doc_id", "sh", all_set.cast("int").alias("bloom_hit"))
+    exact = F.broadcast(bench.withColumn("exact_hit", F.lit(1)))
     return (
         per_shingle.join(exact, "sh", "left")
         .groupBy("doc_id")
