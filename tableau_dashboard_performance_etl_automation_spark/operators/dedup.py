@@ -1778,13 +1778,15 @@ def bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     alongside, which is the calibration run you do once before
     trusting the filter.
 
-    Plan: the filter is a ≤4096-row distinct of set-bit positions —
-    broadcast to every probe task; the corpus side explodes each
-    shingle into its k probe positions (narrow), joins the broadcast
-    bits, and a shingle "hits" iff ALL its DISTINCT positions are
-    set (duplicate positions inside one shingle's k probes are
-    deduped so the all-set test stays exact). Everything is integer
-    md5 arithmetic shared verbatim with the DuckDB oracle.
+    Plan: the filter's set-bit positions form a ≤4096-element list
+    (the bit space is 16^3 by construction), collected ONCE per build
+    and compiled into the probe plan as a map-side ``isin`` (InSet)
+    conjunction — a shingle "hits" iff ALL k of its probe positions
+    are in the set-bit list. No join, no explode, no extra shuffle on
+    the corpus side: one linear scan evaluates membership per task
+    (the round-10 fix for the ×k-explode superlinearity; PERF.md).
+    Everything is integer md5 arithmetic shared verbatim with the
+    DuckDB oracle.
 
     Steady state (round-9): the per-doc contamination report IS what
     a pipeline stores (downstream filtering keys off it), so it
@@ -1808,7 +1810,13 @@ def bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _bloom_decon_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The un-persisted Bloom probe + exact-calibration plan (see
-    :func:`bloom_decontaminate`); the plan audit reads THIS."""
+    :func:`bloom_decontaminate`). NOT fully lazy: constructing it
+    runs one eager Spark job (bench-shingle scan → k positions →
+    distinct → collect of the ≤4096 set-bit list) so the probe can
+    be compiled as a map-side InSet; callers wanting only the
+    logical plan still pay that bench-side scan. The plan audit
+    (tools/plan_audit.py) audits the registered query, not this
+    helper, so no audit path is affected."""
     from functools import reduce
 
     from tableau_dashboard_performance_etl_automation_spark.functions.hashing import (

@@ -132,6 +132,9 @@ PROBE_QUERIES = [
     # analogs), the per-(part,supp) min-cost argmin, the 3-table FK
     # audit, per-supplier exact percentiles, and the events-shaped
     # Markov entropy rate
+    # round-11: the events-payload JSON census (driver-box outlier in
+    # r10; ladder proves the from_json scan flat through 16×)
+    "props_json_key_census",
     "nation_year_profit",
     "excess_stock_suppliers",
     "order_last_shippers",

@@ -40,29 +40,67 @@ _INTEGRAL_DTYPES = {"tinyint", "smallint", "int", "bigint"}
 #: implementations DO hash-match their DuckDB oracles — the driver's
 #: actual gate — the divergence below appears only when the oracle
 #: TEXT is executed by Spark's SQL frontend.
+#: name → (note, rel_tol). rel_tol is the DIAGNOSED numeric scale of
+#: the divergence: when set, the sweep re-compares the two results
+#: cell-wise (rows in each side's own collected ORDER BY order) and
+#: only accepts the "known" explanation if every float agrees within
+#: that relative tolerance — so a future change that makes the
+#: SQL-text path diverge GROSSLY under the same query name is
+#: re-flagged as unexplained instead of riding an old diagnosis
+#: (round-10 ADVICE). rel_tol=None marks structural divergences
+#: (label numbering) where no numeric closeness claim applies.
 _KNOWN_DIVERGENCES = {
     "order_seasonality": (
         "EXTRACT(dow): DuckDB numbers Sunday=0..Saturday=6, Spark's "
         "DOW field is dayofweek's Sunday=1..Saturday=7 — same row "
-        "partition, labels shifted by one"
+        "partition, labels shifted by one",
+        None,
     ),
     "dow_seasonal_decomposition": (
         "EXTRACT(dow): DuckDB Sunday=0..6 vs Spark Sunday=1..7 "
-        "(same divergence as order_seasonality)"
+        "(same divergence as order_seasonality)",
+        None,
     ),
     "event_hour_mi_terms": (
         "one-ULP libm-vs-JVM Math.log difference in the MI log term "
         "flips the 6th rounded decimal on a handful of rows (e.g. "
-        "-0.115353 vs -0.115354); values agree to ~1e-6 relative"
+        "-0.115353 vs -0.115354); values agree to ~1e-6 relative",
+        1e-5,
     ),
     "decayed_event_scores": (
         "double summation order: SUM(cents/100.0 * pow(0.5, age/7)) "
         "accumulates in a different partition order under the SQL-text "
         "plan than the DataFrame plan; pre-ROUND sums agree to ~3e-8 "
         "relative but ROUND(,4) exposes the 4th decimal (e.g. "
-        "34417.6317 vs 34417.6328)"
+        "34417.6317 vs 34417.6328)",
+        1e-6,
     ),
 }
+
+
+def _within_rel_tol(cols_a, rows_a, cols_b, rows_b, rel_tol) -> bool:
+    """Cell-wise closeness check for a known numeric divergence: both
+    queries end in a deterministic ORDER BY, so rows align by
+    collected position; floats must agree within rel_tol (plus a
+    matching absolute floor for near-zero cells), everything else
+    exactly. Any shape mismatch fails closed."""
+    if len(rows_a) != len(rows_b) or sorted(cols_a) != sorted(cols_b):
+        return False
+    ia = {c: i for i, c in enumerate(cols_a)}
+    ib = {c: i for i, c in enumerate(cols_b)}
+    for ra, rb in zip(rows_a, rows_b):
+        for c in cols_a:
+            va, vb = ra[ia[c]], rb[ib[c]]
+            fa = isinstance(va, (int, float)) and not isinstance(va, bool)
+            fb = isinstance(vb, (int, float)) and not isinstance(vb, bool)
+            if fa and fb:
+                if abs(float(va) - float(vb)) > rel_tol * max(
+                    1.0, abs(float(va)), abs(float(vb))
+                ):
+                    return False
+            elif va != vb:
+                return False
+    return True
 
 
 def _int_exact_cols(a_df, b_df) -> set:
