@@ -19,6 +19,44 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def host_probe(spark) -> float:
+    """Fixed synthetic calibration probe (round-10 VERDICT item 4):
+    a corpus-independent, deterministic-size workload — 32M generated
+    rows hashed and aggregated over 9,973 keys across 32 partitions —
+    timed min-of-3 after a throwaway warm run. Its wall time is a
+    pure HOST speed factor (CPU + JVM + scheduler contention); the
+    query plan never changes between rounds, so the ratio of two
+    rounds' probe values is the box-speed ratio, and dividing bench
+    totals (or the perf-budget floor) by it separates host drift from
+    plan regressions. Round-9→10 showed why: 174→228 s total with
+    zero plan changes — a ±35% box swing that a fixed 2 s budget
+    floor misreads as a query regression."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    df = (
+        spark.range(0, 32_000_000, 1, 32)
+        .select(
+            (F.col("id") % 9973).alias("k"),
+            F.xxhash64(F.col("id")).alias("h"),
+        )
+        .groupBy("k")
+        .agg(
+            F.sum("h").alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    best = float("inf")
+    for i in range(4):
+        t0 = time.time()
+        df.write.format("noop").mode("overwrite").save()
+        dt = time.time() - t0
+        if i > 0:  # sample 0 is codegen warm-up, discarded
+            best = min(best, dt)
+    return round(best, 3)
+
+
 def main() -> None:
     import gc
 
@@ -164,6 +202,11 @@ def main() -> None:
     # distinguishable regardless), but snapshot for completeness
     warm_builds = dict(warehouse.BUILD_LOG)
 
+    # host-speed calibration: ONE fixed synthetic probe per run,
+    # recorded beside the timings so gates and cross-round diffs can
+    # normalize away box variance (see host_probe docstring)
+    probe_sec = host_probe(spark)
+
     timings: dict[str, float] = {}
     first_sample: dict[str, float] = {}
     artifact_events: dict[str, list] = {}
@@ -232,6 +275,11 @@ def main() -> None:
             # artifact-file warm-up); one-time/cold costs are the
             # first_sample and artifact_builds fields, not the cells
             "timing_basis": "warm steady-state min-of-2; cold costs in first_sample/artifact_builds",
+            # fixed synthetic workload wall (min-of-3, corpus- and
+            # code-independent): the box-speed yardstick; divide
+            # totals / budget floors by (this / reference probe) to
+            # compare across hosts
+            "host_probe_seconds": probe_sec,
             "sf": sf_val,
         }
     )

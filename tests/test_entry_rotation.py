@@ -140,6 +140,37 @@ def test_green_digests_sidecar_covers_all_greens():
     assert not missing, f"greens without digest stamp: {sorted(missing)}"
 
 
+def test_green_digests_not_lagging_newest_correctness():
+    """The sidecar must be refreshed (tools/update_green_digests.py)
+    after every new CORRECTNESS_r*.json lands — round-10 VERDICT
+    item 2: a skipped refresh leaves the just-verified greens stamped
+    with PRE-rework digests, so `_stale_green_names()` reports them
+    as reworked and they hijack the next driver window from the
+    genuinely longest-unverified greens. Freshness invariant: for
+    every query green in the newest CORRECTNESS round, the sidecar
+    records that round (the refresh is what stamps it)."""
+    import re
+
+    with open(os.path.join(ROOT, "GREEN_DIGESTS.json")) as fh:
+        side = json.load(fh)
+    rounds = [
+        int(m.group(1))
+        for f in os.listdir(ROOT)
+        if (m := re.fullmatch(r"CORRECTNESS_r(\d+)\.json", f))
+    ]
+    newest = max(rounds)
+    greens = entry_mod._green_rounds()
+    lagging = sorted(
+        name
+        for name, rnd in greens.items()
+        if rnd == newest and side.get(name, {}).get("round", -1) < newest
+    )
+    assert not lagging, (
+        f"GREEN_DIGESTS lags CORRECTNESS_r{newest:02d} for {lagging} — "
+        f"run `python tools/update_green_digests.py` at round start"
+    )
+
+
 def test_green_rounds_reads_latest_round():
     """_green_rounds must report the LATEST green round per query
     (a query green in r1 and re-verified in r4 ranks as r4)."""

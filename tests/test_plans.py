@@ -857,9 +857,14 @@ def test_perf_budget_gate_heavies_carry_scale_evidence():
     recorded sf0.1 bench time exceeds the budget must appear in
     PERF.md — the convention (previously manual discipline) that a
     heavy query ships WITH its scale evidence: a ladder cell or a
-    worked cost analysis. The budget floor is 2 s with a 3×-median
-    relative guard so a globally slower machine doesn't flag the
-    whole suite (per-query means drift ~20% across boxes)."""
+    worked cost analysis. The budget floor is 2 s, HOST-NORMALIZED
+    (round-11): bench.py records a fixed synthetic calibration probe
+    (``host_probe_seconds``) whose only variable is box speed —
+    0.70 s on the builder box — so on a slower recording host the
+    floor scales by probe/0.70 instead of flagging host drift as a
+    query regression (round 9→10: a uniform ~1.24× box slowdown with
+    zero plan changes pushed one query over the fixed floor). The
+    3×-median relative guard stays as a second, probe-free defense."""
     import json
     import os
     import statistics
@@ -871,10 +876,18 @@ def test_perf_budget_gate_heavies_carry_scale_evidence():
 
         pytest.skip("no BENCH_DETAIL.json recorded yet")
     with open(detail) as fh:
-        timings = json.load(fh)["queries"]
+        bench = json.load(fh)
+    timings = bench["queries"]
     if not timings:
         return
-    budget = max(2.0, 3.0 * statistics.median(timings.values()))
+    # builder-box reference for bench.host_probe (min-of-3 of
+    # 0.807/0.712/0.697 → steady 0.70); recalibrate if the probe
+    # workload itself ever changes
+    host_probe_ref = 0.70
+    host_factor = max(
+        1.0, bench.get("host_probe_seconds", host_probe_ref) / host_probe_ref
+    )
+    budget = max(2.0 * host_factor, 3.0 * statistics.median(timings.values()))
     with open(os.path.join(root, "PERF.md")) as fh:
         perf = fh.read()
     missing = sorted(

@@ -190,6 +190,7 @@ def main() -> None:
     queries = entry.queries()
     oracles = entry.oracle_sql()
     buckets: dict[str, list[str]] = {"match": [], "mismatch": [], "error": []}
+    regrown: list[str] = []  # known-divergent names exceeding their tol
     err_hist: Counter = Counter()
     err_detail: dict[str, tuple] = {}
     t0 = time.time()
@@ -211,12 +212,23 @@ def main() -> None:
             continue
         sdf = queries[name](spark, sf_dir)
         int_exact = _int_exact_cols(sdf, odf)
+        srows = sdf.collect()
         same = sorted(sdf.columns) == sorted(ocols) and _norm_rows(
-            sdf.columns, sdf.collect(), int_exact
+            sdf.columns, srows, int_exact
         ) == _norm_rows(ocols, orows, int_exact)
         buckets["match" if same else "mismatch"].append(name)
         if not same:
-            print(f"MISMATCH {name}")
+            # known numeric divergences carry their diagnosed scale:
+            # re-verify the mismatch is still WITHIN it, else strip
+            # the "known" status so the sweep re-flags a regrowth
+            note_tol = _KNOWN_DIVERGENCES.get(name)
+            if note_tol and note_tol[1] is not None and not _within_rel_tol(
+                sdf.columns, srows, ocols, orows, note_tol[1]
+            ):
+                regrown.append(name)
+                print(f"MISMATCH {name} (EXCEEDS diagnosed tol {note_tol[1]})")
+            else:
+                print(f"MISMATCH {name}")
         if (i + 1) % 25 == 0:
             print(
                 f"[{i+1}/{len(names)}] match={len(buckets['match'])} "
@@ -244,9 +256,27 @@ def main() -> None:
     if buckets["mismatch"]:
         lines += ["", "## Mismatches (dialect semantics divergences)", ""]
         for m in buckets["mismatch"]:
-            note = _KNOWN_DIVERGENCES.get(m)
-            lines.append(f"- {m}" + (f" — {note}" if note else ""))
-        unexplained = [m for m in buckets["mismatch"] if m not in _KNOWN_DIVERGENCES]
+            note_tol = _KNOWN_DIVERGENCES.get(m)
+            if note_tol and m in regrown:
+                lines.append(
+                    f"- {m} — REGROWN past diagnosed tol "
+                    f"{note_tol[1]:g}: old diagnosis no longer "
+                    f"explains it ({note_tol[0]})"
+                )
+            elif note_tol:
+                tol = (
+                    f" (verified within {note_tol[1]:g} rel tol)"
+                    if note_tol[1] is not None
+                    else ""
+                )
+                lines.append(f"- {m} — {note_tol[0]}{tol}")
+            else:
+                lines.append(f"- {m}")
+        unexplained = [
+            m
+            for m in buckets["mismatch"]
+            if m not in _KNOWN_DIVERGENCES or m in regrown
+        ]
         if unexplained:
             lines.append("")
             lines.append(
