@@ -213,8 +213,15 @@ def gapfilled_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cents").alias("sum_cents"),
         )
         .withColumn(
+            # exact-integer half-up ROUND(sum_cents/(100 n), 4): the
+            # scaled quotient sum_cents·100/n rounds half-up in pure
+            # BIGINT — (200·s + n) div (2n) — then one exact /10⁴.
+            # The double spelling ROUND(s/(100.0·n), 4) diverged
+            # between engines on x.xxxx5-boundary quotients (38.37875
+            # → 38.3788 vs 38.3787 at sf0.001; PERF.md round-10
+            # probe); cents are ≥0 so div==floor on both engines.
             "day_avg",
-            F.round(F.col("sum_cents") / (100.0 * F.col("n")), 4),
+            F.expr("(200 * sum_cents + n) DIV (2 * n)") / F.lit(1e4),
         )
     )
     w = (
@@ -348,8 +355,11 @@ ORACLE_SQL = {
         daily AS (
             SELECT event_type, CAST(ts AS DATE) AS day,
                    COUNT(*) AS n,
-                   ROUND(SUM(CAST(ROUND(value * 100) AS BIGINT))
-                         / (100.0 * COUNT(*)), 4) AS day_avg
+                   -- exact-integer half-up round to 4 places (cents
+                   -- are non-negative; // == floor): matches the
+                   -- Spark side's (200s + n) DIV (2n) / 10000.0
+                   ((200 * SUM(CAST(ROUND(value * 100) AS BIGINT))
+                     + COUNT(*)) // (2 * COUNT(*))) / 10000.0 AS day_avg
             FROM events GROUP BY 1, 2
         )
         SELECT g.event_type,

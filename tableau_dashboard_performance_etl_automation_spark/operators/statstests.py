@@ -1541,10 +1541,15 @@ def nation_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The pair space is months-choose-2 per nation (bounded grid, never
     fact rows); each pairwise slope quantizes ONCE to exact
-    hundredth-cent-per-month BIGINTs (bit-identical integer-quotient
-    doubles), and the median is the average of the two middle order
-    statistics selected by row_number — the exact-median compaction
-    discipline."""
+    hundredth-cent-per-month BIGINTs via pure-integer half-away
+    rounding — sign(n)·((2|n|+d) DIV 2d) with n = 100·Δcents,
+    d = Δmonths — and the median of the two middle order statistics
+    resolves the same way: their SUM s2 is an exact BIGINT, and the
+    displayed slope is sign(s2)·((|s2|+1) DIV 2)/10⁴. No double
+    enters until the final display division, so no ROUND-on-double
+    x.xxxx5 boundary exists for the engines to disagree on (the
+    round-10 sf0.001 probe caught −564.42865 splitting −564.4287 vs
+    −564.4286 under the old ROUND(AVG(su)/1e4, 4) spelling)."""
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_nationkey"
@@ -1586,13 +1591,13 @@ def nation_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             "nn",
             "m1",
             "m2",
-            F.round(
-                (F.col("y2") - F.col("y1"))
-                / (F.col("m2") - F.col("m1"))
-                * 100
-            )
-            .cast("bigint")
-            .alias("su"),
+            F.expr(
+                "CASE WHEN y2 >= y1 THEN"
+                "  (200 * (y2 - y1) + (m2 - m1)) DIV (2 * (m2 - m1)) "
+                "ELSE"
+                "  -((200 * (y1 - y2) + (m2 - m1)) DIV (2 * (m2 - m1))) "
+                "END"
+            ).alias("su"),
         )
     )
     wn = Window.partitionBy("nn").orderBy("su", "m1", "m2")
@@ -1607,12 +1612,24 @@ def nation_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             | (F.col("rn") == F.expr("(n_pairs + 2) DIV 2"))
         )
         .groupBy(F.col("nn").alias("n_name"), "n_pairs")
-        .agg(F.avg("su").alias("med_u"))
+        .agg(
+            F.sum("su").alias("s2"),
+            # odd n_pairs: the two middle ranks coincide and the
+            # filter matches ONE row — s2 is already the median
+            F.count(F.lit(1)).alias("n_mid"),
+        )
     )
     return med.select(
         "n_name",
         "n_pairs",
-        F.round(F.col("med_u") / 1e4, 4).alias("theilsen_slope"),
+        (
+            F.expr(
+                "CASE WHEN n_mid = 1 THEN s2 "
+                "WHEN s2 >= 0 THEN (s2 + 1) DIV 2 "
+                "ELSE -((1 - s2) DIV 2) END"
+            )
+            / F.lit(1e4)
+        ).alias("theilsen_slope"),
     ).orderBy("n_name")
 
 
@@ -1707,9 +1724,18 @@ def _oracle_sql3() -> dict[str, str]:
                 GROUP BY 1, 2
             ),
             slopes AS (
+                -- pure-integer half-away slope quantization:
+                -- sign(n) * ((2|n| + d) // 2d), n = 100 * dcents,
+                -- d = dmonths (matches the Spark side exactly; no
+                -- double enters the slope units)
                 SELECT a.nn, a.m AS m1, b.m AS m2,
-                       CAST(ROUND((b.y - a.y) * 1.0 / (b.m - a.m) * 100)
-                            AS BIGINT) AS su
+                       CASE WHEN b.y >= a.y THEN
+                         (200 * (b.y - a.y) + (b.m - a.m))
+                             // (2 * (b.m - a.m))
+                       ELSE
+                         -((200 * (a.y - b.y) + (b.m - a.m))
+                             // (2 * (b.m - a.m)))
+                       END AS su
                 FROM monthly a JOIN monthly b
                   ON a.nn = b.nn AND b.m > a.m
             ),
@@ -1725,7 +1751,15 @@ def _oracle_sql3() -> dict[str, str]:
                 FROM slopes s JOIN cnt c USING (nn)
             )
             SELECT nn AS n_name, n_pairs,
-                   ROUND(AVG(su) / 1e4, 4) AS theilsen_slope
+                   -- exact-median display: s2 = sum of the matched
+                   -- middle order statistics (ONE row when n_pairs is
+                   -- odd — the two ranks coincide — else two);
+                   -- half-away ((|s2|+1) // 2) in BIGINT for the
+                   -- even case, one exact display division
+                   CASE WHEN COUNT(*) = 1 THEN SUM(su)
+                        WHEN SUM(su) >= 0 THEN (SUM(su) + 1) // 2
+                        ELSE -((1 - SUM(su)) // 2) END / 1e4
+                       AS theilsen_slope
             FROM ranked
             WHERE rn = (n_pairs + 1) // 2 OR rn = (n_pairs + 2) // 2
             GROUP BY nn, n_pairs

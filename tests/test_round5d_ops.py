@@ -480,15 +480,23 @@ def test_theilsen_matches_bruteforce_median(spark):
         .collect()
     )
     pts = sorted((r.m, r.y) for r in monthly)
+
+    def half_away(n: int, d: int) -> int:
+        # round(n/d) half away from zero in exact integers (d > 0) —
+        # the operator's round-11 quantization spec (Python's round()
+        # is banker's and would disagree on .5 boundaries)
+        return (2 * n + d) // (2 * d) if n >= 0 else -((2 * -n + d) // (2 * d))
+
     sus = sorted(
-        round((y2 - y1) / (m2 - m1) * 100)
+        half_away(100 * (y2 - y1), m2 - m1)
         for i, (m1, y1) in enumerate(pts)
         for (m2, y2) in pts[i + 1 :]
     )
     k = len(sus)
-    med = (sus[(k + 1) // 2 - 1] + sus[(k + 2) // 2 - 1]) / 2.0
+    lo, hi = sus[(k + 1) // 2 - 1], sus[(k + 2) // 2 - 1]
+    med_scaled = lo if lo == hi else half_away(lo + hi, 2)
     assert rows[0].n_pairs == k
-    assert abs(rows[0].theilsen_slope - round(med / 1e4, 4)) < 1e-6
+    assert abs(rows[0].theilsen_slope - med_scaled / 1e4) < 1e-9
 
 
 def test_backtest_naive1_matches_bruteforce(spark):
