@@ -96,11 +96,17 @@ def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     if cached is None:
 
         def build() -> DataFrame:
+            # doc_id is part of the distinct key, so "distinct
+            # (doc_id, sh)" is pure WITHIN-doc dedup — array_distinct
+            # on the per-doc shingle array before the explode computes
+            # it narrowly, with NO corpus shuffle (the row-level
+            # .distinct() spelling hash-shuffled the whole exploded
+            # corpus; its sort-spill at fixed partition counts was the
+            # round-10 superlinear residual, PERF.md)
             docs = load_table(spark, sf_dir, "documents")
-            return (
-                docs.withColumn("w", words())
-                .select("doc_id", F.explode(word_shingles()).alias("sh"))
-                .distinct()
+            return docs.withColumn("w", words()).select(
+                "doc_id",
+                F.explode(F.array_distinct(word_shingles())).alias("sh"),
             )
 
         base = corpus_slug(sf_dir)
@@ -877,10 +883,11 @@ def benchmark_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     one narrow pass plus a shuffle on ``doc_id`` for the count —
     no pair explosion possible since hits aggregate per corpus doc."""
     docs = load_table(spark, sf_dir, "documents")
-    sh = (
-        docs.withColumn("w", words())
-        .select("doc_id", F.explode(word_shingles(k=DECON_K)).alias("sh"))
-        .distinct()
+    # within-doc shingle dedup stays narrow: array_distinct before the
+    # explode (doc_id is in the old distinct key — no corpus shuffle)
+    sh = docs.withColumn("w", words()).select(
+        "doc_id",
+        F.explode(F.array_distinct(word_shingles(k=DECON_K))).alias("sh"),
     )
     bench = (
         sh.filter(F.col("doc_id") < DECON_BENCH_DOCS).select("sh").distinct()
@@ -1162,9 +1169,16 @@ def _subdoc_pair_build(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"slice(w, bs + 1, {BLOCK_WORDS})").alias("bw"),
         )
     )
+    # (doc_id, bs) is in the old distinct key: within-BLOCK dedup,
+    # computed narrowly by array_distinct — deletes a corpus-sized
+    # shuffle AND lets the minhash agg below plan its own (doc_id, bs)
+    # exchange with map-side partials (the row-distinct spelling cost
+    # two exchanges: one on (doc_id, bs, sh), one on (doc_id, bs))
     sh = blk.select(
-        "doc_id", "bs", F.explode(word_shingles("bw")).alias("sh")
-    ).distinct()
+        "doc_id",
+        "bs",
+        F.explode(F.array_distinct(word_shingles("bw"))).alias("sh"),
+    )
     sig = sh.groupBy("doc_id", "bs").agg(
         *[
             F.min(seeded_md5(s, F.col("sh"))).alias(f"mh{s}")
@@ -1824,10 +1838,14 @@ def _bloom_decon_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    sh = (
-        docs.withColumn("w", words())
-        .select("doc_id", F.explode(word_shingles(k=DECON_K)).alias("sh"))
-        .distinct()
+    # the corpus-wide (doc_id, sh) distinct was pure WITHIN-doc dedup
+    # (doc_id is in the key): array_distinct before the explode makes
+    # it narrow — the probe path's last corpus shuffle besides the
+    # final per-doc aggregate is gone (round-10's residual 0.7×-above-
+    # linear sort-spill term at the 1024× decade, PERF.md)
+    sh = docs.withColumn("w", words()).select(
+        "doc_id",
+        F.explode(F.array_distinct(word_shingles(k=DECON_K))).alias("sh"),
     )
     bench = sh.filter(F.col("doc_id") < DECON_BENCH_DOCS).select("sh").distinct()
 

@@ -118,10 +118,12 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling 4-gram fingerprint: min-hash of the shingle set (a
     1-sketch winnowing) + distinct-shingle cardinality per doc."""
     docs = load_table(spark, sf_dir, "documents")
-    sh = (
-        docs.withColumn("w", words())
-        .select("doc_id", F.explode(word_shingles(k=4)).alias("sh"))
-        .distinct()
+    # within-doc distinct via array_distinct (doc_id was in the old
+    # row-distinct key): narrow, no corpus shuffle; the per-doc agg
+    # below keeps its map-side partials
+    sh = docs.withColumn("w", words()).select(
+        "doc_id",
+        F.explode(F.array_distinct(word_shingles(k=4))).alias("sh"),
     )
     return (
         sh.groupBy("doc_id")
