@@ -1207,7 +1207,7 @@ ORACLE_SQL = {
     """,
     "monthly_revenue_growth": """
         WITH m AS (
-            SELECT strftime(o_orderdate, '%Y-%m') AS month,
+            SELECT substr(CAST(CAST(o_orderdate AS DATE) AS STRING), 1, 7) AS month,
                    ROUND(SUM(o_totalprice), 2) AS revenue
             FROM orders
             GROUP BY 1
@@ -1401,7 +1401,7 @@ ORACLE_SQL = {
     """,
     "shipping_priority": """
         SELECT o_orderkey,
-               strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+               CAST(CAST(o_orderdate AS DATE) AS STRING) AS order_date,
                ROUND(CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
                           * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))
                      AS BIGINT) / 10000.0, 4) AS revenue
@@ -1456,7 +1456,7 @@ ORACLE_SQL = {
         ),
         med AS (
             SELECT event_type,
-                   quantile_cont(cents, 0.5) AS med_c,
+                   percentile_cont(0.5) WITHIN GROUP (ORDER BY cents) AS med_c,
                    CAST(COUNT(*) AS BIGINT) AS n_events
             FROM ec GROUP BY event_type
         ),
@@ -1465,7 +1465,7 @@ ORACLE_SQL = {
             FROM ec JOIN med USING (event_type)
         ),
         mad AS (
-            SELECT event_type, quantile_cont(dev, 0.5) AS mad
+            SELECT event_type, percentile_cont(0.5) WITHIN GROUP (ORDER BY dev) AS mad
             FROM dev GROUP BY event_type
         )
         SELECT d.event_type,
@@ -1489,7 +1489,7 @@ ORACLE_SQL = {
             SELECT first_date, CAST(COUNT(*) AS BIGINT) AS new_users
             FROM first_seen GROUP BY first_date
         )
-        SELECT strftime(first_date, '%Y-%m-%d') AS event_date,
+        SELECT CAST(first_date AS STRING) AS event_date,
                new_users,
                CAST(SUM(new_users) OVER (
                    ORDER BY first_date
@@ -1506,13 +1506,13 @@ ORACLE_SQL = {
         ),
         med AS (
             SELECT event_type,
-                   quantile_cont(cents, 0.5) AS med_c,
+                   percentile_cont(0.5) WITHIN GROUP (ORDER BY cents) AS med_c,
                    CAST(COUNT(*) AS BIGINT) AS n_events
             FROM ec GROUP BY event_type
         )
         SELECT ec.event_type,
                MIN(med.med_c) / 100.0 AS median_value,
-               quantile_cont(abs(ec.cents - med.med_c), 0.5) / 100.0
+               percentile_cont(0.5) WITHIN GROUP (ORDER BY abs(ec.cents - med.med_c)) / 100.0
                    AS mad_value,
                MIN(med.n_events) AS n_events
         FROM ec JOIN med USING (event_type)
@@ -1536,7 +1536,7 @@ ORACLE_SQL = {
                    ) AS close_value
             FROM events
         )
-        SELECT strftime(d, '%Y-%m-%d') AS event_date,
+        SELECT CAST(d AS STRING) AS event_date,
                COUNT(*) AS n_events,
                ROUND(MIN(open_value), 2) AS open_value,
                ROUND(MIN(close_value), 2) AS close_value,
@@ -1595,7 +1595,7 @@ ORACLE_SQL = {
                    ) AS BIGINT) AS n_days
             FROM daily
         )
-        SELECT strftime(d, '%Y-%m-%d') AS event_date,
+        SELECT CAST(d AS STRING) AS event_date,
                cents / 100.0 AS total_value,
                ROUND(ma7_cents / (100.0 * n_days), 4) AS ma7_value,
                n_days
@@ -1651,7 +1651,7 @@ ORACLE_SQL = {
     """,
     "top_revenue_orders": """
         SELECT l_orderkey,
-               strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+               CAST(CAST(o_orderdate AS DATE) AS STRING) AS order_date,
                ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
         FROM lineitem
         JOIN orders   ON l_orderkey = o_orderkey
@@ -1705,7 +1705,7 @@ ORACLE_SQL = {
         ORDER BY p_brand, price_rank
     """,
     "daily_active_users": """
-        SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS event_date,
+        SELECT CAST(CAST(ts AS DATE) AS STRING) AS event_date,
                COUNT(DISTINCT user_id) AS dau,
                COUNT(*) AS n_events,
                ROUND(SUM(value), 2) AS total_value

@@ -575,7 +575,7 @@ QUERIES["incremental_agg_refresh"] = incremental_agg_refresh
 # recompute (no base/delta split on the DuckDB side)
 ORACLE_SQL["incremental_agg_refresh"] = """
     SELECT event_type,
-           strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+           CAST(CAST(ts AS DATE) AS STRING) AS day,
            CAST(COUNT(*) AS BIGINT) AS n_events,
            CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
                AS total_cents,

@@ -284,16 +284,16 @@ ORACLE_SQL = {
                    SUM(CAST(ROUND(value * 100) AS BIGINT)) AS day_cents
             FROM events GROUP BY 1
         ),
-        thr AS (SELECT quantile_cont(day_cents, 0.95) AS t FROM daily),
+        thr AS (SELECT percentile_cont(0.95) WITHIN GROUP (ORDER BY day_cents) AS t FROM daily),
         win AS (
             SELECT d AS anchor,
                    d - INTERVAL {_WIN_BEFORE_DAYS} DAY AS w_start,
                    d + INTERVAL {_WIN_AFTER_DAYS} DAY AS w_end
             FROM daily, thr WHERE day_cents > t
         )
-        SELECT strftime(w.anchor, '%Y-%m-%d') AS anchor_date,
-               strftime(w.w_start, '%Y-%m-%d') AS window_start,
-               strftime(w.w_end, '%Y-%m-%d') AS window_end,
+        SELECT CAST(CAST(w.anchor AS DATE) AS STRING) AS anchor_date,
+               CAST(CAST(w.w_start AS DATE) AS STRING) AS window_start,
+               CAST(CAST(w.w_end AS DATE) AS STRING) AS window_end,
                COUNT(*) AS n_events,
                COUNT(DISTINCT e.user_id) AS n_users,
                ROUND(SUM(CAST(ROUND(e.value * 100) AS BIGINT)) / 100.0, 2)

@@ -907,7 +907,7 @@ ORACLE_SQL = {
             HAVING SUM(CAST(l_quantity AS BIGINT)) > 150
         )
         SELECT c.c_custkey, c.c_name, o.o_orderkey,
-               strftime(o.o_orderdate, '%Y-%m-%d') AS order_date,
+               CAST(CAST(o.o_orderdate AS DATE) AS STRING) AS order_date,
                ROUND(o.o_totalprice, 2) AS total_price,
                big.total_qty
         FROM orders o

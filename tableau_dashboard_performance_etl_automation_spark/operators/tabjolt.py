@@ -342,7 +342,7 @@ ORACLE_SQL = {
         )
     """,
     "q_trend_series": """
-        SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS summary_date,
+        SELECT CAST(CAST(ts AS DATE) AS STRING) AS summary_date,
                CAST(FLOOR(ROUND(AVG(value), 4)) AS INTEGER) AS summary_value
         FROM events
         GROUP BY CAST(ts AS DATE)
