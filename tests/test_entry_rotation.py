@@ -207,3 +207,31 @@ def test_no_query_name_collisions_across_modules():
     assert not dupes, f"query name collisions: {dupes}"
     # the merged registry must carry every module-level registration
     assert len(entry_mod.queries()) == len(seen)
+
+
+def test_sql_compat_tolerance_helper():
+    """_within_rel_tol (round-11): known numeric dialect divergences
+    carry their diagnosed scale; the helper must accept drift inside
+    it, reject drift beyond it, and fail closed on shape changes —
+    so an old diagnosis can't keep explaining a regrown mismatch."""
+    import sys
+
+    sys.path.insert(0, os.path.join(ROOT, "tools"))
+    from sql_compat import _within_rel_tol
+
+    cols = ["k", "v"]
+    a = [("x", 1.0000001), ("y", -2.0)]
+    # inside 1e-5 rel tol
+    assert _within_rel_tol(cols, a, cols, [("x", 1.0), ("y", -2.0)], 1e-5)
+    # beyond tol → rejected
+    assert not _within_rel_tol(cols, a, cols, [("x", 1.1), ("y", -2.0)], 1e-5)
+    # non-numeric cell must match exactly
+    assert not _within_rel_tol(cols, a, cols, [("z", 1.0), ("y", -2.0)], 1e-5)
+    # row-count mismatch fails closed
+    assert not _within_rel_tol(cols, a, cols, [("x", 1.0)], 1e-5)
+    # column order may differ; names align the cells
+    assert _within_rel_tol(
+        cols, a, ["v", "k"], [(1.0, "x"), (-2.0, "y")], 1e-5
+    )
+    # near-zero cells use the absolute floor, not pure relative
+    assert _within_rel_tol(["v"], [(1e-9,)], ["v"], [(0.0,)], 1e-5)

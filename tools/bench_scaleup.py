@@ -67,6 +67,16 @@ def build_scaled(spark, base_dir: str, factor: int) -> str:
     reps = F.broadcast(
         spark.range(factor).select(F.col("id").cast("int").alias("r"))
     )
+    # Write MULTI-FILE corpora (round-11): the broadcast cross join
+    # inherits the base table's single input split, so without an
+    # explicit repartition the whole scaled corpus lands in ONE
+    # parquet file — and a narrow (shuffle-free) probe plan then gets
+    # only sizeof(file)/maxPartitionBytes input splits (2-5 tasks on
+    # 32 cores; measured: the shuffle-free bloom probe read FLAT
+    # ~230 s at both 256× and 1024× because wall = work/splits).
+    # Real 100 TB corpora arrive as thousands of files; 32 hash
+    # buckets on the id models that regime. Content is identical —
+    # only the file layout changes.
     docs = load_table(spark, base_dir, "documents")
     n_docs = docs.count()
     (
@@ -87,6 +97,7 @@ def build_scaled(spark, base_dir: str, factor: int) -> str:
             "source",
             "n_chars",
         )
+        .repartition(32, "doc_id")
         .write.mode("overwrite")
         .parquet(f"{out}/documents.parquet")
     )
@@ -106,6 +117,7 @@ def build_scaled(spark, base_dir: str, factor: int) -> str:
                 f"slice(embedding, 1, r % {dim}))"
             ).alias("embedding"),
         )
+        .repartition(32, "vec_id")
         .write.mode("overwrite")
         .parquet(f"{out}/embeddings.parquet")
     )
