@@ -486,10 +486,11 @@ def zonemap_pruning_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["zonemap_pruning_stats"] = zonemap_pruning_stats
 
 ORACLE_SQL["zonemap_pruning_stats"] = f"""
-    SELECT CAST(l_orderkey // {ZONE_STRIDE} AS BIGINT) AS shard_id,
+    SELECT CAST((l_orderkey - (l_orderkey % {ZONE_STRIDE}))
+                / {ZONE_STRIDE} AS BIGINT) AS shard_id,
            CAST(COUNT(*) AS BIGINT) AS n_rows,
-           strftime(MIN(l_shipdate), '%Y-%m-%d') AS min_ship,
-           strftime(MAX(l_shipdate), '%Y-%m-%d') AS max_ship,
+           CAST(CAST(MIN(l_shipdate) AS DATE) AS STRING) AS min_ship,
+           CAST(CAST(MAX(l_shipdate) AS DATE) AS STRING) AS max_ship,
            CAST(MAX(l_shipdate) < TIMESTAMP '{ZONE_PRUNE_TS}'
                 AS INTEGER) AS prunable
     FROM lineitem

@@ -1730,11 +1730,15 @@ def _oracle_sql3() -> dict[str, str]:
                 -- double enters the slope units)
                 SELECT a.nn, a.m AS m1, b.m AS m2,
                        CASE WHEN b.y >= a.y THEN
-                         (200 * (b.y - a.y) + (b.m - a.m))
-                             // (2 * (b.m - a.m))
+                         CAST(((200 * (b.y - a.y) + (b.m - a.m))
+                               - ((200 * (b.y - a.y) + (b.m - a.m))
+                                  % (2 * (b.m - a.m))))
+                              / (2 * (b.m - a.m)) AS BIGINT)
                        ELSE
-                         -((200 * (a.y - b.y) + (b.m - a.m))
-                             // (2 * (b.m - a.m)))
+                         -CAST(((200 * (a.y - b.y) + (b.m - a.m))
+                               - ((200 * (a.y - b.y) + (b.m - a.m))
+                                  % (2 * (b.m - a.m))))
+                              / (2 * (b.m - a.m)) AS BIGINT)
                        END AS su
                 FROM monthly a JOIN monthly b
                   ON a.nn = b.nn AND b.m > a.m
@@ -1757,11 +1761,17 @@ def _oracle_sql3() -> dict[str, str]:
                    -- half-away ((|s2|+1) // 2) in BIGINT for the
                    -- even case, one exact display division
                    CASE WHEN COUNT(*) = 1 THEN SUM(su)
-                        WHEN SUM(su) >= 0 THEN (SUM(su) + 1) // 2
-                        ELSE -((1 - SUM(su)) // 2) END / 1e4
+                        WHEN SUM(su) >= 0 THEN
+                          CAST((SUM(su) + 1 - ((SUM(su) + 1) % 2))
+                               / 2 AS BIGINT)
+                        ELSE
+                          -CAST((1 - SUM(su) - ((1 - SUM(su)) % 2))
+                                / 2 AS BIGINT)
+                        END / 1e4
                        AS theilsen_slope
             FROM ranked
-            WHERE rn = (n_pairs + 1) // 2 OR rn = (n_pairs + 2) // 2
+            WHERE rn = CAST((n_pairs + 1 - ((n_pairs + 1) % 2)) / 2 AS BIGINT)
+               OR rn = CAST((n_pairs + 2 - ((n_pairs + 2) % 2)) / 2 AS BIGINT)
             GROUP BY nn, n_pairs
             ORDER BY nn
         """,
