@@ -345,7 +345,7 @@ ORACLE_SQL = {
     """,
     "source_mixture_weights": """
         WITH per AS (
-            SELECT source, len(string_split(text, ' ')) AS toks
+            SELECT source, (length(text) - length(replace(text, ' ', '')) + 1) AS toks
             FROM documents
         ),
         agg AS (

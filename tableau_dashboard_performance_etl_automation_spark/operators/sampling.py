@@ -1006,7 +1006,7 @@ _POIS_U_SQL = _hex4_sql("pois|", "doc_id")
 
 ORACLE_SQL["ht_estimated_token_total"] = f"""
     WITH t AS (
-        SELECT doc_id, len(string_split(text, ' ')) AS toks
+        SELECT doc_id, (length(text) - length(replace(text, ' ', '')) + 1) AS toks
         FROM documents
     ),
     s AS (

@@ -311,7 +311,7 @@ ORACLE_SQL["tokenizer_fertility_by_lang"] = """
     WITH d AS (
         SELECT lang,
                CAST(n_chars AS BIGINT) AS chars,
-               CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+               CAST((length(text) - length(replace(text, ' ', '')) + 1) AS BIGINT) AS toks
         FROM documents
     )
     SELECT lang,
