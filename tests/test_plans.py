@@ -880,10 +880,12 @@ def test_perf_budget_gate_heavies_carry_scale_evidence():
     timings = bench["queries"]
     if not timings:
         return
-    # builder-box reference for bench.host_probe (min-of-3 of
-    # 0.807/0.712/0.697 → steady 0.70); recalibrate if the probe
-    # workload itself ever changes
-    host_probe_ref = 0.70
+    # builder-box reference for bench.host_probe IN ITS RECORDING
+    # CONTEXT (inside bench.py after the full warm-up pass, where the
+    # JVM is hotter than a standalone session): in-bench samples
+    # 0.445 / 0.556 → 0.50. Recalibrate if the probe workload or its
+    # position in the harness ever changes.
+    host_probe_ref = 0.50
     host_factor = max(
         1.0, bench.get("host_probe_seconds", host_probe_ref) / host_probe_ref
     )
