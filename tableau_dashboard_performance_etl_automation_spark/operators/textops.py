@@ -1642,45 +1642,63 @@ def word_bigram_kn_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode → (w1,w2) hash aggregates; the score lookup broadcasts
     onto the per-doc bigram stream."""
     docs = load_table(spark, sf_dir, "documents")
-    bigrams = docs.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "CASE WHEN size(split(text, ' ')) >= 2 THEN"
-                " transform(sequence(0, size(split(text, ' ')) - 2),"
-                " i -> struct(split(text, ' ')[i] AS w1,"
-                " split(text, ' ')[i + 1] AS w2))"
-                " ELSE array() END"
-            )
-        ).alias("bg"),
-    ).select("doc_id", "bg.w1", "bg.w2")
-    c12 = bigrams.groupBy("w1", "w2").agg(
-        F.count(F.lit(1)).cast("bigint").alias("c12")
+    # split ONCE into a named array column and index into it — the
+    # previous spelling inlined split(text) INSIDE the transform
+    # lambda, which re-split the whole document for every token index
+    # (O(len²) interpreted evals per doc: the round-11 bench caught
+    # the sf0.1 build at 68 s for a 266k-bigram corpus, all of it in
+    # StringSplit.nullSafeEval under ArrayTransform). ws is referenced
+    # several times in the lambda body, so CollapseProject keeps the
+    # projection instead of re-inlining the split. Values identical:
+    # same split, same indices.
+    bigrams = (
+        docs.select("doc_id", F.split(F.col("text"), " ").alias("ws"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(ws) >= 2 THEN"
+                    " transform(sequence(0, size(ws) - 2),"
+                    " i -> struct(ws[i] AS w1, ws[i + 1] AS w2))"
+                    " ELSE array() END"
+                )
+            ).alias("bg"),
+        )
+        .select("doc_id", "bg.w1", "bg.w2")
     )
-    ctx = c12.groupBy("w1").agg(
-        F.sum("c12").alias("c1"),
-        F.count(F.lit(1)).cast("bigint").alias("n1p_fol"),
-    )
-    prec = c12.groupBy("w2").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n1p_prec")
-    )
-    btypes = F.broadcast(
-        c12.agg(F.count(F.lit(1)).cast("bigint").alias("b_types"))
-    )
-    d = F.lit(KN_DISCOUNT)
-    p = (
-        F.greatest(F.col("c12") - d, F.lit(0.0)) / F.col("c1")
-        + d
-        * F.col("n1p_fol")
-        / F.col("c1")
-        * (F.col("n1p_prec") / F.col("b_types"))
-    )
-
     # the TYPE-level score table is the trained LM — persist it per
     # corpus (vocab²-bounded, deterministic: every input is an exact
     # BIGINT count and log2 is evaluated once per type); steady state
     # pays only the per-doc bigram stream + broadcast lookup
     def _build_scores() -> DataFrame:
+        # materialize the (w1, w2, c12) type table ONCE: ctx, prec,
+        # btypes and the final join all derive from it, and without
+        # the checkpoint each branch re-ran the full corpus explode +
+        # (w1,w2) aggregate (4 corpus passes per build — the round-11
+        # bench measured the sf0.1 build at 20.7 s with them, 6.9 s
+        # without). The table is vocab²-bounded (931 rows at sf0.1),
+        # build-time only, so the pinned blocks are trivial.
+        c12 = bigrams.groupBy("w1", "w2").agg(
+            F.count(F.lit(1)).cast("bigint").alias("c12")
+        ).localCheckpoint()
+        ctx = c12.groupBy("w1").agg(
+            F.sum("c12").alias("c1"),
+            F.count(F.lit(1)).cast("bigint").alias("n1p_fol"),
+        )
+        prec = c12.groupBy("w2").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n1p_prec")
+        )
+        btypes = F.broadcast(
+            c12.agg(F.count(F.lit(1)).cast("bigint").alias("b_types"))
+        )
+        d = F.lit(KN_DISCOUNT)
+        p = (
+            F.greatest(F.col("c12") - d, F.lit(0.0)) / F.col("c1")
+            + d
+            * F.col("n1p_fol")
+            / F.col("c1")
+            * (F.col("n1p_prec") / F.col("b_types"))
+        )
         return (
             c12.join(ctx, "w1")
             .join(prec, "w2")
