@@ -434,25 +434,35 @@ def _grouped_median_parts(df: DataFrame, key: str, val: str) -> DataFrame:
     (integer cents) stays thousands of rows per key while the row
     count grows unbounded."""
     counts = df.groupBy(key, val).agg(F.count(F.lit(1)).alias("cnt"))
+    return _median_from_counts(counts, key, val)
+
+
+def _median_from_counts(counts: DataFrame, key: str, val: str) -> DataFrame:
+    """:func:`_grouped_median_parts` on a PRE-COMPACTED
+    (key, value, cnt) frame.  The per-key total ``n`` comes from a
+    second window over the SAME (key)-partitioning as the cumulative
+    window — one exchange, one sort — instead of the old
+    ``df.groupBy(key).count()`` + join-back, which re-ran the whole
+    upstream subtree (a full input scan per call: round-11 plan audit
+    counted 11 scans in ``value_robust_outlier_rates``) and paid an
+    extra exchange for the join."""
     w = Window.partitionBy(key).orderBy(val)
-    cum = counts.withColumn("hi", F.sum("cnt").over(w)).withColumn(
-        "lo", F.col("hi") - F.col("cnt")
+    wk = Window.partitionBy(key)
+    cum = (
+        counts.withColumn("hi", F.sum("cnt").over(w))
+        .withColumn("lo", F.col("hi") - F.col("cnt"))
+        .withColumn("n", F.sum("cnt").over(wk))
     )
-    totals = df.groupBy(key).agg(F.count(F.lit(1)).alias("n"))
     k1 = F.expr("(n - 1) DIV 2")  # 0-based lower middle
     k2 = F.expr("n DIV 2")  # 0-based upper middle
-    return (
-        cum.join(totals, key)
-        .groupBy(key)
-        .agg(
-            F.max(
-                F.when((F.col("lo") <= k1) & (k1 < F.col("hi")), F.col(val))
-            ).alias("m1"),
-            F.max(
-                F.when((F.col("lo") <= k2) & (k2 < F.col("hi")), F.col(val))
-            ).alias("m2"),
-            F.max("n").alias("n"),
-        )
+    return cum.groupBy(key).agg(
+        F.max(
+            F.when((F.col("lo") <= k1) & (k1 < F.col("hi")), F.col(val))
+        ).alias("m1"),
+        F.max(
+            F.when((F.col("lo") <= k2) & (k2 < F.col("hi")), F.col(val))
+        ).alias("m2"),
+        F.max("n").alias("n"),
     )
 
 
@@ -469,19 +479,36 @@ def event_type_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     produces is a dyadic rational computed exactly in IEEE doubles,
     so the single final rounding matches bit-for-bit."""
     e = load_table(spark, sf_dir, "events")
-    ec = e.select(
-        "event_type", F.round(F.col("value") * 100).cast("bigint").alias("cents")
+    # ONE corpus compaction serves both median passes: the deviation
+    # distribution is a pure per-(type, cents) relabeling — each raw
+    # row maps to exactly one dev value — so it can be derived from
+    # the (type, cents, cnt) compaction and re-compacted by dev_hc
+    # without ever touching the raw rows again (the old form re-ran
+    # the events scan + join for the deviation pass).
+    ecc = (
+        e.select(
+            "event_type",
+            F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+        .groupBy("event_type", "cents")
+        .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    med = _grouped_median_parts(ec, "event_type", "cents").select(
+    med = _median_from_counts(ecc, "event_type", "cents").select(
         "event_type",
         (F.col("m1") + F.col("m2")).alias("med_hc"),  # 2×median, exact int
         "n",
     )
-    dev = ec.join(F.broadcast(med), "event_type").select(
-        "event_type",
-        F.abs(F.lit(2) * F.col("cents") - F.col("med_hc")).alias("dev_hc"),
+    devc = (
+        ecc.join(F.broadcast(med.select("event_type", "med_hc")), "event_type")
+        .select(
+            "event_type",
+            F.abs(F.lit(2) * F.col("cents") - F.col("med_hc")).alias("dev_hc"),
+            "cnt",
+        )
+        .groupBy("event_type", "dev_hc")
+        .agg(F.sum("cnt").alias("cnt"))
     )
-    mad = _grouped_median_parts(dev, "event_type", "dev_hc")
+    mad = _median_from_counts(devc, "event_type", "dev_hc")
     return (
         med.join(mad.select("event_type", "m1", "m2"), "event_type")
         .select(
@@ -504,24 +531,41 @@ def value_robust_outlier_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     3.5×MAD comparison is integer-exact — ``4·dev_hc > 7·(d1+d2)``
     in half-cent units — so both engines flag identical rows."""
     e = load_table(spark, sf_dir, "events")
-    ec = e.select(
-        "event_type", F.round(F.col("value") * 100).cast("bigint").alias("cents")
+    # same single-compaction discipline as event_type_robust_stats:
+    # median, MAD and the outlier COUNT are all functions of the
+    # (type, value, count) distribution, so the raw rows are read
+    # once — the outlier tally sums compaction counts over the
+    # flagged dev values instead of re-scanning and re-joining the
+    # deviation stream (the old form's third full pass).
+    ecc = (
+        e.select(
+            "event_type",
+            F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+        .groupBy("event_type", "cents")
+        .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    med = _grouped_median_parts(ec, "event_type", "cents").select(
+    med = _median_from_counts(ecc, "event_type", "cents").select(
         "event_type", (F.col("m1") + F.col("m2")).alias("med_hc"), "n"
     )
-    dev = ec.join(F.broadcast(med), "event_type").select(
-        "event_type",
-        F.abs(F.lit(2) * F.col("cents") - F.col("med_hc")).alias("dev_hc"),
+    devc = (
+        ecc.join(F.broadcast(med.select("event_type", "med_hc")), "event_type")
+        .select(
+            "event_type",
+            F.abs(F.lit(2) * F.col("cents") - F.col("med_hc")).alias("dev_hc"),
+            "cnt",
+        )
+        .groupBy("event_type", "dev_hc")
+        .agg(F.sum("cnt").alias("cnt"))
     )
-    mad = _grouped_median_parts(dev, "event_type", "dev_hc").select(
+    mad = _median_from_counts(devc, "event_type", "dev_hc").select(
         "event_type", (F.col("m1") + F.col("m2")).alias("dsum")
     )
     outliers = (
-        dev.join(F.broadcast(mad), "event_type")
+        devc.join(F.broadcast(mad), "event_type")
         .filter(F.lit(4) * F.col("dev_hc") > F.lit(7) * F.col("dsum"))
         .groupBy("event_type")
-        .agg(F.count(F.lit(1)).alias("n_outliers"))
+        .agg(F.sum("cnt").cast("bigint").alias("n_outliers"))
     )
     return (
         med.join(outliers, "event_type", "left")
@@ -1963,15 +2007,19 @@ def winsorized_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("cnt")
     )
     w = Window.partitionBy("event_type").orderBy("cents")
-    cum = counts.withColumn("hic", F.sum("cnt").over(w)).withColumn(
-        "loc", F.col("hic") - F.col("cnt")
+    wk = Window.partitionBy("event_type")
+    cum = (
+        counts.withColumn("hic", F.sum("cnt").over(w))
+        .withColumn("loc", F.col("hic") - F.col("cnt"))
+        # per-type total from the SAME partitioning as the cumulative
+        # window (no extra exchange) instead of a groupBy + join-back
+        # that re-ran the counts aggregate subtree
+        .withColumn("n", F.sum("cnt").over(wk))
     )
-    totals = counts.groupBy("event_type").agg(F.sum("cnt").alias("n"))
     k_lo = F.ceil(F.lit(WINSOR_LO) * F.col("n"))
     k_hi = F.ceil(F.lit(WINSOR_HI) * F.col("n"))
     thresholds = F.broadcast(
-        cum.join(totals, "event_type")
-        .groupBy("event_type")
+        cum.groupBy("event_type")
         .agg(
             F.max(
                 F.when(

@@ -21,7 +21,6 @@ from pyspark.sql.window import Window
 from tableau_dashboard_performance_etl_automation_spark.catalog import load_table
 from tableau_dashboard_performance_etl_automation_spark.operators.analytics import (
     SESSION_GAP_MS,
-    _grouped_median_parts,
     with_session_ids,
 )
 
@@ -352,40 +351,52 @@ def segment_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("gap_days"),
         )
     )
-    med = _grouped_median_parts(gaps, "c_mktsegment", "gap_days").drop("n")
+    # ONE (segment, gap, cnt) compaction feeds median AND p90 through
+    # a single cumulative/total window pair and ONE conditional
+    # aggregate — the old form ran the LAG decomposition four times
+    # (median counts + totals, p90 counts + totals) with two
+    # join-backs; round-11 shuffle-count audit motivated the fold.
     counts = gaps.groupBy("c_mktsegment", "gap_days").agg(
         F.count(F.lit(1)).alias("cnt")
     )
     w2 = Window.partitionBy("c_mktsegment").orderBy("gap_days")
-    cum = counts.withColumn("hi", F.sum("cnt").over(w2)).withColumn(
-        "lo", F.col("hi") - F.col("cnt")
+    wk = Window.partitionBy("c_mktsegment")
+    cum = (
+        counts.withColumn("hi", F.sum("cnt").over(w2))
+        .withColumn("lo", F.col("hi") - F.col("cnt"))
+        .withColumn("n", F.sum("cnt").over(wk))
     )
-    totals = gaps.groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("n"))
+    k1 = F.expr("(n - 1) DIV 2")  # 0-based lower middle
+    k2 = F.expr("n DIV 2")  # 0-based upper middle
     # nearest-rank p90: 0-based index ceil(0.9*n) - 1
     k90 = F.expr("(9 * n + 9) DIV 10 - 1")
-    p90 = (
-        cum.join(totals, "c_mktsegment")
-        .groupBy("c_mktsegment")
-        .agg(
-            F.max(
-                F.when(
-                    (F.col("lo") <= k90) & (k90 < F.col("hi")),
-                    F.col("gap_days"),
-                )
-            ).alias("p90_gap_days"),
-            F.max("n").cast("bigint").alias("n_gaps"),
-        )
+    stats = cum.groupBy("c_mktsegment").agg(
+        F.max(
+            F.when(
+                (F.col("lo") <= k1) & (k1 < F.col("hi")),
+                F.col("gap_days"),
+            )
+        ).alias("m1"),
+        F.max(
+            F.when(
+                (F.col("lo") <= k2) & (k2 < F.col("hi")),
+                F.col("gap_days"),
+            )
+        ).alias("m2"),
+        F.max(
+            F.when(
+                (F.col("lo") <= k90) & (k90 < F.col("hi")),
+                F.col("gap_days"),
+            )
+        ).alias("p90_gap_days"),
+        F.max("n").cast("bigint").alias("n_gaps"),
     )
-    return (
-        med.join(p90, "c_mktsegment")
-        .select(
-            "c_mktsegment",
-            "n_gaps",
-            ((F.col("m1") + F.col("m2")) / 2.0).alias("median_gap_days"),
-            "p90_gap_days",
-        )
-        .orderBy("c_mktsegment")
-    )
+    return stats.select(
+        "c_mktsegment",
+        "n_gaps",
+        ((F.col("m1") + F.col("m2")) / 2.0).alias("median_gap_days"),
+        "p90_gap_days",
+    ).orderBy("c_mktsegment")
 
 
 def skyline_orders(spark: SparkSession, sf_dir: str) -> DataFrame:

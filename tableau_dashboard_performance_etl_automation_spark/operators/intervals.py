@@ -409,7 +409,11 @@ def rolling_p95_value_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("d", "cents")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    days = comp.select("d").distinct().select(F.col("d").alias("t"))
+    # a target day is VALID iff it has its own events (the old spelling
+    # semi-joined against a distinct-days table, which re-ran the comp
+    # aggregate and paid a join exchange); the same fact rides along
+    # the fan-out as a per-row flag — max'd per (t, cents) group and
+    # then per t — so one corpus compaction feeds everything.
     fanned = comp.withColumn(
         "t",
         F.explode(
@@ -417,18 +421,26 @@ def rolling_p95_value_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("d"), F.date_add(F.col("d"), ROLLP_DAYS - 1)
             )
         ),
-    ).join(days, "t", "left_semi")
-    merged = fanned.groupBy("t", "cents").agg(F.sum("cnt").alias("cnt"))
-    w = Window.partitionBy("t").orderBy("cents")
-    cum = merged.withColumn("hi", F.sum("cnt").over(w)).withColumn(
-        "lo", F.col("hi") - F.col("cnt")
     )
-    totals = merged.groupBy("t").agg(F.sum("cnt").alias("n"))
+    merged = fanned.groupBy("t", "cents").agg(
+        F.sum("cnt").alias("cnt"),
+        F.max((F.col("d") == F.col("t")).cast("int")).alias("own"),
+    )
+    w = Window.partitionBy("t").orderBy("cents")
+    wk = Window.partitionBy("t")
+    cum = (
+        merged.withColumn("hi", F.sum("cnt").over(w))
+        .withColumn("lo", F.col("hi") - F.col("cnt"))
+        # per-target total and day-validity from the SAME t-partition
+        # the cumulative window established — no groupBy + join-back
+        .withColumn("n", F.sum("cnt").over(wk))
+        .withColumn("has_own", F.max("own").over(wk))
+    )
     idx = F.lit(ROLLP_Q) * (F.col("n") - 1)
     j_f = F.floor(idx).cast("bigint")
     j_c = j_f + (idx > j_f.cast("double")).cast("bigint")
     picked = (
-        cum.join(totals, "t")
+        cum.filter(F.col("has_own") == 1)
         .withColumn("j_f", j_f)
         .withColumn("j_c", j_c)
         .groupBy("t", "n")

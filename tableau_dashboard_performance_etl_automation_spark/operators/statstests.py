@@ -1601,12 +1601,15 @@ def nation_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     wn = Window.partitionBy("nn").orderBy("su", "m1", "m2")
-    cnt = slopes.groupBy("nn").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_pairs")
-    )
+    # pair count from a second window over the SAME nn-partitioning
+    # as the rank window (no extra exchange) — the old groupBy + join
+    # re-ran the whole monthly self-join subtree to count its rows
     med = (
         slopes.withColumn("rn", F.row_number().over(wn))
-        .join(F.broadcast(cnt), "nn")
+        .withColumn(
+            "n_pairs",
+            F.count(F.lit(1)).over(Window.partitionBy("nn")).cast("bigint"),
+        )
         .filter(
             (F.col("rn") == F.expr("(n_pairs + 1) DIV 2"))
             | (F.col("rn") == F.expr("(n_pairs + 2) DIV 2"))
@@ -1924,20 +1927,23 @@ def length_qq_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     cum = comp.select(
-        "source", "v", F.sum("c").over(wc).alias("cum")
+        "source",
+        "v",
+        F.sum("c").over(wc).alias("cum"),
+        # per-source total from the same source-partitioning as the
+        # cumulative window — the old groupBy + join-back re-ran the
+        # compaction subtree (a second documents scan) to count it
+        F.sum("c").over(Window.partitionBy("source")).alias("n"),
     )
-    totals = comp.groupBy("source").agg(F.sum("c").alias("n"))
     spine = spark.range(1, QQ_DECILES + 1).select(
         F.col("id").cast("int").alias("decile")
     )
-    targets = totals.crossJoin(F.broadcast(spine)).select(
-        "source",
-        "decile",
-        F.expr("CAST((decile * n + 9) DIV 10 AS BIGINT)").alias("target"),
-    )
     qs = (
-        cum.join(targets, "source")
-        .filter(F.col("cum") >= F.col("target"))
+        cum.crossJoin(F.broadcast(spine))
+        .filter(
+            F.col("cum")
+            >= F.expr("CAST((decile * n + 9) DIV 10 AS BIGINT)")
+        )
         .groupBy("source", "decile")
         .agg(F.min("v").alias("q"))
     )
