@@ -1424,24 +1424,44 @@ def join_estimate_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     truth)."""
     legs = []
     for name, lt, lk, rt, rk in JOIN_CANDIDATES:
-        lstats = load_table(spark, sf_dir, lt).agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_l"),
-            F.countDistinct(lk).cast("bigint").alias("ndv_l"),
+        # ONE per-key compaction per side feeds both the statistics
+        # and the ground-truth count (round-11): n = Σcnt,
+        # ndv = #non-null groups, and the actual join cardinality is
+        # Σ cnt_l·cnt_r over matching keys — so the join shuffles
+        # (key, count) rows bounded by the key domain instead of every
+        # fact row, and the old separate COUNT/COUNT DISTINCT pass
+        # (its own two-exchange aggregate over the raw table) is
+        # derived from the same compaction.
+        lg = (
+            load_table(spark, sf_dir, lt)
+            .groupBy(F.col(lk).alias("k"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
         )
-        rstats = load_table(spark, sf_dir, rt).agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_r"),
-            F.countDistinct(rk).cast("bigint").alias("ndv_r"),
+        rg = (
+            load_table(spark, sf_dir, rt)
+            .groupBy(F.col(rk).alias("k"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        lstats = lg.agg(
+            F.sum("cnt").cast("bigint").alias("n_l"),
+            F.sum(F.when(F.col("k").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("ndv_l"),
+        )
+        rstats = rg.agg(
+            F.sum("cnt").cast("bigint").alias("n_r"),
+            F.sum(F.when(F.col("k").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("ndv_r"),
         )
         actual = (
-            load_table(spark, sf_dir, lt)
-            .select(F.col(lk).alias("k"))
-            .join(
-                load_table(spark, sf_dir, rt).select(
-                    F.col(rk).alias("k")
-                ),
-                "k",
+            lg.select("k", F.col("cnt").alias("cnt_l"))
+            .join(rg.select("k", F.col("cnt").alias("cnt_r")), "k")
+            .agg(
+                F.coalesce(F.sum(F.col("cnt_l") * F.col("cnt_r")), F.lit(0))
+                .cast("bigint")
+                .alias("actual_rows")
             )
-            .agg(F.count(F.lit(1)).cast("bigint").alias("actual_rows"))
         )
         est = F.floor(
             F.col("n_l").cast("double")
