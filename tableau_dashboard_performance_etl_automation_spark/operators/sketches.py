@@ -362,22 +362,29 @@ def hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     the estimate is reduction-order-independent.
     """
     events = load_table(spark, sf_dir, "events")
+    # ONE distinct (type, user) pass feeds sketch AND exact count
+    # (round-11): duplicate users land identical (reg, ρ) rows, so
+    # hashing the distinct set is max-identical to hashing the raw
+    # stream — and the md5 now runs once per distinct user instead of
+    # once per event. The old second full-events COUNT DISTINCT pass
+    # becomes a count over the same frame.
+    du = events.select("event_type", "user_id").distinct()
     h = F.md5(F.col("user_id").cast("string"))
     reg = md5_hex_int(h, 1, 2) % HLL_M
     w = (
         md5_hex_int(h, 3, 4).cast("bigint") * 65536
         + md5_hex_int(h, 7, 4).cast("bigint")
     )
-    rho = (
-        F.length(
-            F.regexp_extract(
-                F.lpad(F.bin(w), _HLL_W_BITS, "0"), "^0*", 0
-            )
-        )
-        + 1
+    # ρ = leading zeros + 1 over the 32-bit suffix, in pure integer
+    # arithmetic: bin(w) drops leading zeros, so for w > 0 the count
+    # is 32 − length(bin(w)); the w = 0 row is the all-zero register
+    # (ρ = 33). Bit-identical to the old lpad+regexp spelling, minus
+    # a regex engine call per row.
+    rho = F.when(w > 0, F.lit(_HLL_W_BITS + 1) - F.length(F.bin(w))).otherwise(
+        F.lit(_HLL_W_BITS + 1)
     )
     regs = (
-        events.select("event_type", reg.alias("reg"), rho.alias("rho"))
+        du.select("event_type", reg.alias("reg"), rho.alias("rho"))
         .groupBy("event_type", "reg")
         .agg(F.max("rho").alias("mreg"))
     )
@@ -393,8 +400,10 @@ def hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         (raw <= 2.5 * HLL_M) & (v_empty > 0),
         F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / v_empty),
     ).otherwise(raw)
-    exact = events.groupBy("event_type").agg(
-        F.countDistinct("user_id").cast("bigint").alias("n_exact")
+    # COUNT(user_id) over the distinct frame ≡ COUNT(DISTINCT user_id)
+    # over the raw stream (both skip NULLs)
+    exact = du.groupBy("event_type").agg(
+        F.count("user_id").cast("bigint").alias("n_exact")
     )
     return (
         per_type.join(exact, "event_type")
