@@ -105,9 +105,30 @@ def test_reworked_greens_promoted_by_digest_mismatch():
     assert stale <= green, "stale set must be a subset of greens"
     keys = list(entry_mod.queries())
     window = set(keys[:50])
-    assert stale <= window, (
-        f"reworked greens escaped the 50-slot window: {stale - window}"
-    )
+    if len(stale) <= 50 - len(window - green):
+        # everything fits: full containment, the original invariant
+        assert stale <= window, (
+            f"reworked greens escaped the 50-slot window: {stale - window}"
+        )
+    else:
+        # round-11: an optimization round can rework more greens than
+        # one driver window holds (53 stale vs 50 slots). The
+        # invariant then weakens to PRIORITIZED overflow: every window
+        # slot not taken by a never-green entry holds a stale green,
+        # and the escapees are exactly the stale entries with the
+        # NEWEST last-green rounds (they head next round's queue).
+        in_window_fresh = window & (green - stale)
+        assert not in_window_fresh, (
+            "window wasted slots on fresh greens while reworked "
+            f"greens overflowed: {in_window_fresh}"
+        )
+        rounds = entry_mod._green_rounds()
+        escaped = stale - window
+        max_windowed_stale = max(rounds[k] for k in stale & window)
+        assert all(rounds[k] >= max_windowed_stale for k in escaped), (
+            "a STALER rework escaped while a fresher one sat in the "
+            f"window: {escaped}"
+        )
 
 
 def test_digest_is_deterministic_and_source_sensitive():
