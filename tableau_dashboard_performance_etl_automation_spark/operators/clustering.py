@@ -1307,9 +1307,35 @@ def event_markov_stationary(
     Returns (event_type, stationary_micro, stationary) ordered by
     event_type.
     """
+    trans = _markov_trans(spark, sf_dir)
+    # LIMIT bound+1 keeps the dispatch probe ONE job and caps driver
+    # memory: if the limit fills past the bound, the domain is large —
+    # dispatch to the DataFrame-resident path without ever collecting
+    # the full matrix
+    max_cells = _markov_max_cells()
+    rows = trans.limit(max_cells + 1).collect()
+    if len(rows) > max_cells:
+        # unbounded state space: the matrix and mass vector stay
+        # DataFrames — same numbers (see _markov_df_resident)
+        return _markov_df_resident(spark, trans)
+    srcs, v = _markov_stationary_from_rows(rows)
+    out_rows = [
+        (t, v[t], round(v[t] / MARKOV_UNIT, 6)) for t in srcs
+    ]
+    return spark.createDataFrame(
+        out_rows,
+        "event_type STRING, stationary_micro BIGINT, stationary DOUBLE",
+    ).orderBy("event_type")
+
+
+def _markov_trans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-user consecutive (cur → nxt) transition census — the
+    ONE distributed pass both the stationary solver and
+    ``statstests.markov_entropy_rate`` run from (shared so composers
+    collect it once instead of re-running the lead window)."""
     e = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    trans = (
+    return (
         e.select(
             "user_id",
             "ts",
@@ -1321,19 +1347,15 @@ def event_markov_stationary(
         .groupBy("cur", "nxt")
         .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
     )
-    # LIMIT bound+1 keeps the dispatch probe ONE job and caps driver
-    # memory: if the limit fills past the bound, the domain is large —
-    # dispatch to the DataFrame-resident path without ever collecting
-    # the full matrix
-    max_cells = _markov_max_cells()
-    rows = trans.limit(max_cells + 1).collect()
-    if len(rows) > max_cells:
-        # unbounded state space: the matrix and mass vector stay
-        # DataFrames — same numbers (see _markov_df_resident)
-        return _markov_df_resident(spark, trans)
+
+
+def _markov_stationary_from_rows(rows) -> tuple[list, dict]:
+    """Driver-side exact-integer power iteration over collected census
+    rows (the bounded-domain path): restrict to the closed sub-chain
+    over source types, iterate ``floor(v·w/out)`` updates. Returns
+    (sorted source types, stationary micro-mass per type)."""
     srcs = sorted({r.cur for r in rows})
     sset = set(srcs)
-    # restrict to the closed sub-chain over source types
     mat: dict = {}
     out: dict = {}
     for r in rows:
@@ -1346,13 +1368,7 @@ def event_markov_stationary(
         for (cur, nxt), wt in sorted(mat.items()):
             nv[nxt] += (v[cur] * wt) // out[cur]
         v = nv
-    out_rows = [
-        (t, v[t], round(v[t] / MARKOV_UNIT, 6)) for t in srcs
-    ]
-    return spark.createDataFrame(
-        out_rows,
-        "event_type STRING, stationary_micro BIGINT, stationary DOUBLE",
-    ).orderBy("event_type")
+    return srcs, v
 
 
 QUERIES["event_markov_stationary"] = event_markov_stationary

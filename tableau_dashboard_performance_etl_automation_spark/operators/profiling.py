@@ -1213,9 +1213,15 @@ def range_partition_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.orderBy("cents").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    tot = dom.agg(F.sum("n").alias("total"))
-    cum = dom.withColumn("cum", F.sum("n").over(w)).crossJoin(
-        F.broadcast(tot)  # 1-row total
+    # the grand total is a whole-partition window sum over the SAME
+    # global ordering the cumulative window established — no separate
+    # aggregate job + 1-row broadcast crossJoin (which re-ran the
+    # compaction's final hash-agg and added two exchanges)
+    wt = Window.orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = dom.withColumn("cum", F.sum("n").over(w)).withColumn(
+        "total", F.sum("n").over(wt)
     )
     # range id of a value v: number of boundaries b_k with cum(<=v)
     # crossing k*total/K — computed arithmetically from the cum count

@@ -372,18 +372,19 @@ def order_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     cum = counts.withColumn("hi", F.sum("cnt").over(w)).withColumn(
         "lo", F.col("hi") - F.col("cnt")
     )
-    # totals fold from the compaction (sum of counts), not from a
-    # second scan of the raw fact table
-    totals = counts.groupBy("o_orderpriority").agg(
-        F.sum("cnt").alias("n")
-    )
+    # the per-key total is a whole-partition window sum over the SAME
+    # partitioning the cumulative window established — no second
+    # aggregate of the compaction, no join-back (which re-ran the
+    # scan+hash-agg subtree and added a broadcast exchange)
     t = F.col("quartile").cast("bigint")
     base = F.expr("n DIV 4")
     rem = F.col("n") % 4
     b_hi = t * base + F.least(t, rem)
     b_lo = (t - 1) * base + F.least(t - 1, rem)
     tiled = (
-        cum.join(F.broadcast(totals), "o_orderpriority")
+        cum.withColumn(
+            "n", F.sum("cnt").over(Window.partitionBy("o_orderpriority"))
+        )
         .withColumn(
             "quartile", F.explode(F.sequence(F.lit(1), F.lit(4)))
         )

@@ -51,33 +51,18 @@ def heavy_hitter_users_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the exact count joined alongside so the report shows the
     sketch's (one-sided) error.
 
-    Scale shape: building the sketch is one explode (D rows per
-    event) + a hash aggregate onto at most D×W = 1024 cells —
-    map-side combined, so the shuffle carries ≤1024 rows per
-    partition no matter how many events or users exist. Querying it
-    for every distinct user is a broadcast join of the 1024-cell grid
-    onto the distinct-user set (itself the only key-cardinality
-    shuffle, and it exists only because the report enumerates
-    candidates — a deployment queries specific keys against the tiny
-    grid). The exact count is joined only for the error column."""
+    Scale shape: every event of a user lands in the SAME D cells (the
+    bucket is a pure function of user_id), so the sketch is built from
+    the per-user exact counts — cell cnt = Σ exact_count over users
+    hashing there — instead of exploding D structs per EVENT: one
+    hash aggregate over the stream (map-side combined, needed for the
+    error column anyway), then md5 per DISTINCT user. The cell build
+    and the probe side aggregate the same user exchange (AQE runs it
+    once); the 1024-cell grid broadcasts onto the distinct-user set
+    (the only key-cardinality shuffle, and it exists only because the
+    report enumerates candidates — a deployment queries specific keys
+    against the tiny grid)."""
     events = load_table(spark, sf_dir, "events").select("user_id")
-    cells = (
-        events.select(
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(r).alias("r"),
-                            _bucket(r, F.col("user_id")).alias("bucket"),
-                        )
-                        for r in range(CMS_DEPTH)
-                    ]
-                )
-            ).alias("cell")
-        )
-        .groupBy("cell.r", "cell.bucket")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
     exact = events.groupBy("user_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("exact_count")
     )
@@ -96,6 +81,9 @@ def heavy_hitter_users_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("cell"),
     ).select("user_id", "exact_count", "cell.r", "cell.bucket")
+    cells = probes.groupBy("r", "bucket").agg(
+        F.sum("exact_count").alias("cnt")
+    )
     return (
         probes.join(F.broadcast(cells), ["r", "bucket"])
         .groupBy("user_id", "exact_count")

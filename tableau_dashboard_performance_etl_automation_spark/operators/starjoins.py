@@ -16,6 +16,7 @@ identical in both engines.
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
 
 from tableau_dashboard_performance_etl_automation_spark.catalog import load_table
 
@@ -273,10 +274,11 @@ def order_last_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
     expressed as two aggregates and a join-back instead of correlated
     subqueries.
 
-    Plan: both aggregates and the join-back share the l_orderkey
-    hash partitioning, so the self-join adds no extra shuffle beyond
-    the first groupBy; uniqueness (`n_tied = 1`) replaces the NOT
-    EXISTS.
+    Plan: the per-order max/count are window functions over the SAME
+    l_orderkey partitioning the final per-order aggregate needs — one
+    exchange, one pass over the compacted table, no groupBy+join-back
+    (which re-read the table and added a join exchange); uniqueness
+    (`n_tied = 1`) replaces the NOT EXISTS.
     """
     li = load_table(spark, sf_dir, "lineitem")
 
@@ -301,12 +303,10 @@ def order_last_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
         sf_dir,
         _build_per_supp,
     )
-    per_order = per_supp.groupBy("l_orderkey").agg(
-        F.max("supp_last").alias("order_last"),
-        F.count(F.lit(1)).alias("n_supp"),
-    )
+    ow = Window.partitionBy("l_orderkey")
     laggards = (
-        per_supp.join(per_order, "l_orderkey")
+        per_supp.withColumn("order_last", F.max("supp_last").over(ow))
+        .withColumn("n_supp", F.count(F.lit(1)).over(ow))
         .filter(
             (F.col("n_supp") >= 2)
             & (F.col("supp_last") == F.col("order_last"))

@@ -1972,40 +1972,56 @@ def markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     predictable is user behavior" (0 = deterministic loops,
     log2(|types|) = uniform chaos), with the uniform bound alongside.
 
-    Composes :func:`clustering.event_markov_stationary` (exact
-    integer-unit pi). Each cell's term is a closed-form double of
-    exact integers quantized to 1e-6 units, so the final sum over the
-    bounded |types|² grid is order-free."""
+    Composes :func:`clustering.event_markov_stationary`'s solver
+    (exact integer-unit pi) — from ONE shared census: the previous
+    form ran the full per-user lead window TWICE per execution (once
+    eagerly inside the stationary solver's collect, once lazily in
+    its own transition census). Now the bounded-domain path collects
+    the census once, power-iterates pi driver-side from those same
+    rows, and feeds the |types|²-bounded cell grid back as local
+    data — the entropy expressions below are unchanged Spark
+    expressions, so every double is bit-identical. Each cell's term
+    is a closed-form double of exact integers quantized to 1e-6
+    units, so the final sum over the bounded grid is order-free."""
     from tableau_dashboard_performance_etl_automation_spark.operators.clustering import (
-        event_markov_stationary,
         MARKOV_UNIT,
+        _markov_max_cells,
+        _markov_stationary_from_rows,
+        _markov_trans,
+        event_markov_stationary,
     )
 
-    e = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    trans = (
-        e.select(
-            "user_id",
-            "ts",
-            "event_id",
-            F.col("event_type").alias("cur"),
+    trans = _markov_trans(spark, sf_dir)
+    max_cells = _markov_max_cells()
+    rows = trans.limit(max_cells + 1).collect()
+    if len(rows) <= max_cells:
+        srcs, v = _markov_stationary_from_rows(rows)
+        sset = set(srcs)
+        # restrict to the closed sub-chain the solver used (both
+        # endpoints source types); every cur is a source by
+        # construction, so only the nxt restriction filters
+        cells = spark.createDataFrame(
+            [
+                (r.cur, r.nxt, r.w, v[r.cur])
+                for r in rows
+                if r.nxt in sset
+            ],
+            "cur STRING, nxt STRING, tw BIGINT, pi_u BIGINT",
         )
-        .withColumn("nxt", F.lead("cur").over(w))
-        .filter(F.col("nxt").isNotNull())
-        .groupBy("cur", "nxt")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("tw"))
-    )
-    pi = F.broadcast(
-        event_markov_stationary(spark, sf_dir).select(
-            F.col("event_type").alias("cur"),
-            F.col("stationary_micro").alias("pi_u"),
+    else:
+        # unbounded state space: keep everything DataFrame-resident
+        # (the solver dispatches likewise; numbers identical)
+        pi = F.broadcast(
+            event_markov_stationary(spark, sf_dir).select(
+                F.col("event_type").alias("cur"),
+                F.col("stationary_micro").alias("pi_u"),
+            )
         )
-    )
-    # restrict to the closed sub-chain the stationary solver used
-    # (both endpoints must be source types, as in the solver's mat)
-    cells = trans.join(pi, "cur").join(
-        F.broadcast(pi.select(F.col("cur").alias("nxt"))), "nxt"
-    )
+        cells = (
+            trans.withColumnRenamed("w", "tw")
+            .join(pi, "cur")
+            .join(F.broadcast(pi.select(F.col("cur").alias("nxt"))), "nxt")
+        )
     outw = cells.groupBy("cur").agg(F.sum("tw").alias("out_w"))
     term = (
         F.col("pi_u")

@@ -526,8 +526,10 @@ def test_order_quartiles_window_sorts_values_not_rows(spark, sf_dir):
     df = relational_ext.order_quartiles(spark, sf_dir)
     plan = formatted_plan(df)
     assert "CartesianProduct" not in plan
-    # the totals side joins as a broadcast (5 rows), never a shuffle
-    assert has_broadcast_hash_join(df)
+    # r11: the per-key total folds into a whole-partition window sum
+    # over the same partitioning — no totals join of any kind remains
+    # (was: second aggregate of the compaction + broadcast join-back)
+    assert "Join" not in plan
     assert _window_fed_by_aggregate(plan)
 
 
