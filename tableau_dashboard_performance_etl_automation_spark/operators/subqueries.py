@@ -33,6 +33,7 @@ Scale notes (100 TB):
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
 
 from tableau_dashboard_performance_etl_automation_spark.catalog import load_table
 from tableau_dashboard_performance_etl_automation_spark.operators.starjoins import (
@@ -55,9 +56,24 @@ def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part").filter(F.col("p_size") >= 40)
     sup = load_table(spark, sf_dir, "supplier")
 
-    spend = li.groupBy("l_partkey", "l_suppkey").agg(
-        F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint")).alias(
-            "spend_cents"
+    # semi-join pushdown below the aggregate: the final inner join
+    # keeps only groups whose l_partkey survives the p_size filter,
+    # and group membership is a pure function of the group key — so
+    # dropping non-qualifying rows BEFORE the (partkey, suppkey)
+    # aggregate leaves every surviving group's sum untouched while
+    # the aggregate (and its shuffle) processes only the selected
+    # slice of the fact instead of all of it.
+    spend = (
+        li.join(
+            F.broadcast(part.select("p_partkey")),
+            li["l_partkey"] == F.col("p_partkey"),
+            "left_semi",
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100).cast("bigint")
+            ).alias("spend_cents")
         )
     )
     # argmax: MIN(struct(spend, suppkey)) orders lexicographically —
@@ -336,14 +352,19 @@ def sole_late_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_supp = flagged.groupBy("l_orderkey", "l_suppkey").agg(
         F.max("is_late").alias("supp_late")
     )
-    per_order = per_supp.groupBy("l_orderkey").agg(
-        F.count(F.lit(1)).alias("n_supps"),
-        F.sum("supp_late").alias("n_late_supps"),
-    )
+    # per-order totals are window sums over the SAME l_orderkey
+    # partitioning the first aggregate established — one pass, no
+    # groupBy+join-back (whose divergent partial aggregate re-ran the
+    # whole li⋈orders+agg subtree and added a join exchange)
+    ow = Window.partitionBy("l_orderkey")
     return (
-        per_supp.filter(F.col("supp_late") == 1)
-        .join(per_order, "l_orderkey")
-        .filter((F.col("n_supps") > 1) & (F.col("n_late_supps") == 1))
+        per_supp.withColumn("n_supps", F.count(F.lit(1)).over(ow))
+        .withColumn("n_late_supps", F.sum("supp_late").over(ow))
+        .filter(
+            (F.col("supp_late") == 1)
+            & (F.col("n_supps") > 1)
+            & (F.col("n_late_supps") == 1)
+        )
         .groupBy(F.col("l_suppkey").alias("s_suppkey"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("numwait"))
         .join(F.broadcast(sup), "s_suppkey")
