@@ -195,14 +195,17 @@ def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     labeled ``lang`` column — the model-eval table a classifier pass
     publishes (per (actual, predicted) cell: count and share of the
     actual class). Composes :func:`text_lang_id`, then one bounded
-    aggregate plus a broadcast per-class total."""
+    aggregate; the per-class total is a window sum over the bounded
+    cell grid — the separate per-class aggregate re-ran the whole
+    prediction scan (divergent partial aggregates, no AQE reuse)."""
     pred = text_lang_id(spark, sf_dir)
     cells = pred.groupBy("lang", "predicted_lang").agg(
         F.count(F.lit(1)).alias("n_docs")
     )
-    totals = pred.groupBy("lang").agg(F.count(F.lit(1)).alias("class_total"))
     return (
-        cells.join(F.broadcast(totals), "lang")
+        cells.withColumn(
+            "class_total", F.sum("n_docs").over(Window.partitionBy("lang"))
+        )
         .select(
             "lang",
             "predicted_lang",
@@ -232,8 +235,10 @@ def doc_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "word")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+    # tokens is one row per (doc, word) by construction, so the
+    # document frequency is a plain COUNT — no distinct-agg state
     df = tokens.groupBy("word").agg(
-        F.countDistinct("doc_id").alias("df")
+        F.count(F.lit(1)).alias("df")
     )
     n = docs.agg(F.countDistinct("doc_id").alias("n_docs"))
     scored = (
