@@ -36,3 +36,23 @@ def cosine(a: Column, b: Column) -> Column:
     avoided by the same guard in the oracle SQL)."""
     denom = norm(a) * norm(b)
     return F.when(denom == 0, F.lit(None)).otherwise(dot(a, b) / denom)
+
+
+def cosine_with_norms(
+    a: Column, b: Column, na: Column, nb: Column
+) -> Column:
+    """:func:`cosine` with the two norms supplied as precomputed
+    columns. Higher-order array functions run INTERPRETED (no
+    codegen), so in a broadcast pair loop the plain helper folds
+    THREE array passes per PAIR — dot(a,b), dot(a,a), dot(b,b) — of
+    which two depend on only one side. Hoisting ``norm()`` into a
+    projection below the join folds each side's norm once per ROW and
+    leaves one array pass per pair. Bit-compatible with
+    :func:`cosine`: ``na``/``nb`` must be ``norm(a)``/``norm(b)`` —
+    the same expression over the same doubles yields the same double
+    wherever it is evaluated, and ``na * nb`` then reproduces the
+    in-line denominator exactly (the hoisted-norms discipline
+    ``matryoshka_truncation_fidelity`` measured at 3× on its pair
+    loop)."""
+    denom = na * nb
+    return F.when(denom == 0, F.lit(None)).otherwise(dot(a, b) / denom)

@@ -794,32 +794,43 @@ def decayed_event_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     mergeable number stand in for "recent volume" without a window
     cutoff.
 
-    Scale shape: the anchor is a 1-row broadcast; the heavy lifting
-    is a (type, age_day) integer pre-aggregate — map-side combined,
-    ≤ types × days rows after the shuffle — and the decay weighting
-    then multiplies EXACT integer counts/cent-sums by one pow() per
-    distinct age, so the final per-type sum folds ≤ #days terms
-    (order noise bounded far below the 4-decimal rounding). This is
-    also why the decayed sum is mergeable across batches: new days
-    only rescale yesterday's total by a constant factor."""
+    Scale shape: the anchor is a 1-row broadcast derived from the
+    (type, day) compaction — max(day) over the compaction equals
+    max(day) over the raw stream. The corpus is still scanned by both
+    branches, but the broadcast no longer gates the heavy branch: the
+    old shape computed ``datediff(anchor, ts)`` BELOW the per-type
+    aggregate, so the full-stream aggregate scan could not start until
+    the anchor's own full scan finished (scan → broadcast → scan,
+    serialized). Grouping by raw day instead (day ↔ age_days is a
+    bijection under a fixed anchor, so grouping by day IS grouping by
+    age) moves the join above the aggregate: both leaf stages run
+    concurrently and the join touches ≤ types × days rows. The heavy
+    lifting is that (type, day) integer pre-aggregate — map-side
+    combined — and the decay weighting then multiplies EXACT integer
+    counts/cent-sums by one pow() per distinct age, so the final
+    per-type sum folds ≤ #days terms (order noise bounded far below
+    the 4-decimal rounding).
+    This is also why the decayed sum is mergeable across batches: new
+    days only rescale yesterday's total by a constant factor."""
     events = load_table(spark, sf_dir, "events")
-    anchor = F.broadcast(
-        events.agg(F.max(F.to_date("ts")).alias("anchor_date"))
-    )
-    per_day = (
-        events.crossJoin(anchor)
-        .select(
+    by_day = (
+        events.select(
             "event_type",
-            F.datediff(F.col("anchor_date"), F.to_date("ts")).alias(
-                "age_days"
-            ),
+            F.to_date("ts").alias("d"),
             F.round(F.col("value") * 100).cast("bigint").alias("cents"),
         )
-        .groupBy("event_type", "age_days")
+        .groupBy("event_type", "d")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n"),
             F.sum("cents").alias("cents"),
         )
+    )
+    anchor = F.broadcast(by_day.agg(F.max("d").alias("anchor_date")))
+    per_day = by_day.crossJoin(anchor).select(
+        "event_type",
+        F.datediff(F.col("anchor_date"), F.col("d")).alias("age_days"),
+        "n",
+        "cents",
     )
     decay = F.pow(
         F.lit(0.5), F.col("age_days") / F.lit(float(DECAY_HALFLIFE_DAYS))
@@ -2865,20 +2876,19 @@ def signup_purchase_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_ending"),
     )
     w = Window.orderBy("k_day").rowsBetween(Window.unboundedPreceding, 0)
-    wprev = Window.orderBy("k_day").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    total = F.broadcast(
-        per_user.agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+    # at-risk at offset k = users whose observation ends at ≥ k: a
+    # suffix window sum over the SAME tiny daily table — deriving it
+    # from a separate COUNT(*) re-executes the whole per_user subtree
+    # (two corpus scans + join + aggregates) for one number, and
+    # n_users − Σ_{j<k} n_ending_j ≡ Σ_{j≥k} n_ending_j exactly
+    # (integer arithmetic, same value both ways)
+    wafter = Window.orderBy("k_day").rowsBetween(
+        0, Window.unboundedFollowing
     )
     return (
-        daily.crossJoin(total)
-        .withColumn(
+        daily.withColumn(
             "n_at_risk",
-            (
-                F.col("n_users")
-                - F.coalesce(F.sum("n_ending").over(wprev), F.lit(0))
-            ).cast("bigint"),
+            F.sum("n_ending").over(wafter).cast("bigint"),
         )
         .withColumn(
             "_ratio",

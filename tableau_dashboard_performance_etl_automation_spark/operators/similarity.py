@@ -32,6 +32,7 @@ from tableau_dashboard_performance_etl_automation_spark.sources.warehouse import
 from tableau_dashboard_performance_etl_automation_spark.functions.vectors import (
     as_double_array,
     cosine,
+    cosine_with_norms,
     dot,
     norm,
 )
@@ -1289,18 +1290,33 @@ def embedding_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     (same zero-corpus-movement layout as :func:`ann_cosine_topk`),
     then one per-vector MAX aggregate — map-side combinable, so the
     shuffle carries one row per corpus vector. Linear in the corpus,
-    no pair materialization. Cosines are rounded to 6 decimals before
+    no pair materialization. Norms fold once per ROW below the join
+    (``cosine_with_norms`` — the interpreted-HOF pair loop folds one
+    array pass per pair instead of three, bit-identical denominator).
+    Cosines are rounded to 6 decimals before
     the max (the ANN family's fixed-precision boundary); the reported
     value and the threshold decision both use the 4-dp rounding, so
     the row is self-consistent at the boundary."""
     e = _emb(spark, sf_dir)
     bench = e.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("bench_id"), F.col("vec").alias("bvec")
+        F.col("vec_id").alias("bench_id"),
+        F.col("vec").alias("bvec"),
+        norm(F.col("vec")).alias("nb"),
     )
-    corpus = e.filter(F.col("vec_id") >= N_QUERIES)
+    corpus = e.filter(F.col("vec_id") >= N_QUERIES).select(
+        "vec_id", "vec", norm(F.col("vec")).alias("na")
+    )
     return (
         corpus.crossJoin(F.broadcast(bench))
-        .withColumn("cos6", F.round(cosine(F.col("vec"), F.col("bvec")), 6))
+        .withColumn(
+            "cos6",
+            F.round(
+                cosine_with_norms(
+                    F.col("vec"), F.col("bvec"), F.col("na"), F.col("nb")
+                ),
+                6,
+            ),
+        )
         .groupBy("vec_id")
         .agg(F.round(F.max("cos6"), 4).alias("max_benchmark_cos"))
         .select(
@@ -2555,16 +2571,29 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"),
         F.col("label").alias("query_label"),
         F.col("vec").alias("qvec"),
+        norm(F.col("vec")).alias("qn"),
     )
     c = e.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("label").alias("nlabel"),
         F.col("vec").alias("cvec"),
+        norm(F.col("vec")).alias("cn"),
     )
+    # norms fold once per ROW below the join (cosine_with_norms):
+    # the interpreted-HOF pair loop folds ONE array pass per pair
+    # instead of three, with a bit-identical denominator
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cos6", F.round(cosine(F.col("qvec"), F.col("cvec")), 6))
+        .withColumn(
+            "cos6",
+            F.round(
+                cosine_with_norms(
+                    F.col("qvec"), F.col("cvec"), F.col("qn"), F.col("cn")
+                ),
+                6,
+            ),
+        )
     )
     same = F.col("nlabel") == F.col("query_label")
     pick = lambda cond: F.max(  # noqa: E731 — argmax-as-struct idiom
