@@ -112,57 +112,57 @@ def session_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     (ts, event_id) order — the same total order every sessionized
     operator uses).
 
-    Scale shape: three per-session aggregates chained by equi-joins
-    on (user_id, session_id) — all hash-partitioned on user_id, so
-    the joins co-locate; struct comparison keeps the strict-after
-    semantics exact under timestamp ties. Output is one global row of
-    stage counts (the funnel headline)."""
+    Scale shape: ONE sessionized pass. "Stage event strictly after
+    the previous stage's anchor" is equivalent to "a previous-stage
+    anchor EXISTS earlier in the session's (ts, event_id) total
+    order" — the anchor is the stage's MIN, and sort positions are
+    unique (event_id is unique), so `x > min(anchors)` ⇔ `some anchor
+    precedes x`. That turns each stage into a cumulative-max FLAG
+    window over the same per-session sort (no struct mins, no
+    per-stage join chain — the old shape re-executed the
+    sessionization subtree once per stage aggregate, 7 passes in
+    all): `seen_view` marks positions after a view, a click there is
+    a qualifying click, `seen_qc` marks positions after one, a
+    purchase there converts. Per-session flags reduce in one hash
+    aggregate (same user_id partitioning the sessionizer
+    established — no new exchange) and one global sum emits the
+    funnel row."""
     e = load_table(spark, sf_dir, "events")
     sess = with_session_ids(e).select(
         "user_id", "session_id", "event_type", "ts", "event_id"
     )
-    sk = F.struct(F.col("ts"), F.col("event_id"))
-    anchors_v = (
-        sess.filter(F.col("event_type") == "view")
-        .groupBy("user_id", "session_id")
-        .agg(F.min(sk).alias("mv"))
+    cw = (
+        Window.partitionBy("user_id", "session_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
     )
-    clicks = sess.filter(F.col("event_type") == "click").select(
-        "user_id", "session_id", sk.alias("ck")
+    flagged = (
+        sess.withColumn(
+            "v", (F.col("event_type") == "view").cast("int")
+        )
+        .withColumn("seen_v", F.max("v").over(cw))
+        .withColumn(
+            "qc",
+            (F.col("event_type") == "click").cast("int")
+            * F.col("seen_v"),
+        )
+        .withColumn("seen_qc", F.max("qc").over(cw))
+        .withColumn(
+            "qp",
+            (F.col("event_type") == "purchase").cast("int")
+            * F.col("seen_qc"),
+        )
     )
-    anchors_c = (
-        clicks.join(anchors_v, ["user_id", "session_id"])
-        .filter(F.col("ck") > F.col("mv"))
-        .groupBy("user_id", "session_id")
-        .agg(F.min("ck").alias("mc"))
+    per_sess = flagged.groupBy("user_id", "session_id").agg(
+        F.max("v").alias("has_v"),
+        F.max("qc").alias("has_qc"),
+        F.max("qp").alias("has_qp"),
     )
-    purchases = sess.filter(F.col("event_type") == "purchase").select(
-        "user_id", "session_id", sk.alias("pk")
-    )
-    converted = (
-        purchases.join(anchors_c, ["user_id", "session_id"])
-        .filter(F.col("pk") > F.col("mc"))
-        .select("user_id", "session_id")
-        .distinct()
-    )
-    n_sessions = (
-        sess.select("user_id", "session_id")
-        .distinct()
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_sessions"))
-    )
-    n_view = anchors_v.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_view")
-    )
-    n_click = anchors_c.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_view_click")
-    )
-    n_full = converted.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_full_funnel")
-    )
-    return (
-        n_sessions.crossJoin(F.broadcast(n_view))
-        .crossJoin(F.broadcast(n_click))
-        .crossJoin(F.broadcast(n_full))
+    return per_sess.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+        F.sum("has_v").cast("bigint").alias("n_view"),
+        F.sum("has_qc").cast("bigint").alias("n_view_click"),
+        F.sum("has_qp").cast("bigint").alias("n_full_funnel"),
     )
 
 

@@ -442,13 +442,29 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 4
         ).alias("jaccard"),
     )
-    # symmetrize so every doc gets a best-match row, then top-1
-    sym = scored.union(
-        scored.select(
-            F.col("doc_b").alias("doc_a"),
-            F.col("doc_a").alias("doc_b"),
-            "jaccard",
-        )
+    # symmetrize so every doc gets a best-match row, then top-1 —
+    # via a 2-element struct-array explode (plain array construction,
+    # codegen'd): a self-UNION would re-execute the whole
+    # inter⋈sizes⋈sizes join subtree once per branch
+    sym = scored.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("doc_a").alias("a"),
+                    F.col("doc_b").alias("b"),
+                    F.col("jaccard").alias("j"),
+                ),
+                F.struct(
+                    F.col("doc_b").alias("a"),
+                    F.col("doc_a").alias("b"),
+                    F.col("jaccard").alias("j"),
+                ),
+            )
+        ).alias("p")
+    ).select(
+        F.col("p.a").alias("doc_a"),
+        F.col("p.b").alias("doc_b"),
+        F.col("p.j").alias("jaccard"),
     )
     # top-1 as a MAX(struct) argmax — hash aggregate with map-side
     # partial combine over the pair set, instead of sorting every
@@ -1054,15 +1070,29 @@ def subdoc_block_stats(docs: DataFrame) -> DataFrame:
             ),
         )
     )
-    first = blocks.groupBy("bmd5").agg(F.min("okey").alias("first_okey"))
-    flagged = blocks.join(first, "bmd5").withColumn(
-        "is_dup", (F.col("okey") != F.col("first_okey")).cast("int")
+    # two-level aggregate instead of a join back on bmd5: the old
+    # probe side re-executed the whole split+slice+md5 block subtree
+    # a second time (its exchange differs from the aggregate's, so
+    # nothing is reused). okeys are globally unique, so per (bmd5,
+    # doc) cell exactly the cell holding the group's min okey
+    # contributes its one non-dup block: n_dup = c − (mo == group
+    # min). The group min is a window over the (bmd5, doc) compaction
+    # — block-hash groups are collision-bounded small.
+    bd = blocks.groupBy("bmd5", "doc_id").agg(
+        F.count(F.lit(1)).alias("c"), F.min("okey").alias("mo")
     )
+    wb = Window.partitionBy("bmd5")
+    flagged = bd.withColumn("first_okey", F.min("mo").over(wb))
     return (
         flagged.groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_blocks"),
-            F.sum("is_dup").cast("bigint").alias("n_dup_blocks"),
+            F.sum("c").cast("bigint").alias("n_blocks"),
+            F.sum(
+                F.col("c")
+                - (F.col("mo") == F.col("first_okey")).cast("int")
+            )
+            .cast("bigint")
+            .alias("n_dup_blocks"),
         )
         .withColumn(
             "retained_frac",

@@ -145,6 +145,13 @@ def daily_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     instants — touching sessions count as concurrent) and the peak is
     the max of the running sum. ``n_sessions`` counts sessions active
     at any point in the day.
+
+    Both sweep points of a span come out of ONE pass: a 2-element
+    struct-array explode (plain array construction — codegen'd, not
+    an interpreted HOF) instead of a self-union whose two branches
+    each re-ran the sessionization window + day explode subtree.
+    Same (day, t, delta) multiset, so the day-partitioned sweep is
+    untouched.
     """
     e = load_table(spark, sf_dir, "events")
     spans = _session_spans(e)
@@ -158,8 +165,16 @@ def daily_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     lo = F.greatest(F.col("s_start"), F.col("day").cast("timestamp"))
     hi = F.least(F.col("s_end"), F.date_add("day", 1).cast("timestamp"))
     pts = days.select(
-        "day", lo.alias("t"), F.lit(1).alias("delta")
-    ).unionByName(days.select("day", hi.alias("t"), F.lit(-1).alias("delta")))
+        "day",
+        F.explode(
+            F.array(
+                F.struct(lo.alias("t"), F.lit(1).alias("delta")),
+                F.struct(hi.alias("t"), F.lit(-1).alias("delta")),
+            )
+        ).alias("pt"),
+    ).select(
+        "day", F.col("pt.t").alias("t"), F.col("pt.delta").alias("delta")
+    )
     w = (
         Window.partitionBy("day")
         .orderBy(F.col("t").asc(), F.col("delta").desc())

@@ -11,6 +11,7 @@ DuckDB oracle computes the identical assignment.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
 
 from tableau_dashboard_performance_etl_automation_spark.catalog import load_table
 from tableau_dashboard_performance_etl_automation_spark.functions.text import words
@@ -68,8 +69,11 @@ def split_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Composition of the deterministic split assignment with the token
     counters: one narrow projection computing both token counts, one
-    aggregate keyed on (split, lang), then a broadcast 1-row total
-    for the share — no windows over the corpus."""
+    aggregate keyed on (split, lang); the corpus total for the share
+    is a whole-partition window sum over those ≤ splits × langs cells
+    (a separate 1-row aggregate would re-run the double-regex
+    per-doc projection over the whole corpus — the totals-rejoin
+    shape)."""
     docs = load_table(spark, sf_dir, "documents")
     bpe_re = "[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"
     per_doc = docs.select(
@@ -87,11 +91,13 @@ def split_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("ws_tokens").cast("bigint").alias("total_ws_tokens"),
         F.sum("bpe_ish_tokens").cast("bigint").alias("total_bpe_ish_tokens"),
     )
-    total = per_doc.agg(
-        F.sum("ws_tokens").cast("bigint").alias("corpus_ws_tokens")
+    wall = Window.orderBy("split", "lang").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
     )
     return (
-        cells.crossJoin(F.broadcast(total))
+        cells.withColumn(
+            "corpus_ws_tokens", F.sum("total_ws_tokens").over(wall)
+        )
         .select(
             "split",
             "lang",
@@ -325,14 +331,22 @@ def global_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("total"),
     )
-    rn = F.row_number().over(
-        Window.partitionBy("pfx").orderBy("h", "doc_id")
+    # rank BELOW the broadcast join: the within-prefix row_number
+    # needs nothing from the offsets side, and putting it above the
+    # join serialized the two corpus passes (the rank scan could not
+    # start until the histogram scan's broadcast was built — the
+    # decayed_event_scores stage-overlap find)
+    ranked = keyed.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("pfx").orderBy("h", "doc_id")
+        ),
     )
     return (
-        keyed.join(F.broadcast(offsets), "pfx")
+        ranked.join(F.broadcast(offsets), "pfx")
         .select(
             "doc_id",
-            (F.col("offset") + rn).cast("bigint").alias("pos"),
+            (F.col("offset") + F.col("rn")).cast("bigint").alias("pos"),
             "total",
         )
         .select(

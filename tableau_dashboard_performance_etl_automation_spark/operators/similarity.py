@@ -3129,17 +3129,30 @@ def cluster_centroid_margin(
     e = _emb(spark, sf_dir)
     cent = _codebook(spark, sf_dir, e)
     assign = _assignments(spark, sf_dir, e, cent)
+    # norms fold once per ROW below the n×K cross join (every member
+    # scores against ALL K centroids): one interpreted array pass per
+    # pair instead of three, bit-identical denominator
     scored = (
-        assign.select("vec_id", "cent_id", "vec")
+        assign.select(
+            "vec_id", "cent_id", "vec", norm(F.col("vec")).alias("vn")
+        )
         .crossJoin(
             F.broadcast(
                 cent.select(
-                    F.col("cent_id").alias("other_id"), "cvec"
+                    F.col("cent_id").alias("other_id"),
+                    "cvec",
+                    norm(F.col("cvec")).alias("cn"),
                 )
             )
         )
         .withColumn(
-            "cos6", F.round(cosine(F.col("vec"), F.col("cvec")), 6)
+            "cos6",
+            F.round(
+                cosine_with_norms(
+                    F.col("vec"), F.col("cvec"), F.col("vn"), F.col("cn")
+                ),
+                6,
+            ),
         )
     )
     per_vec = scored.groupBy("vec_id", "cent_id").agg(

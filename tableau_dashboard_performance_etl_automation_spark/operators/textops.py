@@ -240,7 +240,11 @@ def doc_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = tokens.groupBy("word").agg(
         F.count(F.lit(1)).alias("df")
     )
-    n = docs.agg(F.countDistinct("doc_id").alias("n_docs"))
+    # doc_id is the documents table's primary key (one row per doc
+    # at every SF), so the corpus size is a plain COUNT — the
+    # distinct-agg spelling carried a dedup exchange + per-key state
+    # for a column that is unique by construction
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
         tokens.join(df, "word")
         .crossJoin(F.broadcast(n))
