@@ -1454,10 +1454,12 @@ def lang_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-pairs, shared band-index memo); each round is
     edge ⋈ labeled-frontier (hash join on doc id) → hash aggregate
     on (doc, label) → per-doc top-1 window over ≤ |labels| rows.
-    ``LP_ROUNDS`` is a static unroll — rounds are data-independent
-    stages, so the whole thing is ONE declarative plan (AQE sizes
-    each round's shuffle; no driver loop, no checkpoint barrier
-    needed at this depth)."""
+    ``LP_ROUNDS`` is a static unroll with a LAZY localCheckpoint per
+    round: round r+1 reads the label table twice (vote join +
+    settled anti-join) and the final output reads it again, so an
+    un-materialized unroll re-executes each earlier round's votes
+    subtree ~3× per added round — the same barrier discipline as
+    :func:`connected_components`, one Spark job per round."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
     edges = lsh_pair_table(spark, sf_dir)
     sym = edges.select(
@@ -1502,7 +1504,16 @@ def lang_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(rnd).cast("int").alias("labeled_round"),
             )
         )
-        labeled = labeled.unionByName(picked)
+        # materialize each round's label table: round r+1 consumes
+        # `labeled` TWICE (vote join + settled anti-join) and the
+        # final output reads it again, so without the barrier the
+        # round-r votes subtree re-executes ~3× per added round
+        # (measured 1.75 → 1.28 at LP_ROUNDS=2; the lazy checkpoint
+        # keeps it one Spark job per round, the connected_components
+        # discipline)
+        labeled = labeled.unionByName(picked).localCheckpoint(
+            eager=False
+        )
     return labeled.orderBy("doc_id")
 
 

@@ -2218,7 +2218,11 @@ def winnowing_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("df") <= WINNOW_MAX_DF)
         .select("fp")
     )
-    fpk = fp.join(keep, "fp")
+    # materialize the capped fingerprint table once: three consumers
+    # (per-doc counts + both self-join sides) otherwise each re-run
+    # the fp⋈keep shuffle join — the self-join sides share an
+    # exchange at runtime but the counts branch never did
+    fpk = fp.join(keep, "fp").localCheckpoint(eager=False)
     counts = fpk.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nfp"))
     a, b = fpk.alias("a"), fpk.alias("b")
     pairs = (
