@@ -303,50 +303,84 @@ def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     *after* that click, summarized as per-stage user counts with
     conversion vs. funnel entry.
 
-    Each stage is a filter + groupBy on ``user_id`` joined to the
-    previous stage's per-user timestamp — every shuffle is on
-    ``user_id``, so the three stages co-partition and AQE coalesces
-    the tiny later stages. No window over the raw stream, no
-    ``collect``; the final 3-row summary uses a window over the stage
-    axis only."""
+    ONE sessionless pass over the stream: "first click strictly
+    after the first view" ⇔ "a view exists strictly earlier in time"
+    (the stage anchor is a MIN, so `ts > min(anchors)` ⇔ `some anchor
+    has ts < this ts`), which a cumulative-max flag computes over a
+    strict RANGE frame (`rangeBetween(…, -1)` on micros — rows with
+    strictly smaller ts, so an equal-timestamp view never qualifies
+    its own click, matching the old strict `>` join filters). The old
+    shape union-counted three chained stage aggregates, re-executing
+    the view subtree three times and the click subtree twice. One
+    per-user flag aggregate + one global sum; the 3-row summary
+    explodes from that single row (pct_of_entry = users / stage-1
+    users, same value the stage-axis window produced)."""
     e = load_table(spark, sf_dir, "events")
-    v = (
-        e.filter(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t_view"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(Window.unboundedPreceding, -1)
     )
-    c = (
-        e.filter(F.col("event_type") == "click")
-        .join(v, "user_id")
-        .filter(F.col("ts") > F.col("t_view"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t_click"))
-    )
-    p = (
-        e.filter(F.col("event_type") == "purchase")
-        .join(c, "user_id")
-        .filter(F.col("ts") > F.col("t_click"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t_purchase"))
-    )
-    stages = None
-    for no, (name, df) in enumerate(
-        [("view", v), ("view>click", c), ("view>click>purchase", p)], 1
-    ):
-        s = df.agg(F.count(F.lit(1)).alias("users")).select(
-            F.lit(no).alias("stage_no"), F.lit(name).alias("stage"), "users"
+    flagged = (
+        e.select("user_id", "ts", "event_type")
+        .withColumn("v", (F.col("event_type") == "view").cast("int"))
+        .withColumn(
+            "seen_v", F.coalesce(F.max("v").over(w), F.lit(0))
         )
-        stages = s if stages is None else stages.unionByName(s)
-    w = Window.orderBy("stage_no").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    return (
-        stages.withColumn(
-            "pct_of_entry",
-            F.round(F.col("users") / F.first("users").over(w), 4),
+        .withColumn(
+            "qc",
+            (F.col("event_type") == "click").cast("int")
+            * F.col("seen_v"),
         )
-        .orderBy("stage_no")
+        .withColumn(
+            "seen_qc", F.coalesce(F.max("qc").over(w), F.lit(0))
+        )
+        .withColumn(
+            "qp",
+            (F.col("event_type") == "purchase").cast("int")
+            * F.col("seen_qc"),
+        )
     )
+    tot = (
+        flagged.groupBy("user_id")
+        .agg(
+            F.max("v").alias("hv"),
+            F.max("qc").alias("hc"),
+            F.max("qp").alias("hp"),
+        )
+        .agg(
+            F.sum("hv").cast("bigint").alias("n_v"),
+            F.sum("hc").cast("bigint").alias("n_c"),
+            F.sum("hp").cast("bigint").alias("n_p"),
+        )
+    )
+    stages = tot.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(no).alias("stage_no"),
+                        F.lit(name).alias("stage"),
+                        F.col(cnt).alias("users"),
+                        F.col("n_v").alias("entry"),
+                    )
+                    for no, name, cnt in [
+                        (1, "view", "n_v"),
+                        (2, "view>click", "n_c"),
+                        (3, "view>click>purchase", "n_p"),
+                    ]
+                ]
+            )
+        ).alias("s")
+    ).select(
+        F.col("s.stage_no").alias("stage_no"),
+        F.col("s.stage").alias("stage"),
+        F.col("s.users").alias("users"),
+        F.round(F.col("s.users") / F.col("s.entry"), 4).alias(
+            "pct_of_entry"
+        ),
+    )
+    return stages.orderBy("stage_no")
 
 
 def rolling_value_7d(spark: SparkSession, sf_dir: str) -> DataFrame:

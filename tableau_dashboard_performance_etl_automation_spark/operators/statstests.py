@@ -253,29 +253,26 @@ def daily_value_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(1 - F.col("in_a")).alias("cb"),
         )
     )
-    totals = F.broadcast(
-        comp.agg(
-            F.sum("ca").cast("bigint").alias("na"),
-            F.sum("cb").cast("bigint").alias("nb"),
-        )
-    )
+    # side totals AND the sup-difference peak fold into
+    # whole-partition window aggregates over the SAME cents ordering
+    # the cumulative window establishes — the broadcast-totals /
+    # broadcast-peak spelling re-executed the corpus compaction once
+    # per consumer (~5 corpus scans, 24 exchanges)
     w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
-    diffs = (
-        comp.crossJoin(totals)
-        .select(
-            "cents",
-            "na",
-            "nb",
-            F.abs(
-                F.sum("ca").over(w) * F.col("nb")
-                - F.sum("cb").over(w) * F.col("na")
-            ).alias("diff_int"),
-        )
+    wt = Window.orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
     )
-    peak = F.broadcast(diffs.agg(F.max("diff_int").alias("max_diff")))
+    diffs = comp.select(
+        "cents",
+        F.sum("ca").over(wt).cast("bigint").alias("na"),
+        F.sum("cb").over(wt).cast("bigint").alias("nb"),
+        F.abs(
+            F.sum("ca").over(w) * F.sum("cb").over(wt).cast("bigint")
+            - F.sum("cb").over(w) * F.sum("ca").over(wt).cast("bigint")
+        ).alias("diff_int"),
+    ).withColumn("max_diff", F.max("diff_int").over(wt))
     return (
-        diffs.crossJoin(peak)
-        .filter(F.col("diff_int") == F.col("max_diff"))
+        diffs.filter(F.col("diff_int") == F.col("max_diff"))
         .groupBy("na", "nb", "max_diff")
         .agg(F.min("cents").alias("at_cents"))
         .select(
@@ -479,6 +476,12 @@ def mixture_water_filling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wo = Window.orderBy("c", "source")
     wc = wo.rowsBetween(Window.unboundedPreceding, 0)
+    # lazy checkpoint of the ≤|sources|-row ranked frame: it feeds
+    # the boundary probe, the cut sum AND the final projection, and
+    # each consumer otherwise re-executes the whole corpus tokenize +
+    # per-source aggregate subtree (the un-materialized plan held ~8
+    # corpus passes / 30 exchanges). The barrier is bounded by the
+    # source domain, never the corpus.
     ranked = (
         per_src.crossJoin(totals)
         .withColumn(
@@ -487,7 +490,7 @@ def mixture_water_filling(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("i", F.row_number().over(wo).cast("bigint"))
         .withColumn("cum", F.sum("c").over(wc))
-    )
+    ).localCheckpoint(eager=False)
     # boundary i is valid iff capping sources 1..i leaves a water
     # level still above c_i; i=0 (nothing capped) is always valid
     boundary = F.broadcast(

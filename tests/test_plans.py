@@ -103,8 +103,10 @@ def test_neardup_blocks_on_lsh_not_label(spark, sf_dir):
 
 
 def test_funnel_stages_are_equi_joins(spark, sf_dir):
-    """Every funnel stage joins on user_id — no cartesian, and the
-    raw stream never goes through a window sort."""
+    """No cartesian in the funnel plan. (Round 11: the stage chain
+    became cumulative flag windows PARTITIONED BY user_id over one
+    pass — per-user sort state, same bound as the sessionized
+    operators, never a global sort.)"""
     df = analytics.event_funnel(spark, sf_dir)
     assert not has_cartesian_product(df)
 
