@@ -959,20 +959,23 @@ def daily_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cents").alias("s"),
         )
     )
+    # grand totals AND the objective peak fold into whole-partition
+    # window aggregates over the SAME day ordering the prefix window
+    # establishes — the broadcast-totals / broadcast-peak spelling
+    # re-executed the day compaction once per consumer (the
+    # daily_value_ks_test fold, same plan disease)
     w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
-    totals = F.broadcast(
-        daily.agg(
-            F.sum("n").alias("nn"),
-            F.sum("s").alias("ss"),
-            F.count(F.lit(1)).alias("n_days"),
-        )
+    wt = Window.orderBy("d").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
     )
     t = F.row_number().over(Window.orderBy("d"))
     pre = (
         daily.withColumn("t", t)
         .withColumn("cumn", F.sum("n").over(w))
         .withColumn("cums", F.sum("s").over(w))
-        .crossJoin(totals)
+        .withColumn("nn", F.sum("n").over(wt))
+        .withColumn("ss", F.sum("s").over(wt))
+        .withColumn("n_days", F.count(F.lit(1)).over(wt))
         .filter(F.col("t") < F.col("n_days"))
     )
     n2 = F.col("nn") - F.col("cumn")
@@ -984,11 +987,16 @@ def daily_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cand = pre.select(
         "d", "cumn", "cums", "nn", "ss", obj.alias("obj")
+    ).withColumn(
+        "best",
+        F.max("obj").over(
+            Window.orderBy("d").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ),
     )
-    peak = F.broadcast(cand.agg(F.max("obj").alias("best")))
     return (
-        cand.crossJoin(peak)
-        .filter(F.col("obj") == F.col("best"))
+        cand.filter(F.col("obj") == F.col("best"))
         .groupBy("nn", "ss", "best")
         .agg(
             F.min("d").alias("split_day"),
