@@ -3,10 +3,26 @@ factor and prints ONE JSON line with per-query wall seconds.
 
     SPARK_GRAFT_SF_DIR   parquet dir  (default /root/testdata/sf0.1)
     SPARK_GRAFT_CPUS     local[] threads (default 32)
+    SPARK_GRAFT_FRESH_WAREHOUSE  set to 1 to run against an EMPTY
+        warehouse (round-11 VERDICT item 6): the run relocates
+        spark.sql.warehouse.dir to a freshly-cleared directory so
+        every persisted artifact builds from the parquet inputs inside
+        this invocation — cold builds land in first_sample /
+        artifact_builds instead of being absorbed by a pre-warmed
+        warehouse from an earlier run. The shared warm warehouse is
+        left untouched.
 
 Each query executes via the no-op sink so timings measure the full
 distributed plan (scan → shuffle → result) without driver-side
 collect/serialization noise.
+
+Output contract: the FINAL stdout line is one JSON object carrying
+{"metric", "value", "unit", "queries": {name: sec, ...}, "sf", ...}
+— per-query timings included, per round-11 VERDICT item 1 (the
+capturing driver parses the final line; rounds ≤11 printed only a
+short summary last and the driver lost per-query visibility). The
+full detail (first samples, artifact events) is printed as the
+PENULTIMATE line and written to BENCH_DETAIL.json.
 """
 
 from __future__ import annotations
@@ -71,6 +87,18 @@ def main() -> None:
     # 0.37 s in one full run and 15.3 s min-of-2 in another). A
     # roomier heap is bench harness hygiene, not a query speedup.
     os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")
+
+    # Fresh-warehouse mode (round-11 VERDICT item 6): point the
+    # session at an empty warehouse so this one invocation measures
+    # every artifact build cold, end-to-end. Must happen before the
+    # session is created (warehouse dir is a session-start config).
+    fresh_mode = os.environ.get("SPARK_GRAFT_FRESH_WAREHOUSE", "") == "1"
+    if fresh_mode:
+        import shutil
+
+        fresh_dir = "/tmp/tdpe-warehouse-fresh"
+        shutil.rmtree(fresh_dir, ignore_errors=True)
+        os.environ["SPARK_GRAFT_WAREHOUSE_DIR"] = fresh_dir
 
     import __spark_entry__ as entry_mod
     from tableau_dashboard_performance_etl_automation_spark.session import get_spark
@@ -299,18 +327,30 @@ def main() -> None:
             # totals / budget floors by (this / reference probe) to
             # compare across hosts
             "host_probe_seconds": probe_sec,
+            "fresh_warehouse": fresh_mode,
+            # core count of this run: the perf-budget gate reads it —
+            # an 8-core scaling-probe run's scan-heavy cells must not
+            # trip a floor calibrated for the 32-core regime (the
+            # probe normalizes box SPEED, not core count; inherited
+            # r12 breakage when the driver's c8 refresh landed as the
+            # committed BENCH_DETAIL)
+            "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
             "sf": sf_val,
         }
     )
-    # The capturing driver keeps only the last ~2,000 chars of stdout
-    # and parses the FINAL line as JSON. The per-query dict alone is
-    # >4,000 chars, so it goes to a side file + an EARLIER stdout line;
-    # the final line carries only the short parseable summary.
     with open(
         os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"),
         "w",
     ) as fh:
         fh.write(detail + "\n")
+    # FINAL line (round-11 VERDICT item 1): the per-query timings,
+    # compact-encoded, so the capturing driver's PERF comparison can
+    # compute per-query regressions / geomeans / scaling ratios again.
+    # Rounds ≤11 printed a short summary last (on the belief the
+    # driver kept only a ~2,000-char stdout tail) and the driver's
+    # per_query table came out empty; the judge directed the full
+    # timings onto the final line and owns the tail sizing. The old
+    # summary fields all ride along — nothing removed or renamed.
     summary = json.dumps(
         {
             "metric": "query_set_wall_seconds",
@@ -320,8 +360,13 @@ def main() -> None:
             "artifact_build_seconds": round(
                 sum(timed_builds.values()), 3
             ),
+            "host_probe_seconds": probe_sec,
+            "fresh_warehouse": fresh_mode,
+            "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
             "sf": sf_val,
-        }
+            "queries": timings,
+        },
+        separators=(",", ":"),
     )
     # stop BEFORE printing so no late executor/console output can land
     # after (or interleave with) the JSON lines a capturing driver

@@ -349,9 +349,12 @@ def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("qp").alias("hp"),
         )
         .agg(
-            F.sum("hv").cast("bigint").alias("n_v"),
-            F.sum("hc").cast("bigint").alias("n_c"),
-            F.sum("hp").cast("bigint").alias("n_p"),
+            # coalesce: SUM over a zero-row input is NULL where the
+            # pre-rewrite per-stage COUNT shape returned 0 — keep the
+            # all-zeros summary on an empty events table (r11 ADVICE)
+            F.coalesce(F.sum("hv"), F.lit(0)).cast("bigint").alias("n_v"),
+            F.coalesce(F.sum("hc"), F.lit(0)).cast("bigint").alias("n_c"),
+            F.coalesce(F.sum("hp"), F.lit(0)).cast("bigint").alias("n_p"),
         )
     )
     stages = tot.select(

@@ -159,10 +159,17 @@ def session_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("qp").alias("has_qp"),
     )
     return per_sess.agg(
+        # coalesce: on an empty events table COUNT stays 0 but the
+        # flag SUMs return NULL where the pre-rewrite per-stage COUNT
+        # shape returned 0 — keep the funnel row all-zeros (r11 ADVICE)
         F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
-        F.sum("has_v").cast("bigint").alias("n_view"),
-        F.sum("has_qc").cast("bigint").alias("n_view_click"),
-        F.sum("has_qp").cast("bigint").alias("n_full_funnel"),
+        F.coalesce(F.sum("has_v"), F.lit(0)).cast("bigint").alias("n_view"),
+        F.coalesce(F.sum("has_qc"), F.lit(0))
+        .cast("bigint")
+        .alias("n_view_click"),
+        F.coalesce(F.sum("has_qp"), F.lit(0))
+        .cast("bigint")
+        .alias("n_full_funnel"),
     )
 
 

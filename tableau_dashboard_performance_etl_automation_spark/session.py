@@ -28,6 +28,12 @@ from pyspark.sql import SparkSession
 ENV_CPUS = "SPARK_GRAFT_CPUS"
 ENV_SHUFFLE_PARTITIONS = "SPARK_GRAFT_SHUFFLE_PARTITIONS"
 ENV_DRIVER_MEM = "SPARK_GRAFT_DRIVER_MEM"
+#: Warehouse location for managed/bucketed tables and persisted
+#: artifacts. Overridable so the bench's fresh-warehouse mode
+#: (SPARK_GRAFT_FRESH_WAREHOUSE=1, round-11 VERDICT item 6) can point
+#: one run at an empty directory and measure cold artifact builds
+#: end-to-end without disturbing the shared warm warehouse.
+ENV_WAREHOUSE_DIR = "SPARK_GRAFT_WAREHOUSE_DIR"
 #: Extra JVM flags appended to the driver options (single local JVM =
 #: driver carries the executors too). Used by the bench harness to
 #: A/B JIT/GC hypotheses (e.g. -XX:ReservedCodeCacheSize) without
@@ -79,7 +85,10 @@ def get_spark(app_name: str = "tdpe-spark", master: str | None = None) -> SparkS
         # tasks) without tiny-file overhead at test scale.
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         # managed-table state (bucketed tables) lives outside the repo
-        .config("spark.sql.warehouse.dir", "/tmp/tdpe-warehouse")
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get(ENV_WAREHOUSE_DIR, "/tmp/tdpe-warehouse"),
+        )
         .config(
             "spark.driver.extraJavaOptions",
             ("-Dderby.system.home=/tmp/tdpe-derby " + extra_java).strip(),

@@ -102,13 +102,20 @@ def test_neardup_blocks_on_lsh_not_label(spark, sf_dir):
     assert sigs.count() == n_vec * similarity.LSH_BANDS
 
 
-def test_funnel_stages_are_equi_joins(spark, sf_dir):
-    """No cartesian in the funnel plan. (Round 11: the stage chain
-    became cumulative flag windows PARTITIONED BY user_id over one
-    pass — per-user sort state, same bound as the sessionized
-    operators, never a global sort.)"""
+def test_funnel_window_is_per_user_not_global(spark, sf_dir):
+    """No cartesian in the funnel plan, and the round-11 cumulative
+    flag windows are PARTITIONED BY user_id — per-user sort state,
+    same bound as the sessionized operators, never a global sort.
+    (Renamed from test_funnel_stages_are_equi_joins per r11 ADVICE:
+    after the window rewrite there are no stage joins to assert on,
+    so the partitioning IS the scale contract.)"""
     df = analytics.event_funnel(spark, sf_dir)
     assert not has_cartesian_product(df)
+    plan = formatted_plan(df)
+    assert "Window" in plan
+    # the flag windows' one exchange hashes on user_id (a global-sort
+    # funnel would need a rangepartitioning exchange below the Window)
+    assert "hashpartitioning(user_id" in plan
 
 
 def test_cube_is_single_expand_aggregate(spark, sf_dir):
@@ -893,7 +900,21 @@ def test_perf_budget_gate_heavies_carry_scale_evidence():
     host_factor = max(
         1.0, bench.get("host_probe_seconds", host_probe_ref) / host_probe_ref
     )
-    budget = max(2.0 * host_factor, 3.0 * statistics.median(timings.values()))
+    # Core-count handicap (round 12): the floor is calibrated for the
+    # standard 32-core regime; a reduced-core scaling-probe run (the
+    # driver benches at a lower SPARK_GRAFT_CPUS to measure per-query
+    # scaling) slows the CPU-parallel scan/agg heavies near-linearly
+    # while the synthetic probe does NOT capture that (it normalizes
+    # box speed, not core count — observed: the driver's r11 c8
+    # refresh landed as the committed BENCH_DETAIL and six
+    # plan-unchanged TPC-H scan heavies tripped the 32-core floor).
+    # Scale the absolute floor by the core deficit; the 3×-median
+    # relative guard below is core-count-free and stays as-is.
+    core_factor = max(1.0, 32.0 / bench.get("cpus", 32))
+    budget = max(
+        2.0 * host_factor * core_factor,
+        3.0 * statistics.median(timings.values()),
+    )
     with open(os.path.join(root, "PERF.md")) as fh:
         perf = fh.read()
     missing = sorted(
