@@ -322,7 +322,16 @@ def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rangeBetween(Window.unboundedPreceding, -1)
     )
     flagged = (
-        e.select("user_id", "ts", "event_type")
+        # only the three stage types can set a flag; every other row
+        # enters the window with all-zero flags and cannot change a
+        # strictly-earlier cumulative max or a per-user flag sum —
+        # filtering them BEFORE the window drops ~40% of the rows the
+        # exchange + per-user sort pays for (guide §2.3, shuffle fewer
+        # bytes; predicate pushes to the parquet scan), measured on
+        # the 64×/256× fact ladder where the unfiltered window lost
+        # to the r10 three-aggregate shape (plans/r12)
+        e.filter(F.col("event_type").isin("view", "click", "purchase"))
+        .select("user_id", "ts", "event_type")
         .withColumn("v", (F.col("event_type") == "view").cast("int"))
         .withColumn(
             "seen_v", F.coalesce(F.max("v").over(w), F.lit(0))

@@ -422,17 +422,21 @@ SMJ_PROBE = [
 ]
 
 
-def _time(fn, runs: int = 2) -> float:
-    best = float("inf")
-    for _ in range(runs):
-        t0 = time.time()
-        fn()
-        best = min(best, time.time() - t0)
-    return round(best, 2)
-
-
 def _noop(df: DataFrame) -> None:
     df.write.format("noop").mode("overwrite").save()
+
+
+def _gc(spark) -> None:
+    """bench.py's per-cell GC hygiene: without it, accumulated stage
+    metadata + shuffle state in the long-lived driver JVM lands
+    multi-second stop-the-world pauses inside random timed cells
+    (observed in this tool's first run: buyer_cohort_setops 22.06 s
+    at 64× vs 1.12 s at 256× — impossible for 4× the data — and the
+    re-run with this hook reads ~1.5 s)."""
+    import gc as _gcmod
+
+    _gcmod.collect()
+    spark._jvm.System.gc()
 
 
 def _rows(df: DataFrame) -> list:
@@ -469,9 +473,11 @@ def main() -> None:
                 # interleaved: new, old, new, old — min of each
                 news, olds = [], []
                 for _ in range(2):
+                    _gc(spark)
                     t0 = time.time()
                     _noop(queries[name](spark, sf_dir))
                     news.append(time.time() - t0)
+                    _gc(spark)
                     t0 = time.time()
                     _noop(old_fn(spark, sf_dir))
                     olds.append(time.time() - t0)
@@ -481,9 +487,11 @@ def main() -> None:
                 }
             news, olds = [], []
             for _ in range(2):
+                _gc(spark)
                 t0 = time.time()
                 _noop(queries["fk_integrity_audit"](spark, sf_dir))
                 news.append(time.time() - t0)
+                _gc(spark)
                 t0 = time.time()
                 _noop(fk_integrity_audit_fused(spark, sf_dir))
                 olds.append(time.time() - t0)
@@ -496,6 +504,7 @@ def main() -> None:
             for name in SMJ_PROBE:
                 cells = {"smj_default": [], "shj_preferred": []}
                 for _ in range(2):
+                    _gc(spark)
                     spark.conf.set("spark.sql.join.preferSortMergeJoin", "true")
                     spark.conf.set(
                         "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
@@ -504,6 +513,7 @@ def main() -> None:
                     t0 = time.time()
                     _noop(queries[name](spark, sf_dir))
                     cells["smj_default"].append(time.time() - t0)
+                    _gc(spark)
                     spark.conf.set(
                         "spark.sql.join.preferSortMergeJoin", "false"
                     )
